@@ -1,0 +1,290 @@
+"""Frame-level decoding (reference: Unsafe/ZstdDecompress.cs).
+
+Covers: frame-header parse (ZSTD_getFrameHeader_advanced:462), the frame
+block loop (ZSTD_decompressFrame:1062), multi-frame + skippable handling
+(ZSTD_decompressMultiFrame:1216), bound computation (ZSTD_decompressBound:971)
+and checksum verification (:1186-1208).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from .. import constants as C
+from ..errors import ZstdError, ZstdErrorCode, check
+from ..utils.xxhash import content_checksum
+from ..constants import BlockType
+from .block import EntropyState, decode_block
+
+_WINDOWLOG_MAX_DEFAULT = C.ZSTD_WINDOWLOG_LIMIT_DEFAULT
+
+
+@dataclass
+class FrameHeader:
+    header_size: int
+    frame_content_size: int  # -1 if unknown
+    window_size: int
+    dict_id: int
+    has_checksum: bool
+    single_segment: bool
+
+
+def parse_frame_header(src: bytes) -> FrameHeader:
+    """ZSTD_getFrameHeader_advanced:462 for a zstd (non-skippable) frame."""
+    check(len(src) >= C.ZSTD_FRAMEHEADERSIZE_MIN, ZstdErrorCode.srcSize_wrong)
+    magic = int.from_bytes(src[0:4], "little")
+    check(magic == C.ZSTD_MAGICNUMBER, ZstdErrorCode.prefix_unknown)
+    fhd = src[4]
+    dict_id_code = fhd & 3
+    checksum_flag = (fhd >> 2) & 1
+    check((fhd >> 3) & 1 == 0, ZstdErrorCode.frameParameter_unsupported, "reserved bit set")
+    single_segment = (fhd >> 5) & 1
+    fcs_code = fhd >> 6
+
+    pos = 5
+    if not single_segment:
+        check(len(src) > pos, ZstdErrorCode.srcSize_wrong)
+        wd = src[pos]
+        exponent = wd >> 3
+        mantissa = wd & 7
+        window_log = 10 + exponent
+        check(window_log <= C.ZSTD_WINDOWLOG_MAX, ZstdErrorCode.frameParameter_windowTooLarge)
+        window_base = 1 << window_log
+        window_size = window_base + (window_base >> 3) * mantissa
+        pos += 1
+    else:
+        window_size = 0  # will be content size
+
+    did_size = C.ZSTD_DID_FIELD_SIZE[dict_id_code]
+    check(len(src) >= pos + did_size, ZstdErrorCode.srcSize_wrong)
+    dict_id = int.from_bytes(src[pos : pos + did_size], "little") if did_size else 0
+    pos += did_size
+
+    fcs_size = C.ZSTD_FCS_FIELD_SIZE[fcs_code]
+    if fcs_code == 0 and single_segment:
+        fcs_size = 1
+    check(len(src) >= pos + fcs_size, ZstdErrorCode.srcSize_wrong)
+    if fcs_size == 0:
+        fcs = -1
+    else:
+        fcs = int.from_bytes(src[pos : pos + fcs_size], "little")
+        if fcs_size == 2:
+            fcs += 256
+    pos += fcs_size
+    if single_segment:
+        window_size = fcs
+    return FrameHeader(pos, fcs, window_size, dict_id, bool(checksum_flag), bool(single_segment))
+
+
+@dataclass
+class FrameInfo:
+    compressed_size: int
+    decompressed_size: int  # -1 if unknown
+    dict_id: int
+    has_checksum: bool
+    is_skippable: bool = False
+
+
+def _scan_frame(src: bytes) -> FrameInfo:
+    """Walk one frame's blocks to find its compressed size
+    (ZSTD_findFrameSizeInfo:877)."""
+    magic = int.from_bytes(src[0:4], "little")
+    if (magic & C.ZSTD_MAGIC_SKIPPABLE_MASK) == C.ZSTD_MAGIC_SKIPPABLE_START:
+        check(len(src) >= 8, ZstdErrorCode.srcSize_wrong)
+        size = int.from_bytes(src[4:8], "little")
+        check(len(src) >= 8 + size, ZstdErrorCode.srcSize_wrong)
+        return FrameInfo(8 + size, 0, 0, False, is_skippable=True)
+    hdr = parse_frame_header(src)
+    pos = hdr.header_size
+    while True:
+        check(len(src) >= pos + C.ZSTD_BLOCKHEADERSIZE, ZstdErrorCode.srcSize_wrong)
+        bh = int.from_bytes(src[pos : pos + 3], "little")
+        last = bh & 1
+        btype = BlockType((bh >> 1) & 3)
+        bsize = bh >> 3
+        pos += 3
+        if btype == BlockType.RLE:
+            pos += 1
+        elif btype == BlockType.RAW or btype == BlockType.COMPRESSED:
+            pos += bsize
+        else:
+            raise ZstdError(ZstdErrorCode.corruption_detected, "reserved block type")
+        if last:
+            break
+    if hdr.has_checksum:
+        pos += 4
+    check(len(src) >= pos, ZstdErrorCode.srcSize_wrong)
+    return FrameInfo(pos, hdr.frame_content_size, hdr.dict_id, hdr.has_checksum)
+
+
+def frame_info(src: bytes) -> FrameInfo:
+    """Public: info for the first frame in src."""
+    return _scan_frame(bytes(src))
+
+
+def decompress_bound(src: bytes) -> int:
+    """Upper bound on decompressed size of all frames (ZSTD_decompressBound:971)."""
+    src = bytes(src)
+    pos = 0
+    bound = 0
+    while pos < len(src):
+        info = _scan_frame(src[pos:])
+        if info.is_skippable:
+            pos += info.compressed_size
+            continue
+        if info.decompressed_size >= 0:
+            bound += info.decompressed_size
+        else:
+            # Unknown size: bound by block count * blockSizeMax.
+            hdr = parse_frame_header(src[pos:])
+            n_blocks = 0
+            p = pos + hdr.header_size
+            while True:
+                bh = int.from_bytes(src[p : p + 3], "little")
+                btype = BlockType((bh >> 1) & 3)
+                bsize = bh >> 3
+                p += 3 + (1 if btype == BlockType.RLE else bsize)
+                n_blocks += 1
+                if bh & 1:
+                    break
+            bound += n_blocks * min(C.ZSTD_BLOCKSIZE_MAX,
+                                    hdr.window_size or C.ZSTD_BLOCKSIZE_MAX)
+        pos += info.compressed_size
+    return bound
+
+
+class FrameDecoder:
+    """Decodes a single frame given its bytes (header already validated)."""
+
+    def __init__(self, max_window_log: int = _WINDOWLOG_MAX_DEFAULT,
+                 dict_content: np.ndarray | None = None,
+                 dict_entropy: EntropyState | None = None,
+                 dict_id: int = 0):
+        self.max_window_log = max_window_log
+        self.dict_content = dict_content
+        self.dict_entropy = dict_entropy
+        self.dict_id = dict_id
+
+    def decode(self, src: bytes, verify_checksum: bool = True) -> tuple[np.ndarray, int]:
+        """Returns (decoded bytes, total frame size consumed)."""
+        hdr = parse_frame_header(src)
+        if hdr.window_size and not hdr.single_segment:
+            check(hdr.window_size <= (1 << self.max_window_log),
+                  ZstdErrorCode.frameParameter_windowTooLarge,
+                  f"window {hdr.window_size} > limit")
+        if hdr.dict_id and self.dict_id and hdr.dict_id != self.dict_id:
+            raise ZstdError(ZstdErrorCode.dictionary_wrong,
+                            f"frame wants dict {hdr.dict_id}, have {self.dict_id}")
+
+        if self.dict_entropy is not None:
+            entropy = EntropyState(
+                huf=self.dict_entropy.huf, ll=self.dict_entropy.ll,
+                ml=self.dict_entropy.ml, of=self.dict_entropy.of,
+                rep=list(self.dict_entropy.rep))
+        else:
+            entropy = EntropyState()
+
+        # Output buffer: exact if FCS known, else grow-on-demand.
+        known = hdr.frame_content_size >= 0
+        cap = hdr.frame_content_size if known else max(1 << 17, 2 * len(src))
+        prefix = 0
+        if self.dict_content is not None and len(self.dict_content):
+            prefix = len(self.dict_content)
+        out = np.empty(prefix + cap, dtype=np.uint8)
+        if prefix:
+            out[:prefix] = self.dict_content
+        out_pos = prefix
+
+        pos = hdr.header_size
+        while True:
+            check(len(src) >= pos + 3, ZstdErrorCode.srcSize_wrong)
+            bh = int.from_bytes(src[pos : pos + 3], "little")
+            last = bh & 1
+            btype = BlockType((bh >> 1) & 3)
+            bsize = bh >> 3
+            pos += 3
+            block_limit = min(C.ZSTD_BLOCKSIZE_MAX,
+                              hdr.window_size if hdr.window_size > 0 else C.ZSTD_BLOCKSIZE_MAX)
+
+            if not known and out_pos + C.ZSTD_BLOCKSIZE_MAX > len(out):
+                out = np.concatenate([out, np.empty(max(len(out), C.ZSTD_BLOCKSIZE_MAX), np.uint8)])
+
+            if btype == BlockType.RAW:
+                check(len(src) >= pos + bsize, ZstdErrorCode.srcSize_wrong)
+                check(out_pos + bsize <= len(out), ZstdErrorCode.dstSize_tooSmall)
+                out[out_pos : out_pos + bsize] = np.frombuffer(src[pos : pos + bsize], np.uint8)
+                out_pos += bsize
+                pos += bsize
+            elif btype == BlockType.RLE:
+                check(len(src) >= pos + 1, ZstdErrorCode.srcSize_wrong)
+                check(out_pos + bsize <= len(out), ZstdErrorCode.dstSize_tooSmall)
+                out[out_pos : out_pos + bsize] = src[pos]
+                out_pos += bsize
+                pos += 1
+            elif btype == BlockType.COMPRESSED:
+                check(bsize <= block_limit, ZstdErrorCode.corruption_detected,
+                      "block size exceeds maximum")
+                check(len(src) >= pos + bsize, ZstdErrorCode.srcSize_wrong)
+                out_pos = decode_block(src[pos : pos + bsize], entropy, out, out_pos,
+                                       prefix_start=0)
+                pos += bsize
+            else:
+                raise ZstdError(ZstdErrorCode.corruption_detected, "reserved block type")
+            if last:
+                break
+
+        content = out[prefix:out_pos]
+        if known:
+            check(out_pos - prefix == hdr.frame_content_size,
+                  ZstdErrorCode.corruption_detected, "content size mismatch")
+        if hdr.has_checksum:
+            check(len(src) >= pos + 4, ZstdErrorCode.srcSize_wrong)
+            stored = int.from_bytes(src[pos : pos + 4], "little")
+            pos += 4
+            if verify_checksum:
+                check(content_checksum(content) == stored,
+                      ZstdErrorCode.checksum_wrong, "content checksum mismatch")
+        return content, pos
+
+
+def decompress(src: bytes, max_output_size: int | None = None,
+               max_window_log: int = _WINDOWLOG_MAX_DEFAULT,
+               verify_checksum: bool = True) -> bytes:
+    """Decompress all frames in src (ZSTD_decompressMultiFrame:1216)."""
+    src = bytes(src)
+    check(len(src) >= 4, ZstdErrorCode.srcSize_wrong, "input too small")
+    decoder = FrameDecoder(max_window_log=max_window_log)
+    pos = 0
+    outputs = []
+    total = 0
+    while pos < len(src):
+        check(len(src) - pos >= 4, ZstdErrorCode.srcSize_wrong)
+        magic = int.from_bytes(src[pos : pos + 4], "little")
+        if (magic & C.ZSTD_MAGIC_SKIPPABLE_MASK) == C.ZSTD_MAGIC_SKIPPABLE_START:
+            check(len(src) - pos >= 8, ZstdErrorCode.srcSize_wrong)
+            size = int.from_bytes(src[pos + 4 : pos + 8], "little")
+            check(len(src) - pos >= 8 + size, ZstdErrorCode.srcSize_wrong)
+            pos += 8 + size
+            continue
+        content, consumed = decoder.decode(src[pos:], verify_checksum=verify_checksum)
+        total += len(content)
+        if max_output_size is not None:
+            check(total <= max_output_size, ZstdErrorCode.dstSize_tooSmall,
+                  "output exceeds max_output_size")
+        outputs.append(content)
+        pos += consumed
+    return b"".join(o.tobytes() for o in outputs)
+
+
+def read_skippable_frame(src: bytes) -> tuple[int, bytes]:
+    """ZSTD_readSkippableFrame:714 — returns (magic_variant, content)."""
+    src = bytes(src)
+    check(len(src) >= 8, ZstdErrorCode.srcSize_wrong)
+    magic = int.from_bytes(src[0:4], "little")
+    check((magic & C.ZSTD_MAGIC_SKIPPABLE_MASK) == C.ZSTD_MAGIC_SKIPPABLE_START,
+          ZstdErrorCode.prefix_unknown, "not a skippable frame")
+    size = int.from_bytes(src[4:8], "little")
+    check(len(src) >= 8 + size, ZstdErrorCode.srcSize_wrong)
+    return magic - C.ZSTD_MAGIC_SKIPPABLE_START, src[8 : 8 + size]
