@@ -1,0 +1,104 @@
+"""Encoder tests: our frames must decode bit-exactly via BOTH the libzstd
+oracle and our own decoder, and compressed sizes must be competitive."""
+
+import numpy as np
+import pytest
+import zstandard
+
+from zstdsharp_tpu.decode import frame as dframe
+from zstdsharp_tpu.encode import frame as eframe
+
+LEVELS = [-3, 1, 2, 3, 5, 7, 9, 12]
+
+
+def oracle_decompress(frame: bytes, expected_size: int | None = None) -> bytes:
+    d = zstandard.ZstdDecompressor()
+    if expected_size is not None:
+        return d.decompress(frame, max_output_size=max(expected_size, 1))
+    return d.decompress(frame)
+
+
+class TestEncodeRoundtrip:
+    @pytest.mark.parametrize("level", LEVELS)
+    def test_text_roundtrip_oracle(self, level, text_corpus):
+        data = text_corpus[:150_000]
+        frame = eframe.compress(data, level)
+        assert oracle_decompress(frame) == data
+        assert dframe.decompress(frame) == data
+
+    @pytest.mark.parametrize("level", [1, 3, 5])
+    def test_binary_roundtrip(self, level, binary_corpus):
+        data = binary_corpus[:150_000]
+        frame = eframe.compress(data, level)
+        assert oracle_decompress(frame) == data
+        assert dframe.decompress(frame) == data
+
+    @pytest.mark.parametrize("n", [0, 1, 2, 3, 4, 5, 8, 13, 31, 32, 63, 64, 100,
+                                   255, 256, 1000, 1024, 65536])
+    def test_edge_sizes(self, n, rng):
+        data = rng.integers(0, 5, n, dtype=np.uint8).tobytes()
+        frame = eframe.compress(data, 3)
+        assert oracle_decompress(frame, n) == data
+        assert dframe.decompress(frame) == data
+
+    def test_multi_block_frame(self, text_corpus):
+        # > 128KB forces multiple blocks; matches may cross block boundaries.
+        data = (text_corpus[:200_000] + text_corpus[:100_000])
+        frame = eframe.compress(data, 1)
+        assert oracle_decompress(frame) == data
+        assert dframe.decompress(frame) == data
+
+    def test_rle_input(self):
+        data = b"\x42" * 300_000
+        frame = eframe.compress(data, 3)
+        assert len(frame) < 100
+        assert oracle_decompress(frame) == data
+        assert dframe.decompress(frame) == data
+
+    def test_incompressible_uses_raw_blocks(self, rng):
+        data = rng.integers(0, 256, 200_000, dtype=np.uint8).tobytes()
+        frame = eframe.compress(data, 3)
+        assert len(frame) <= eframe.compress_bound(len(data))
+        assert len(frame) < len(data) + 200  # raw blocks + headers only
+        assert oracle_decompress(frame) == data
+
+    def test_checksum(self, text_corpus):
+        data = text_corpus[:10_000]
+        frame = eframe.compress(data, 3, checksum=True)
+        assert oracle_decompress(frame) == data
+        assert dframe.decompress(frame) == data  # verifies checksum internally
+
+    def test_compression_reduces_size(self, text_corpus):
+        data = text_corpus[:150_000]
+        for level in (1, 5):
+            assert len(eframe.compress(data, level)) < len(data) // 2
+
+    @pytest.mark.parametrize("level", [1, 3, 5, 9])
+    def test_ratio_parity_vs_oracle(self, level, text_corpus):
+        """Compressed size must stay within 20% of libzstd at the same level
+        (round-1 target; PARITY.md tracks convergence to <= oracle)."""
+        data = text_corpus[:150_000]
+        ours = len(eframe.compress(data, level))
+        theirs = len(zstandard.ZstdCompressor(level=level).compress(data))
+        assert ours < theirs * 1.20, f"L{level}: ours {ours} vs oracle {theirs}"
+
+    def test_skippable_frame_writer(self):
+        frame = eframe.write_skippable_frame(b"metadata", 3)
+        variant, content = dframe.read_skippable_frame(frame)
+        assert variant == 3 and content == b"metadata"
+
+    def test_compressor_class(self, text_corpus):
+        comp = eframe.Compressor(level=5)
+        data = text_corpus[:20_000]
+        frame = comp.wrap(data)
+        assert oracle_decompress(frame) == data
+        comp.level = 1
+        assert comp.level == 1
+        assert comp.get_compress_bound(1000) >= 1000
+
+    def test_structured_json_like(self, sample_factory):
+        data = b"".join(sample_factory() for _ in range(2000))
+        for level in (1, 3, 9):
+            frame = eframe.compress(data, level)
+            assert oracle_decompress(frame) == data
+            assert dframe.decompress(frame) == data

@@ -1,0 +1,165 @@
+"""Compression parameters & level resolution.
+
+Reference: ZSTD_getCParams_internal (ZstdCompress.cs:7891),
+ZSTD_adjustCParams_internal (:2023), bounds (ZSTD_cParam_getBounds:444),
+level tables (Clevels.cs:8, mirrored exactly in constants.py).
+
+Two-phase lifecycle like the reference (§3.5 of SURVEY.md): user-facing
+`CompressionParameters.from_level` resolves the table row; `adjust` then
+shrinks window/chain/hash logs to the actual source size at frame start.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+
+from .. import constants as C
+from ..constants import Strategy
+from ..errors import ZstdError, ZstdErrorCode, check
+
+
+def _size_class(src_size_hint: int, dict_size: int = 0) -> int:
+    """Pick the row family by source size (ZSTD_getCParams_internal)."""
+    if src_size_hint < 0:  # unknown
+        return 0
+    add = src_size_hint + dict_size
+    if add == 0:
+        return 0
+    b0, b1, b2 = C.ZSTD_SRCSIZEHINT_CLASSES
+    if add >= b0:
+        return 0
+    if add > b1:
+        return 1
+    if add > b2:
+        return 2
+    return 3
+
+
+@dataclass(frozen=True)
+class CompressionParameters:
+    window_log: int
+    chain_log: int
+    hash_log: int
+    search_log: int
+    min_match: int
+    target_length: int
+    strategy: Strategy
+
+    @classmethod
+    def from_level(cls, level: int, src_size_hint: int = -1,
+                   dict_size: int = 0) -> "CompressionParameters":
+        check(C.ZSTD_MIN_CLEVEL <= level <= C.ZSTD_MAX_CLEVEL,
+              ZstdErrorCode.parameter_outOfBound, f"level {level}")
+        if level == 0:
+            level = C.ZSTD_DEFAULT_CLEVEL
+        row = _size_class(src_size_hint, dict_size)
+        if level < 0:
+            # Negative (fast) levels: level-1 row with targetLength = -level
+            # (ZSTD_getCParams_internal:7891 tail).
+            base = C.ZSTD_DEFAULT_CPARAMETERS[row][0]
+            p = cls(*base[:5], -level, Strategy(base[6]))
+        else:
+            lvl = min(level, C.ZSTD_MAX_CLEVEL)
+            base = C.ZSTD_DEFAULT_CPARAMETERS[row][lvl]
+            p = cls(base[0], base[1], base[2], base[3], base[4], base[5],
+                    Strategy(base[6]))
+        return p.adjust(src_size_hint, dict_size)
+
+    def adjust(self, src_size: int = -1, dict_size: int = 0) -> "CompressionParameters":
+        """ZSTD_adjustCParams_internal:2023 — shrink logs to content size."""
+        if src_size < 0 and dict_size == 0:
+            return self
+        known = max(src_size, 0) + dict_size
+        if known == 0:
+            return self
+        min_src_size = 513  # (1 << ZSTD_WINDOWLOG_ABSOLUTEMIN) + 1? ref uses 513
+        if known < min_src_size and dict_size == 0 and src_size >= 0:
+            known = min_src_size
+        p = self
+        if known <= 1 << p.window_log:
+            src_log = max(known - 1, 1).bit_length()
+            src_log = max(src_log, C.ZSTD_HASHLOG_MIN)
+            if src_log < p.window_log:
+                p = replace(p, window_log=src_log)
+        cycle_log = p.chain_log - (1 if p.strategy in (Strategy.BTLAZY2, Strategy.BTOPT,
+                                                       Strategy.BTULTRA, Strategy.BTULTRA2) else 0)
+        # keep chainLog <= windowLog (+1 for BT strategies handled via cycleLog)
+        if cycle_log > p.window_log:
+            p = replace(p, chain_log=p.chain_log - (cycle_log - p.window_log))
+        if p.window_log < C.ZSTD_WINDOWLOG_ABSOLUTEMIN:
+            p = replace(p, window_log=C.ZSTD_WINDOWLOG_ABSOLUTEMIN)
+        if p.hash_log > p.window_log + 1:
+            p = replace(p, hash_log=p.window_log + 1)
+        return p
+
+    def validate(self) -> None:
+        check(C.ZSTD_WINDOWLOG_MIN <= self.window_log <= C.ZSTD_WINDOWLOG_MAX,
+              ZstdErrorCode.parameter_outOfBound, "windowLog")
+        check(C.ZSTD_CHAINLOG_MIN <= self.chain_log <= C.ZSTD_CHAINLOG_MAX,
+              ZstdErrorCode.parameter_outOfBound, "chainLog")
+        check(C.ZSTD_HASHLOG_MIN <= self.hash_log <= C.ZSTD_HASHLOG_MAX,
+              ZstdErrorCode.parameter_outOfBound, "hashLog")
+        check(C.ZSTD_MINMATCH_MIN <= self.min_match <= C.ZSTD_MINMATCH_MAX,
+              ZstdErrorCode.parameter_outOfBound, "minMatch")
+
+
+@dataclass
+class FrameParameters:
+    content_size_flag: bool = True
+    checksum_flag: bool = False
+    no_dict_id_flag: bool = False
+
+
+@dataclass
+class CCtxParams:
+    """Advanced parameter set (subset of ZSTD_CCtx_params, ZstdCompress.cs:784).
+
+    Parameters follow the same pending->applied model: mutate freely, then
+    `resolve()` freezes them against the source size at frame start.
+    """
+
+    compression_level: int = C.ZSTD_DEFAULT_CLEVEL
+    window_log: int = 0  # 0 = auto
+    hash_log: int = 0
+    chain_log: int = 0
+    search_log: int = 0
+    min_match: int = 0
+    target_length: int = 0
+    strategy: int = 0  # 0 = auto
+    checksum_flag: bool = False
+    content_size_flag: bool = True
+    dict_id_flag: bool = True
+    # Experimental/auto switches (tri-state: None = auto)
+    ldm: bool | None = None
+    block_splitter: bool | None = None
+    target_cblock_size: int = 0
+    n_workers: int = 0  # accepted; data-parallel device sharding instead
+
+    def resolve(self, src_size_hint: int = -1, dict_size: int = 0) -> "ResolvedParams":
+        cp = CompressionParameters.from_level(self.compression_level,
+                                              src_size_hint, dict_size)
+        overrides = {}
+        for name in ("window_log", "hash_log", "chain_log", "search_log",
+                     "min_match", "target_length"):
+            v = getattr(self, name)
+            if v:
+                overrides[name] = v
+        if self.strategy:
+            overrides["strategy"] = Strategy(self.strategy)
+        if overrides:
+            cp = replace(cp, **overrides)
+        cp.validate()
+        ldm = self.ldm
+        if ldm is None:  # auto: on for large windows at high levels (ref :276)
+            ldm = cp.window_log >= 27 and self.compression_level >= 16
+        return ResolvedParams(cp, FrameParameters(self.content_size_flag,
+                                                  self.checksum_flag,
+                                                  not self.dict_id_flag),
+                              ldm=ldm)
+
+
+@dataclass
+class ResolvedParams:
+    cparams: CompressionParameters
+    fparams: FrameParameters
+    ldm: bool = False
