@@ -1,0 +1,141 @@
+"""Dictionary tests: training, loading, cross-compat with the libzstd oracle
+(mirrors ZstdNetTests.cs dictionary coverage :19-39, :95-135, :149)."""
+
+import numpy as np
+import pytest
+import zstandard
+
+from zstdsharp_tpu.decode import frame as dframe
+from zstdsharp_tpu.dictionary import ZstdCompressionDict, parse_dictionary, train_dictionary
+from zstdsharp_tpu.encode.frame import Compressor
+from zstdsharp_tpu.decode.frame import Decompressor
+from zstdsharp_tpu.errors import ZstdError
+
+
+@pytest.fixture(scope="module")
+def samples():
+    r = np.random.default_rng(1234)
+    out = []
+    for _ in range(80):
+        n = int(r.integers(1, 10))
+        body = "".join(
+            f'{{"type": "object{r.integers(0, 100)}", "id": {r.integers(0, 1000)}, '
+            f'"status": "active", "payload": "data{r.integers(0, 50)}"}},'
+            for _ in range(n))
+        out.append(body.encode())
+    return out
+
+
+@pytest.fixture(scope="module")
+def oracle_dict(samples):
+    return zstandard.train_dictionary(4096, samples).as_bytes()
+
+
+class TestDictLoading:
+    def test_parse_oracle_dictionary(self, oracle_dict):
+        p = parse_dictionary(oracle_dict)
+        assert p.dict_id != 0
+        assert p.entropy is not None
+        assert len(p.content) > 0
+        assert len(p.entropy.rep) == 3
+
+    def test_decompress_oracle_dict_frames(self, samples, oracle_dict):
+        zd = zstandard.ZstdDictData = zstandard.ZstdCompressionDict(oracle_dict)
+        ours = ZstdCompressionDict(oracle_dict)
+        for s in samples[:20]:
+            frame = zstandard.ZstdCompressor(level=3, dict_data=zd).compress(s)
+            assert ours.decompress_with(frame) == s
+
+    def test_compress_with_oracle_dict(self, samples, oracle_dict):
+        ours = ZstdCompressionDict(oracle_dict)
+        zd = zstandard.ZstdCompressionDict(oracle_dict)
+        from zstdsharp_tpu.encode.params import CCtxParams
+
+        for s in samples[:20]:
+            frame = ours.compress_with(s, CCtxParams(compression_level=3))
+            out = zstandard.ZstdDecompressor(dict_data=zd).decompress(
+                frame, max_output_size=len(s) + 1)
+            assert out == s
+
+    def test_dictionary_improves_ratio(self, samples, oracle_dict):
+        ours = ZstdCompressionDict(oracle_dict)
+        from zstdsharp_tpu.encode.params import CCtxParams
+        from zstdsharp_tpu.encode.frame import compress
+
+        with_d = sum(len(ours.compress_with(s, CCtxParams(compression_level=3)))
+                     for s in samples[:20])
+        without = sum(len(compress(s, 3)) for s in samples[:20])
+        assert with_d < without
+
+    def test_wrong_dict_rejected(self, samples, oracle_dict):
+        zd = zstandard.ZstdCompressionDict(oracle_dict)
+        frame = zstandard.ZstdCompressor(level=3, dict_data=zd).compress(samples[0])
+        with pytest.raises(ZstdError):
+            dframe.decompress(frame)  # no dict loaded -> REPEAT modes fail or id check
+
+    def test_raw_content_dictionary(self, samples):
+        raw = b"".join(samples[:8])[:4096]
+        ours = ZstdCompressionDict(raw)
+        assert ours.dict_id == 0
+        from zstdsharp_tpu.encode.params import CCtxParams
+
+        frame = ours.compress_with(samples[0], CCtxParams(compression_level=3))
+        assert ours.decompress_with(frame) == samples[0]
+
+
+class TestTraining:
+    def test_train_produces_valid_dictionary(self, samples):
+        d = train_dictionary(samples, 4096)
+        p = parse_dictionary(d)
+        assert p.dict_id != 0 and p.entropy is not None
+
+    def test_oracle_accepts_trained_dictionary(self, samples):
+        d = train_dictionary(samples, 4096)
+        zd = zstandard.ZstdCompressionDict(d)
+        frame = zstandard.ZstdCompressor(level=3, dict_data=zd).compress(samples[0])
+        out = zstandard.ZstdDecompressor(dict_data=zd).decompress(
+            frame, max_output_size=len(samples[0]) + 1)
+        assert out == samples[0]
+
+    def test_roundtrip_with_trained_dictionary(self, samples):
+        d = train_dictionary(samples, 4096)
+        ours = ZstdCompressionDict(d)
+        from zstdsharp_tpu.encode.params import CCtxParams
+
+        for s in samples[:10]:
+            frame = ours.compress_with(s, CCtxParams(compression_level=3))
+            assert ours.decompress_with(frame) == s
+
+    def test_trained_dictionary_improves_ratio(self, samples):
+        d = train_dictionary(samples, 8192)
+        ours = ZstdCompressionDict(d)
+        from zstdsharp_tpu.encode.params import CCtxParams
+        from zstdsharp_tpu.encode.frame import compress
+
+        with_d = sum(len(ours.compress_with(s, CCtxParams(compression_level=3)))
+                     for s in samples[:20])
+        without = sum(len(compress(s, 3)) for s in samples[:20])
+        assert with_d < without
+
+    def test_deterministic(self, samples):
+        assert train_dictionary(samples, 2048) == train_dictionary(samples, 2048)
+
+
+class TestApiClasses:
+    def test_compressor_decompressor_with_dict(self, samples, oracle_dict):
+        comp = Compressor(level=3)
+        comp.load_dictionary(oracle_dict)
+        dec = Decompressor()
+        dec.load_dictionary(oracle_dict)
+        frame = comp.wrap(samples[0])
+        assert dec.unwrap(frame) == samples[0]
+
+    def test_try_unwrap_too_small(self, samples):
+        from zstdsharp_tpu.encode.frame import compress
+
+        frame = compress(samples[0] * 10, 3)
+        dec = Decompressor()
+        ok, _ = dec.try_unwrap(frame, max_decompressed_size=10)
+        assert not ok
+        ok, data = dec.try_unwrap(frame, max_decompressed_size=len(samples[0]) * 10)
+        assert ok and data == samples[0] * 10

@@ -1,0 +1,116 @@
+"""Streaming tests, transplanting the reference's chunk-size combinatorics
+(ZstdNetSteamingTests.cs:269-370): every read/write granularity must produce
+identical results, both against our own codec and the libzstd oracle."""
+
+import io
+
+import numpy as np
+import pytest
+import zstandard
+
+from zstdsharp_tpu.decode.streaming import StreamingDecompressor
+from zstdsharp_tpu.streaming import CompressionStream, DecompressionStream
+
+
+@pytest.fixture(scope="module")
+def data1k(request):
+    return np.random.default_rng(1234).integers(0, 64, 1024, dtype=np.uint8).tobytes()
+
+
+@pytest.fixture(scope="module")
+def data1m():
+    r = np.random.default_rng(1234)
+    reps = r.integers(0, 256, 4096, dtype=np.uint8).tobytes()
+    return (reps * 300)[: 1 << 20]
+
+
+def compress_streaming(data: bytes, chunk: int, level: int = 3) -> bytes:
+    sink = io.BytesIO()
+    cs = CompressionStream(sink, level=level)
+    for i in range(0, len(data), chunk):
+        cs.write(data[i : i + chunk])
+    cs.close()
+    return sink.getvalue()
+
+
+class TestCompressionStream:
+    @pytest.mark.parametrize("chunk", [1, 7, 128, 1024, 65536, 1 << 20])
+    def test_chunked_writes_oracle_decodable(self, chunk, data1m):
+        frame = compress_streaming(data1m, chunk)
+        out = zstandard.ZstdDecompressor().decompressobj().decompress(frame)
+        assert out == data1m
+
+    def test_empty_stream(self):
+        frame = compress_streaming(b"", 1024)
+        assert zstandard.ZstdDecompressor().decompressobj().decompress(frame) == b""
+
+    def test_single_byte_writes(self, data1k):
+        frame = compress_streaming(data1k, 1)
+        assert zstandard.ZstdDecompressor().decompressobj().decompress(frame) == data1k
+
+    def test_chunk_size_invariance(self, data1m):
+        # Same data, different write granularity -> same frame bytes.
+        assert compress_streaming(data1m, 999) == compress_streaming(data1m, 1 << 18)
+
+
+class TestDecompressionStream:
+    @pytest.mark.parametrize("read_chunk", [1, 13, 1024, 65536])
+    def test_chunked_reads(self, read_chunk, data1m):
+        frame = zstandard.ZstdCompressor(level=5).compress(data1m)
+        ds = DecompressionStream(io.BytesIO(frame), read_chunk=read_chunk)
+        out = bytearray()
+        while True:
+            piece = ds.read(4096)
+            if not piece:
+                break
+            out += piece
+        assert bytes(out) == data1m
+
+    def test_readall(self, data1k):
+        frame = zstandard.ZstdCompressor().compress(data1k)
+        assert DecompressionStream(io.BytesIO(frame)).read() == data1k
+
+    def test_truncated_raises(self, data1m):
+        frame = zstandard.ZstdCompressor().compress(data1m)
+        ds = DecompressionStream(io.BytesIO(frame[: len(frame) // 2]))
+        with pytest.raises(EOFError):
+            ds.read()
+
+    def test_batch_to_streaming_and_back(self, data1m):
+        # cross-compat both directions (ZstdNetSteamingTests.cs:238-268)
+        ours_frame = compress_streaming(data1m, 4096)
+        ds = DecompressionStream(io.BytesIO(ours_frame))
+        assert ds.read() == data1m
+
+    def test_multi_frame_stream(self, data1k):
+        f = (zstandard.ZstdCompressor().compress(data1k)
+             + zstandard.ZstdCompressor(level=9).compress(data1k[::-1]))
+        ds = DecompressionStream(io.BytesIO(f))
+        assert ds.read() == data1k + data1k[::-1]
+
+
+class TestStreamingDecompressor:
+    @pytest.mark.parametrize("feed_chunk", [1, 3, 17, 500])
+    def test_arbitrary_feed_granularity(self, feed_chunk, data1k):
+        frame = zstandard.ZstdCompressor(level=19).compress(data1k * 40)
+        dec = StreamingDecompressor()
+        out = bytearray()
+        for i in range(0, len(frame), feed_chunk):
+            out += dec.feed(frame[i : i + feed_chunk])
+        assert bytes(out) == data1k * 40
+        assert dec.finished
+
+    def test_split_frame_header(self, data1k):
+        frame = zstandard.ZstdCompressor(write_checksum=True).compress(data1k)
+        dec = StreamingDecompressor()
+        out = dec.feed(frame[:3])  # partial magic+header
+        out += dec.feed(frame[3:5])
+        out += dec.feed(frame[5:])
+        assert out == data1k
+
+    def test_skippable_mid_stream(self, data1k):
+        skip = (0x184D2A53).to_bytes(4, "little") + (4).to_bytes(4, "little") + b"meta"
+        frame = zstandard.ZstdCompressor().compress(data1k)
+        dec = StreamingDecompressor()
+        assert dec.feed(frame + skip + frame) == data1k * 2
+        assert dec.finished

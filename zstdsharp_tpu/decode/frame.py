@@ -278,6 +278,46 @@ def decompress(src: bytes, max_output_size: int | None = None,
     return b"".join(o.tobytes() for o in outputs)
 
 
+class Decompressor:
+    """Mirror of the reference's safe Decompressor (Decompressor.cs:6)."""
+
+    DEFAULT_MAX_OUTPUT = 1 << 31  # guard against zip bombs on unknown FCS
+
+    def __init__(self, max_window_log: int = _WINDOWLOG_MAX_DEFAULT):
+        self.max_window_log = max_window_log
+        self._dict = None
+
+    def load_dictionary(self, dict_data: bytes | None) -> None:
+        from ..dictionary import ZstdCompressionDict
+
+        self._dict = ZstdCompressionDict(dict_data) if dict_data is not None else None
+
+    def set_parameter(self, name: str, value) -> None:
+        check(name in ("max_window_log",), ZstdErrorCode.parameter_unsupported, name)
+        setattr(self, name, value)
+
+    def get_upper_bound(self, src: bytes) -> int:
+        return decompress_bound(src)
+
+    def unwrap(self, src: bytes, max_decompressed_size: int | None = None) -> bytes:
+        if self._dict is not None:
+            return self._dict.decompress_with(src, max_output_size=max_decompressed_size,
+                                              max_window_log=self.max_window_log)
+        return decompress(src, max_output_size=max_decompressed_size,
+                          max_window_log=self.max_window_log)
+
+    def try_unwrap(self, src: bytes, max_decompressed_size: int) -> tuple[bool, bytes]:
+        """TryUnwrap:96 — returns (ok, data) instead of raising on size."""
+        try:
+            return True, self.unwrap(src, max_decompressed_size)
+        except ZstdError as e:
+            if e.code == ZstdErrorCode.dstSize_tooSmall:
+                return False, b""
+            raise
+
+    decompress = unwrap
+
+
 def read_skippable_frame(src: bytes) -> tuple[int, bytes]:
     """ZSTD_readSkippableFrame:714 — returns (magic_variant, content)."""
     src = bytes(src)

@@ -1,0 +1,213 @@
+"""Streaming decompression state machine.
+
+Mirrors the zdss_loadHeader/read/load/flush stage machine
+(ZSTD_decompressStream:2816, ZSTD_dStreamStage.cs:5): input may arrive at any
+granularity, including split frame headers; output is produced per block.
+"""
+
+from __future__ import annotations
+
+import enum
+
+import numpy as np
+
+from .. import constants as C
+from ..errors import ZstdError, ZstdErrorCode, check
+from ..utils.xxhash import content_checksum
+from .block import EntropyState, decode_block
+from .frame import FrameHeader, parse_frame_header
+
+
+class _Stage(enum.Enum):
+    HEADER = 0
+    SKIP_FRAME = 1
+    BLOCK_HEADER = 2
+    BLOCK_BODY = 3
+    CHECKSUM = 4
+    DONE = 5
+
+
+class StreamingDecompressor:
+    """feed(chunk) -> decompressed bytes; handles multi-frame streams.
+
+    `finished` is True when positioned at a clean frame boundary (the
+    premature-EOF signal used by DecompressionStream, mirroring
+    DecompressionStream.cs:99).
+    """
+
+    def __init__(self, max_window_log: int = C.ZSTD_WINDOWLOG_LIMIT_DEFAULT,
+                 dict_content: np.ndarray | None = None,
+                 dict_entropy: EntropyState | None = None,
+                 dict_id: int = 0, verify_checksum: bool = True,
+                 single_frame: bool = False):
+        self._in = bytearray()
+        self._stage = _Stage.HEADER
+        self.max_window_log = max_window_log
+        self.verify_checksum = verify_checksum
+        self.single_frame = single_frame
+        self._dict_content = dict_content
+        self._dict_entropy = dict_entropy
+        self._dict_id = dict_id
+        self._reset_frame_state()
+        self._no_progress_count = 0
+
+    def _reset_frame_state(self):
+        self._hdr: FrameHeader | None = None
+        self._entropy: EntropyState | None = None
+        self._out = None  # frame-wide history buffer (window)
+        self._out_pos = 0
+        self._flushed = 0
+        self._skip_left = 0
+        self._block_size = 0
+        self._block_last = False
+        self._block_type = None
+        self._content_produced = 0
+        self._xxh_chunks = [] if self.verify_checksum else None
+
+    @property
+    def finished(self) -> bool:
+        return self._stage in (_Stage.HEADER, _Stage.DONE) and not self._in
+
+    @property
+    def at_frame_boundary(self) -> bool:
+        return self._stage in (_Stage.HEADER, _Stage.DONE)
+
+    def feed(self, chunk: bytes) -> bytes:
+        self._in += chunk
+        out = bytearray()
+        while True:
+            produced = self._step(out)
+            if not produced:
+                break
+        return bytes(out)
+
+    def _ensure_out(self, need: int) -> None:
+        if self._out is None:
+            prefix = 0
+            if self._dict_content is not None:
+                prefix = len(self._dict_content)
+            cap = max(need, 1 << 18) + prefix
+            self._out = np.empty(cap, dtype=np.uint8)
+            if prefix:
+                self._out[:prefix] = self._dict_content
+            self._out_pos = prefix
+            self._flushed = prefix
+            self._window_base = prefix
+        while self._out_pos + need > len(self._out):
+            grown = np.empty(2 * len(self._out), dtype=np.uint8)
+            grown[: self._out_pos] = self._out[: self._out_pos]
+            self._out = grown
+
+    def _step(self, out: bytearray) -> bool:
+        """Advance one stage if input allows; returns True if progress."""
+        if self._stage == _Stage.DONE:
+            if self.single_frame:
+                return False
+            self._stage = _Stage.HEADER
+            self._reset_frame_state()
+            return bool(self._in)
+
+        if self._stage == _Stage.SKIP_FRAME:
+            take = min(self._skip_left, len(self._in))
+            del self._in[:take]
+            self._skip_left -= take
+            if self._skip_left == 0:
+                self._stage = _Stage.HEADER
+                return True
+            return False
+
+        if self._stage == _Stage.HEADER:
+            if len(self._in) < C.ZSTD_FRAMEHEADERSIZE_PREFIX:
+                if self._in and len(self._in) >= 4:
+                    pass  # might still be skippable; need size field too
+                return False
+            magic = int.from_bytes(self._in[:4], "little")
+            if (magic & C.ZSTD_MAGIC_SKIPPABLE_MASK) == C.ZSTD_MAGIC_SKIPPABLE_START:
+                if len(self._in) < 8:
+                    return False
+                self._skip_left = int.from_bytes(self._in[4:8], "little")
+                del self._in[:8]
+                self._stage = _Stage.SKIP_FRAME
+                return True
+            try:
+                hdr = parse_frame_header(bytes(self._in[: C.ZSTD_FRAMEHEADERSIZE_MAX]))
+            except ZstdError as e:
+                if e.code == ZstdErrorCode.srcSize_wrong and len(self._in) < C.ZSTD_FRAMEHEADERSIZE_MAX:
+                    return False  # header split across chunks; wait
+                raise
+            if hdr.window_size and not hdr.single_segment:
+                check(hdr.window_size <= (1 << self.max_window_log),
+                      ZstdErrorCode.frameParameter_windowTooLarge)
+            if hdr.dict_id and self._dict_id and hdr.dict_id != self._dict_id:
+                raise ZstdError(ZstdErrorCode.dictionary_wrong)
+            self._hdr = hdr
+            if self._dict_entropy is not None:
+                self._entropy = EntropyState(
+                    huf=self._dict_entropy.huf, ll=self._dict_entropy.ll,
+                    ml=self._dict_entropy.ml, of=self._dict_entropy.of,
+                    rep=list(self._dict_entropy.rep))
+            else:
+                self._entropy = EntropyState()
+            del self._in[: hdr.header_size]
+            self._stage = _Stage.BLOCK_HEADER
+            return True
+
+        if self._stage == _Stage.BLOCK_HEADER:
+            if len(self._in) < 3:
+                return False
+            bh = int.from_bytes(self._in[:3], "little")
+            self._block_last = bool(bh & 1)
+            self._block_type = C.BlockType((bh >> 1) & 3)
+            check(self._block_type != C.BlockType.RESERVED,
+                  ZstdErrorCode.corruption_detected, "reserved block type")
+            self._block_size = bh >> 3
+            del self._in[:3]
+            self._stage = _Stage.BLOCK_BODY
+            return True
+
+        if self._stage == _Stage.BLOCK_BODY:
+            need = 1 if self._block_type == C.BlockType.RLE else self._block_size
+            if len(self._in) < need:
+                return False
+            body = bytes(self._in[:need])
+            del self._in[:need]
+            if self._block_type == C.BlockType.RAW:
+                self._ensure_out(self._block_size)
+                self._out[self._out_pos : self._out_pos + self._block_size] = \
+                    np.frombuffer(body, dtype=np.uint8)
+                self._out_pos += self._block_size
+            elif self._block_type == C.BlockType.RLE:
+                self._ensure_out(self._block_size)
+                self._out[self._out_pos : self._out_pos + self._block_size] = body[0]
+                self._out_pos += self._block_size
+            else:
+                self._ensure_out(C.ZSTD_BLOCKSIZE_MAX)
+                self._out_pos = decode_block(body, self._entropy, self._out,
+                                             self._out_pos, prefix_start=0)
+            fresh = self._out[self._flushed : self._out_pos]
+            if self._xxh_chunks is not None:
+                self._xxh_chunks.append(fresh.tobytes())
+            out += fresh.tobytes()
+            self._content_produced += self._out_pos - self._flushed
+            self._flushed = self._out_pos
+            if self._block_last:
+                if self._hdr.frame_content_size >= 0:
+                    check(self._content_produced == self._hdr.frame_content_size,
+                          ZstdErrorCode.corruption_detected, "content size mismatch")
+                self._stage = _Stage.CHECKSUM if self._hdr.has_checksum else _Stage.DONE
+            else:
+                self._stage = _Stage.BLOCK_HEADER
+            return True
+
+        if self._stage == _Stage.CHECKSUM:
+            if len(self._in) < 4:
+                return False
+            stored = int.from_bytes(self._in[:4], "little")
+            del self._in[:4]
+            if self._xxh_chunks is not None:
+                check(content_checksum(b"".join(self._xxh_chunks)) == stored,
+                      ZstdErrorCode.checksum_wrong)
+            self._stage = _Stage.DONE
+            return True
+
+        return False

@@ -1,0 +1,248 @@
+"""Dictionaries: load (CDict/DDict equivalent), and training (fastCover).
+
+Reference: Unsafe/ZstdDdict.cs (DDict), ZSTD_loadDEntropy
+(ZstdDecompress.cs:1770) for the dictionary wire format —
+[magic 0xEC30A437][dictID u32][HUF weights][OF NCount][ML NCount][LL NCount]
+[rep0..rep2 u32][content] — and Unsafe/Fastcover.cs / Zdict.cs for training.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from . import constants as C
+from .decode.block import EntropyState
+from .entropy import fse, huffman
+from .errors import ZstdError, ZstdErrorCode, check
+
+DICT_MAGIC = C.ZSTD_MAGIC_DICTIONARY
+DEFAULT_DICT_CAPACITY = 110 * 1024  # DictBuilder.cs:37 (112640)
+
+
+@dataclass
+class ParsedDict:
+    dict_id: int
+    content: np.ndarray
+    entropy: EntropyState | None  # decode-side tables; None for raw content
+    raw: bytes = b""
+    enc_entropy: object | None = None  # EncoderEntropy with CTables
+
+
+def parse_dictionary(data: bytes) -> ParsedDict:
+    """Parse a zstd dictionary; raw-content fallback if no magic
+    (ZSTD_loadDictionaryContent auto mode)."""
+    data = bytes(data)
+    if len(data) < 8 or int.from_bytes(data[0:4], "little") != DICT_MAGIC:
+        return ParsedDict(0, np.frombuffer(data, dtype=np.uint8), None, data)
+    dict_id = int.from_bytes(data[4:8], "little")
+    pos = 8
+    ent = EntropyState()
+    from .encode.block import EncoderEntropy
+
+    enc = EncoderEntropy()
+
+    weights, tlog, consumed = huffman.read_weights(data[pos:])
+    ent.huf = huffman.build_dtable(weights, tlog)
+    enc.huf = huffman.ctable_from_weights(weights, tlog)
+    pos += consumed
+
+    norm, max_sym, log, n = fse.read_ncount(data[pos:], C.MAX_OFF, C.OF_FSE_LOG)
+    ent.of = fse.build_sequence_dtable(norm, max_sym, log, C.OF_BASE, C.OF_BITS)
+    enc.of = fse.build_ctable(norm, max_sym, log)
+    pos += n
+    norm, max_sym, log, n = fse.read_ncount(data[pos:], C.MAX_ML, C.ML_FSE_LOG)
+    ent.ml = fse.build_sequence_dtable(norm, max_sym, log, C.ML_BASE, C.ML_BITS)
+    enc.ml = fse.build_ctable(norm, max_sym, log)
+    pos += n
+    norm, max_sym, log, n = fse.read_ncount(data[pos:], C.MAX_LL, C.LL_FSE_LOG)
+    ent.ll = fse.build_sequence_dtable(norm, max_sym, log, C.LL_BASE, C.LL_BITS)
+    enc.ll = fse.build_ctable(norm, max_sym, log)
+    pos += n
+
+    check(len(data) >= pos + 12, ZstdErrorCode.dictionary_corrupted, "missing repcodes")
+    reps = [int.from_bytes(data[pos + 4 * i : pos + 4 * i + 4], "little") for i in range(3)]
+    pos += 12
+    content = np.frombuffer(data[pos:], dtype=np.uint8)
+    for r in reps:
+        check(0 < r <= len(content) + (1 << 31), ZstdErrorCode.dictionary_corrupted)
+    ent.rep = reps
+    return ParsedDict(dict_id, content, ent, data, enc_entropy=enc)
+
+
+class ZstdCompressionDict:
+    """A loaded dictionary usable on both directions (CDict+DDict roles)."""
+
+    def __init__(self, data: bytes):
+        self._parsed = parse_dictionary(data)
+
+    @property
+    def dict_id(self) -> int:
+        return self._parsed.dict_id
+
+    @property
+    def content(self) -> np.ndarray:
+        return self._parsed.content
+
+    def compress_with(self, data: bytes, params) -> bytes:
+        from .encode.frame import compress_frame
+        from .encode.seqstore import MatchState
+
+        resolved = params.resolve(src_size_hint=len(data),
+                                  dict_size=len(self._parsed.content))
+        reps = self._parsed.entropy.rep if self._parsed.entropy is not None else None
+        return compress_frame(data, resolved, dict_id=self._parsed.dict_id,
+                              dict_content=self._parsed.content, dict_reps=reps,
+                              dict_entropy=self._parsed.enc_entropy)
+
+    def decompress_with(self, src: bytes, max_output_size: int | None = None,
+                        max_window_log: int = C.ZSTD_WINDOWLOG_LIMIT_DEFAULT) -> bytes:
+        from .decode.frame import FrameDecoder
+
+        p = self._parsed
+        decoder = FrameDecoder(max_window_log=max_window_log,
+                               dict_content=p.content,
+                               dict_entropy=p.entropy, dict_id=p.dict_id)
+        out, consumed = decoder.decode(bytes(src))
+        check(consumed == len(src), ZstdErrorCode.srcSize_wrong,
+              "trailing bytes after dictionary frame")
+        if max_output_size is not None:
+            check(len(out) <= max_output_size, ZstdErrorCode.dstSize_tooSmall)
+        return out.tobytes()
+
+
+# ---------------------------------------------------------------------------
+# Training (fastCover, Fastcover.cs:525 + ZDICT_finalizeDictionary Zdict.cs:458)
+# ---------------------------------------------------------------------------
+
+
+def _dmer_hashes(data: np.ndarray, d: int, f: int) -> np.ndarray:
+    """Rolling d-mer hash into 2^f buckets (FASTCOVER_hashPtrToIndex:14 role;
+    vectorized — this is the stage that maps 1:1 onto a TPU segment-sum)."""
+    n = len(data) - d + 1
+    if n <= 0:
+        return np.empty(0, dtype=np.int64)
+    h = np.zeros(n, dtype=np.uint64)
+    prime = np.uint64(0x9E3779B185EBCA87)
+    for k in range(d):
+        h = (h * prime + data[k : k + n].astype(np.uint64) * np.uint64(2654435761)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    return ((h * prime) >> np.uint64(64 - f)).astype(np.int64)
+
+
+def _select_segments(data: np.ndarray, hashes: np.ndarray, d: int, k: int,
+                     f: int, dict_size: int) -> list[tuple[int, int]]:
+    """fastCover epoch loop (FASTCOVER_buildDictionary:325): split the budget
+    into epochs, greedily take the highest-scoring k-segment per epoch, then
+    zero its d-mers so later epochs pick fresh coverage."""
+    freqs = np.bincount(hashes, minlength=1 << f).astype(np.float64)
+    n_seg = len(hashes) - k + 1 if len(hashes) >= k else 0
+    if n_seg <= 0:
+        return [(0, len(data))]
+    n_epochs = max(1, min(dict_size // k, 16))
+    epoch_size = dict_size // n_epochs
+    segments = []
+    for _ in range(n_epochs):
+        scores = np.convolve(freqs[hashes], np.ones(min(k, len(hashes))), mode="valid")
+        best = int(np.argmax(scores))
+        seg_len = min(max(epoch_size, d), len(data) - best)
+        segments.append((best, best + seg_len))
+        freqs[hashes[best : best + seg_len]] = 0.0
+    return segments
+
+
+def _analyze_entropy(samples: list[bytes], content: np.ndarray, level: int):
+    """ZDICT_analyzeEntropy:174 — gather literal/sequence statistics by
+    compressing the samples against the candidate content, then build the
+    shared entropy tables."""
+    from .encode.block import seq_to_codes
+    from .encode.params import CCtxParams
+    from .encode.seqstore import MatchState, compress_block
+
+    lit_counts = np.ones(256, dtype=np.int64)  # +1 smoothing like ZDICT
+    ll_counts = np.ones(C.MAX_LL + 1, dtype=np.int64)
+    ml_counts = np.ones(C.MAX_ML + 1, dtype=np.int64)
+    of_counts = np.ones(C.DEFAULT_MAX_OFF + 1, dtype=np.int64)
+    reps = [1, 4, 8]
+
+    params = CCtxParams(compression_level=level).resolve(
+        src_size_hint=max((len(s) for s in samples), default=1024),
+        dict_size=len(content))
+    for s in samples[:256]:
+        if len(s) < 16:
+            lit_counts[: max(len(np.frombuffer(s, np.uint8)), 1)] += 0
+            continue
+        buf = np.concatenate([content, np.frombuffer(s, dtype=np.uint8)])
+        state = MatchState(params.cparams)
+        state.rep = list(reps)
+        seqs = compress_block(buf, len(content), min(len(buf), len(content) + C.ZSTD_BLOCKSIZE_MAX), state)
+        if seqs.nb_seq:
+            llc, mlc, ofc = seq_to_codes(seqs)
+            ll_counts += np.bincount(llc, minlength=C.MAX_LL + 1)[: C.MAX_LL + 1]
+            ml_counts += np.bincount(mlc, minlength=C.MAX_ML + 1)[: C.MAX_ML + 1]
+            ofc = np.minimum(ofc, C.DEFAULT_MAX_OFF)
+            of_counts += np.bincount(ofc, minlength=C.DEFAULT_MAX_OFF + 1)[: C.DEFAULT_MAX_OFF + 1]
+        # literals: bytes not covered by matches (approximate: all bytes)
+        lit_counts += np.bincount(np.frombuffer(s, dtype=np.uint8), minlength=256)
+    return lit_counts, ll_counts, ml_counts, of_counts, reps
+
+
+def finalize_dictionary(content: np.ndarray, samples: list[bytes],
+                        dict_id: int, level: int = 3) -> bytes:
+    """Serialize content + trained entropy tables (ZDICT_finalizeDictionary)."""
+    lit_counts, ll_counts, ml_counts, of_counts, reps = _analyze_entropy(
+        samples, content, level)
+
+    out = bytearray(DICT_MAGIC.to_bytes(4, "little"))
+    out += dict_id.to_bytes(4, "little")
+
+    huf_ct = huffman.build_ctable(lit_counts, 255)
+    out += huffman.write_ctable(huf_ct)
+
+    for counts, max_sym, max_log in ((of_counts, C.DEFAULT_MAX_OFF, C.OF_FSE_LOG),
+                                     (ml_counts, C.MAX_ML, C.ML_FSE_LOG),
+                                     (ll_counts, C.MAX_LL, C.LL_FSE_LOG)):
+        total = int(counts.sum())
+        tlog = fse.optimal_table_log(max_log, total, max_sym)
+        norm = fse.normalize_count(counts, tlog, total, max_sym, use_low_prob=False)
+        out += fse.write_ncount(norm, max_sym, tlog)
+
+    for r in reps:
+        out += int(r).to_bytes(4, "little")
+    out += content.tobytes()
+    return bytes(out)
+
+
+def train_dictionary(samples: list[bytes], dict_size: int = DEFAULT_DICT_CAPACITY,
+                     d: int = 8, level: int = 3, dict_id: int | None = None) -> bytes:
+    """Train a dictionary from samples (DictBuilder.TrainFromBuffer:11 ->
+    ZDICT_trainFromBuffer with fastCover d=8)."""
+    check(len(samples) > 0, ZstdErrorCode.srcSize_wrong, "no samples")
+    blob = np.frombuffer(b"".join(bytes(s) for s in samples), dtype=np.uint8)
+    check(len(blob) >= d, ZstdErrorCode.srcSize_wrong, "samples too small")
+    f = 20 if len(blob) > (1 << 20) else max(10, int(len(blob)).bit_length())
+    hashes = _dmer_hashes(blob, d, f)
+    k = min(max(64, dict_size // 16), 2048)
+    segments = _select_segments(blob, hashes, d, k, f, dict_size)
+
+    parts = []
+    total = 0
+    for a, b in segments:
+        take = min(b - a, dict_size - total)
+        if take <= 0:
+            break
+        parts.append(blob[a : a + take])
+        total += take
+    content = np.concatenate(parts) if parts else blob[:dict_size]
+    # Entropy header costs ~ a few hundred bytes; trim content to stay within
+    # the requested capacity after finalization.
+    if dict_id is None:
+        from .utils.xxhash import xxh64_fast
+
+        dict_id = (xxh64_fast(content.tobytes()) & 0x7FFFFFFF) or 1
+    raw = finalize_dictionary(content, [bytes(s) for s in samples], dict_id, level)
+    if len(raw) > dict_size + 1024:
+        overshoot = len(raw) - (dict_size + 1024)
+        content = content[: max(len(content) - overshoot, d)]
+        raw = finalize_dictionary(content, [bytes(s) for s in samples], dict_id, level)
+    return raw

@@ -15,7 +15,7 @@ import numpy as np
 from .. import constants as C
 from ..entropy import fse, huffman
 from ..entropy.bitstream import BitWriter
-from ..errors import ZstdError
+from ..errors import ZstdError, ZstdErrorCode
 from .seqstore import SeqStore
 
 # Cached compress tables for the predefined distributions.
@@ -33,7 +33,10 @@ def _rle_ctable(symbol: int) -> fse.FseCTable:
     mx = symbol + 1
     dnb = np.zeros(mx, dtype=np.uint32)  # nbBitsOut = (state + 0) >> 16 = 0
     dfs = np.zeros(mx, dtype=np.int32)
-    return fse.FseCTable(0, np.zeros(2, dtype=np.uint16), dnb, dfs)
+    norm = np.zeros(mx, dtype=np.int16)
+    norm[symbol] = 1
+    return fse.FseCTable(0, np.zeros(2, dtype=np.uint16), dnb, dfs,
+                         norm=norm, max_symbol=symbol)
 
 
 @dataclass
@@ -107,30 +110,50 @@ def encode_literals(lit: np.ndarray, entropy: EncoderEntropy,
         else:
             hdr = _literals_header(C.LiteralsBlockType.RLE, 3, n, 0)
         return hdr + bytes([int(lit[0])])
-    min_lit_size = 63
+    # With a valid previous/dictionary table, much smaller literal runs are
+    # worth compressing (ZSTD_compressLiterals minLitSize 6 vs 63).
+    min_lit_size = 6 if entropy.huf is not None else 63
     if n <= min_lit_size:
         return _raw_literals(lit)
 
     counts = np.bincount(lit, minlength=256).astype(np.int64)
     max_sym = int(np.nonzero(counts)[0][-1])
+    single = n < 256
+
+    def _encode_with(ct):
+        if single:
+            return huffman.encode_1x(lit, ct)
+        return huffman.encode_4x(lit, ct)
+
+    # Candidate 1: fresh table.
+    fresh = None
     try:
         ct = huffman.build_ctable(counts, max_sym)
         table_bytes = huffman.write_ctable(ct)
-        single = n < 256
-        if single:
-            payload = huffman.encode_1x(lit, ct)
-        else:
-            payload = huffman.encode_4x(lit, ct)
-            if payload is None:
-                return _raw_literals(lit)
-        comp = len(table_bytes) + len(payload)
+        payload = _encode_with(ct)
+        if payload is not None:
+            fresh = (len(table_bytes) + len(payload), ct, table_bytes + payload,
+                     C.LiteralsBlockType.COMPRESSED)
     except (ZstdError, AssertionError):
-        return _raw_literals(lit)
+        fresh = None
 
+    # Candidate 2: repeat the previous/dictionary table (type 3, no header).
+    repeat = None
+    prev = entropy.huf
+    if prev is not None and max_sym <= prev.max_symbol and \
+            (prev.nb_bits[: max_sym + 1][counts[: max_sym + 1] > 0] > 0).all():
+        payload = _encode_with(prev)
+        if payload is not None:
+            repeat = (len(payload), prev, payload, C.LiteralsBlockType.REPEAT)
+
+    best = min((c for c in (fresh, repeat) if c is not None),
+               key=lambda c: c[0], default=None)
     min_gain = (n >> strategy_min_gain_log) + 2
-    if comp >= n - min_gain:
+    if best is None or best[0] >= n - min_gain:
         return _raw_literals(lit)
-    entropy.huf = ct
+    comp, ct, body, lit_type = best
+    if lit_type == C.LiteralsBlockType.COMPRESSED:
+        entropy.huf = ct
     # Size format: single stream -> 00; 4 streams pick smallest header.
     if single:
         size_format = 0
@@ -141,8 +164,8 @@ def encode_literals(lit: np.ndarray, entropy: EncoderEntropy,
         size_format = 2
     else:
         size_format = 3
-    hdr = _literals_header(C.LiteralsBlockType.COMPRESSED, size_format, n, comp)
-    return hdr + table_bytes + payload
+    hdr = _literals_header(lit_type, size_format, n, comp)
+    return hdr + body
 
 
 # ---------------------------------------------------------------------------
@@ -163,11 +186,12 @@ def _estimate_fse_cost_bits(counts: np.ndarray, norm: np.ndarray, table_log: int
 
 def _select_table(codes: np.ndarray, max_code_allowed: int, default_norm: np.ndarray,
                   default_log: int, default_ct: fse.FseCTable, max_log: int,
-                  default_allowed: bool):
+                  default_allowed: bool, prev_ct: fse.FseCTable | None = None):
     """Returns (mode, ctable, header_bytes).
 
-    Simplified ZSTD_selectEncodingType/buildCTable: RLE for single-symbol,
-    else cheapest of predefined vs fresh FSE table by estimated bits.
+    ZSTD_selectEncodingType/buildCTable shape: RLE for single-symbol, else
+    cheapest of predefined / repeat (previous or dictionary table) / fresh
+    FSE table, by estimated bits.
     """
     nb_seq = len(codes)
     counts = np.bincount(codes, minlength=max_code_allowed + 1).astype(np.int64)
@@ -180,8 +204,14 @@ def _select_table(codes: np.ndarray, max_code_allowed: int, default_norm: np.nda
     default_cost = (_estimate_fse_cost_bits(counts, default_norm, default_log)
                     if default_allowed else np.inf)
 
+    repeat_cost = np.inf
+    if prev_ct is not None and prev_ct.norm is not None and max_code <= prev_ct.max_symbol:
+        repeat_cost = _estimate_fse_cost_bits(counts, prev_ct.norm.astype(np.int64),
+                                              prev_ct.table_log)
+
     fse_cost = np.inf
-    norm = hdr = ctab = None
+    norm = hdr = None
+    tlog = 0
     if nb_seq >= 2:
         try:
             tlog = fse.optimal_table_log(max_log, nb_seq, max_code)
@@ -191,12 +221,14 @@ def _select_table(codes: np.ndarray, max_code_allowed: int, default_norm: np.nda
             fse_cost = _estimate_fse_cost_bits(counts, norm.astype(np.int64), tlog) + len(hdr) * 8
         except ZstdError:
             fse_cost = np.inf
-    if fse_cost < default_cost:
-        ctab = fse.build_ctable(norm, max_code, tlog)
-        return C.SymbolEncodingType.FSE, ctab, hdr
-    if not default_allowed:
-        # Must emit an explicit table (codes exceed predefined range).
-        raise ZstdError(C.SymbolEncodingType.FSE, "cannot encode")  # pragma: no cover
+
+    best = min(default_cost, repeat_cost, fse_cost)
+    if best == np.inf:
+        raise ZstdError(ZstdErrorCode.generic, "no encodable table mode")
+    if best == repeat_cost:
+        return C.SymbolEncodingType.REPEAT, prev_ct, b""
+    if best == fse_cost:
+        return C.SymbolEncodingType.FSE, fse.build_ctable(norm, max_code, tlog), hdr
     return C.SymbolEncodingType.PREDEFINED, default_ct, b""
 
 
@@ -271,14 +303,14 @@ def encode_block_body(block: np.ndarray, seqs: SeqStore,
         ll_codes, ml_codes, of_codes = seq_to_codes(seqs)
         ll_mode, ll_ct, ll_hdr = _select_table(
             ll_codes, C.MAX_LL, _LL_DEFAULT_NORMF, C.LL_DEFAULT_NORM_LOG,
-            _LL_DEFAULT_CTABLE, C.LL_FSE_LOG, True)
+            _LL_DEFAULT_CTABLE, C.LL_FSE_LOG, True, entropy.ll)
         of_max = int(of_codes.max())
         of_mode, of_ct, of_hdr = _select_table(
             of_codes, C.MAX_OFF, _OF_DEFAULT_NORMF, C.OF_DEFAULT_NORM_LOG,
-            _OF_DEFAULT_CTABLE, C.OF_FSE_LOG, of_max <= C.DEFAULT_MAX_OFF)
+            _OF_DEFAULT_CTABLE, C.OF_FSE_LOG, of_max <= C.DEFAULT_MAX_OFF, entropy.of)
         ml_mode, ml_ct, ml_hdr = _select_table(
             ml_codes, C.MAX_ML, _ML_DEFAULT_NORMF, C.ML_DEFAULT_NORM_LOG,
-            _ML_DEFAULT_CTABLE, C.ML_FSE_LOG, True)
+            _ML_DEFAULT_CTABLE, C.ML_FSE_LOG, True, entropy.ml)
         out.append((int(ll_mode) << 6) | (int(of_mode) << 4) | (int(ml_mode) << 2))
         out += ll_hdr + of_hdr + ml_hdr
         out += encode_sequences_bitstream(seqs, ll_codes, ml_codes, of_codes,

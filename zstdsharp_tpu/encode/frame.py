@@ -55,64 +55,147 @@ def _block_header(last: bool, btype: C.BlockType, size: int) -> bytes:
     return (int(last) | (int(btype) << 1) | (size << 3)).to_bytes(3, "little")
 
 
-def compress_frame(data: bytes | np.ndarray, params: ResolvedParams,
-                   dict_id: int = 0, match_state: MatchState | None = None) -> bytes:
-    src = np.frombuffer(bytes(data) if not isinstance(data, np.ndarray) else data,
-                        dtype=np.uint8) if not isinstance(data, np.ndarray) else data
-    n = len(src)
-    cp = params.cparams
-    window_log = cp.window_log
-    block_size = min(C.ZSTD_BLOCKSIZE_MAX, 1 << window_log)
+class _BufferedXxh:
+    """Streaming-XXH64 fallback when the C module is absent."""
 
-    out = bytearray(_write_frame_header(
-        n, window_log, params.fparams.checksum_flag,
-        params.fparams.content_size_flag, dict_id))
+    def __init__(self):
+        self._chunks = []
 
-    if n == 0:
-        out += _block_header(True, C.BlockType.RAW, 0)
+    def update(self, data: bytes) -> None:
+        self._chunks.append(bytes(data))
+
+    def intdigest(self) -> int:
+        from ..utils.xxhash import xxh64
+
+        return xxh64(b"".join(self._chunks))
+
+
+class FrameEncoder:
+    """Incremental frame encoder: the zcss_load/flush streaming core
+    (ZSTD_compressStream_generic:6632) as feed()/finish() calls.
+
+    One-shot compression is `FrameEncoder(params, src_size).feed(data, end=True)`.
+    """
+
+    def __init__(self, params: ResolvedParams, src_size: int = -1,
+                 dict_id: int = 0, dict_content: np.ndarray | None = None,
+                 dict_reps: list[int] | None = None,
+                 dict_entropy: EncoderEntropy | None = None):
+        self.params = params
+        cp = params.cparams
+        self.block_size = min(C.ZSTD_BLOCKSIZE_MAX, 1 << cp.window_log)
+        self.state = MatchState(cp)
+        if dict_entropy is not None:
+            self.entropy = EncoderEntropy(huf=dict_entropy.huf, ll=dict_entropy.ll,
+                                          ml=dict_entropy.ml, of=dict_entropy.of)
+        else:
+            self.entropy = EncoderEntropy()
+        self._xxh = None
         if params.fparams.checksum_flag:
-            out += content_checksum(b"").to_bytes(4, "little")
-        return bytes(out)
+            try:
+                import xxhash as _x
 
-    state = match_state if match_state is not None else MatchState(cp)
-    entropy = EncoderEntropy()
+                self._xxh = _x.xxh64(seed=0)
+            except ImportError:  # pragma: no cover
+                self._xxh = _BufferedXxh()
+        # History buffer holds [dict_content | emitted frame bytes | pending].
+        self._buf = np.empty(max(1 << 17, 2 * self.block_size), dtype=np.uint8)
+        self._filled = 0
+        self._emitted = 0  # bytes already compressed into blocks
+        self._finished = False
+        if dict_content is not None and len(dict_content):
+            self._append(dict_content)
+            self._emitted = len(dict_content)
+            self.state.window_start = 0  # dict is valid history
+            self.state._next_to_insert = 0
+            from .seqstore import fill_hash_table
 
-    pos = 0
-    while pos < n:
-        end = min(pos + block_size, n)
-        last = end == n
-        block = src[pos:end]
+            fill_hash_table(self.state, self._buf[: self._filled], 0, self._filled)
+        if dict_reps is not None:
+            self.state.rep = list(dict_reps)
+        self._dict_len = self._emitted
+        self._header = _write_frame_header(
+            src_size, cp.window_log, params.fparams.checksum_flag,
+            params.fparams.content_size_flag and src_size >= 0, dict_id)
+        self._header_sent = False
+        self._last_sent = False
+        self._src_size = src_size
+
+    def _append(self, data: np.ndarray) -> None:
+        need = self._filled + len(data)
+        if need > len(self._buf):
+            cap = max(need, 2 * len(self._buf))
+            nbuf = np.empty(cap, dtype=np.uint8)
+            nbuf[: self._filled] = self._buf[: self._filled]
+            self._buf = nbuf
+        self._buf[self._filled : need] = data
+        self._filled = need
+
+    def _emit_block(self, out: bytearray, end: int, last: bool) -> None:
+        pos = self._emitted
+        block = self._buf[pos:end]
         bsize = end - pos
-
-        # RLE block shortcut (ZSTD_isRLE check in compressBlock_internal).
+        if last:
+            self._last_sent = True
         if bsize > 1 and (block == block[0]).all():
             out += _block_header(last, C.BlockType.RLE, bsize)
             out.append(int(block[0]))
-            # Matcher must still see these bytes as history.
-            _advance_state_over(state, src, pos, end)
-            pos = end
-            continue
-
-        seqs = compress_block(src, pos, end, state)
-        body = encode_block_body(block, seqs, entropy)
-        if body is None:
-            out += _block_header(last, C.BlockType.RAW, bsize)
-            out += block.tobytes()
+            self.state._next_to_insert = end
         else:
-            out += _block_header(last, C.BlockType.COMPRESSED, len(body))
-            out += body
-        pos = end
+            seqs = compress_block(self._buf, pos, end, self.state)
+            body = encode_block_body(block, seqs, self.entropy)
+            if body is None:
+                out += _block_header(last, C.BlockType.RAW, bsize)
+                out += block.tobytes()
+            else:
+                out += _block_header(last, C.BlockType.COMPRESSED, len(body))
+                out += body
+        self._emitted = end
 
-    if params.fparams.checksum_flag:
-        out += content_checksum(src).to_bytes(4, "little")
-    return bytes(out)
+    def feed(self, data: bytes | np.ndarray, end: bool = False) -> bytes:
+        """Consume input, return any compressed bytes produced."""
+        assert not self._finished, "frame already finished"
+        arr = (data if isinstance(data, np.ndarray)
+               else np.frombuffer(bytes(data), dtype=np.uint8))
+        if self._xxh is not None and len(arr):
+            self._xxh.update(arr.tobytes())
+        if len(arr):
+            self._append(arr)
+        out = bytearray()
+        if not self._header_sent:
+            out += self._header
+            self._header_sent = True
+        # Emit full blocks; hold the tail back unless ending.
+        while self._filled - self._emitted >= self.block_size:
+            is_tail = end and (self._filled - self._emitted == self.block_size)
+            self._emit_block(out, self._emitted + self.block_size, is_tail)
+        if end:
+            if self._filled > self._emitted:
+                self._emit_block(out, self._filled, True)
+            elif not self._last_sent:
+                # Empty frame, or stream ended exactly on a block boundary:
+                # close with an empty raw last block (ZSTD_writeEpilogue:5598).
+                out += _block_header(True, C.BlockType.RAW, 0)
+            if self._xxh is not None:
+                out += (self._xxh.intdigest() & 0xFFFFFFFF).to_bytes(4, "little")
+            self._finished = True
+        return bytes(out)
+
+    def finish(self) -> bytes:
+        return self.feed(b"", end=True)
 
 
-def _advance_state_over(state: MatchState, src: np.ndarray, start: int, end: int) -> None:
-    """Account for bytes emitted outside the matcher (RLE blocks) so later
-    blocks can still match into them (window continuity)."""
-    if hasattr(state, "_next_to_insert"):
-        state._next_to_insert = end
+def compress_frame(data: bytes | np.ndarray, params: ResolvedParams,
+                   dict_id: int = 0,
+                   dict_content: np.ndarray | None = None,
+                   dict_reps: list[int] | None = None,
+                   dict_entropy: EncoderEntropy | None = None) -> bytes:
+    src = (data if isinstance(data, np.ndarray)
+           else np.frombuffer(bytes(data), dtype=np.uint8))
+    enc = FrameEncoder(params, src_size=len(src), dict_id=dict_id,
+                       dict_content=dict_content, dict_reps=dict_reps,
+                       dict_entropy=dict_entropy)
+    return enc.feed(src, end=True)
 
 
 def compress(data: bytes, level: int = 3, checksum: bool = False,

@@ -80,6 +80,19 @@ class MatchState:
         self.window_start = window_start
 
 
+def fill_hash_table(state: MatchState, src: np.ndarray, start: int, end: int) -> None:
+    """Index history bytes (dictionary content / RLE-skipped spans) into the
+    fast hash table (ZSTD_fillHashTable, ZstdFast.cs:9).  Vectorized scatter:
+    later positions overwrite earlier, matching the sequential fill."""
+    cp = state.cparams
+    end = min(end, len(src) - 4)
+    if end <= start:
+        return
+    v32 = _u32view(src[: end + 4])
+    h = _hash_u32(v32[start:end], cp.hash_log)
+    state.hash_table[h] = np.arange(start, end, dtype=np.int64)
+
+
 # ---------------------------------------------------------------------------
 # Fast strategy (levels 1-2): greedy single-table
 # ---------------------------------------------------------------------------
@@ -246,8 +259,10 @@ def compress_block_lazy(src: np.ndarray, start: int, end: int,
     pos = start + (ws == 0 and start == 0)
 
     while pos < limit:
-        # Initial candidates at pos: rep0 (at pos+1 semantics simplified to pos)
-        rl = rep_len(pos, rep[0])
+        # rep0 probe only with litLength >= 1: offset_value 1 with ll==0 means
+        # rep1 to the decoder (RFC 8878 §3.1.1.5), so a rep0 match at the
+        # anchor is inexpressible; the continuation loop below covers rep1.
+        rl = rep_len(pos, rep[0]) if pos > anchor else 0
         ml, off = search(pos)
         if rl >= 4 and rl + 3 >= ml:  # prefer rep (cheap offset)
             ml, off = rl, 0  # off 0 marks rep0

@@ -435,6 +435,9 @@ class FseCTable:
     state_table: np.ndarray  # uint16 [tableSize]: next-state numbers
     delta_nb_bits: np.ndarray  # uint32 [maxSymbol+1]
     delta_find_state: np.ndarray  # int32 [maxSymbol+1]
+    # Distribution metadata for repeat-mode cost estimation.
+    norm: np.ndarray | None = None  # int16 [maxSymbol+1]
+    max_symbol: int = -1
 
 
 def build_ctable(norm: np.ndarray, max_symbol: int, table_log: int) -> FseCTable:
@@ -472,7 +475,9 @@ def build_ctable(norm: np.ndarray, max_symbol: int, table_log: int) -> FseCTable
             delta_nb[s] = (max_bits_out << 16) - min_state_plus
             delta_fs[s] = total - n
             total += n
-    return FseCTable(table_log, state_table, delta_nb, delta_fs)
+    return FseCTable(table_log, state_table, delta_nb, delta_fs,
+                     norm=np.asarray(norm[: max_symbol + 1], dtype=np.int16),
+                     max_symbol=max_symbol)
 
 
 class FseEncoder:

@@ -282,6 +282,30 @@ def build_ctable(counts: np.ndarray, max_symbol: int,
     return HufCTable(table_log, max_symbol, lengths.astype(np.uint8), code)
 
 
+def ctable_from_weights(weights: np.ndarray, table_log: int) -> HufCTable:
+    """Rebuild the canonical encode table from decoded weights
+    (HUF_readCTable semantics) — used for dictionary CTables and
+    repeat-mode encoding."""
+    max_symbol = len(weights) - 1
+    w = weights.astype(np.int64)
+    nb = np.where(w > 0, table_log + 1 - w, 0)
+    nb_per_rank = np.bincount(nb[nb > 0], minlength=table_log + 2)
+    val_per_rank = np.zeros(table_log + 2, dtype=np.int64)
+    mn = 0
+    for l in range(table_log, 0, -1):
+        val_per_rank[l] = mn
+        mn += nb_per_rank[l]
+        mn >>= 1
+    code = np.zeros(max_symbol + 1, dtype=np.uint16)
+    fill = val_per_rank.copy()
+    for s in range(max_symbol + 1):
+        l = int(nb[s])
+        if l:
+            code[s] = fill[l]
+            fill[l] += 1
+    return HufCTable(table_log, max_symbol, nb.astype(np.uint8), code)
+
+
 def write_ctable(ct: HufCTable) -> bytes:
     """Serialize the table as weights (HUF_writeCTable_wksp)."""
     # weight = huffLog + 1 - nbBits for present symbols; 0 for absent.

@@ -1,0 +1,115 @@
+"""Stream classes mirroring the reference's L2 surface
+(CompressionStream.cs:10, DecompressionStream.cs:10): standard io wrappers
+over the incremental frame codecs.
+"""
+
+from __future__ import annotations
+
+import io
+
+import numpy as np
+
+from . import constants as C
+from .decode.streaming import StreamingDecompressor
+from .encode.frame import FrameEncoder
+from .encode.params import CCtxParams
+from .errors import ZstdError, ZstdErrorCode, check
+
+RECOMMENDED_IN_SIZE = C.ZSTD_BLOCKSIZE_MAX
+RECOMMENDED_OUT_SIZE = C.ZSTD_BLOCKSIZE_MAX + 3 + 4
+
+
+class CompressionStream(io.RawIOBase):
+    """Write-only stream: plaintext writes in, one zstd frame out to
+    `inner` (CompressionStream.cs semantics: Flush produces output, close
+    ends the frame)."""
+
+    def __init__(self, inner, level: int = C.ZSTD_DEFAULT_CLEVEL,
+                 params: CCtxParams | None = None, checksum: bool = False):
+        self._inner = inner
+        self._params = params or CCtxParams(compression_level=level,
+                                            checksum_flag=checksum)
+        self._params.content_size_flag = False  # streaming: size unknown
+        self._encoder = FrameEncoder(self._params.resolve(src_size_hint=-1))
+        self._closed = False
+
+    def writable(self) -> bool:
+        return True
+
+    def write(self, data) -> int:
+        check(not self._closed, ZstdErrorCode.stage_wrong, "stream closed")
+        data = bytes(data)
+        produced = self._encoder.feed(data)
+        if produced:
+            self._inner.write(produced)
+        return len(data)
+
+    def flush(self) -> None:
+        # Block-granular flush: pending sub-block data is held until more
+        # input or close (full zstd mid-block flush lands with the
+        # flush-mode parameter; tracked in PARITY.md).
+        if hasattr(self._inner, "flush"):
+            self._inner.flush()
+
+    def close(self) -> None:
+        if self._closed:
+            return
+        tail = self._encoder.finish()
+        if tail:
+            self._inner.write(tail)
+        if hasattr(self._inner, "flush"):
+            self._inner.flush()
+        self._closed = True
+        super().close()
+
+
+class DecompressionStream(io.RawIOBase):
+    """Read-only stream: zstd frames from `inner` in, plaintext out
+    (DecompressionStream.cs: premature-EOF detection included)."""
+
+    def __init__(self, inner, max_window_log: int = C.ZSTD_WINDOWLOG_LIMIT_DEFAULT,
+                 read_chunk: int = RECOMMENDED_IN_SIZE, dictionary: bytes | None = None):
+        self._inner = inner
+        self._read_chunk = read_chunk
+        kwargs = {}
+        if dictionary is not None:
+            from .dictionary import ZstdCompressionDict
+
+            d = ZstdCompressionDict(dictionary)
+            p = d._parsed
+            kwargs = dict(dict_content=p.content, dict_entropy=p.entropy,
+                          dict_id=p.dict_id)
+        self._dec = StreamingDecompressor(max_window_log=max_window_log, **kwargs)
+        self._pending = bytearray()
+        self._eof = False
+
+    def readable(self) -> bool:
+        return True
+
+    def _fill(self) -> bool:
+        """Pull one chunk from inner; returns False on EOF."""
+        chunk = self._inner.read(self._read_chunk)
+        if not chunk:
+            if not self._dec.at_frame_boundary or self._dec._in:
+                raise EOFError("premature end of zstd stream")
+            self._eof = True
+            return False
+        self._pending += self._dec.feed(chunk)
+        return True
+
+    def read(self, size: int = -1) -> bytes:
+        if size is None or size < 0:
+            while not self._eof:
+                self._fill()
+            out = bytes(self._pending)
+            self._pending.clear()
+            return out
+        while len(self._pending) < size and not self._eof:
+            if not self._fill():
+                break
+        out = bytes(self._pending[:size])
+        del self._pending[:size]
+        return out
+
+    def readall(self) -> bytes:
+        return self.read(-1)
