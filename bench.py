@@ -1,0 +1,100 @@
+"""Benchmark entry point (driver contract: prints ONE JSON line).
+
+Metric: level-1 encode+decode roundtrip throughput per chip on a Silesia-like
+mixed corpus.  Baseline: the reference's published single-thread numbers on
+dickens (BASELINE.md): compress L1 0.151 GB/s + decompress L1 0.485 GB/s
+=> roundtrip 1/(1/0.151 + 1/0.485) = 0.1152 GB/s.
+
+Sub-metrics (encode-only, decode-only, ratio vs libzstd) go to stderr.
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent))
+
+import numpy as np
+
+BASELINE_ROUNDTRIP_GBS = 1.0 / (1.0 / 0.151 + 1.0 / 0.485)  # 0.1152
+CORPUS_MB = 8
+
+
+def make_corpus(n_bytes: int) -> bytes:
+    """Deterministic Silesia-like mix: natural text, structured records,
+    near-incompressible, and run-heavy segments."""
+    r = np.random.default_rng(20260816)
+    parts = []
+    words = [b"the", b"of", b"and", b"a", b"to", b"in", b"he", b"was", b"that",
+             b"it", b"his", b"her", b"with", b"as", b"had", b"for", b"dickens",
+             b"compression", b"entropy", b"probability", b"wonderful"]
+    probs = r.dirichlet(np.ones(len(words)) * 0.5)
+    while sum(map(len, parts)) < n_bytes:
+        kind = r.integers(0, 10)
+        if kind < 5:  # text
+            idx = r.choice(len(words), 40_000, p=probs)
+            parts.append(b" ".join(words[i] for i in idx))
+        elif kind < 7:  # structured records
+            recs = [b'{"id": %d, "status": "ok", "score": %d}' % (i, i * 7 % 997)
+                    for i in range(6000)]
+            parts.append(b",".join(recs))
+        elif kind < 8:  # binary ramps
+            parts.append((np.arange(120_000) % 251).astype(np.uint8).tobytes())
+        elif kind < 9:  # runs
+            parts.append(bytes([int(r.integers(0, 256))]) * 80_000)
+        else:  # high entropy
+            parts.append(r.integers(0, 256, 150_000, dtype=np.uint8).tobytes())
+    return b"".join(parts)[:n_bytes]
+
+
+def main() -> None:
+    data = make_corpus(CORPUS_MB << 20)
+    n = len(data)
+
+    import jax
+
+    from zstdsharp_tpu.decode.frame import decompress
+    from zstdsharp_tpu.parallel.pipeline import compress_data_parallel, make_mesh
+
+    mesh = make_mesh(jax.devices()[:1])
+    print(f"bench: {n >> 20} MiB corpus, device={jax.devices()[0]}", file=sys.stderr)
+
+    # Warm up (compile) then measure steady state.
+    frame = compress_data_parallel(data, mesh, level=1)
+    t0 = time.perf_counter()
+    frame = compress_data_parallel(data, mesh, level=1)
+    t_enc = time.perf_counter() - t0
+
+    out = decompress(frame)
+    assert out == data, "roundtrip mismatch"
+    t0 = time.perf_counter()
+    out = decompress(frame)
+    t_dec = time.perf_counter() - t0
+    assert out == data
+
+    enc_gbs = n / t_enc / 1e9
+    dec_gbs = n / t_dec / 1e9
+    rt_gbs = n / (t_enc + t_dec) / 1e9
+
+    try:
+        import zstandard
+
+        oracle = len(zstandard.ZstdCompressor(level=1).compress(data))
+        ratio_note = f"size ours={len(frame)} zstd-L1={oracle} (x{len(frame)/oracle:.3f})"
+    except Exception:  # pragma: no cover
+        ratio_note = f"size ours={len(frame)}"
+
+    print(f"bench: encode {enc_gbs:.4f} GB/s, decode {dec_gbs:.4f} GB/s, "
+          f"roundtrip {rt_gbs:.4f} GB/s, {ratio_note}", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "silesia_like_l1_roundtrip_per_chip",
+        "value": round(rt_gbs, 6),
+        "unit": "GB/s",
+        "vs_baseline": round(rt_gbs / BASELINE_ROUNDTRIP_GBS, 6),
+    }))
+
+
+if __name__ == "__main__":
+    main()

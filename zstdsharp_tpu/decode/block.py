@@ -216,6 +216,15 @@ def decode_sequences(payload: bytes, nb_seq: int, ll: fse.FseDTable,
     Returns (lit_len, match_len, offset) uint32 arrays with offsets fully
     resolved through the repcode history (`rep` is updated in place).
     """
+    from .. import native
+
+    if nb_seq > 8 and native.get_lib() is not None:
+        res = native.fse_decode_sequences(bytes(payload), nb_seq, ll, of, ml, rep)
+        if res is None:
+            raise ZstdError(ZstdErrorCode.corruption_detected,
+                            "sequence bitstream corrupt")
+        return res
+
     reader = BitReader(payload)
     state_ll = reader.read(ll.table_log)
     state_of = reader.read(of.table_log)
@@ -298,6 +307,16 @@ def execute_sequences(out: np.ndarray, out_pos: int, prefix_start: int,
     `prefix_start` the first valid history byte (0 unless dictionary content
     was virtually prepended).  Returns the new out_pos.
     """
+    from .. import native
+
+    if len(lls) > 4 and native.get_lib() is not None:
+        res = native.execute_sequences(out, out_pos, prefix_start, literals,
+                                       lls, mls, ofs)
+        if res is None:
+            raise ZstdError(ZstdErrorCode.corruption_detected,
+                            "sequence execution failed (offset/window)")
+        return res
+
     lit_pos = 0
     n = len(lls)
     lls_l = lls.tolist()

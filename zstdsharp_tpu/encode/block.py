@@ -237,6 +237,18 @@ def encode_sequences_bitstream(seqs: SeqStore, ll_codes, ml_codes, of_codes,
                                ml_ct: fse.FseCTable) -> bytes:
     """ZSTD_encodeSequences_body:585 — interleaved 3-state backward stream."""
     n = seqs.nb_seq
+    if n > 4:
+        from .. import native
+
+        if native.get_lib() is not None:
+            out = native.encode_sequences(
+                seqs.lit_len, seqs.match_len - C.MINMATCH, seqs.off_base,
+                ll_codes, ml_codes, of_codes,
+                C.LL_BITS.astype(np.uint8), C.ML_BITS.astype(np.uint8),
+                ll_ct, of_ct, ml_ct)
+            if out is not None:
+                return out
+
     w = BitWriter()
     ll_bits_tab = C.LL_BITS
     ml_bits_tab = C.ML_BITS
@@ -273,17 +285,19 @@ def encode_block_body(block: np.ndarray, seqs: SeqStore,
     returns None when entropy compression isn't worth it (caller emits a raw
     block) — ZSTD_entropyCompressSeqStore:3357 bail-out included."""
     n = seqs.nb_seq
-    # Literal bytes = block minus all matched spans.
+    # Literal bytes = block minus all matched spans (vectorized via a
+    # +-1 coverage delta and prefix sum).
     if n:
-        lit_total = int(seqs.lit_len.sum()) + seqs.last_literals
-        lit = np.empty(lit_total, dtype=np.uint8)
-        pos = 0
-        lpos = 0
-        for ll, ml in zip(seqs.lit_len.tolist(), seqs.match_len.tolist()):
-            lit[lpos : lpos + ll] = block[pos : pos + ll]
-            lpos += ll
-            pos += ll + ml
-        lit[lpos:] = block[len(block) - seqs.last_literals :]
+        spans = (seqs.lit_len + seqs.match_len).astype(np.int64)
+        ends = np.cumsum(spans)
+        match_starts = ends - seqs.match_len
+        # starts/ends are each strictly increasing -> plain fancy assignment.
+        inc = np.zeros(len(block) + 1, dtype=np.int8)
+        dec = np.zeros(len(block) + 1, dtype=np.int8)
+        inc[match_starts] = 1
+        dec[ends] = 1
+        covered = (np.cumsum(inc[: len(block)]) - np.cumsum(dec[: len(block)])) > 0
+        lit = block[~covered]
     else:
         lit = block
 

@@ -103,6 +103,18 @@ def compress_block_fast(src: np.ndarray, start: int, end: int,
     """Greedy fast matcher (ZSTD_compressBlock_fast_noDict_generic:96 shape:
     rep0-check at ip+1, accelerated stride on miss, backward extension)."""
     cp = state.cparams
+    if end - start >= 16:
+        from .. import native
+
+        if native.get_lib() is not None:
+            acc = cp.target_length if cp.target_length else 1
+            res = native.fast_find_matches(
+                np.ascontiguousarray(src), start, end, state.window_start,
+                1 << cp.window_log, state.hash_table, cp.hash_log,
+                state.rep, acc)
+            if res is not None:
+                lls, mls, obs, last_lit = res
+                return SeqStore(lls, mls, obs, last_lit)
     hlog = cp.hash_log
     table = state.hash_table
     window = 1 << cp.window_log

@@ -227,23 +227,30 @@ def _spread_symbols(norm: np.ndarray, max_symbol: int, table_log: int):
 
 
 def build_dtable(norm: np.ndarray, max_symbol: int, table_log: int) -> FseDTable:
-    """Build an FSE decode table (ZSTD_buildFSETable_body:1571 semantics)."""
+    """Build an FSE decode table (ZSTD_buildFSETable_body:1571 semantics).
+
+    The per-cell state fill is vectorized: the running per-symbol counter is
+    each cell's rank among same-symbol cells (stable grouping by symbol).
+    """
     table_size = 1 << table_log
-    table_symbol, high_threshold = _spread_symbols(norm, max_symbol, table_log)
+    table_symbol, _ = _spread_symbols(norm, max_symbol, table_log)
 
-    symbol_next = np.zeros(max_symbol + 1, dtype=np.uint32)
-    for s in range(max_symbol + 1):
-        symbol_next[s] = 1 if norm[s] == -1 else max(int(norm[s]), 0)
+    base = np.where(norm[: max_symbol + 1] == -1, 1,
+                    np.maximum(norm[: max_symbol + 1], 0)).astype(np.int64)
 
-    nb_bits = np.zeros(table_size, dtype=np.uint8)
-    new_state = np.zeros(table_size, dtype=np.uint16)
-    for u in range(table_size):
-        s = int(table_symbol[u])
-        next_state = int(symbol_next[s])
-        symbol_next[s] += 1
-        nb = table_log - highbit32(next_state)
-        nb_bits[u] = nb
-        new_state[u] = (next_state << nb) - table_size
+    order = np.argsort(table_symbol, kind="stable")
+    counts = np.bincount(table_symbol, minlength=max_symbol + 1).astype(np.int64)
+    group_start = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    rank_sorted = np.arange(table_size) - group_start[table_symbol[order]]
+    next_state = np.empty(table_size, dtype=np.int64)
+    next_state[order] = base[table_symbol[order]] + rank_sorted
+
+    high = np.zeros(table_size, dtype=np.int64)
+    nz = next_state > 0
+    high[nz] = np.floor(np.log2(next_state[nz])).astype(np.int64)
+    nb = (table_log - high).astype(np.int64)
+    nb_bits = nb.astype(np.uint8)
+    new_state = ((next_state << nb) - table_size).astype(np.uint16)
     return FseDTable(table_log, table_symbol, nb_bits, new_state)
 
 
@@ -445,39 +452,37 @@ def build_ctable(norm: np.ndarray, max_symbol: int, table_log: int) -> FseCTable
     table_size = 1 << table_log
     table_symbol, _ = _spread_symbols(norm, max_symbol, table_log)
 
-    cumul = np.zeros(max_symbol + 2, dtype=np.int64)
-    for u in range(1, max_symbol + 2):
-        prev = int(norm[u - 1])
-        cumul[u] = cumul[u - 1] + (1 if prev == -1 else prev)
-    # (cumul[maxSV1] would be tableSize+1 in C; unused below)
+    normv = np.asarray(norm[: max_symbol + 1], dtype=np.int64)
+    occ = np.where(normv == -1, 1, np.maximum(normv, 0))
+    cumul = np.concatenate([[0], np.cumsum(occ)])[: max_symbol + 1]
 
+    # state_table[cumul[s] + rank_of(u within symbol s)] = tableSize + u
+    order = np.argsort(table_symbol, kind="stable")
+    counts = np.bincount(table_symbol, minlength=max_symbol + 1).astype(np.int64)
+    group_start = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    rank_sorted = np.arange(table_size) - group_start[table_symbol[order]]
+    slots = cumul[table_symbol[order]] + rank_sorted
     state_table = np.zeros(table_size, dtype=np.uint16)
-    fill = cumul[: max_symbol + 1].copy()
-    for u in range(table_size):
-        s = int(table_symbol[u])
-        state_table[fill[s]] = table_size + u
-        fill[s] += 1
+    state_table[slots] = (table_size + order).astype(np.uint16)
 
-    delta_nb = np.zeros(max_symbol + 1, dtype=np.uint32)
-    delta_fs = np.zeros(max_symbol + 1, dtype=np.int32)
-    total = 0
-    for s in range(max_symbol + 1):
-        n = int(norm[s])
-        if n == 0:
-            delta_nb[s] = ((table_log + 1) << 16) - table_size
-        elif n in (-1, 1):
-            delta_nb[s] = (table_log << 16) - table_size
-            delta_fs[s] = total - 1
-            total += 1
-        else:
-            max_bits_out = table_log - highbit32(n - 1)
-            min_state_plus = n << max_bits_out
-            delta_nb[s] = (max_bits_out << 16) - min_state_plus
-            delta_fs[s] = total - n
-            total += n
-    return FseCTable(table_log, state_table, delta_nb, delta_fs,
-                     norm=np.asarray(norm[: max_symbol + 1], dtype=np.int16),
-                     max_symbol=max_symbol)
+    nlow = (normv == -1) | (normv == 1)
+    nbig = normv > 1
+    high = np.zeros(max_symbol + 1, dtype=np.int64)
+    high[nbig] = np.floor(np.log2(normv[nbig] - 1)).astype(np.int64)
+    max_bits_out = table_log - high
+
+    delta_nb = np.zeros(max_symbol + 1, dtype=np.int64)
+    delta_nb[normv == 0] = ((table_log + 1) << 16) - table_size
+    delta_nb[nlow] = (table_log << 16) - table_size
+    delta_nb[nbig] = (max_bits_out[nbig] << 16) - (normv[nbig] << max_bits_out[nbig])
+
+    total_before = np.concatenate([[0], np.cumsum(occ)[:-1]])
+    delta_fs = np.zeros(max_symbol + 1, dtype=np.int64)
+    delta_fs[nlow] = total_before[nlow] - 1
+    delta_fs[nbig] = total_before[nbig] - normv[nbig]
+    return FseCTable(table_log, state_table,
+                     delta_nb.astype(np.uint32), delta_fs.astype(np.int32),
+                     norm=normv.astype(np.int16), max_symbol=max_symbol)
 
 
 class FseEncoder:

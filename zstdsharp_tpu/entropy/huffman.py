@@ -110,6 +110,18 @@ def build_dtable(weights: np.ndarray, table_log: int) -> HufDTable:
 def decode_stream(reader: BitReader, dt: HufDTable, n_out: int) -> np.ndarray:
     """Decode one Huffman stream of n_out symbols (HUF_decodeStreamX1:264)."""
     tlog = dt.table_log
+    if n_out > 64:
+        from .. import native
+
+        if native.get_lib() is not None and reader.pos == reader.nbits_total:
+            payload = bytes(reader._buf[BitReader._PAD:])
+            out = native.huf_decode_stream(payload, dt.symbol, dt.nb_bits,
+                                           tlog, n_out)
+            if out is not None:
+                reader.pos = 0
+                return out
+            raise ZstdError(ZstdErrorCode.corruption_detected,
+                            "huffman stream overrun")
     sym = dt.symbol.tolist()
     nbb = dt.nb_bits.tolist()
     out = np.empty(n_out, dtype=np.uint8)
@@ -141,7 +153,7 @@ def decode_4x(src: bytes, dt: HufDTable, dst_size: int) -> np.ndarray:
     """4-stream decode (HUF_decompress4X1...:342): 6-byte jump table then
     four independent backward streams, segments of ceil(dst/4)."""
     check(len(src) >= 10, ZstdErrorCode.corruption_detected, "4X too small")
-    l1, l2, l3 = np.frombuffer(src[:6], dtype="<u2")
+    l1, l2, l3 = (int(v) for v in np.frombuffer(src[:6], dtype="<u2"))
     starts = [6, 6 + l1, 6 + l1 + l2, 6 + l1 + l2 + l3]
     check(starts[3] <= len(src), ZstdErrorCode.corruption_detected)
     seg = (dst_size + 3) // 4
@@ -343,6 +355,17 @@ def write_ctable(ct: HufCTable) -> bytes:
 def encode_1x(symbols: np.ndarray, ct: HufCTable) -> bytes:
     """1-stream encode: symbols consumed back-to-front through the
     prefix-scan bit packer (HUF_compress1X_usingCTable_internal_body:1056)."""
+    if len(symbols) > 64:
+        from .. import native
+
+        if native.get_lib() is not None:
+            code = np.zeros(256, dtype=np.uint16)
+            nb = np.zeros(256, dtype=np.uint8)
+            code[: ct.max_symbol + 1] = ct.code
+            nb[: ct.max_symbol + 1] = ct.nb_bits
+            out = native.huf_encode_stream(symbols, code, nb)
+            if out is not None:
+                return out
     rev = symbols[::-1].astype(np.int64)
     values = ct.code[rev].astype(np.uint64)
     nbits = ct.nb_bits[rev].astype(np.uint64)

@@ -1,0 +1,253 @@
+"""ctypes bindings for the native host engine (native/zstdtpu_core.cpp).
+
+Builds the shared library on first use (g++ -O3) and caches it next to the
+source.  Every binding has a pure-Python fallback in the reference modules;
+`AVAILABLE` gates usage so the framework works without a toolchain.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+import threading
+from pathlib import Path
+
+import numpy as np
+
+_REPO = Path(__file__).resolve().parent.parent
+_SRC = _REPO / "native" / "zstdtpu_core.cpp"
+_LIB = _REPO / "native" / "libzstdtpu_core.so"
+
+_lock = threading.Lock()
+_lib = None
+AVAILABLE = False
+
+
+def _build() -> bool:
+    try:
+        cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+               str(_SRC), "-o", str(_LIB)]
+        r = subprocess.run(cmd, capture_output=True, text=True, timeout=240)
+        if r.returncode != 0:
+            print(f"zstdtpu_core build failed:\n{r.stderr}", file=sys.stderr)
+            return False
+        return True
+    except (OSError, subprocess.TimeoutExpired) as e:  # pragma: no cover
+        print(f"zstdtpu_core build error: {e}", file=sys.stderr)
+        return False
+
+
+def _load():
+    global _lib, AVAILABLE
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if os.environ.get("ZSTDTPU_NO_NATIVE"):
+            return None
+        if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
+            if not _build():
+                return None
+        try:
+            lib = ctypes.CDLL(str(_LIB))
+        except OSError:  # pragma: no cover
+            return None
+
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        u16p = ctypes.POINTER(ctypes.c_uint16)
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        i64 = ctypes.c_int64
+        i32 = ctypes.c_int32
+
+        lib.huf_decode_stream.restype = i64
+        lib.huf_decode_stream.argtypes = [u8p, i64, u8p, u8p, i32, u8p, i64]
+        lib.fse_decode_sequences.restype = i64
+        lib.fse_decode_sequences.argtypes = (
+            [u8p, i64, i64]
+            + [u32p, u8p, u16p, u8p, i32] * 3
+            + [u32p, u32p, u32p, u32p])
+        lib.execute_sequences.restype = i64
+        lib.execute_sequences.argtypes = [u8p, i64, i64, i64, u8p, i64,
+                                          u32p, u32p, u32p, i64]
+        lib.fast_find_matches.restype = i64
+        lib.fast_find_matches.argtypes = [u8p, i64, i64, i64, i64, i64, i64p,
+                                          i32, u32p, u32p, u32p, u32p, i64,
+                                          i64p, i32]
+        lib.encode_sequences.restype = i64
+        lib.encode_sequences.argtypes = (
+            [u32p, u32p, u32p, u8p, u8p, u8p, u8p, u8p, i64]
+            + [u16p, u32p, i32p, i32] * 3
+            + [u8p, i64])
+        lib.huf_encode_stream.restype = i64
+        lib.huf_encode_stream.argtypes = [u8p, i64, u16p, u8p, u8p, i64]
+        lib.xxh64.restype = ctypes.c_uint64
+        lib.xxh64.argtypes = [u8p, i64, ctypes.c_uint64]
+
+        _lib = lib
+        AVAILABLE = True
+        return lib
+
+
+def get_lib():
+    return _load()
+
+
+def _ptr(a: np.ndarray, ctype):
+    return a.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def _pad_payload(payload: bytes) -> np.ndarray:
+    buf = np.zeros(16 + len(payload), dtype=np.uint8)
+    buf[16:] = np.frombuffer(payload, dtype=np.uint8)
+    return buf
+
+
+# ---------------------------------------------------------------------------
+# High-level wrappers (numpy in/out, mirroring the Python reference API)
+# ---------------------------------------------------------------------------
+
+
+def huf_decode_stream(payload: bytes, sym: np.ndarray, nb: np.ndarray,
+                      table_log: int, n_out: int) -> np.ndarray | None:
+    lib = get_lib()
+    if lib is None:
+        return None
+    padded = _pad_payload(payload)
+    out = np.empty(n_out, dtype=np.uint8)
+    rc = lib.huf_decode_stream(_ptr(padded, ctypes.c_uint8), len(payload),
+                               _ptr(sym, ctypes.c_uint8), _ptr(nb, ctypes.c_uint8),
+                               table_log, _ptr(out, ctypes.c_uint8), n_out)
+    if rc != 0:
+        return None
+    return out
+
+
+def fse_decode_sequences(payload: bytes, nb_seq: int, ll, of, ml,
+                         rep: list[int]):
+    """ll/of/ml: FseDTable with base_value/nb_add_bits/new_state/nb_bits."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    padded = _pad_payload(payload)
+    out_ll = np.empty(nb_seq, dtype=np.uint32)
+    out_ml = np.empty(nb_seq, dtype=np.uint32)
+    out_of = np.empty(nb_seq, dtype=np.uint32)
+    rep_arr = np.array(rep, dtype=np.uint32)
+
+    def tbl(t):
+        return (_ptr(np.ascontiguousarray(t.base_value, np.uint32), ctypes.c_uint32),
+                _ptr(np.ascontiguousarray(t.nb_add_bits, np.uint8), ctypes.c_uint8),
+                _ptr(np.ascontiguousarray(t.new_state, np.uint16), ctypes.c_uint16),
+                _ptr(np.ascontiguousarray(t.nb_bits, np.uint8), ctypes.c_uint8),
+                t.table_log)
+
+    rc = lib.fse_decode_sequences(
+        _ptr(padded, ctypes.c_uint8), len(payload), nb_seq,
+        *tbl(ll), *tbl(of), *tbl(ml),
+        _ptr(rep_arr, ctypes.c_uint32),
+        _ptr(out_ll, ctypes.c_uint32), _ptr(out_ml, ctypes.c_uint32),
+        _ptr(out_of, ctypes.c_uint32))
+    if rc != 0:
+        return None
+    rep[0], rep[1], rep[2] = (int(rep_arr[0]), int(rep_arr[1]), int(rep_arr[2]))
+    return out_ll, out_ml, out_of
+
+
+def execute_sequences(out: np.ndarray, out_pos: int, prefix_start: int,
+                      literals: np.ndarray, lls, mls, ofs) -> int | None:
+    lib = get_lib()
+    if lib is None:
+        return None
+    literals = np.ascontiguousarray(literals, np.uint8)
+    rc = lib.execute_sequences(
+        _ptr(out, ctypes.c_uint8), out_pos, len(out), prefix_start,
+        _ptr(literals, ctypes.c_uint8), len(literals),
+        _ptr(np.ascontiguousarray(lls, np.uint32), ctypes.c_uint32),
+        _ptr(np.ascontiguousarray(mls, np.uint32), ctypes.c_uint32),
+        _ptr(np.ascontiguousarray(ofs, np.uint32), ctypes.c_uint32), len(lls))
+    return int(rc) if rc >= 0 else None
+
+
+def fast_find_matches(src: np.ndarray, start: int, end: int, window_start: int,
+                      window_size: int, table: np.ndarray, hash_log: int,
+                      rep: list[int], acceleration: int = 1):
+    lib = get_lib()
+    if lib is None:
+        return None
+    max_seq = max((end - start) // 3 + 8, 16)
+    out_ll = np.empty(max_seq, dtype=np.uint32)
+    out_ml = np.empty(max_seq, dtype=np.uint32)
+    out_ob = np.empty(max_seq, dtype=np.uint32)
+    rep_arr = np.array(rep[:2], dtype=np.uint32)
+    last_lit = np.zeros(1, dtype=np.int64)
+    n = lib.fast_find_matches(
+        _ptr(src, ctypes.c_uint8), len(src), start, end, window_start,
+        window_size, _ptr(table, ctypes.c_int64), hash_log,
+        _ptr(rep_arr, ctypes.c_uint32),
+        _ptr(out_ll, ctypes.c_uint32), _ptr(out_ml, ctypes.c_uint32),
+        _ptr(out_ob, ctypes.c_uint32), max_seq,
+        _ptr(last_lit, ctypes.c_int64), acceleration)
+    if n < 0:
+        return None
+    rep[0], rep[1] = int(rep_arr[0]), int(rep_arr[1])
+    return out_ll[:n], out_ml[:n], out_ob[:n], int(last_lit[0])
+
+
+def encode_sequences(lls, mls_minus3, obs, llc, mlc, ofc, ll_bits, ml_bits,
+                     ll_ct, of_ct, ml_ct) -> bytes | None:
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(lls)
+    cap = 32 + n * 16
+    out = np.empty(cap, dtype=np.uint8)
+
+    def ctbl(ct):
+        return (_ptr(np.ascontiguousarray(ct.state_table, np.uint16), ctypes.c_uint16),
+                _ptr(np.ascontiguousarray(ct.delta_nb_bits, np.uint32), ctypes.c_uint32),
+                _ptr(np.ascontiguousarray(ct.delta_find_state, np.int32), ctypes.c_int32),
+                ct.table_log)
+
+    size = lib.encode_sequences(
+        _ptr(np.ascontiguousarray(lls, np.uint32), ctypes.c_uint32),
+        _ptr(np.ascontiguousarray(mls_minus3, np.uint32), ctypes.c_uint32),
+        _ptr(np.ascontiguousarray(obs, np.uint32), ctypes.c_uint32),
+        _ptr(np.ascontiguousarray(llc, np.uint8), ctypes.c_uint8),
+        _ptr(np.ascontiguousarray(mlc, np.uint8), ctypes.c_uint8),
+        _ptr(np.ascontiguousarray(ofc, np.uint8), ctypes.c_uint8),
+        _ptr(np.ascontiguousarray(ll_bits, np.uint8), ctypes.c_uint8),
+        _ptr(np.ascontiguousarray(ml_bits, np.uint8), ctypes.c_uint8),
+        n, *ctbl(ll_ct), *ctbl(of_ct), *ctbl(ml_ct),
+        _ptr(out, ctypes.c_uint8), cap)
+    if size < 0:
+        return None
+    return out[:size].tobytes()
+
+
+def huf_encode_stream(symbols: np.ndarray, code: np.ndarray,
+                      nbits: np.ndarray) -> bytes | None:
+    lib = get_lib()
+    if lib is None:
+        return None
+    symbols = np.ascontiguousarray(symbols, np.uint8)
+    cap = 16 + len(symbols) * 2
+    out = np.empty(cap, dtype=np.uint8)
+    size = lib.huf_encode_stream(
+        _ptr(symbols, ctypes.c_uint8), len(symbols),
+        _ptr(np.ascontiguousarray(code, np.uint16), ctypes.c_uint16),
+        _ptr(np.ascontiguousarray(nbits, np.uint8), ctypes.c_uint8),
+        _ptr(out, ctypes.c_uint8), cap)
+    if size < 0:
+        return None
+    return out[:size].tobytes()
+
+
+def xxh64(data: bytes, seed: int = 0) -> int | None:
+    lib = get_lib()
+    if lib is None:
+        return None
+    arr = np.frombuffer(data, dtype=np.uint8)
+    return int(lib.xxh64(_ptr(arr, ctypes.c_uint8), len(arr), seed))

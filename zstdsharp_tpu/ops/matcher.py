@@ -1,0 +1,107 @@
+"""Device match finder: batched greedy LZ parse over independent blocks.
+
+The TPU-first reformulation of the fast strategy (SURVEY.md §7 step 4c):
+
+1. hash every position (VPU elementwise),
+2. previous-occurrence candidates via one stable sort (XLA sort, no serial
+   hash table),
+3. vectorized LCP extension (geometric probing),
+4. greedy selection as a `lax.scan` whose step count is bounded by the max
+   sequence count, jumping match-to-match instead of byte-to-byte,
+5. per-block outputs as fixed-shape padded arrays (static shapes for jit).
+
+Blocks are parsed independently (window reset at block start) which is what
+makes both encode and decode embarrassingly data-parallel across lanes,
+cores and chips.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .common import hash4, match_lengths, previous_occurrence, u32_at_every_byte
+
+MIN_MATCH = 4
+
+
+@partial(jax.jit, static_argnames=("hash_log", "max_seq"))
+def parse_block(block: jax.Array, n_valid: jax.Array, hash_log: int = 16,
+                max_seq: int | None = None):
+    """Greedy parse of one block (uint8 [N]); n_valid <= N marks real bytes.
+
+    Returns dict with padded arrays:
+      starts  int32 [max_seq]  match start positions (N = padding)
+      mls     int32 [max_seq]  match lengths
+      offs    int32 [max_seq]  match distances
+      nseq    int32 []         number of real sequences
+      covered bool  [N]        positions covered by matches
+    """
+    n = block.shape[0]
+    if max_seq is None:
+        max_seq = n // 8
+    idx = jnp.arange(n, dtype=jnp.int32)
+
+    v32 = u32_at_every_byte(block)
+    h = hash4(v32, hash_log)
+    cand = previous_occurrence(h)
+    valid = (cand >= 0) & (v32[jnp.maximum(cand, 0)] == v32) & (idx + MIN_MATCH <= n_valid)
+    ml = match_lengths(block, jnp.where(valid, cand, -1))
+    ml = jnp.minimum(ml, n_valid - idx)
+    valid = valid & (ml >= MIN_MATCH)
+
+    # next_valid[i] = smallest j >= i with valid[j]  (reverse cumulative min)
+    cand_pos = jnp.where(valid, idx, n)
+    next_valid = jax.lax.associative_scan(jnp.minimum, cand_pos, reverse=True)
+
+    ml_pad = jnp.concatenate([ml, jnp.zeros(1, jnp.int32)])
+    off_pad = jnp.concatenate([idx - cand, jnp.zeros(1, jnp.int32)])
+    nv_pad = jnp.concatenate([next_valid, jnp.full(1, n, jnp.int32)])
+
+    def step(pos, _):
+        j = nv_pad[jnp.minimum(pos, n)]
+        take = j < n
+        mlj = jnp.where(take, ml_pad[j], 0)
+        new_pos = jnp.where(take, j + mlj, n)
+        return new_pos, (jnp.where(take, j, n), mlj, jnp.where(take, off_pad[j], 0))
+
+    # Initial carry derives from n_valid so its varying-axis type matches the
+    # body output under shard_map (scan-vma rule).
+    pos0 = jnp.int32(0) + n_valid.astype(jnp.int32) * 0
+    _, (starts, mls, offs) = jax.lax.scan(step, pos0, None, length=max_seq)
+    nseq = jnp.sum(starts < n).astype(jnp.int32)
+
+    # Covered mask via +-1 scatter and prefix sum.
+    delta = jnp.zeros(n + 1, jnp.int32)
+    delta = delta.at[jnp.where(starts < n, starts, n)].add(jnp.where(starts < n, 1, 0))
+    ends = jnp.minimum(starts + mls, n)
+    delta = delta.at[jnp.where(starts < n, ends, n)].add(jnp.where(starts < n, -1, 0))
+    covered = jnp.cumsum(delta[:n]) > 0
+    return {"starts": starts, "mls": mls, "offs": offs, "nseq": nseq,
+            "covered": covered}
+
+
+parse_blocks = jax.vmap(parse_block, in_axes=(0, 0, None, None))
+
+
+def parse_block_stats(block: jax.Array, n_valid: jax.Array, hash_log: int = 16):
+    """Parse + code statistics: the per-block device 'forward step' used by
+    the sharded pipeline (histograms feed table selection, sizes feed the
+    scheduler).  Everything stays on device."""
+    r = parse_block(block, n_valid, hash_log)
+    n = block.shape[0]
+    real = r["starts"] < n
+    lit_count = n_valid - jnp.sum(jnp.where(real, r["mls"], 0))
+    match_bytes = jnp.sum(jnp.where(real, r["mls"], 0))
+    # Offset-code histogram (highbit of offset+3) for FSE table estimation.
+    ob = jnp.where(real, r["offs"] + 3, 1).astype(jnp.uint32)
+    of_code = (31 - jnp.clip(jax.lax.clz(ob), 0, 31)).astype(jnp.int32)
+    of_hist = jnp.zeros(32, jnp.int32).at[of_code].add(jnp.where(real, 1, 0))
+    # Literal byte histogram over uncovered positions.
+    lit_sym = jnp.where(r["covered"], 256, block.astype(jnp.int32))
+    lit_hist = jnp.zeros(257, jnp.int32).at[lit_sym].add(
+        (jnp.arange(n) < n_valid).astype(jnp.int32))[:256]
+    return {**r, "lit_count": lit_count, "match_bytes": match_bytes,
+            "of_hist": of_hist, "lit_hist": lit_hist}

@@ -1,0 +1,145 @@
+"""Multi-chip data-parallel codec pipeline.
+
+Design (SURVEY.md §2.7, new for the TPU build — the reference is
+single-threaded by construction): independent 128KB blocks sharded over a
+1-D ('data',) mesh; per-device batched parse (vmap over the block axis);
+global entropy statistics combined with `psum` over ICI; compressed payloads
+all-gathered host-side in frame order.  TP/PP/EP/CP have no meaning for a
+codec and are intentionally absent.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .. import constants as C
+from ..ops.matcher import parse_block_stats
+
+BLOCK = C.ZSTD_BLOCKSIZE_MAX  # 128 KiB
+
+
+def make_mesh(devices=None, axis: str = "data") -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.array(devices), (axis,))
+
+
+def _device_step(blocks: jax.Array, n_valid: jax.Array, hash_log: int):
+    """Per-shard forward step: batched parse + local stat reduction.
+
+    Runs under shard_map; blocks: uint8 [b, N] local shard.
+    """
+    stats = jax.vmap(lambda b, n: parse_block_stats(b, n, hash_log))(blocks, n_valid)
+    # Cross-chip reductions ride ICI: global literal/offset histograms drive
+    # shared entropy tables; byte counters drive scheduling.
+    g_lit = jax.lax.psum(stats["lit_hist"].sum(axis=0), axis_name="data")
+    g_of = jax.lax.psum(stats["of_hist"].sum(axis=0), axis_name="data")
+    g_match = jax.lax.psum(stats["match_bytes"].sum(), axis_name="data")
+    return {
+        "starts": stats["starts"], "mls": stats["mls"], "offs": stats["offs"],
+        "nseq": stats["nseq"], "covered": stats["covered"],
+        "global_lit_hist": g_lit, "global_of_hist": g_of,
+        "global_match_bytes": g_match,
+    }
+
+
+def make_sharded_parse(mesh: Mesh, hash_log: int = 16, block_size: int = BLOCK):
+    """jit(shard_map(...)) over the data axis; blocks sharded on dim 0."""
+    spec = P("data", None)
+    fn = jax.shard_map(
+        partial(_device_step, hash_log=hash_log),
+        mesh=mesh,
+        in_specs=(spec, P("data")),
+        out_specs={
+            "starts": spec, "mls": spec, "offs": spec, "nseq": P("data"),
+            "covered": spec,
+            "global_lit_hist": P(), "global_of_hist": P(),
+            "global_match_bytes": P(),
+        },
+    )
+    return jax.jit(fn)
+
+
+def shard_blocks(data: bytes | np.ndarray, n_devices: int,
+                 block_size: int = BLOCK) -> tuple[np.ndarray, np.ndarray, int]:
+    """Split a buffer into fixed blocks padded to a multiple of n_devices.
+
+    Returns (blocks [B, block_size] u8, n_valid [B] i32, real_block_count).
+    """
+    src = np.frombuffer(bytes(data), dtype=np.uint8) if not isinstance(data, np.ndarray) else data
+    n = len(src)
+    n_blocks = max((n + block_size - 1) // block_size, 1)
+    padded_blocks = -(-n_blocks // n_devices) * n_devices
+    blocks = np.zeros((padded_blocks, block_size), dtype=np.uint8)
+    n_valid = np.zeros(padded_blocks, dtype=np.int32)
+    for i in range(n_blocks):
+        chunk = src[i * block_size : (i + 1) * block_size]
+        blocks[i, : len(chunk)] = chunk
+        n_valid[i] = len(chunk)
+    return blocks, n_valid, n_blocks
+
+
+def compress_data_parallel(data: bytes, mesh: Mesh | None = None,
+                           level: int = 1, checksum: bool = False,
+                           block_size: int = BLOCK) -> bytes:
+    """End-to-end DP compression: device parse across the mesh, host entropy
+    assembly in frame order (BASELINE configs 2/5).
+
+    Emits one frame per block-run with window-independent blocks, so decode
+    is equally parallel.
+    """
+    from ..encode.block import EncoderEntropy, encode_block_body
+    from ..encode.frame import _block_header, _write_frame_header
+    from ..encode.seqstore import SeqStore
+    from ..utils.xxhash import content_checksum
+
+    mesh = mesh if mesh is not None else make_mesh()
+    ndev = mesh.devices.size
+    blocks, n_valid, n_blocks = shard_blocks(data, ndev, block_size)
+    parse = make_sharded_parse(mesh, block_size=block_size)
+    out_shards = parse(jnp.asarray(blocks), jnp.asarray(n_valid))
+    starts = np.asarray(out_shards["starts"])
+    mls = np.asarray(out_shards["mls"])
+    offs = np.asarray(out_shards["offs"])
+    nseq = np.asarray(out_shards["nseq"])
+    covered = np.asarray(out_shards["covered"])
+
+    src = np.frombuffer(bytes(data), dtype=np.uint8)
+    out = bytearray(_write_frame_header(len(src), C.ZSTD_BLOCKSIZELOG_MAX,
+                                        checksum, True))
+    if len(src) == 0:
+        out += _block_header(True, C.BlockType.RAW, 0)
+    entropy = EncoderEntropy()
+    for b in range(n_blocks):
+        last = b == n_blocks - 1
+        nv = int(n_valid[b])
+        block = blocks[b, :nv]
+        k = int(nseq[b])
+        st = starts[b, :k]
+        ordered = np.argsort(st)
+        st = st[ordered]
+        ml = mls[b, :k][ordered]
+        of = offs[b, :k][ordered]
+        prev_end = np.concatenate([[0], (st + ml)[:-1]])
+        lls = (st - prev_end).astype(np.uint32)
+        last_lit = nv - int((st + ml)[-1]) if k else nv
+        seqs = SeqStore(lls, ml.astype(np.uint32), (of + 3).astype(np.uint32),
+                        last_lit)
+        if nv > 1 and not covered[b, :nv].any() and (block == block[0]).all():
+            out += _block_header(last, C.BlockType.RLE, nv)
+            out.append(int(block[0]))
+            continue
+        body = encode_block_body(block, seqs, entropy) if k or nv else None
+        if body is None:
+            out += _block_header(last, C.BlockType.RAW, nv)
+            out += block.tobytes()
+        else:
+            out += _block_header(last, C.BlockType.COMPRESSED, len(body))
+            out += body
+    if checksum:
+        out += content_checksum(src).to_bytes(4, "little")
+    return bytes(out)
