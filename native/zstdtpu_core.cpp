@@ -308,6 +308,136 @@ int64_t fast_find_matches(const uint8_t* src, int64_t src_len,
 }
 
 // ---------------------------------------------------------------------------
+// Hash-chain lazy match finder (greedy/lazy/lazy2; ZstdLazy.cs:1743 role)
+// ---------------------------------------------------------------------------
+
+struct LazyCtx {
+    const uint8_t* src;
+    int64_t* table;       // hash heads (abs positions, -1 empty)
+    int64_t* chain;       // chain links indexed by pos & chain_mask
+    int64_t chain_mask;
+    int hlog;
+    int64_t window_start;
+    int64_t window_size;
+    int64_t attempts;
+    int64_t insert_from;
+    int64_t limit;
+};
+
+static inline void lazy_insert_upto(LazyCtx* c, int64_t p) {
+    int64_t stop = p < c->limit ? p : c->limit;
+    for (int64_t i = c->insert_from; i < stop; i++) {
+        const uint32_t hv = hash32(read32(c->src + i), c->hlog);
+        c->chain[i & c->chain_mask] = c->table[hv];
+        c->table[hv] = i;
+    }
+    if (stop > c->insert_from) c->insert_from = stop;
+}
+
+static inline int64_t lazy_search(LazyCtx* c, int64_t p, int64_t end,
+                                  int64_t* best_off) {
+    lazy_insert_upto(c, p);
+    const uint32_t cur = read32(c->src + p);
+    int64_t cand = c->table[hash32(cur, c->hlog)];
+    const int64_t low = (p - (c->window_size - 1)) > c->window_start
+                        ? p - (c->window_size - 1) : c->window_start;
+    int64_t best_len = 0; *best_off = 0;
+    for (int64_t a = 0; a < c->attempts; a++) {
+        if (cand < low) break;
+        if (read32(c->src + cand) == cur) {
+            int64_t len = 4 + count_match(c->src, p + 4, cand + 4, end);
+            if (len > best_len) { best_len = len; *best_off = p - cand; }
+        }
+        int64_t nxt = c->chain[cand & c->chain_mask];
+        if (nxt >= cand) break;
+        cand = nxt;
+    }
+    return best_len;
+}
+
+static inline int64_t rep_length(const uint8_t* src, int64_t p, int64_t r,
+                                 int64_t ws, int64_t end) {
+    if (r <= 0 || p - r < ws || p + 4 > end) return 0;
+    if (read32(src + p) != read32(src + p - r)) return 0;
+    return 4 + count_match(src, p + 4, p + 4 - r, end);
+}
+
+// depth: 0 = greedy, 1 = lazy, 2 = lazy2.  insert_from_io persists across
+// blocks.  Returns nb_seq or -1.
+int64_t lazy_find_matches(const uint8_t* src, int64_t src_len,
+                          int64_t start, int64_t end, int64_t window_start,
+                          int64_t window_size,
+                          int64_t* table, int hlog,
+                          int64_t* chain, int64_t chain_size, int64_t attempts,
+                          int depth, int64_t* insert_from_io,
+                          uint32_t* rep_io,
+                          uint32_t* out_ll, uint32_t* out_ml, uint32_t* out_ob,
+                          int64_t max_seq, int64_t* out_last_lit) {
+    if (end - start < 16) { *out_last_lit = end - start; return 0; }
+    LazyCtx c{src, table, chain, chain_size - 1, hlog, window_start,
+              window_size, attempts, *insert_from_io, end - 8};
+    int64_t rep0 = rep_io[0], rep1 = rep_io[1];
+    int64_t pos = start + (window_start == 0 && start == 0 ? 1 : 0);
+    int64_t anchor = start;
+    int64_t n_seq = 0;
+    const int64_t limit = c.limit;
+
+    while (pos < limit && n_seq + 2 < max_seq) {
+        // rep0 probe requires litLength >= 1 (offset_value 1 with ll==0
+        // means rep1 to the decoder).
+        int64_t rl = (pos > anchor) ? rep_length(src, pos, rep0, window_start, end) : 0;
+        int64_t off;
+        int64_t ml = lazy_search(&c, pos, end, &off);
+        if (rl >= 4 && rl + 3 >= ml) { ml = rl; off = 0; }
+        if (ml < 4) {
+            pos += 1 + ((pos - anchor) >> 8);
+            continue;
+        }
+        for (int d = depth; d > 0 && pos + 1 < limit; d--) {
+            int64_t rl2 = rep_length(src, pos + 1, rep0, window_start, end);
+            int64_t off2;
+            int64_t ml2 = lazy_search(&c, pos + 1, end, &off2);
+            bool better = false;
+            if (rl2 >= 4 && rl2 + 3 > ml + (off == 0 ? 3 : 0) - 3) {
+                pos++; ml = rl2; off = 0; better = true;
+            } else if (ml2 >= 4 && ml2 > ml + (off2 != off ? 1 : 0)) {
+                pos++; ml = ml2; off = off2; better = true;
+            }
+            if (!better) break;
+        }
+        if (off > 0) {
+            int64_t cand = pos - off;
+            while (pos > anchor && cand > window_start &&
+                   src[pos - 1] == src[cand - 1]) {
+                pos--; cand--; ml++;
+            }
+            rep1 = rep0; rep0 = off;
+            out_ob[n_seq] = (uint32_t)(off + 3);
+        } else {
+            out_ob[n_seq] = 1;
+        }
+        out_ll[n_seq] = (uint32_t)(pos - anchor);
+        out_ml[n_seq] = (uint32_t)ml;
+        n_seq++;
+        pos += ml; anchor = pos;
+        lazy_insert_upto(&c, pos);
+        while (pos < limit && n_seq < max_seq) {
+            int64_t rl2 = rep_length(src, pos, rep1, window_start, end);
+            if (rl2 < 4) break;
+            int64_t t = rep0; rep0 = rep1; rep1 = t;
+            out_ll[n_seq] = 0; out_ml[n_seq] = (uint32_t)rl2; out_ob[n_seq] = 1;
+            n_seq++;
+            pos += rl2; anchor = pos;
+            lazy_insert_upto(&c, pos);
+        }
+    }
+    *insert_from_io = c.insert_from;
+    rep_io[0] = (uint32_t)rep0; rep_io[1] = (uint32_t)rep1;
+    *out_last_lit = end - anchor;
+    return n_seq;
+}
+
+// ---------------------------------------------------------------------------
 // Bitstream writer + FSE sequence encode
 // ---------------------------------------------------------------------------
 

@@ -211,6 +211,19 @@ def compress_block_lazy(src: np.ndarray, start: int, end: int,
     depth 0 = greedy, 1 = lazy, 2 = lazy2 lookahead arbitration.
     """
     cp = state.cparams
+    if end - start >= 16:
+        from .. import native
+
+        if native.get_lib() is not None:
+            res = native.lazy_find_matches(
+                np.ascontiguousarray(src), start, end, state.window_start,
+                1 << cp.window_log, state.hash_table, cp.hash_log,
+                state.chain_table, 1 << cp.search_log, depth,
+                getattr(state, "_next_to_insert", start), state.rep)
+            if res is not None:
+                lls, mls, obs, last_lit, ins = res
+                state._next_to_insert = ins
+                return SeqStore(lls, mls, obs, last_lit)
     hlog = cp.hash_log
     table = state.hash_table
     chain = state.chain_table

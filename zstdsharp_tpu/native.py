@@ -76,6 +76,10 @@ def _load():
         lib.fast_find_matches.argtypes = [u8p, i64, i64, i64, i64, i64, i64p,
                                           i32, u32p, u32p, u32p, u32p, i64,
                                           i64p, i32]
+        lib.lazy_find_matches.restype = i64
+        lib.lazy_find_matches.argtypes = [u8p, i64, i64, i64, i64, i64, i64p,
+                                          i32, i64p, i64, i64, i32, i64p, u32p,
+                                          u32p, u32p, u32p, i64, i64p]
         lib.encode_sequences.restype = i64
         lib.encode_sequences.argtypes = (
             [u32p, u32p, u32p, u8p, u8p, u8p, u8p, u8p, i64]
@@ -194,6 +198,34 @@ def fast_find_matches(src: np.ndarray, start: int, end: int, window_start: int,
         return None
     rep[0], rep[1] = int(rep_arr[0]), int(rep_arr[1])
     return out_ll[:n], out_ml[:n], out_ob[:n], int(last_lit[0])
+
+
+def lazy_find_matches(src: np.ndarray, start: int, end: int, window_start: int,
+                      window_size: int, table: np.ndarray, hash_log: int,
+                      chain: np.ndarray, attempts: int, depth: int,
+                      insert_from: int, rep: list[int]):
+    lib = get_lib()
+    if lib is None:
+        return None
+    max_seq = max((end - start) // 3 + 8, 16)
+    out_ll = np.empty(max_seq, dtype=np.uint32)
+    out_ml = np.empty(max_seq, dtype=np.uint32)
+    out_ob = np.empty(max_seq, dtype=np.uint32)
+    rep_arr = np.array(rep[:2], dtype=np.uint32)
+    last_lit = np.zeros(1, dtype=np.int64)
+    ins = np.array([insert_from], dtype=np.int64)
+    n = lib.lazy_find_matches(
+        _ptr(src, ctypes.c_uint8), len(src), start, end, window_start,
+        window_size, _ptr(table, ctypes.c_int64), hash_log,
+        _ptr(chain, ctypes.c_int64), len(chain), attempts, depth,
+        _ptr(ins, ctypes.c_int64), _ptr(rep_arr, ctypes.c_uint32),
+        _ptr(out_ll, ctypes.c_uint32), _ptr(out_ml, ctypes.c_uint32),
+        _ptr(out_ob, ctypes.c_uint32), max_seq,
+        _ptr(last_lit, ctypes.c_int64))
+    if n < 0:
+        return None
+    rep[0], rep[1] = int(rep_arr[0]), int(rep_arr[1])
+    return out_ll[:n], out_ml[:n], out_ob[:n], int(last_lit[0]), int(ins[0])
 
 
 def encode_sequences(lls, mls_minus3, obs, llc, mlc, ofc, ll_bits, ml_bits,
