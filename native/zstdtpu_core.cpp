@@ -308,6 +308,71 @@ int64_t fast_find_matches(const uint8_t* src, int64_t src_len,
 }
 
 // ---------------------------------------------------------------------------
+// Hybrid selection: greedy parse over device-provided candidates
+// ---------------------------------------------------------------------------
+
+// cand[i] = best previous position with the same hash for block position i
+// (computed on the TPU via the sort-based candidate stage), -1 if none.
+// This loop validates, extends, probes repcodes, and emits sequences —
+// the serial half of the TPU-first split.
+int64_t hybrid_select(const uint8_t* src, int64_t n_valid,
+                      const int32_t* cand, uint32_t* rep_io,
+                      uint32_t* out_ll, uint32_t* out_ml, uint32_t* out_ob,
+                      int64_t max_seq, int64_t* out_last_lit) {
+    if (n_valid < 16) { *out_last_lit = n_valid; return 0; }
+    const int64_t limit = n_valid - 8;
+    int64_t rep0 = rep_io[0], rep1 = rep_io[1];
+    int64_t pos = 1, anchor = 0, n_seq = 0;
+
+    while (pos < limit && n_seq + 4 < max_seq) {
+        // rep0 probe at pos+1 (guarantees litLength >= 1)
+        if (pos + 1 < limit && pos + 1 - rep0 >= 0 &&
+            read32(src + pos + 1) == read32(src + pos + 1 - rep0)) {
+            int64_t p = pos + 1;
+            int64_t ml = 4 + count_match(src, p + 4, p + 4 - rep0, n_valid);
+            out_ll[n_seq] = (uint32_t)(p - anchor);
+            out_ml[n_seq] = (uint32_t)ml;
+            out_ob[n_seq] = 1;
+            n_seq++;
+            pos = p + ml; anchor = pos;
+            goto rep_continuation;
+        }
+        {
+            int64_t c = cand[pos];
+            if (c >= 0 && c < pos && read32(src + c) == read32(src + pos)) {
+                int64_t ml = 4 + count_match(src, pos + 4, c + 4, n_valid);
+                while (pos > anchor && c > 0 && src[pos - 1] == src[c - 1]) {
+                    pos--; c--; ml++;
+                }
+                const int64_t offset = pos - c;
+                out_ll[n_seq] = (uint32_t)(pos - anchor);
+                out_ml[n_seq] = (uint32_t)ml;
+                out_ob[n_seq] = (uint32_t)(offset + 3);
+                n_seq++;
+                rep1 = rep0; rep0 = offset;
+                pos += ml; anchor = pos;
+                goto rep_continuation;
+            }
+        }
+        pos += 1 + ((pos - anchor) >> 6);
+        continue;
+
+    rep_continuation:
+        while (pos < limit && n_seq < max_seq && pos - rep1 >= 0 &&
+               read32(src + pos) == read32(src + pos - rep1)) {
+            int64_t ml2 = 4 + count_match(src, pos + 4, pos + 4 - rep1, n_valid);
+            int64_t t = rep0; rep0 = rep1; rep1 = t;
+            out_ll[n_seq] = 0; out_ml[n_seq] = (uint32_t)ml2; out_ob[n_seq] = 1;
+            n_seq++;
+            pos += ml2; anchor = pos;
+        }
+    }
+    rep_io[0] = (uint32_t)rep0; rep_io[1] = (uint32_t)rep1;
+    *out_last_lit = n_valid - anchor;
+    return n_seq;
+}
+
+// ---------------------------------------------------------------------------
 // Hash-chain lazy match finder (greedy/lazy/lazy2; ZstdLazy.cs:1743 role)
 // ---------------------------------------------------------------------------
 

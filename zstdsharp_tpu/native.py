@@ -76,6 +76,9 @@ def _load():
         lib.fast_find_matches.argtypes = [u8p, i64, i64, i64, i64, i64, i64p,
                                           i32, u32p, u32p, u32p, u32p, i64,
                                           i64p, i32]
+        lib.hybrid_select.restype = i64
+        lib.hybrid_select.argtypes = [u8p, i64, i32p, u32p, u32p, u32p, u32p,
+                                      i64, i64p]
         lib.lazy_find_matches.restype = i64
         lib.lazy_find_matches.argtypes = [u8p, i64, i64, i64, i64, i64, i64p,
                                           i32, i64p, i64, i64, i32, i64p, u32p,
@@ -194,6 +197,31 @@ def fast_find_matches(src: np.ndarray, start: int, end: int, window_start: int,
         _ptr(out_ll, ctypes.c_uint32), _ptr(out_ml, ctypes.c_uint32),
         _ptr(out_ob, ctypes.c_uint32), max_seq,
         _ptr(last_lit, ctypes.c_int64), acceleration)
+    if n < 0:
+        return None
+    rep[0], rep[1] = int(rep_arr[0]), int(rep_arr[1])
+    return out_ll[:n], out_ml[:n], out_ob[:n], int(last_lit[0])
+
+
+def hybrid_select(src: np.ndarray, n_valid: int, cand: np.ndarray,
+                  rep: list[int]):
+    """Greedy selection over device-computed candidates (one block)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    max_seq = max(n_valid // 3 + 8, 16)
+    out_ll = np.empty(max_seq, dtype=np.uint32)
+    out_ml = np.empty(max_seq, dtype=np.uint32)
+    out_ob = np.empty(max_seq, dtype=np.uint32)
+    rep_arr = np.array(rep[:2], dtype=np.uint32)
+    last_lit = np.zeros(1, dtype=np.int64)
+    n = lib.hybrid_select(
+        _ptr(np.ascontiguousarray(src, np.uint8), ctypes.c_uint8), n_valid,
+        _ptr(np.ascontiguousarray(cand, np.int32), ctypes.c_int32),
+        _ptr(rep_arr, ctypes.c_uint32),
+        _ptr(out_ll, ctypes.c_uint32), _ptr(out_ml, ctypes.c_uint32),
+        _ptr(out_ob, ctypes.c_uint32), max_seq,
+        _ptr(last_lit, ctypes.c_int64))
     if n < 0:
         return None
     rep[0], rep[1] = int(rep_arr[0]), int(rep_arr[1])

@@ -22,7 +22,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .common import hash4, match_lengths, previous_occurrence, u32_at_every_byte
+from .common import (hash4, match_lengths, previous_occurrence,
+                     u32_at_every_byte, u64_at_every_byte)
 
 MIN_MATCH = 4
 
@@ -84,6 +85,33 @@ def parse_block(block: jax.Array, n_valid: jax.Array, hash_log: int = 16,
 
 
 parse_blocks = jax.vmap(parse_block, in_axes=(0, 0, None, None))
+
+
+def candidate_stage(block: jax.Array, hash_log: int = 16):
+    """Gather-free candidate generation (the production device stage).
+
+    TPU arbitrary gathers run at ~100M elem/s, so instead of probing a hash
+    table we sort (hash, pos, first-8-bytes) with lax.sort carrying payloads
+    — sorts move operands through the network without gathers — and compare
+    ADJACENT rows: the stable sort makes the predecessor within an equal-hash
+    run exactly the most recent previous occurrence.
+
+    Returns, in sorted order: positions, their candidate positions, and the
+    4-byte-match validity.  The host unsorts with one O(n) scatter and runs
+    the serial greedy selection (native hybrid_select).
+    """
+    n = block.shape[0]
+    v32 = u32_at_every_byte(block)
+    h = hash4(v32, hash_log)
+    v64 = u64_at_every_byte(block)
+    pos = jnp.arange(n, dtype=jnp.int32)
+    hs, ps, vs = jax.lax.sort((h, pos, v64), num_keys=1, is_stable=True)
+    prev_v = jnp.concatenate([jnp.zeros(1, jnp.uint64), vs[:-1]])
+    same_h = jnp.concatenate([jnp.array([False]), hs[1:] == hs[:-1]])
+    cand = jnp.concatenate([jnp.full(1, -1, jnp.int32), ps[:-1]])
+    match4 = ((vs ^ prev_v) & jnp.uint64(0xFFFFFFFF)) == 0
+    valid = same_h & (cand >= 0) & match4
+    return ps, jnp.where(valid, cand, -1)
 
 
 def parse_block_stats(block: jax.Array, n_valid: jax.Array, hash_log: int = 16):

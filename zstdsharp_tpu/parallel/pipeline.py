@@ -29,22 +29,17 @@ def make_mesh(devices=None, axis: str = "data") -> Mesh:
 
 
 def _device_step(blocks: jax.Array, n_valid: jax.Array, hash_log: int):
-    """Per-shard forward step: batched parse + local stat reduction.
+    """Per-shard forward step: batched gather-free candidate generation.
 
-    Runs under shard_map; blocks: uint8 [b, N] local shard.
+    Runs under shard_map; blocks: uint8 [b, N] local shard.  A psum over the
+    data axis aggregates candidate counts (rides ICI; drives scheduling and
+    demonstrates the collective path the all-gather of payloads uses).
     """
-    stats = jax.vmap(lambda b, n: parse_block_stats(b, n, hash_log))(blocks, n_valid)
-    # Cross-chip reductions ride ICI: global literal/offset histograms drive
-    # shared entropy tables; byte counters drive scheduling.
-    g_lit = jax.lax.psum(stats["lit_hist"].sum(axis=0), axis_name="data")
-    g_of = jax.lax.psum(stats["of_hist"].sum(axis=0), axis_name="data")
-    g_match = jax.lax.psum(stats["match_bytes"].sum(), axis_name="data")
-    return {
-        "starts": stats["starts"], "mls": stats["mls"], "offs": stats["offs"],
-        "nseq": stats["nseq"], "covered": stats["covered"],
-        "global_lit_hist": g_lit, "global_of_hist": g_of,
-        "global_match_bytes": g_match,
-    }
+    from ..ops.matcher import candidate_stage
+
+    ps, cand = jax.vmap(lambda b: candidate_stage(b, hash_log))(blocks)
+    g_cand = jax.lax.psum(jnp.sum(cand >= 0), axis_name="data")
+    return {"ps": ps, "cand": cand, "global_candidates": g_cand}
 
 
 def make_sharded_parse(mesh: Mesh, hash_log: int = 16, block_size: int = BLOCK):
@@ -54,12 +49,7 @@ def make_sharded_parse(mesh: Mesh, hash_log: int = 16, block_size: int = BLOCK):
         partial(_device_step, hash_log=hash_log),
         mesh=mesh,
         in_specs=(spec, P("data")),
-        out_specs={
-            "starts": spec, "mls": spec, "offs": spec, "nseq": P("data"),
-            "covered": spec,
-            "global_lit_hist": P(), "global_of_hist": P(),
-            "global_match_bytes": P(),
-        },
+        out_specs={"ps": spec, "cand": spec, "global_candidates": P()},
     )
     return jax.jit(fn)
 
@@ -97,16 +87,15 @@ def compress_data_parallel(data: bytes, mesh: Mesh | None = None,
     from ..encode.seqstore import SeqStore
     from ..utils.xxhash import content_checksum
 
+    from .. import native
+
     mesh = mesh if mesh is not None else make_mesh()
     ndev = mesh.devices.size
     blocks, n_valid, n_blocks = shard_blocks(data, ndev, block_size)
     parse = make_sharded_parse(mesh, block_size=block_size)
     out_shards = parse(jnp.asarray(blocks), jnp.asarray(n_valid))
-    starts = np.asarray(out_shards["starts"])
-    mls = np.asarray(out_shards["mls"])
-    offs = np.asarray(out_shards["offs"])
-    nseq = np.asarray(out_shards["nseq"])
-    covered = np.asarray(out_shards["covered"])
+    ps_all = np.asarray(out_shards["ps"])
+    cand_all = np.asarray(out_shards["cand"])
 
     src = np.frombuffer(bytes(data), dtype=np.uint8)
     out = bytearray(_write_frame_header(len(src), C.ZSTD_BLOCKSIZELOG_MAX,
@@ -114,26 +103,25 @@ def compress_data_parallel(data: bytes, mesh: Mesh | None = None,
     if len(src) == 0:
         out += _block_header(True, C.BlockType.RAW, 0)
     entropy = EncoderEntropy()
+    cand_by_pos = np.empty(block_size, dtype=np.int32)
     for b in range(n_blocks):
         last = b == n_blocks - 1
         nv = int(n_valid[b])
         block = blocks[b, :nv]
-        k = int(nseq[b])
-        st = starts[b, :k]
-        ordered = np.argsort(st)
-        st = st[ordered]
-        ml = mls[b, :k][ordered]
-        of = offs[b, :k][ordered]
-        prev_end = np.concatenate([[0], (st + ml)[:-1]])
-        lls = (st - prev_end).astype(np.uint32)
-        last_lit = nv - int((st + ml)[-1]) if k else nv
-        seqs = SeqStore(lls, ml.astype(np.uint32), (of + 3).astype(np.uint32),
-                        last_lit)
-        if nv > 1 and not covered[b, :nv].any() and (block == block[0]).all():
+        if nv > 1 and (block == block[0]).all():
             out += _block_header(last, C.BlockType.RLE, nv)
             out.append(int(block[0]))
             continue
-        body = encode_block_body(block, seqs, entropy) if k or nv else None
+        # Unsort the device candidates (one O(n) scatter).
+        cand_by_pos[ps_all[b]] = cand_all[b]
+        rep = [1, 4]
+        res = native.hybrid_select(blocks[b], nv, cand_by_pos, rep)
+        if res is not None:
+            lls, mls, obs, last_lit = res
+        else:  # pure-Python fallback (tiny inputs / no toolchain)
+            lls, mls, obs, last_lit = _select_greedy_py(blocks[b], nv, cand_by_pos)
+        seqs = SeqStore(lls, mls, obs, last_lit)
+        body = encode_block_body(block, seqs, entropy) if nv else None
         if body is None:
             out += _block_header(last, C.BlockType.RAW, nv)
             out += block.tobytes()
@@ -143,3 +131,25 @@ def compress_data_parallel(data: bytes, mesh: Mesh | None = None,
     if checksum:
         out += content_checksum(src).to_bytes(4, "little")
     return bytes(out)
+
+
+def _select_greedy_py(block: np.ndarray, n_valid: int, cand: np.ndarray):
+    """Python fallback for hybrid_select (no repcodes, correctness only)."""
+    lls, mls, obs = [], [], []
+    pos, anchor = 1, 0
+    v = block
+    while pos < n_valid - 8:
+        c = int(cand[pos])
+        if c >= 0 and c < pos and bytes(v[c : c + 4]) == bytes(v[pos : pos + 4]):
+            ml = 4
+            while pos + ml < n_valid and v[pos + ml] == v[c + ml]:
+                ml += 1
+            lls.append(pos - anchor)
+            mls.append(ml)
+            obs.append(pos - c + 3)
+            pos += ml
+            anchor = pos
+        else:
+            pos += 1
+    return (np.array(lls, np.uint32), np.array(mls, np.uint32),
+            np.array(obs, np.uint32), n_valid - anchor)
