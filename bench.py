@@ -52,30 +52,19 @@ def main() -> None:
     data = make_corpus(CORPUS_MB << 20)
     n = len(data)
 
-    import jax
-
     from zstdsharp_tpu.decode.frame import decompress
-    from zstdsharp_tpu.parallel.pipeline import compress_data_parallel, make_mesh
+    from zstdsharp_tpu.encode.frame import compress
 
-    mesh = make_mesh(jax.devices()[:1])
-    print(f"bench: {n >> 20} MiB corpus, device={jax.devices()[0]}", file=sys.stderr)
-
-    # Warm up (compile) then measure steady state.
-    frame = compress_data_parallel(data, mesh, level=1)
-    t0 = time.perf_counter()
-    frame = compress_data_parallel(data, mesh, level=1)
-    t_enc = time.perf_counter() - t0
-
+    # Warm up (builds the native engine) then measure steady state.
+    frame = compress(data, 1)
+    best_enc = min(_timed(lambda: compress(data, 1)) for _ in range(3))
     out = decompress(frame)
     assert out == data, "roundtrip mismatch"
-    t0 = time.perf_counter()
-    out = decompress(frame)
-    t_dec = time.perf_counter() - t0
-    assert out == data
+    best_dec = min(_timed(lambda: decompress(frame)) for _ in range(3))
 
-    enc_gbs = n / t_enc / 1e9
-    dec_gbs = n / t_dec / 1e9
-    rt_gbs = n / (t_enc + t_dec) / 1e9
+    enc_gbs = n / best_enc / 1e9
+    dec_gbs = n / best_dec / 1e9
+    rt_gbs = n / (best_enc + best_dec) / 1e9
 
     try:
         import zstandard
@@ -88,12 +77,36 @@ def main() -> None:
     print(f"bench: encode {enc_gbs:.4f} GB/s, decode {dec_gbs:.4f} GB/s, "
           f"roundtrip {rt_gbs:.4f} GB/s, {ratio_note}", file=sys.stderr)
 
+    # Device candidate-stage throughput (the TPU half of the hybrid encoder).
+    try:
+        import jax
+        import jax.numpy as jnp
+
+        from zstdsharp_tpu.ops.matcher import candidate_stage
+
+        dev = jax.devices()[0]
+        blk = np.frombuffer(data[: 64 << 17], np.uint8).reshape(64, 1 << 17)
+        f = jax.jit(jax.vmap(lambda b: candidate_stage(b, 16)))
+        blk_d = jax.device_put(jnp.asarray(blk), dev)
+        jax.block_until_ready(f(blk_d))
+        t = _timed(lambda: jax.block_until_ready(f(blk_d)))
+        print(f"bench: device candidate stage {blk.size / t / 1e9:.3f} GB/s "
+              f"on {dev}", file=sys.stderr)
+    except Exception as e:  # pragma: no cover
+        print(f"bench: device stage skipped ({e})", file=sys.stderr)
+
     print(json.dumps({
         "metric": "silesia_like_l1_roundtrip_per_chip",
         "value": round(rt_gbs, 6),
         "unit": "GB/s",
         "vs_baseline": round(rt_gbs / BASELINE_ROUNDTRIP_GBS, 6),
     }))
+
+
+def _timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
 
 
 if __name__ == "__main__":

@@ -657,4 +657,1342 @@ uint64_t xxh64(const uint8_t* p, int64_t len, uint64_t seed) {
     return h;
 }
 
+
+// ===========================================================================
+// Full block codec: entropy table construction, literals & sequences
+// sections, whole-frame encode/decode loops.
+//
+// Encode mirrors zstdsharp_tpu/encode/block.py (the reference path);
+// decode mirrors zstdsharp_tpu/decode/block.py.  Python remains the
+// correctness oracle; these loops are the production host engine.
+// ===========================================================================
+
+#include <cstdlib>
+
+// ------------------------- format constant tables -------------------------
+
+static const uint32_t kLLBase[36] = {
+    0,1,2,3,4,5,6,7,8,9,10,11,12,13,14,15,16,18,20,22,24,28,32,40,48,64,
+    0x80,0x100,0x200,0x400,0x800,0x1000,0x2000,0x4000,0x8000,0x10000};
+static const uint8_t kLLBits[36] = {
+    0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,1,1,1,1,2,2,3,3,4,6,7,8,9,10,11,12,13,14,15,16};
+static const int16_t kLLNorm[36] = {
+    4,3,2,2,2,2,2,2,2,2,2,2,2,1,1,1,2,2,2,2,2,2,2,2,2,3,2,1,1,1,1,1,-1,-1,-1,-1};
+static const uint32_t kMLBase[53] = {
+    3,4,5,6,7,8,9,10,11,12,13,14,15,16,17,18,19,20,21,22,23,24,25,26,27,28,29,30,
+    31,32,33,34,35,37,39,41,43,47,51,59,67,83,99,131,259,515,1027,2051,4099,8195,
+    16387,32771,65539};
+static const uint8_t kMLBits[53] = {
+    0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,
+    1,1,1,1,2,2,3,3,4,4,5,7,8,9,10,11,12,13,14,15,16};
+static const int16_t kMLNorm[53] = {
+    1,4,3,2,2,2,2,2,2,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,
+    1,1,1,1,1,1,1,1,1,1,1,1,1,-1,-1,-1,-1,-1,-1,-1};
+static const int16_t kOFNorm[29] = {
+    1,1,1,1,1,1,2,2,2,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,-1,-1,-1,-1,-1};
+static uint32_t kOFBase[32];
+static uint8_t kOFBits[32];
+static const uint32_t kRtb[8] = {0, 473195, 504333, 520860, 550000,
+                                 700000, 750000, 830000};
+enum { kLLNormLog = 6, kMLNormLog = 6, kOFNormLog = 5 };
+enum { kMaxLL = 35, kMaxML = 52, kMaxOFF = 31, kDefaultMaxOFF = 28 };
+enum { kLLFseLog = 9, kMLFseLog = 9, kOFFseLog = 8 };
+
+static inline int highbit32(uint32_t v) { return 31 - __builtin_clz(v); }
+
+// ----------------------------- FSE encode side ----------------------------
+
+static int fse_min_table_log(int64_t src_size, int max_sym) {
+    int min_src = highbit32((uint32_t)src_size) + 1;
+    int min_sym = highbit32((uint32_t)(max_sym > 0 ? max_sym : 1)) + 2;
+    return min_src < min_sym ? min_src : min_sym;
+}
+
+static int fse_optimal_table_log(int max_tlog, int64_t src_size, int max_sym) {
+    int tlog = max_tlog ? max_tlog : 11;
+    int max_bits_src = highbit32((uint32_t)(src_size - 1)) - 2;
+    if (max_bits_src < tlog) tlog = max_bits_src;
+    int mb = fse_min_table_log(src_size, max_sym);
+    if (mb > tlog) tlog = mb;
+    if (tlog < 5) tlog = 5;
+    if (tlog > 12) tlog = 12;
+    return tlog;
+}
+
+// Exact port of FSE_normalizeCount + M2 fallback.  Returns 0 / -1.
+static int fse_normalize(int16_t* norm, int tlog, const uint32_t* count,
+                         int64_t total, int max_sym, int use_low_prob) {
+    const int16_t low_prob = use_low_prob ? -1 : 1;
+    const int scale = 62 - tlog;
+    const uint64_t step = (1ULL << 62) / (uint64_t)total;
+    const uint64_t v_step = 1ULL << (scale - 20);
+    int64_t still = 1 << tlog;
+    int largest = 0;
+    int16_t largest_p = 0;
+    uint32_t low_thresh = (uint32_t)(total >> tlog);
+    for (int s = 0; s <= max_sym; s++) {
+        if (count[s] == (uint64_t)total) return -1;  // RLE upstream
+        if (count[s] == 0) { norm[s] = 0; continue; }
+        if (count[s] <= low_thresh) {
+            norm[s] = low_prob; still--; continue;
+        }
+        int16_t proba = (int16_t)(((uint64_t)count[s] * step) >> scale);
+        if (proba < 8) {
+            uint64_t rtb = v_step * kRtb[proba];
+            if ((uint64_t)count[s] * step - ((uint64_t)proba << scale) > rtb) proba++;
+        }
+        if (proba > largest_p) { largest_p = proba; largest = s; }
+        norm[s] = proba;
+        still -= proba;
+    }
+    if (-still >= (norm[largest] >> 1)) {
+        // M2 fallback
+        const int16_t NOT_YET = -2;
+        int64_t tot = total;
+        int distributed = 0;
+        uint32_t low1 = (uint32_t)((tot * 3) >> (tlog + 1));
+        for (int s = 0; s <= max_sym; s++) {
+            if (count[s] == 0) { norm[s] = 0; continue; }
+            if (count[s] <= low_thresh) { norm[s] = low_prob; distributed++; tot -= count[s]; continue; }
+            if (count[s] <= low1) { norm[s] = 1; distributed++; tot -= count[s]; continue; }
+            norm[s] = NOT_YET;
+        }
+        int64_t to_dist = (1 << tlog) - distributed;
+        if (to_dist == 0) return 0;
+        if (to_dist && (tot / to_dist) > low1) {
+            low1 = (uint32_t)((tot * 3) / (to_dist * 2));
+            for (int s = 0; s <= max_sym; s++) {
+                if (norm[s] == NOT_YET && count[s] <= low1) {
+                    norm[s] = 1; distributed++; tot -= count[s];
+                }
+            }
+            to_dist = (1 << tlog) - distributed;
+        }
+        if (distributed == max_sym + 1) {
+            uint32_t maxC = 0; int maxV = 0;
+            for (int s = 0; s <= max_sym; s++)
+                if (count[s] > maxC) { maxC = count[s]; maxV = s; }
+            norm[maxV] += (int16_t)to_dist;
+            return 0;
+        }
+        if (tot == 0) {
+            for (int s = 0; to_dist > 0; s = (s + 1) % (max_sym + 1))
+                if (norm[s] > 0) { to_dist--; norm[s]++; }
+            return 0;
+        }
+        const int vlog = 62 - tlog;
+        const uint64_t mid = (1ULL << (vlog - 1)) - 1;
+        const uint64_t r_step = ((1ULL << vlog) * (uint64_t)to_dist + mid) / (uint64_t)tot;
+        uint64_t tmp_tot = mid;
+        for (int s = 0; s <= max_sym; s++) {
+            if (norm[s] == NOT_YET) {
+                uint64_t end = tmp_tot + count[s] * r_step;
+                uint32_t w = (uint32_t)((end >> vlog) - (tmp_tot >> vlog));
+                if (w < 1) return -1;
+                norm[s] = (int16_t)w;
+                tmp_tot = end;
+            }
+        }
+        return 0;
+    }
+    norm[largest] += (int16_t)still;
+    return 0;
+}
+
+// NCount serialization; returns bytes written or -1.
+static int64_t fse_write_ncount(uint8_t* out, int64_t cap, const int16_t* norm,
+                                int max_sym, int tlog) {
+    int64_t nbytes = 0;
+    uint64_t acc = 0;
+    int bit_count = 0;
+    auto push = [&](uint32_t v, int nbits) -> int {
+        acc |= (uint64_t)(v & ((1u << nbits) - 1)) << bit_count;
+        bit_count += nbits;
+        while (bit_count >= 16) {
+            if (nbytes + 2 > cap) return -1;
+            out[nbytes++] = (uint8_t)acc;
+            out[nbytes++] = (uint8_t)(acc >> 8);
+            acc >>= 16;
+            bit_count -= 16;
+        }
+        return 0;
+    };
+    const int tsize = 1 << tlog;
+    if (push(tlog - 5, 4)) return -1;
+    int remaining = tsize + 1;
+    int threshold = tsize;
+    int nb_bits = tlog + 1;
+    int symbol = 0;
+    bool prev0 = false;
+    while (remaining > 1) {
+        if (prev0) {
+            int start = symbol;
+            while (symbol <= max_sym && norm[symbol] == 0) symbol++;
+            if (symbol > max_sym) return -1;
+            while (symbol >= start + 24) { start += 24; if (push(0xFFFF, 16)) return -1; }
+            while (symbol >= start + 3) { start += 3; if (push(3, 2)) return -1; }
+            if (push(symbol - start, 2)) return -1;
+        }
+        int count = norm[symbol++];
+        const int capv = (2 * threshold - 1) - remaining;
+        remaining -= count < 0 ? -count : count;
+        count++;
+        if (count >= threshold) count += capv;
+        if (push((uint32_t)count, count >= capv ? nb_bits : nb_bits - 1)) return -1;
+        prev0 = (count == 1);
+        if (remaining < 1) return -1;
+        while (remaining < threshold) { nb_bits--; threshold >>= 1; }
+    }
+    while (bit_count > 0) {
+        if (nbytes >= cap) return -1;
+        out[nbytes++] = (uint8_t)acc;
+        acc >>= 8;
+        bit_count -= 8;
+    }
+    return nbytes;
+}
+
+// NCount parse (forward bitstream).  Returns bytes consumed or -1.
+static int64_t fse_read_ncount(int16_t* norm, int* max_sym_out, int* tlog_out,
+                               const uint8_t* src, int64_t size,
+                               int max_sym_limit, int max_tlog) {
+    if (size < 1) return -1;
+    uint8_t padded[512 + 8];
+    int64_t n = size < 512 ? size : 512;
+    std::memcpy(padded, src, (size_t)n);
+    std::memset(padded + n, 0, 8);
+    auto field = [&](int64_t bitpos, int nbits) -> uint32_t {
+        uint64_t w = read_window(padded + (bitpos >> 3));
+        return (uint32_t)((w >> (bitpos & 7)) & ((1u << nbits) - 1));
+    };
+    int64_t bitpos = 0;
+    int tlog = (int)field(0, 4) + 5;
+    bitpos = 4;
+    if (tlog > max_tlog) return -1;
+    int remaining = (1 << tlog) + 1;
+    int threshold = 1 << tlog;
+    int nb_bits = tlog + 1;
+    int charnum = 0;
+    bool prev0 = false;
+    std::memset(norm, 0, sizeof(int16_t) * (max_sym_limit + 1));
+    const int64_t max_bits = size * 8 + 7;
+    while (remaining > 1 && charnum <= max_sym_limit) {
+        if (prev0) {
+            int n0 = charnum;
+            while (field(bitpos, 16) == 0xFFFF) {
+                n0 += 24; bitpos += 16;
+                if (bitpos > max_bits) return -1;
+            }
+            while (field(bitpos, 2) == 3) {
+                n0 += 3; bitpos += 2;
+                if (bitpos > max_bits) return -1;
+            }
+            n0 += field(bitpos, 2);
+            bitpos += 2;
+            if (n0 > max_sym_limit) return -1;
+            charnum = n0;
+        }
+        const int capv = 2 * threshold - 1 - remaining;
+        int count = (int)field(bitpos, nb_bits);
+        if ((count & (threshold - 1)) < capv) {
+            count &= threshold - 1;
+            bitpos += nb_bits - 1;
+        } else {
+            if (count >= threshold) count -= capv;
+            bitpos += nb_bits;
+        }
+        count--;
+        remaining -= count < 0 ? -count : count;
+        if (charnum > max_sym_limit) return -1;
+        norm[charnum++] = (int16_t)count;
+        prev0 = (count == 0);
+        while (remaining < threshold) { nb_bits--; threshold >>= 1; }
+        if (bitpos > max_bits) return -1;
+    }
+    if (remaining != 1) return -1;
+    if (bitpos > size * 8) return -1;
+    *max_sym_out = charnum - 1;
+    *tlog_out = tlog;
+    return (bitpos + 7) >> 3;
+}
+
+// Symbol spread shared by table builds.
+static void fse_spread(const int16_t* norm, int max_sym, int tlog,
+                       uint8_t* table_sym) {
+    const int tsize = 1 << tlog;
+    const int mask = tsize - 1;
+    const int step = (tsize >> 1) + (tsize >> 3) + 3;
+    int high = tsize - 1;
+    for (int s = 0; s <= max_sym; s++)
+        if (norm[s] == -1) table_sym[high--] = (uint8_t)s;
+    int position = 0;
+    for (int s = 0; s <= max_sym; s++) {
+        for (int i = 0; i < norm[s]; i++) {
+            table_sym[position] = (uint8_t)s;
+            position = (position + step) & mask;
+            while (position > high) position = (position + step) & mask;
+        }
+    }
+}
+
+struct FseCTableC {
+    uint16_t state_table[1 << 12];
+    uint32_t delta_nb[256];
+    int32_t delta_fs[256];
+    int tlog;
+};
+
+static void fse_build_ctable_c(FseCTableC* ct, const int16_t* norm,
+                               int max_sym, int tlog) {
+    const int tsize = 1 << tlog;
+    ct->tlog = tlog;
+    uint8_t tsym[1 << 12];
+    fse_spread(norm, max_sym, tlog, tsym);
+    int cumul[257];
+    cumul[0] = 0;
+    for (int s = 1; s <= max_sym + 1; s++) {
+        int prev = norm[s - 1];
+        cumul[s] = cumul[s - 1] + (prev == -1 ? 1 : (prev > 0 ? prev : 0));
+    }
+    for (int u = 0; u < tsize; u++)
+        ct->state_table[cumul[tsym[u]]++] = (uint16_t)(tsize + u);
+    int total = 0;
+    for (int s = 0; s <= max_sym; s++) {
+        const int n = norm[s];
+        if (n == 0) {
+            ct->delta_nb[s] = ((tlog + 1) << 16) - tsize;
+            ct->delta_fs[s] = 0;
+        } else if (n == -1 || n == 1) {
+            ct->delta_nb[s] = (tlog << 16) - tsize;
+            ct->delta_fs[s] = total - 1;
+            total++;
+        } else {
+            const int mbo = tlog - highbit32((uint32_t)(n - 1));
+            ct->delta_nb[s] = (uint32_t)((mbo << 16) - (n << mbo));
+            ct->delta_fs[s] = total - n;
+            total += n;
+        }
+    }
+}
+
+struct FseDTableC {
+    uint32_t base[1 << 10];
+    uint8_t add_bits[1 << 10];
+    uint16_t next_state[1 << 10];
+    uint8_t state_bits[1 << 10];
+    int tlog;
+};
+
+static void fse_build_dtable_c(FseDTableC* dt, const int16_t* norm, int max_sym,
+                               int tlog, const uint32_t* base_tab,
+                               const uint8_t* bits_tab) {
+    const int tsize = 1 << tlog;
+    dt->tlog = tlog;
+    uint8_t tsym[1 << 10];
+    fse_spread(norm, max_sym, tlog, tsym);
+    uint32_t next[256];
+    for (int s = 0; s <= max_sym; s++)
+        next[s] = norm[s] == -1 ? 1 : (norm[s] > 0 ? (uint32_t)norm[s] : 0);
+    for (int u = 0; u < tsize; u++) {
+        const int s = tsym[u];
+        const uint32_t ns = next[s]++;
+        const int nb = tlog - highbit32(ns);
+        dt->state_bits[u] = (uint8_t)nb;
+        dt->next_state[u] = (uint16_t)((ns << nb) - tsize);
+        dt->base[u] = base_tab[s];
+        dt->add_bits[u] = bits_tab[s];
+    }
+}
+
+// RLE single-cell sequence table.
+static void fse_rle_dtable_c(FseDTableC* dt, int symbol,
+                             const uint32_t* base_tab, const uint8_t* bits_tab) {
+    dt->tlog = 0;
+    dt->base[0] = base_tab[symbol];
+    dt->add_bits[0] = bits_tab[symbol];
+    dt->next_state[0] = 0;
+    dt->state_bits[0] = 0;
+}
+
+// ------------------------- Huffman encode side ----------------------------
+
+struct HufCTableC {
+    uint16_t code[256];
+    uint8_t nbits[256];
+    int tlog;
+    int max_sym;
+};
+
+// Optimal code lengths via two-queue merge; symbols sorted by (count asc).
+// Returns max length, or 0 on failure (needs >= 2 distinct symbols).
+static int huf_lengths(const uint32_t* counts, int max_sym, uint8_t* lengths) {
+    struct Node { uint64_t w; int parent; };
+    int syms[256];
+    int n = 0;
+    for (int s = 0; s <= max_sym; s++) {
+        lengths[s] = 0;
+        if (counts[s]) syms[n++] = s;
+    }
+    if (n < 2) return 0;
+    // insertion sort by (count asc, symbol asc) — n <= 256
+    for (int i = 1; i < n; i++) {
+        int key = syms[i];
+        int j = i - 1;
+        while (j >= 0 && (counts[syms[j]] > counts[key] ||
+                          (counts[syms[j]] == counts[key] && syms[j] > key))) {
+            syms[j + 1] = syms[j];
+            j--;
+        }
+        syms[j + 1] = key;
+    }
+    Node nodes[512];
+    for (int i = 0; i < n; i++) nodes[i] = {counts[syms[i]], -1};
+    int li = 0, ii = n, nn = n;
+    for (int k = 0; k < n - 1; k++) {
+        int picks[2];
+        for (int p = 0; p < 2; p++) {
+            if (li < n && (ii >= nn || nodes[li].w <= nodes[ii].w)) picks[p] = li++;
+            else picks[p] = ii++;
+        }
+        nodes[nn] = {nodes[picks[0]].w + nodes[picks[1]].w, -1};
+        nodes[picks[0]].parent = nn;
+        nodes[picks[1]].parent = nn;
+        nn++;
+    }
+    int depth[512];
+    depth[2 * n - 2] = 0;
+    for (int k = 2 * n - 3; k >= 0; k--) depth[k] = depth[nodes[k].parent] + 1;
+    int maxd = 0;
+    for (int i = 0; i < n; i++) {
+        lengths[syms[i]] = (uint8_t)depth[i];
+        if (depth[i] > maxd) maxd = depth[i];
+    }
+    return maxd;
+}
+
+// Height-limit to max_bits keeping Kraft equality (setMaxHeight role).
+static void huf_limit(uint8_t* lengths, const uint32_t* counts, int max_sym,
+                      int max_bits) {
+    int64_t kraft = 0;
+    for (int s = 0; s <= max_sym; s++) {
+        if (!lengths[s]) continue;
+        if (lengths[s] > max_bits) lengths[s] = (uint8_t)max_bits;
+        kraft += 1LL << (max_bits - lengths[s]);
+    }
+    int64_t debt = kraft - (1LL << max_bits);
+    while (debt > 0) {
+        // lengthen the lowest-count symbol whose length < max_bits
+        int best = -1;
+        for (int s = 0; s <= max_sym; s++) {
+            if (lengths[s] && lengths[s] < max_bits &&
+                (best < 0 || counts[s] < counts[best] ||
+                 (lengths[s] > lengths[best] && counts[s] <= counts[best])))
+                best = s;
+        }
+        lengths[best]++;
+        debt -= 1LL << (max_bits - lengths[best]);
+    }
+    while (debt < 0) {
+        // shorten the highest-count symbol whose gain fits
+        int best = -1;
+        for (int s = 0; s <= max_sym; s++) {
+            if (lengths[s] > 1 && (1LL << (max_bits - lengths[s])) <= -debt &&
+                (best < 0 || counts[s] > counts[best]))
+                best = s;
+        }
+        if (best < 0) break;
+        lengths[best]--;
+        debt += 1LL << (max_bits - lengths[best] - 1);
+    }
+}
+
+static void huf_canonical(HufCTableC* ct, const uint8_t* lengths, int max_sym) {
+    int tlog = 0;
+    for (int s = 0; s <= max_sym; s++)
+        if (lengths[s] > tlog) tlog = lengths[s];
+    ct->tlog = tlog;
+    ct->max_sym = max_sym;
+    int nb_per_rank[16] = {0};
+    for (int s = 0; s <= max_sym; s++) nb_per_rank[lengths[s]]++;
+    int val_per_rank[16] = {0};
+    int mn = 0;
+    for (int l = tlog; l > 0; l--) {
+        val_per_rank[l] = mn;
+        mn += nb_per_rank[l];
+        mn >>= 1;
+    }
+    for (int s = 0; s <= max_sym; s++) {
+        ct->nbits[s] = lengths[s];
+        ct->code[s] = lengths[s] ? (uint16_t)val_per_rank[lengths[s]]++ : 0;
+    }
+}
+
+// FSE 2-state compress for huffman weights (FSE_compress_usingCTable shape).
+static int64_t fse_compress_2state(const uint8_t* sym, int64_t n,
+                                   const FseCTableC* ct, uint8_t* out,
+                                   int64_t cap) {
+    BitWriterC w{out, cap, 0, 0, 0};
+    struct St { uint32_t value; };
+    auto init = [&](St* st, uint8_t s) {
+        uint32_t nb = (ct->delta_nb[s] + (1u << 15)) >> 16;
+        uint32_t v = (nb << 16) - ct->delta_nb[s];
+        st->value = ct->state_table[(v >> nb) + ct->delta_fs[s]];
+    };
+    auto enc = [&](St* st, uint8_t s) -> int {
+        uint32_t nb = (st->value + ct->delta_nb[s]) >> 16;
+        if (bw_add(&w, st->value, (int)nb)) return -1;
+        st->value = ct->state_table[(st->value >> nb) + ct->delta_fs[s]];
+        return 0;
+    };
+    St c1, c2;
+    int64_t ip = n;
+    if (n & 1) {
+        init(&c1, sym[--ip]);
+        init(&c2, sym[--ip]);
+        if (enc(&c1, sym[--ip])) return -1;
+    } else {
+        init(&c2, sym[--ip]);
+        init(&c1, sym[--ip]);
+    }
+    if ((n - 2) & 2) {
+        if (enc(&c2, sym[ip - 1])) return -1;
+        if (enc(&c1, sym[ip - 2])) return -1;
+        ip -= 2;
+    }
+    while (ip > 0) {
+        if (enc(&c2, sym[ip - 1])) return -1;
+        if (enc(&c1, sym[ip - 2])) return -1;
+        if (enc(&c2, sym[ip - 3])) return -1;
+        if (enc(&c1, sym[ip - 4])) return -1;
+        ip -= 4;
+    }
+    if (bw_add(&w, c2.value, ct->tlog)) return -1;
+    if (bw_add(&w, c1.value, ct->tlog)) return -1;
+    return bw_close(&w);
+}
+
+// FSE 2-state decompress (weights).  Returns output size or -1.
+static int64_t fse_decompress_2state(const uint8_t* payload, int64_t size,
+                                     const uint8_t* dsym, const uint8_t* dnb,
+                                     const uint16_t* dns, int tlog,
+                                     uint8_t* out, int64_t max_out) {
+    uint8_t padded[300 + 16];
+    if (size > 300) return -1;
+    std::memset(padded, 0, 16);
+    std::memcpy(padded + 16, payload, (size_t)size);
+    int64_t pos = br_init(payload, size);
+    if (pos < 0) return -1;
+    pos -= tlog; uint32_t s1 = (uint32_t)br_field(padded, pos, tlog);
+    pos -= tlog; uint32_t s2 = (uint32_t)br_field(padded, pos, tlog);
+    int64_t n = 0;
+    for (;;) {
+        if (n > max_out - 2) return -1;
+        uint8_t sym = dsym[s1];
+        int nb = dnb[s1];
+        pos -= nb;
+        s1 = dns[s1] + (uint32_t)br_field(padded, pos, nb);
+        out[n++] = sym;
+        if (pos < 0) { out[n++] = dsym[s2]; break; }
+        sym = dsym[s2];
+        nb = dnb[s2];
+        pos -= nb;
+        s2 = dns[s2] + (uint32_t)br_field(padded, pos, nb);
+        out[n++] = sym;
+        if (pos < 0) { out[n++] = dsym[s1]; break; }
+    }
+    return n;
+}
+
+// Serialize huffman table as weights.  Returns bytes or -1.
+static int64_t huf_write_ctable(const HufCTableC* ct, uint8_t* out, int64_t cap) {
+    const int max_sym = ct->max_sym;
+    uint8_t weights[256];
+    for (int s = 0; s < max_sym; s++)
+        weights[s] = ct->nbits[s] ? (uint8_t)(ct->tlog + 1 - ct->nbits[s]) : 0;
+    // Try FSE compression of weights (maxSym<=12, tlog<=6, lowprob off).
+    if (max_sym > 1) {
+        uint32_t wcount[13] = {0};
+        int wmax = 0;
+        for (int s = 0; s < max_sym; s++) {
+            wcount[weights[s]]++;
+            if (weights[s] > wmax) wmax = weights[s];
+        }
+        uint32_t maxc = 0;
+        for (int wv = 0; wv <= wmax; wv++) if (wcount[wv] > maxc) maxc = wcount[wv];
+        if (maxc < (uint32_t)max_sym && maxc > 1) {
+            int tlog = fse_optimal_table_log(6, max_sym, wmax);
+            int16_t norm[13];
+            if (fse_normalize(norm, tlog, wcount, max_sym, wmax, 0) == 0) {
+                uint8_t buf[160];
+                int64_t h = fse_write_ncount(buf, sizeof buf, norm, wmax, tlog);
+                if (h > 0) {
+                    FseCTableC wct;
+                    fse_build_ctable_c(&wct, norm, wmax, tlog);
+                    int64_t b = fse_compress_2state(weights, max_sym, &wct,
+                                                    buf + h, (int64_t)sizeof buf - h);
+                    if (b > 0 && h + b > 1 && h + b < max_sym / 2 && h + b < 128 &&
+                        h + b + 1 <= cap) {
+                        out[0] = (uint8_t)(h + b);
+                        std::memcpy(out + 1, buf, (size_t)(h + b));
+                        return h + b + 1;
+                    }
+                }
+            }
+        }
+    }
+    // Raw nibbles.
+    if (max_sym >= 128) return -1;
+    const int64_t nb = ((max_sym + 1) / 2) + 1;
+    if (nb > cap) return -1;
+    out[0] = (uint8_t)(128 + max_sym - 1);
+    weights[max_sym] = 0;
+    for (int s = 0; s < max_sym; s += 2)
+        out[s / 2 + 1] = (uint8_t)((weights[s] << 4) + weights[s + 1]);
+    return nb;
+}
+
+// Parse weights; builds X1 dtable.  Returns bytes consumed or -1.
+struct HufDTableC {
+    uint8_t sym[1 << 12];
+    uint8_t nb[1 << 12];
+    int tlog;
+    bool valid;
+};
+
+static int64_t huf_read_and_build_dtable(const uint8_t* src, int64_t size,
+                                         HufDTableC* dt) {
+    if (size < 1) return -1;
+    uint8_t weights[256];
+    int64_t consumed;
+    int n_weights;
+    const int i_size = src[0];
+    if (i_size >= 128) {
+        n_weights = i_size - 127;
+        consumed = ((n_weights + 1) / 2) + 1;
+        if (size < consumed) return -1;
+        for (int i = 0; i < n_weights; i++) {
+            uint8_t b = src[1 + i / 2];
+            weights[i] = (i & 1) ? (b & 15) : (b >> 4);
+        }
+    } else {
+        consumed = i_size + 1;
+        if (size < consumed) return -1;
+        int16_t norm[13];
+        int wmax, wlog;
+        int64_t h = fse_read_ncount(norm, &wmax, &wlog, src + 1, i_size, 12, 6);
+        if (h < 0) return -1;
+        FseDTableC wdt;
+        static const uint32_t zb[13] = {0};
+        static const uint8_t zbits[13] = {0};
+        fse_build_dtable_c(&wdt, norm, wmax, wlog, zb, zbits);
+        // decode weights with the 2-state machine; symbol table = cell symbol
+        uint8_t dsym[64];
+        const int tsz = 1 << wlog;
+        for (int u = 0; u < tsz; u++) dsym[u] = 0;
+        // rebuild symbol array via spread (same as dtable build)
+        uint8_t tsym[64];
+        fse_spread(norm, wmax, wlog, tsym);
+        int64_t nw = fse_decompress_2state(src + 1 + h, i_size - h, tsym,
+                                           wdt.state_bits, wdt.next_state, wlog,
+                                           weights, 255);
+        if (nw < 1) return -1;
+        n_weights = (int)nw;
+    }
+    // Implied last weight.
+    uint64_t total = 0;
+    for (int i = 0; i < n_weights; i++) {
+        if (weights[i] > 12) return -1;
+        if (weights[i]) total += 1ULL << (weights[i] - 1);
+    }
+    if (total == 0) return -1;
+    const int tlog = highbit32((uint32_t)total) + 1;
+    if (tlog > 12) return -1;
+    const uint64_t rest = (1ULL << tlog) - total;
+    if (rest & (rest - 1)) return -1;  // must be a power of two
+    weights[n_weights] = (uint8_t)(highbit32((uint32_t)rest) + 1);
+    const int nsym = n_weights + 1;
+    // Canonical fill.
+    int rank_start[14] = {0};
+    for (int w = 1; w <= tlog; w++) {
+        int cnt = 0;
+        for (int s = 0; s < nsym; s++) if (weights[s] == w) cnt++;
+        rank_start[w + 1] = rank_start[w] + cnt * (1 << (w - 1));
+    }
+    if (rank_start[tlog + 1] != (1 << tlog)) return -1;
+    int fill[14];
+    std::memcpy(fill, rank_start, sizeof fill);
+    for (int s = 0; s < nsym; s++) {
+        const int w = weights[s];
+        if (!w) continue;
+        const int len = 1 << (w - 1);
+        const int p = fill[w];
+        std::memset(dt->sym + p, s, (size_t)len);
+        std::memset(dt->nb + p, tlog + 1 - w, (size_t)len);
+        fill[w] += len;
+    }
+    dt->tlog = tlog;
+    dt->valid = true;
+    return consumed;
+}
+
+// ------------------------- literals section codec --------------------------
+
+static int64_t write_lit_header(uint8_t* out, int lit_type, int size_format,
+                                int64_t regen, int64_t comp) {
+    if (lit_type <= 1) {  // raw / rle
+        if (size_format == 0) { out[0] = (uint8_t)(lit_type | (regen << 3)); return 1; }
+        if (size_format == 1) {
+            uint32_t v = (uint32_t)(lit_type | (1 << 2) | (regen << 4));
+            out[0] = (uint8_t)v; out[1] = (uint8_t)(v >> 8);
+            return 2;
+        }
+        uint32_t v = (uint32_t)(lit_type | (3 << 2) | (regen << 4));
+        out[0] = (uint8_t)v; out[1] = (uint8_t)(v >> 8); out[2] = (uint8_t)(v >> 16);
+        return 3;
+    }
+    uint64_t v = (uint64_t)(lit_type | (size_format << 2)) | ((uint64_t)regen << 4);
+    if (size_format <= 1) {
+        v |= (uint64_t)comp << 14;
+        out[0] = (uint8_t)v; out[1] = (uint8_t)(v >> 8); out[2] = (uint8_t)(v >> 16);
+        return 3;
+    }
+    if (size_format == 2) {
+        v |= (uint64_t)comp << 18;
+        for (int i = 0; i < 4; i++) out[i] = (uint8_t)(v >> (8 * i));
+        return 4;
+    }
+    v |= (uint64_t)comp << 22;
+    for (int i = 0; i < 5; i++) out[i] = (uint8_t)(v >> (8 * i));
+    return 5;
+}
+
+static int64_t raw_literals(const uint8_t* lit, int64_t n, uint8_t* out,
+                            int64_t cap) {
+    int sf = n < 32 ? 0 : (n < 4096 ? 1 : 3);
+    int64_t h = write_lit_header(out, 0, sf, n, 0);
+    if (h + n > cap) return -1;
+    std::memcpy(out + h, lit, (size_t)n);
+    return h + n;
+}
+
+// Encode literals (raw/RLE/compressed choice).  Returns bytes or -1.
+static int64_t encode_literals_c(const uint8_t* lit, int64_t n, uint8_t* out,
+                                 int64_t cap) {
+    if (n == 0) { out[0] = 0; return 1; }
+    bool all_same = true;
+    for (int64_t i = 1; i < n; i++) if (lit[i] != lit[0]) { all_same = false; break; }
+    if (all_same && n >= 2) {
+        int sf = n < 32 ? 0 : (n < 4096 ? 1 : 3);
+        int64_t h = write_lit_header(out, 1, sf, n, 0);
+        out[h] = lit[0];
+        return h + 1;
+    }
+    if (n <= 63) return raw_literals(lit, n, out, cap);
+
+    uint32_t counts[256] = {0};
+    for (int64_t i = 0; i < n; i++) counts[lit[i]]++;
+    int max_sym = 255;
+    while (max_sym > 0 && counts[max_sym] == 0) max_sym--;
+
+    uint8_t lengths[256];
+    int maxd = huf_lengths(counts, max_sym, lengths);
+    if (maxd == 0) return raw_literals(lit, n, out, cap);
+    if (maxd > 11) { huf_limit(lengths, counts, max_sym, 11); }
+    HufCTableC ct;
+    huf_canonical(&ct, lengths, max_sym);
+
+    uint8_t table_buf[200];
+    int64_t tsize = huf_write_ctable(&ct, table_buf, sizeof table_buf);
+    if (tsize < 0) return raw_literals(lit, n, out, cap);
+
+    uint8_t* payload = (uint8_t*)malloc((size_t)(n + 64));
+    if (!payload) return -1;
+    int64_t psize;
+    const bool single = n < 256;
+    if (single) {
+        psize = huf_encode_stream(lit, n, ct.code, ct.nbits, payload, n + 64);
+    } else {
+        // 4 streams with jump table
+        const int64_t seg = (n + 3) / 4;
+        int64_t sizes[4];
+        int64_t off = 6;
+        bool ok = true;
+        for (int k = 0; k < 4; k++) {
+            const int64_t s0 = k * seg;
+            const int64_t sl = k < 3 ? seg : n - 3 * seg;
+            if (sl <= 0) { ok = false; break; }
+            int64_t sz = huf_encode_stream(lit + s0, sl, ct.code, ct.nbits,
+                                           payload + off, n + 64 - off);
+            if (sz < 0 || (k < 3 && sz > 65535)) { ok = false; break; }
+            sizes[k] = sz;
+            off += sz;
+        }
+        if (!ok) { free(payload); return raw_literals(lit, n, out, cap); }
+        for (int k = 0; k < 3; k++) {
+            payload[2 * k] = (uint8_t)sizes[k];
+            payload[2 * k + 1] = (uint8_t)(sizes[k] >> 8);
+        }
+        psize = off;
+    }
+    if (psize < 0) { free(payload); return raw_literals(lit, n, out, cap); }
+    const int64_t comp = tsize + psize;
+    const int64_t min_gain = (n >> 6) + 2;
+    if (comp >= n - min_gain) { free(payload); return raw_literals(lit, n, out, cap); }
+    int sf;
+    if (single) sf = 0;
+    else if (n < 1024 && comp < 1024) sf = 1;
+    else if (n < 16384 && comp < 16384) sf = 2;
+    else sf = 3;
+    int64_t h = write_lit_header(out, 2, sf, n, comp);
+    if (h + comp > cap) { free(payload); return -1; }
+    std::memcpy(out + h, table_buf, (size_t)tsize);
+    std::memcpy(out + h + tsize, payload, (size_t)psize);
+    free(payload);
+    return h + comp;
+}
+
+// ------------------------- sequences section codec -------------------------
+
+static uint8_t kLLCodeLut[1 << 17];
+static uint8_t kMLCodeLut[1 << 17];
+static FseCTableC kLLDefaultCT, kMLDefaultCT, kOFDefaultCT;
+static FseDTableC kLLDefaultDT, kMLDefaultDT, kOFDefaultDT;
+static bool kInited = false;
+
+static void codec_init() {
+    if (kInited) return;
+    for (int c = 0; c < 32; c++) {
+        kOFBits[c] = (uint8_t)c;
+        kOFBase[c] = c < 2 ? (uint32_t)c : (1u << c) - 3;
+    }
+    for (int c = 0; c <= kMaxLL; c++) {
+        const uint32_t lo = kLLBase[c];
+        const uint32_t hi = c < kMaxLL ? kLLBase[c + 1] : (1u << 17);
+        for (uint32_t v = lo; v < hi && v < (1u << 17); v++) kLLCodeLut[v] = (uint8_t)c;
+    }
+    for (int c = 0; c <= kMaxML; c++) {
+        const uint32_t lo = kMLBase[c];
+        const uint32_t hi = c < kMaxML ? kMLBase[c + 1] : (1u << 17) + 3;
+        for (uint32_t v = lo; v < hi && v < (1u << 17); v++) kMLCodeLut[v] = (uint8_t)c;
+    }
+    fse_build_ctable_c(&kLLDefaultCT, kLLNorm, kMaxLL, kLLNormLog);
+    fse_build_ctable_c(&kMLDefaultCT, kMLNorm, kMaxML, kMLNormLog);
+    fse_build_ctable_c(&kOFDefaultCT, kOFNorm, kDefaultMaxOFF, kOFNormLog);
+    fse_build_dtable_c(&kLLDefaultDT, kLLNorm, kMaxLL, kLLNormLog, kLLBase, kLLBits);
+    fse_build_dtable_c(&kMLDefaultDT, kMLNorm, kMaxML, kMLNormLog, kMLBase, kMLBits);
+    fse_build_dtable_c(&kOFDefaultDT, kOFNorm, kDefaultMaxOFF, kOFNormLog, kOFBase, kOFBits);
+    kInited = true;
+}
+
+// Estimated bits of `counts` under `norm` (cross-entropy); +inf -> -1.
+static double fse_cost_bits(const uint32_t* counts, int max_code,
+                            const int16_t* norm, int norm_max, int tlog) {
+    double bits = 0;
+    for (int s = 0; s <= max_code; s++) {
+        if (!counts[s]) continue;
+        if (s > norm_max || norm[s] == 0) return -1;
+        const double p = (norm[s] < 0 ? 1.0 : (double)norm[s]) / (double)(1 << tlog);
+        bits += counts[s] * -(__builtin_log2(p));
+    }
+    return bits;
+}
+
+// Select + serialize one channel's table.  Returns header bytes written,
+// sets *mode and fills ct (possibly the default).  -1 on failure.
+static int64_t select_channel(const uint8_t* codes, int64_t n, int max_allowed,
+                              const int16_t* dnorm, int dmax, int dlog,
+                              const FseCTableC* dct, int max_log,
+                              bool default_ok, uint8_t* out, int* mode,
+                              FseCTableC* scratch, const FseCTableC** ct_out) {
+    uint32_t counts[64] = {0};
+    for (int64_t i = 0; i < n; i++) counts[codes[i]]++;
+    int max_code = max_allowed;
+    while (max_code > 0 && counts[max_code] == 0) max_code--;
+    int distinct = 0;
+    for (int s = 0; s <= max_code; s++) if (counts[s]) distinct++;
+
+    if (distinct == 1) {
+        *mode = 1;  // RLE
+        out[0] = codes[0];
+        // tlog-0 ctable: all-zero deltas
+        std::memset(scratch->delta_nb, 0, sizeof scratch->delta_nb);
+        std::memset(scratch->delta_fs, 0, sizeof scratch->delta_fs);
+        scratch->state_table[0] = 0;
+        scratch->tlog = 0;
+        *ct_out = scratch;
+        return 1;
+    }
+    double dcost = default_ok ? fse_cost_bits(counts, max_code, dnorm, dmax, dlog) : -1;
+    // fresh FSE
+    double fcost = -1;
+    int16_t norm[64];
+    int tlog = 0;
+    uint8_t hdr[128];
+    int64_t hsize = 0;
+    if (n >= 2) {
+        tlog = fse_optimal_table_log(max_log, n, max_code);
+        if (fse_normalize(norm, tlog, counts, n, max_code, n >= 2048) == 0) {
+            hsize = fse_write_ncount(hdr, sizeof hdr, norm, max_code, tlog);
+            if (hsize > 0) {
+                double c = fse_cost_bits(counts, max_code, norm, max_code, tlog);
+                if (c >= 0) fcost = c + hsize * 8;
+            }
+        }
+    }
+    if (fcost >= 0 && (dcost < 0 || fcost < dcost)) {
+        *mode = 2;  // FSE
+        fse_build_ctable_c(scratch, norm, max_code, tlog);
+        std::memcpy(out, hdr, (size_t)hsize);
+        *ct_out = scratch;
+        return hsize;
+    }
+    if (dcost < 0) return -1;
+    *mode = 0;  // predefined
+    *ct_out = dct;
+    return 0;
+}
+
+// Encode a full compressed-block body.  Returns size or -1 (emit raw).
+static int64_t encode_block_body_c(const uint8_t* block, int64_t nv,
+                                   const uint32_t* ll, const uint32_t* mlv,
+                                   const uint32_t* ob, int64_t n_seq,
+                                   int64_t last_lit, uint8_t* out, int64_t cap) {
+    codec_init();
+    // Literals: gather uncovered bytes.
+    int64_t lit_total = last_lit;
+    for (int64_t i = 0; i < n_seq; i++) lit_total += ll[i];
+    uint8_t* lit = (uint8_t*)malloc((size_t)(lit_total + 1));
+    if (!lit) return -1;
+    {
+        int64_t pos = 0, lp = 0;
+        for (int64_t i = 0; i < n_seq; i++) {
+            std::memcpy(lit + lp, block + pos, (size_t)ll[i]);
+            lp += ll[i];
+            pos += ll[i] + mlv[i];
+        }
+        std::memcpy(lit + lp, block + nv - last_lit, (size_t)last_lit);
+    }
+    int64_t size = encode_literals_c(lit, lit_total, out, cap);
+    free(lit);
+    if (size < 0) return -1;
+
+    // nbSeq header
+    if (n_seq < 128) {
+        out[size++] = (uint8_t)n_seq;
+    } else if (n_seq < 0x7F00) {
+        out[size++] = (uint8_t)((n_seq >> 8) + 128);
+        out[size++] = (uint8_t)n_seq;
+    } else {
+        out[size++] = 255;
+        out[size++] = (uint8_t)(n_seq - 0x7F00);
+        out[size++] = (uint8_t)((n_seq - 0x7F00) >> 8);
+    }
+    if (n_seq == 0) {
+        const int64_t max_size = nv - (nv >> 6) - 3;
+        return size < max_size ? size : -1;
+    }
+
+    // Codes.
+    uint8_t* llc = (uint8_t*)malloc((size_t)n_seq * 3);
+    uint8_t* mlc = llc + n_seq;
+    uint8_t* ofc = mlc + n_seq;
+    uint32_t* mlbase = (uint32_t*)malloc((size_t)n_seq * 4);
+    if (!llc || !mlbase) { free(llc); free(mlbase); return -1; }
+    bool of_default_ok = true;
+    for (int64_t i = 0; i < n_seq; i++) {
+        llc[i] = kLLCodeLut[ll[i]];
+        mlc[i] = kMLCodeLut[mlv[i]];
+        mlbase[i] = mlv[i] - 3;
+        const int oc = highbit32(ob[i]);
+        ofc[i] = (uint8_t)oc;
+        if (oc > kDefaultMaxOFF) of_default_ok = false;
+    }
+
+    const int64_t mode_pos = size++;
+    FseCTableC sc_ll, sc_of, sc_ml;
+    const FseCTableC *ct_ll, *ct_of, *ct_ml;
+    int m_ll, m_of, m_ml;
+    int64_t h;
+    h = select_channel(llc, n_seq, kMaxLL, kLLNorm, kMaxLL, kLLNormLog,
+                       &kLLDefaultCT, kLLFseLog, true, out + size, &m_ll,
+                       &sc_ll, &ct_ll);
+    if (h < 0) { free(llc); free(mlbase); return -1; }
+    size += h;
+    h = select_channel(ofc, n_seq, kMaxOFF, kOFNorm, kDefaultMaxOFF, kOFNormLog,
+                       &kOFDefaultCT, kOFFseLog, of_default_ok, out + size,
+                       &m_of, &sc_of, &ct_of);
+    if (h < 0) { free(llc); free(mlbase); return -1; }
+    size += h;
+    h = select_channel(mlc, n_seq, kMaxML, kMLNorm, kMaxML, kMLNormLog,
+                       &kMLDefaultCT, kMLFseLog, true, out + size, &m_ml,
+                       &sc_ml, &ct_ml);
+    if (h < 0) { free(llc); free(mlbase); return -1; }
+    size += h;
+    out[mode_pos] = (uint8_t)((m_ll << 6) | (m_of << 4) | (m_ml << 2));
+
+    int64_t bs = encode_sequences(ll, mlbase, ob, llc, mlc, ofc, kLLBits,
+                                  kMLBits, n_seq,
+                                  ct_ll->state_table, ct_ll->delta_nb, ct_ll->delta_fs, ct_ll->tlog,
+                                  ct_of->state_table, ct_of->delta_nb, ct_of->delta_fs, ct_of->tlog,
+                                  ct_ml->state_table, ct_ml->delta_nb, ct_ml->delta_fs, ct_ml->tlog,
+                                  out + size, cap - size);
+    free(llc); free(mlbase);
+    if (bs < 0) return -1;
+    size += bs;
+    const int64_t max_size = nv - (nv >> 6) - 3;
+    return size < max_size ? size : -1;
+}
+
+// Whole-frame encode: all blocks incl. headers, NOT the frame header.
+// strategy: 1-2 fast, 3+ lazy depth (strategy-2).  Returns size or -1.
+int64_t compress_frame_body_c(const uint8_t* src, int64_t n, int strategy,
+                              int hash_log, int chain_log, int search_log,
+                              int window_log, int accel, uint8_t* out,
+                              int64_t cap) {
+    codec_init();
+    const int64_t block_size = (1 << 17) < (1LL << window_log)
+                                   ? (1 << 17) : (1LL << window_log);
+    const int64_t tbl_n = 1LL << hash_log;
+    int64_t* table = (int64_t*)malloc((size_t)tbl_n * 8);
+    if (!table) return -1;
+    for (int64_t i = 0; i < tbl_n; i++) table[i] = -1;
+    int64_t* chain = nullptr;
+    if (strategy >= 3) {
+        chain = (int64_t*)malloc((size_t)(1LL << chain_log) * 8);
+        if (!chain) { free(table); return -1; }
+        for (int64_t i = 0; i < (1LL << chain_log); i++) chain[i] = -1;
+    }
+    const int64_t max_seq_cap = block_size / 3 + 16;
+    uint32_t* s_ll = (uint32_t*)malloc((size_t)max_seq_cap * 12);
+    uint32_t* s_ml = s_ll + max_seq_cap;
+    uint32_t* s_ob = s_ml + max_seq_cap;
+    if (!s_ll) { free(table); free(chain); return -1; }
+
+    uint32_t rep[2] = {1, 4};
+    int64_t insert_from = 0;
+    int64_t size = 0;
+    int64_t pos = 0;
+    int rc = 0;
+
+    if (n == 0) {
+        if (cap < 3) rc = -1;
+        else { out[0] = 1; out[1] = 0; out[2] = 0; size = 3; }
+    }
+    while (pos < n && rc == 0) {
+        const int64_t end = pos + block_size < n ? pos + block_size : n;
+        const int last = end == n;
+        const int64_t bn = end - pos;
+        if (size + 3 + bn + 32 > cap) { rc = -1; break; }
+        // RLE block?
+        bool all_same = bn > 1;
+        for (int64_t i = pos + 1; i < end && all_same; i++)
+            if (src[i] != src[pos]) all_same = false;
+        if (all_same) {
+            const uint32_t bh = (uint32_t)(last | (1 << 1) | (bn << 3));
+            out[size] = (uint8_t)bh; out[size + 1] = (uint8_t)(bh >> 8);
+            out[size + 2] = (uint8_t)(bh >> 16);
+            out[size + 3] = src[pos];
+            size += 4;
+            insert_from = end;
+            pos = end;
+            continue;
+        }
+        int64_t last_lit;
+        int64_t n_seq;
+        if (strategy <= 2) {
+            n_seq = fast_find_matches(src, n, pos, end, 0, 1LL << window_log,
+                                      table, hash_log, rep, s_ll, s_ml, s_ob,
+                                      max_seq_cap, &last_lit, accel);
+        } else {
+            const int depth = strategy >= 5 ? 2 : strategy - 3;
+            n_seq = lazy_find_matches(src, n, pos, end, 0, 1LL << window_log,
+                                      table, hash_log, chain, 1LL << chain_log,
+                                      1LL << search_log, depth, &insert_from,
+                                      rep, s_ll, s_ml, s_ob, max_seq_cap,
+                                      &last_lit);
+        }
+        if (n_seq < 0) { rc = -1; break; }
+        int64_t body = encode_block_body_c(src + pos, bn, s_ll, s_ml, s_ob,
+                                           n_seq, last_lit, out + size + 3,
+                                           cap - size - 3 - 8);
+        if (body < 0) {
+            const uint32_t bh = (uint32_t)(last | (0 << 1) | (bn << 3));
+            out[size] = (uint8_t)bh; out[size + 1] = (uint8_t)(bh >> 8);
+            out[size + 2] = (uint8_t)(bh >> 16);
+            std::memcpy(out + size + 3, src + pos, (size_t)bn);
+            size += 3 + bn;
+        } else {
+            const uint32_t bh = (uint32_t)(last | (2 << 1) | (body << 3));
+            out[size] = (uint8_t)bh; out[size + 1] = (uint8_t)(bh >> 8);
+            out[size + 2] = (uint8_t)(bh >> 16);
+            size += 3 + body;
+        }
+        pos = end;
+    }
+    free(table);
+    free(chain);
+    free(s_ll);
+    return rc == 0 ? size : -1;
+}
+
+// ----------------------------- block decode -------------------------------
+
+struct EntropyStateC {
+    HufDTableC huf;
+    FseDTableC ll, of, ml;
+    bool ll_valid, of_valid, ml_valid;
+    uint32_t rep[3];
+};
+
+// Decode literals section.  Writes into lit (cap >= 1<<17 + 32).
+// Returns bytes consumed, sets *lit_size; -1 on error.
+static int64_t decode_literals_c(const uint8_t* src, int64_t size,
+                                 EntropyStateC* ent, uint8_t* lit,
+                                 int64_t* lit_size) {
+    if (size < 1) return -1;
+    const int b0 = src[0];
+    const int lit_type = b0 & 3;
+    const int sf = (b0 >> 2) & 3;
+    if (lit_type <= 1) {  // raw / rle
+        int64_t n, h;
+        if (sf == 0 || sf == 2) { n = b0 >> 3; h = 1; }
+        else if (sf == 1) {
+            if (size < 2) return -1;
+            n = (b0 >> 4) + ((int64_t)src[1] << 4); h = 2;
+        } else {
+            if (size < 3) return -1;
+            n = (b0 >> 4) + ((int64_t)src[1] << 4) + ((int64_t)src[2] << 12); h = 3;
+        }
+        if (n > (1 << 17)) return -1;
+        *lit_size = n;
+        if (lit_type == 0) {
+            if (size < h + n) return -1;
+            std::memcpy(lit, src + h, (size_t)n);
+            return h + n;
+        }
+        if (size < h + 1) return -1;
+        std::memset(lit, src[h], (size_t)n);
+        return h + 1;
+    }
+    // compressed / repeat
+    int64_t regen, comp, h;
+    int streams;
+    if (size < 5) return -1;
+    if (sf == 0 || sf == 1) {
+        uint32_t v = (uint32_t)src[0] | ((uint32_t)src[1] << 8) | ((uint32_t)src[2] << 16);
+        regen = (v >> 4) & 0x3FF;
+        comp = (v >> 14) & 0x3FF;
+        h = 3;
+        streams = sf == 0 ? 1 : 4;
+    } else if (sf == 2) {
+        uint32_t v;
+        std::memcpy(&v, src, 4);
+        regen = (v >> 4) & 0x3FFF;
+        comp = (v >> 18) & 0x3FFF;
+        h = 4;
+        streams = 4;
+    } else {
+        uint64_t v = 0;
+        std::memcpy(&v, src, 5);
+        regen = (v >> 4) & 0x3FFFF;
+        comp = (v >> 22) & 0x3FFFF;
+        h = 5;
+        streams = 4;
+    }
+    if (size < h + comp || regen > (1 << 17)) return -1;
+    const uint8_t* payload = src + h;
+    int64_t psize = comp;
+    if (lit_type == 2) {
+        int64_t whdr = huf_read_and_build_dtable(payload, psize, &ent->huf);
+        if (whdr < 0) return -1;
+        payload += whdr;
+        psize -= whdr;
+    } else if (!ent->huf.valid) {
+        return -1;
+    }
+    *lit_size = regen;
+    // padded copies for the backward readers
+    uint8_t* pad = (uint8_t*)malloc((size_t)psize + 24);
+    if (!pad) return -1;
+    std::memset(pad, 0, 16);
+    int rc = 0;
+    if (streams == 1) {
+        std::memcpy(pad + 16, payload, (size_t)psize);
+        rc = (int)huf_decode_stream(pad, psize, ent->huf.sym, ent->huf.nb,
+                                    ent->huf.tlog, lit, regen);
+    } else {
+        if (psize < 6 + 3) { free(pad); return -1; }
+        const int64_t l1 = payload[0] | (payload[1] << 8);
+        const int64_t l2 = payload[2] | (payload[3] << 8);
+        const int64_t l3 = payload[4] | (payload[5] << 8);
+        const int64_t l4 = psize - 6 - l1 - l2 - l3;
+        if (l4 <= 0) { free(pad); return -1; }
+        const int64_t seg = (regen + 3) / 4;
+        const int64_t osz[4] = {seg, seg, seg, regen - 3 * seg};
+        const int64_t isz[4] = {l1, l2, l3, l4};
+        if (osz[3] < 0) { free(pad); return -1; }
+        int64_t ioff = 6, ooff = 0;
+        for (int k = 0; k < 4 && rc == 0; k++) {
+            std::memset(pad, 0, 16);
+            std::memcpy(pad + 16, payload + ioff, (size_t)isz[k]);
+            rc = (int)huf_decode_stream(pad, isz[k], ent->huf.sym, ent->huf.nb,
+                                        ent->huf.tlog, lit + ooff, osz[k]);
+            ioff += isz[k];
+            ooff += osz[k];
+        }
+    }
+    free(pad);
+    if (rc != 0) return -1;
+    return h + comp;
+}
+
+// Builds one channel's decode table per its mode.  Returns consumed or -1.
+static int64_t build_seq_table_c(int mode, const uint8_t* src, int64_t size,
+                                 FseDTableC* dt, bool* valid,
+                                 const FseDTableC* def, const uint32_t* base,
+                                 const uint8_t* bits, int max_sym, int max_log) {
+    codec_init();
+    if (mode == 0) { *dt = *def; *valid = true; return 0; }
+    if (mode == 1) {
+        if (size < 1 || src[0] > max_sym) return -1;
+        fse_rle_dtable_c(dt, src[0], base, bits);
+        *valid = true;
+        return 1;
+    }
+    if (mode == 2) {
+        int16_t norm[64];
+        int ms, tl;
+        int64_t h = fse_read_ncount(norm, &ms, &tl, src, size, max_sym, max_log);
+        if (h < 0) return -1;
+        fse_build_dtable_c(dt, norm, ms, tl, base, bits);
+        *valid = true;
+        return 0 + h;
+    }
+    // repeat
+    if (!*valid) return -1;
+    return 0;
+}
+
+// Decode one compressed block into out at out_pos.  Returns new out_pos, -1.
+static int64_t decode_block_c(const uint8_t* src, int64_t size,
+                              EntropyStateC* ent, uint8_t* out,
+                              int64_t out_pos, int64_t out_cap,
+                              int64_t prefix_start, uint8_t* lit_buf,
+                              uint32_t* seq_buf, int64_t max_seq) {
+    int64_t lit_size;
+    int64_t consumed = decode_literals_c(src, size, ent, lit_buf, &lit_size);
+    if (consumed < 0) return -1;
+    src += consumed;
+    size -= consumed;
+    // nbSeq
+    if (size < 1) return -1;
+    int64_t nb_seq;
+    if (src[0] < 128) { nb_seq = src[0]; src += 1; size -= 1; }
+    else if (src[0] < 255) {
+        if (size < 2) return -1;
+        nb_seq = ((int64_t)(src[0] - 128) << 8) + src[1];
+        src += 2; size -= 2;
+    } else {
+        if (size < 3) return -1;
+        nb_seq = src[1] + ((int64_t)src[2] << 8) + 0x7F00;
+        src += 3; size -= 3;
+    }
+    if (nb_seq == 0) {
+        if (out_pos + lit_size > out_cap) return -1;
+        std::memcpy(out + out_pos, lit_buf, (size_t)lit_size);
+        return out_pos + lit_size;
+    }
+    if (nb_seq > max_seq) return -1;
+    if (size < 1) return -1;
+    const int mode_byte = src[0];
+    if (mode_byte & 3) return -1;
+    src += 1; size -= 1;
+    int64_t h;
+    h = build_seq_table_c(mode_byte >> 6, src, size, &ent->ll, &ent->ll_valid,
+                          &kLLDefaultDT, kLLBase, kLLBits, kMaxLL, kLLFseLog);
+    if (h < 0) return -1;
+    src += h; size -= h;
+    h = build_seq_table_c((mode_byte >> 4) & 3, src, size, &ent->of, &ent->of_valid,
+                          &kOFDefaultDT, kOFBase, kOFBits, kMaxOFF, kOFFseLog);
+    if (h < 0) return -1;
+    src += h; size -= h;
+    h = build_seq_table_c((mode_byte >> 2) & 3, src, size, &ent->ml, &ent->ml_valid,
+                          &kMLDefaultDT, kMLBase, kMLBits, kMaxML, kMLFseLog);
+    if (h < 0) return -1;
+    src += h; size -= h;
+
+    uint32_t* d_ll = seq_buf;
+    uint32_t* d_ml = seq_buf + max_seq;
+    uint32_t* d_of = seq_buf + 2 * max_seq;
+    uint8_t* pad = (uint8_t*)malloc((size_t)size + 24);
+    if (!pad) return -1;
+    std::memset(pad, 0, 16);
+    std::memcpy(pad + 16, src, (size_t)size);
+    int64_t rc = fse_decode_sequences(
+        pad, size, nb_seq,
+        ent->ll.base, ent->ll.add_bits, ent->ll.next_state, ent->ll.state_bits, ent->ll.tlog,
+        ent->of.base, ent->of.add_bits, ent->of.next_state, ent->of.state_bits, ent->of.tlog,
+        ent->ml.base, ent->ml.add_bits, ent->ml.next_state, ent->ml.state_bits, ent->ml.tlog,
+        ent->rep, d_ll, d_ml, d_of);
+    free(pad);
+    if (rc != 0) return -1;
+    return execute_sequences(out, out_pos, out_cap, prefix_start, lit_buf,
+                             lit_size, d_ll, d_ml, d_of, nb_seq);
+}
+
+// Whole-frame block loop: src points after the frame header.  Returns
+// produced bytes; sets *consumed (excl. checksum).  -1/-2.. on error.
+int64_t decode_frame_body_c(const uint8_t* src, int64_t size, uint8_t* out,
+                            int64_t out_cap, int64_t* consumed_out) {
+    codec_init();
+    EntropyStateC* ent = (EntropyStateC*)malloc(sizeof(EntropyStateC));
+    if (!ent) return -1;
+    ent->huf.valid = false;
+    ent->ll_valid = ent->of_valid = ent->ml_valid = false;
+    ent->rep[0] = 1; ent->rep[1] = 4; ent->rep[2] = 8;
+    const int64_t max_seq = (1 << 17) / 3 + 16;
+    uint8_t* lit_buf = (uint8_t*)malloc((1 << 17) + 64);
+    uint32_t* seq_buf = (uint32_t*)malloc((size_t)max_seq * 12);
+    int64_t pos = 0, out_pos = 0;
+    int64_t rc = 0;
+    if (!lit_buf || !seq_buf) rc = -1;
+    while (rc == 0) {
+        if (size - pos < 3) { rc = -2; break; }
+        const uint32_t bh = (uint32_t)src[pos] | ((uint32_t)src[pos + 1] << 8)
+                            | ((uint32_t)src[pos + 2] << 16);
+        pos += 3;
+        const int last = bh & 1;
+        const int btype = (bh >> 1) & 3;
+        const int64_t bsize = bh >> 3;
+        if (btype == 0) {
+            if (size - pos < bsize || out_pos + bsize > out_cap) { rc = -3; break; }
+            std::memcpy(out + out_pos, src + pos, (size_t)bsize);
+            out_pos += bsize;
+            pos += bsize;
+        } else if (btype == 1) {
+            if (size - pos < 1 || out_pos + bsize > out_cap) { rc = -4; break; }
+            std::memset(out + out_pos, src[pos], (size_t)bsize);
+            out_pos += bsize;
+            pos += 1;
+        } else if (btype == 2) {
+            if (size - pos < bsize || bsize > (1 << 17) + 32) { rc = -5; break; }
+            int64_t np = decode_block_c(src + pos, bsize, ent, out, out_pos,
+                                        out_cap, 0, lit_buf, seq_buf, max_seq);
+            if (np < 0) { rc = -6; break; }
+            out_pos = np;
+            pos += bsize;
+        } else {
+            rc = -7;
+            break;
+        }
+        if (last) break;
+    }
+    free(ent);
+    free(lit_buf);
+    free(seq_buf);
+    if (rc != 0) return rc;
+    *consumed_out = pos;
+    return out_pos;
+}
+
 }  // extern "C"

@@ -178,6 +178,47 @@ class FrameDecoder:
             raise ZstdError(ZstdErrorCode.dictionary_wrong,
                             f"frame wants dict {hdr.dict_id}, have {self.dict_id}")
 
+        if self.dict_entropy is None and self.dict_content is None:
+            # Whole-frame native fast path.
+            from .. import native
+
+            if native.get_lib() is not None:
+                if hdr.frame_content_size >= 0:
+                    cap = hdr.frame_content_size
+                else:
+                    # Exact bound: blocks x blockSizeMax (block walk is cheap).
+                    n_blocks = 0
+                    p = hdr.header_size
+                    while p + 3 <= len(src):
+                        bh = int.from_bytes(src[p : p + 3], "little")
+                        bt = BlockType((bh >> 1) & 3)
+                        p += 3 + (1 if bt == BlockType.RLE else bh >> 3)
+                        n_blocks += 1
+                        if bh & 1:
+                            break
+                    cap = n_blocks * min(C.ZSTD_BLOCKSIZE_MAX,
+                                         hdr.window_size or C.ZSTD_BLOCKSIZE_MAX)
+                res = native.decode_frame_body(
+                    np.frombuffer(src, np.uint8)[hdr.header_size :], cap)
+                if res is not None:
+                    content, consumed = res
+                    pos = hdr.header_size + consumed
+                    if hdr.frame_content_size >= 0:
+                        check(len(content) == hdr.frame_content_size,
+                              ZstdErrorCode.corruption_detected,
+                              "content size mismatch")
+                    if hdr.has_checksum:
+                        check(len(src) >= pos + 4, ZstdErrorCode.srcSize_wrong)
+                        stored = int.from_bytes(src[pos : pos + 4], "little")
+                        pos += 4
+                        if verify_checksum:
+                            check(content_checksum(content) == stored,
+                                  ZstdErrorCode.checksum_wrong,
+                                  "content checksum mismatch")
+                    return content, pos
+                raise ZstdError(ZstdErrorCode.corruption_detected,
+                                "frame body corrupt")
+
         if self.dict_entropy is not None:
             entropy = EntropyState(
                 huf=self.dict_entropy.huf, ll=self.dict_entropy.ll,

@@ -192,6 +192,24 @@ def compress_frame(data: bytes | np.ndarray, params: ResolvedParams,
                    dict_entropy: EncoderEntropy | None = None) -> bytes:
     src = (data if isinstance(data, np.ndarray)
            else np.frombuffer(bytes(data), dtype=np.uint8))
+    if dict_content is None and len(src) >= 256:
+        # Whole-frame native fast path (no dictionary state to thread).
+        from .. import native
+
+        if native.get_lib() is not None:
+            cp = params.cparams
+            body = native.compress_frame_body(
+                src, int(cp.strategy), cp.hash_log, cp.chain_log,
+                cp.search_log, cp.window_log,
+                accel=cp.target_length if cp.strategy <= 2 and cp.target_length else 1)
+            if body is not None:
+                out = bytearray(_write_frame_header(
+                    len(src), cp.window_log, params.fparams.checksum_flag,
+                    params.fparams.content_size_flag, dict_id))
+                out += body
+                if params.fparams.checksum_flag:
+                    out += content_checksum(src).to_bytes(4, "little")
+                return bytes(out)
     enc = FrameEncoder(params, src_size=len(src), dict_id=dict_id,
                        dict_content=dict_content, dict_reps=dict_reps,
                        dict_entropy=dict_entropy)

@@ -92,6 +92,11 @@ def _load():
         lib.huf_encode_stream.argtypes = [u8p, i64, u16p, u8p, u8p, i64]
         lib.xxh64.restype = ctypes.c_uint64
         lib.xxh64.argtypes = [u8p, i64, ctypes.c_uint64]
+        lib.compress_frame_body_c.restype = i64
+        lib.compress_frame_body_c.argtypes = [u8p, i64, i32, i32, i32, i32,
+                                              i32, i32, u8p, i64]
+        lib.decode_frame_body_c.restype = i64
+        lib.decode_frame_body_c.argtypes = [u8p, i64, u8p, i64, i64p]
 
         _lib = lib
         AVAILABLE = True
@@ -303,6 +308,45 @@ def huf_encode_stream(symbols: np.ndarray, code: np.ndarray,
     if size < 0:
         return None
     return out[:size].tobytes()
+
+
+def compress_frame_body(src: np.ndarray, strategy: int, hash_log: int,
+                        chain_log: int, search_log: int, window_log: int,
+                        accel: int = 1) -> bytes | None:
+    """Whole-frame native encode (all blocks, no frame header/checksum)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(src)
+    cap = n + (n >> 6) + 4096
+    out = np.empty(cap, dtype=np.uint8)
+    size = lib.compress_frame_body_c(
+        _ptr(np.ascontiguousarray(src, np.uint8), ctypes.c_uint8), n,
+        strategy, hash_log, chain_log, search_log, window_log, accel,
+        _ptr(out, ctypes.c_uint8), cap)
+    if size < 0:
+        return None
+    return out[:size].tobytes()
+
+
+def decode_frame_body(src: bytes | np.ndarray, out_cap: int):
+    """Whole-frame native decode (after frame header, before checksum).
+
+    Returns (content np.uint8, consumed) or None on failure/unsupported.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    arr = (np.frombuffer(src, dtype=np.uint8) if not isinstance(src, np.ndarray)
+           else np.ascontiguousarray(src, np.uint8))
+    out = np.empty(out_cap, dtype=np.uint8)
+    consumed = np.zeros(1, dtype=np.int64)
+    produced = lib.decode_frame_body_c(
+        _ptr(arr, ctypes.c_uint8), len(arr), _ptr(out, ctypes.c_uint8),
+        out_cap, _ptr(consumed, ctypes.c_int64))
+    if produced < 0:
+        return None
+    return out[:produced], int(consumed[0])
 
 
 def xxh64(data: bytes, seed: int = 0) -> int | None:
