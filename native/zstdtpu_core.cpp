@@ -502,6 +502,7 @@ int64_t lazy_find_matches(const uint8_t* src, int64_t src_len,
     return n_seq;
 }
 
+
 // ---------------------------------------------------------------------------
 // Bitstream writer + FSE sequence encode
 // ---------------------------------------------------------------------------
@@ -1453,8 +1454,8 @@ static int64_t encode_literals_c(const uint8_t* lit, int64_t n, uint8_t* out,
 
 // ------------------------- sequences section codec -------------------------
 
-static uint8_t kLLCodeLut[1 << 17];
-static uint8_t kMLCodeLut[1 << 17];
+static uint8_t kLLCodeLut[(1 << 17) + 1];
+static uint8_t kMLCodeLut[(1 << 17) + 1];
 static FseCTableC kLLDefaultCT, kMLDefaultCT, kOFDefaultCT;
 static FseDTableC kLLDefaultDT, kMLDefaultDT, kOFDefaultDT;
 static bool kInited = false;
@@ -1467,13 +1468,13 @@ static void codec_init() {
     }
     for (int c = 0; c <= kMaxLL; c++) {
         const uint32_t lo = kLLBase[c];
-        const uint32_t hi = c < kMaxLL ? kLLBase[c + 1] : (1u << 17);
-        for (uint32_t v = lo; v < hi && v < (1u << 17); v++) kLLCodeLut[v] = (uint8_t)c;
+        const uint32_t hi = c < kMaxLL ? kLLBase[c + 1] : (1u << 17) + 1;
+        for (uint32_t v = lo; v < hi && v <= (1u << 17); v++) kLLCodeLut[v] = (uint8_t)c;
     }
     for (int c = 0; c <= kMaxML; c++) {
         const uint32_t lo = kMLBase[c];
         const uint32_t hi = c < kMaxML ? kMLBase[c + 1] : (1u << 17) + 3;
-        for (uint32_t v = lo; v < hi && v < (1u << 17); v++) kMLCodeLut[v] = (uint8_t)c;
+        for (uint32_t v = lo; v < hi && v <= (1u << 17); v++) kMLCodeLut[v] = (uint8_t)c;
     }
     fse_build_ctable_c(&kLLDefaultCT, kLLNorm, kMaxLL, kLLNormLog);
     fse_build_ctable_c(&kMLDefaultCT, kMLNorm, kMaxML, kMLNormLog);
@@ -1643,6 +1644,264 @@ static int64_t encode_block_body_c(const uint8_t* block, int64_t nv,
     return size < max_size ? size : -1;
 }
 
+// ---------------------------------------------------------------------------
+// Optimal parser (btopt/btultra role, levels 13+; ZstdOpt.cs:1046 shape)
+// ---------------------------------------------------------------------------
+//
+// Forward DP over the block with fixed-point prices (1/32 bit units):
+// literal prices from the block histogram, match prices from the predefined
+// OF/ML code distributions + extra bits + a flat per-sequence overhead.
+// Candidates come from the hash chain (all attempts, not first-best) plus
+// the three repcodes; lengths are relaxed at ml-code boundaries only, which
+// preserves optimality of the step-function price model at O(codes) cost.
+
+static const uint32_t kInfPrice = 0x3FFFFFFF;
+
+struct OptCell {
+    uint32_t price;
+    int32_t from;       // previous position
+    uint32_t ml;        // 0 = literal step
+    uint32_t off_base;  // offBase when ml > 0
+    uint32_t rep[3];
+};
+
+static inline uint32_t of_code_price32(int of_code) {
+    // -log2(norm/32) for the predefined OF distribution, in 1/32 bits,
+    // plus the extra bits the offset consumes.
+    static const int16_t norm[29] = {1,1,1,1,1,1,2,2,2,1,1,1,1,1,1,1,1,1,
+                                     1,1,1,1,1,1,1,1,1,1,1};
+    const int code_bits = of_code <= 28 && norm[of_code] == 2 ? 4 : 5;
+    return (uint32_t)(code_bits + of_code) * 32;
+}
+
+static inline uint32_t ml_price32(uint32_t mlv) {
+    // ml code cost ~6 bits (predefined log) + extra bits
+    const uint32_t base = mlv - 3;
+    int extra = 0;
+    if (base >= 32) {
+        uint32_t c = kMLCodeLut[mlv < (1u << 17) ? mlv : (1u << 17) - 1];
+        extra = kMLBits[c];
+    }
+    return (uint32_t)(6 + extra) * 32;
+}
+
+static inline uint32_t ll_price32(uint32_t llv) {
+    int extra = 0;
+    if (llv >= 16) {
+        uint32_t c = kLLCodeLut[llv < (1u << 17) ? llv : (1u << 17) - 1];
+        extra = kLLBits[c];
+    }
+    return (uint32_t)(6 + extra) * 32;
+}
+
+// Returns nb_seq or -1.  Uses the shared hash/chain tables like lazy.
+int64_t opt_find_matches(const uint8_t* src, int64_t src_len,
+                         int64_t start, int64_t end, int64_t window_start,
+                         int64_t window_size,
+                         int64_t* table, int hlog,
+                         int64_t* chain, int64_t chain_size, int64_t attempts,
+                         int64_t* insert_from_io, uint32_t* rep_io,
+                         uint32_t* out_ll, uint32_t* out_ml, uint32_t* out_ob,
+                         int64_t max_seq, int64_t* out_last_lit) {
+    const int64_t bn = end - start;
+    if (bn < 32) { *out_last_lit = bn; return 0; }
+    codec_init();
+    LazyCtx c{src, table, chain, chain_size - 1, hlog, window_start,
+              window_size, attempts, *insert_from_io, end - 8};
+
+    // Literal prices from block histogram (floor 1/8 bit, cap 14 bits).
+    uint32_t counts[256];
+    std::memset(counts, 0, sizeof counts);
+    for (int64_t i = start; i < end; i++) counts[src[i]]++;
+    uint32_t lit_price[256];
+    for (int s = 0; s < 256; s++) {
+        if (!counts[s]) { lit_price[s] = 14 * 32; continue; }
+        const double bits = -__builtin_log2((double)counts[s] / (double)bn);
+        uint32_t p = (uint32_t)(bits * 32.0 + 0.5);
+        if (p < 4) p = 4;
+        if (p > 14 * 32) p = 14 * 32;
+        lit_price[s] = p;
+    }
+    // Empirically tuned: per-sequence overhead prices ll/ml/of state costs;
+    // the histogram literal prices already absorb most of the tradeoff.
+    uint32_t seq_overhead = 0;
+    if (getenv("ZT_SEQOH")) seq_overhead = (uint32_t)atoi(getenv("ZT_SEQOH"));
+
+    OptCell* opt = (OptCell*)malloc(sizeof(OptCell) * (size_t)(bn + 1));
+    if (!opt) return -1;
+    for (int64_t i = 0; i <= bn; i++) opt[i].price = kInfPrice;
+    opt[0].price = 0;
+    opt[0].from = -1;
+    opt[0].ml = 0;
+    opt[0].rep[0] = rep_io[0]; opt[0].rep[1] = rep_io[1]; opt[0].rep[2] = rep_io[2];
+
+    // `dist` is always the true match distance; repcode values are
+    // re-resolved against the real encoder state during emission, so the
+    // per-cell rep triple only steers pricing/candidate generation.
+    auto relax = [&](int64_t to, uint32_t price, int64_t from, uint32_t ml,
+                     uint32_t dist, const uint32_t* rep) {
+        if (price < opt[to].price) {
+            opt[to].price = price;
+            opt[to].from = (int32_t)from;
+            opt[to].ml = ml;
+            opt[to].off_base = dist;
+            if (ml == 0 || dist == rep[0]) {
+                opt[to].rep[0] = rep[0]; opt[to].rep[1] = rep[1]; opt[to].rep[2] = rep[2];
+            } else {
+                opt[to].rep[0] = dist; opt[to].rep[1] = rep[0]; opt[to].rep[2] = rep[1];
+            }
+        }
+    };
+
+    const int64_t kSufficientLen = 192;  // immediate-take shortcut (zstd
+    // btopt targetLength role): avoids O(run^2) rep scanning inside runs.
+    const int64_t dp_limit = bn - 8;
+    for (int64_t i = 0; i < dp_limit; i++) {
+        if (opt[i].price >= kInfPrice) continue;
+        const int64_t p = start + i;
+        const uint32_t base_price = opt[i].price;
+        const uint32_t* rep = opt[i].rep;
+        // literal step
+        relax(i + 1, base_price + lit_price[src[p]], i, 0, 0, rep);
+        // sufficient-length shortcut: take a very long rep immediately
+        {
+            int64_t big = 0, big_dist = 0, big_vcode = 0;
+            for (int r = 0; r < 3; r++) {
+                const int64_t rl = rep_length(src, p, (int64_t)rep[r], window_start, end);
+                if (rl > big) { big = rl; big_dist = rep[r]; big_vcode = r; }
+            }
+            if (big >= kSufficientLen) {
+                const int64_t L = big < (int64_t)(bn - i) ? big : bn - i;
+                relax(i + L, base_price + ml_price32((uint32_t)L) +
+                      of_code_price32(big_vcode == 0 ? 0 : 1) + seq_overhead,
+                      i, (uint32_t)L, (uint32_t)big_dist, rep);
+                lazy_insert_upto(&c, p + 1 < c.limit ? p + 1 : c.limit);
+                i += L - 1;
+                continue;
+            }
+        }
+        // rep matches (values 1..3 with ll>=1 semantics approximated)
+        for (int r = 0; r < 3; r++) {
+            const int64_t rl = rep_length(src, p, (int64_t)rep[r], window_start, end);
+            if (rl >= 4) {
+                const int64_t cap_len = rl < (int64_t)(bn - i) ? rl : bn - i;
+                // relax at ml-code boundaries + max
+                for (int64_t L = cap_len; L >= 4; ) {
+                    const uint32_t code = kMLCodeLut[L];
+                    relax(i + L, base_price + ml_price32((uint32_t)L) +
+                          of_code_price32(r == 0 ? 0 : 1) + seq_overhead,
+                          i, (uint32_t)L, rep[r], rep);
+                    if (code == 0) break;
+                    const int64_t next_top = (int64_t)kMLBase[code] - 1;
+                    if (next_top >= L) break;
+                    L = next_top >= 4 ? next_top : 0;
+                }
+            }
+        }
+        // chain matches: enumerate candidates
+        lazy_insert_upto(&c, p);
+        if (p + 4 <= end - 4) {
+            const uint32_t cur = read32(src + p);
+            int64_t cand = c.table[hash32(cur, c.hlog)];
+            const int64_t low = (p - (window_size - 1)) > window_start
+                                ? p - (window_size - 1) : window_start;
+            int64_t best_so_far = 3;
+            for (int64_t a = 0; a < attempts; a++) {
+                if (cand < low) break;
+                if (read32(src + cand) == cur) {
+                    int64_t len = 4 + count_match(src, p + 4, cand + 4, end);
+                    if (len > best_so_far) {
+                        best_so_far = len;
+                        const int64_t off = p - cand;
+                        const int oc = highbit32((uint32_t)(off + 3));
+                        const uint32_t op = of_code_price32(oc);
+                        const int64_t cap_len = len < (int64_t)(bn - i) ? len : bn - i;
+                        for (int64_t L = cap_len; L >= 4; ) {
+                            const uint32_t code = kMLCodeLut[L];
+                            relax(i + L, base_price + ml_price32((uint32_t)L) +
+                                  op + seq_overhead, i, (uint32_t)L,
+                                  (uint32_t)off, rep);
+                            if (code == 0) break;
+                            const int64_t next_top = (int64_t)kMLBase[code] - 1;
+                            if (next_top >= L) break;
+                            L = next_top >= 4 ? next_top : 0;
+                        }
+                    }
+                }
+                int64_t nxt = c.chain[cand & c.chain_mask];
+                if (nxt >= cand) break;
+                cand = nxt;
+            }
+            // sufficient-length shortcut for chain matches
+            if (best_so_far >= kSufficientLen) {
+                i += (best_so_far < (int64_t)(bn - i) ? best_so_far : bn - i) - 1;
+                continue;
+            }
+        }
+    }
+    // Find the furthest reachable cell; the remainder becomes last literals.
+    int64_t cut = -1;
+    for (int64_t i = bn; i >= 0; i--) {
+        if (opt[i].price < kInfPrice) { cut = i; break; }
+    }
+    if (cut < 0) { free(opt); return -1; }
+
+    // Backtrack: collect (ml, ob) steps.
+    int64_t n_steps = 0;
+    for (int64_t i = cut; i > 0; i = opt[i].from) n_steps++;
+    // First pass gave steps in reverse; rebuild forward emitting sequences.
+    int64_t* stack = (int64_t*)malloc(sizeof(int64_t) * (size_t)(n_steps + 1));
+    if (!stack) { free(opt); return -1; }
+    int64_t sp = 0;
+    for (int64_t i = cut; i > 0; i = opt[i].from) stack[sp++] = i;
+    int64_t n_seq = 0;
+    int64_t anchor = 0;
+    uint32_t rep[3] = {rep_io[0], rep_io[1], rep_io[2]};
+    for (int64_t k = sp - 1; k >= 0; k--) {
+        const int64_t i = stack[k];
+        const OptCell* cell = &opt[i];
+        if (cell->ml == 0) continue;  // literal step
+        const int64_t pos = i - cell->ml;
+        const uint32_t ll = (uint32_t)(pos - anchor);
+        const uint32_t dist = cell->off_base;  // true distance
+        // Map distance -> offset_value against the REAL emit-time rep state
+        // (RFC 8878 §3.1.1.5), then update reps exactly like the decoder.
+        const bool ll0 = ll == 0;
+        uint32_t value;
+        if (!ll0) {
+            value = dist == rep[0] ? 1 : dist == rep[1] ? 2
+                    : dist == rep[2] ? 3 : dist + 3;
+        } else {
+            value = dist == rep[1] ? 1 : dist == rep[2] ? 2
+                    : (rep[0] > 1 && dist == rep[0] - 1) ? 3 : dist + 3;
+        }
+        if (value > 3) {
+            rep[2] = rep[1]; rep[1] = rep[0]; rep[0] = dist;
+        } else if (value == 1) {
+            if (ll0) { uint32_t t = rep[0]; rep[0] = rep[1]; rep[1] = t; }
+        } else {
+            const uint32_t idx = value - 1 + (ll0 ? 1 : 0);  // 1..3
+            if (idx != 1) rep[2] = rep[1];
+            rep[1] = rep[0];
+            rep[0] = dist;
+        }
+        if (n_seq >= max_seq) { free(stack); free(opt); return -1; }
+        out_ll[n_seq] = ll;
+        out_ml[n_seq] = cell->ml;
+        out_ob[n_seq] = value;
+        n_seq++;
+        anchor = i;
+    }
+    *out_last_lit = bn - anchor;
+    free(stack);
+    free(opt);
+    lazy_insert_upto(&c, end - 8);
+    *insert_from_io = c.insert_from;
+    rep_io[0] = rep[0]; rep_io[1] = rep[1]; rep_io[2] = rep[2];
+    return n_seq;
+}
+
+
 // Whole-frame encode: all blocks incl. headers, NOT the frame header.
 // strategy: 1-2 fast, 3+ lazy depth (strategy-2).  Returns size or -1.
 int64_t compress_frame_body_c(const uint8_t* src, int64_t n, int strategy,
@@ -1657,7 +1916,7 @@ int64_t compress_frame_body_c(const uint8_t* src, int64_t n, int strategy,
     if (!table) return -1;
     for (int64_t i = 0; i < tbl_n; i++) table[i] = -1;
     int64_t* chain = nullptr;
-    if (strategy >= 3) {
+    if (strategy >= 3 || strategy >= 7) {
         chain = (int64_t*)malloc((size_t)(1LL << chain_log) * 8);
         if (!chain) { free(table); return -1; }
         for (int64_t i = 0; i < (1LL << chain_log); i++) chain[i] = -1;
@@ -1668,7 +1927,7 @@ int64_t compress_frame_body_c(const uint8_t* src, int64_t n, int strategy,
     uint32_t* s_ob = s_ml + max_seq_cap;
     if (!s_ll) { free(table); free(chain); return -1; }
 
-    uint32_t rep[2] = {1, 4};
+    uint32_t rep[3] = {1, 4, 8};
     int64_t insert_from = 0;
     int64_t size = 0;
     int64_t pos = 0;
@@ -1703,6 +1962,11 @@ int64_t compress_frame_body_c(const uint8_t* src, int64_t n, int strategy,
             n_seq = fast_find_matches(src, n, pos, end, 0, 1LL << window_log,
                                       table, hash_log, rep, s_ll, s_ml, s_ob,
                                       max_seq_cap, &last_lit, accel);
+        } else if (strategy >= 7) {
+            n_seq = opt_find_matches(src, n, pos, end, 0, 1LL << window_log,
+                                     table, hash_log, chain, 1LL << chain_log,
+                                     1LL << search_log, &insert_from, rep,
+                                     s_ll, s_ml, s_ob, max_seq_cap, &last_lit);
         } else {
             const int depth = strategy >= 5 ? 2 : strategy - 3;
             n_seq = lazy_find_matches(src, n, pos, end, 0, 1LL << window_log,
