@@ -307,6 +307,119 @@ int64_t fast_find_matches(const uint8_t* src, int64_t src_len,
     return n_seq;
 }
 
+
+// ---------------------------------------------------------------------------
+// Double-fast match finder (levels 3-4; ZstdDoubleFast.cs role)
+// ---------------------------------------------------------------------------
+
+static inline uint64_t read64(const uint8_t* p) {
+    uint64_t v; std::memcpy(&v, p, 8); return v;
+}
+
+static inline uint32_t hash64(uint64_t v, int hlog) {
+    return (uint32_t)((v * 0xCF1BBCDCB7A56463ULL) >> (64 - hlog));
+}
+
+// tableL: long (8-byte) hash heads; tableS: short (4-byte).  Greedy with
+// long-match priority and the lazy "check long at ip+1" trick.
+int64_t dfast_find_matches(const uint8_t* src, int64_t src_len,
+                           int64_t start, int64_t end, int64_t window_start,
+                           int64_t window_size,
+                           int64_t* tableL, int hlogL,
+                           int64_t* tableS, int hlogS,
+                           uint32_t* rep_io,
+                           uint32_t* out_ll, uint32_t* out_ml, uint32_t* out_ob,
+                           int64_t max_seq, int64_t* out_last_lit) {
+    if (end - start < 16) { *out_last_lit = end - start; return 0; }
+    const int64_t limit = end - 8;
+    int64_t rep0 = rep_io[0], rep1 = rep_io[1];
+    int64_t pos = start + (window_start == 0 && start == 0 ? 1 : 0);
+    int64_t anchor = start;
+    int64_t n_seq = 0;
+
+    while (pos < limit && n_seq + 4 < max_seq) {
+        const uint64_t cur8 = read64(src + pos);
+        const uint32_t cur4 = (uint32_t)cur8;
+        const uint32_t hL = hash64(cur8, hlogL);
+        const uint32_t hS = hash32(cur4, hlogS);
+        const int64_t candL = tableL[hL];
+        const int64_t candS = tableS[hS];
+        tableL[hL] = pos;
+        tableS[hS] = pos;
+        const int64_t low = pos - (window_size - 1) > window_start
+                            ? pos - (window_size - 1) : window_start;
+
+        // rep0 probe at pos+1
+        if (pos + 1 < limit && pos + 1 - rep0 >= window_start &&
+            read32(src + pos + 1) == read32(src + pos + 1 - rep0)) {
+            const int64_t p = pos + 1;
+            const int64_t ml = 4 + count_match(src, p + 4, p + 4 - rep0, end);
+            out_ll[n_seq] = (uint32_t)(p - anchor);
+            out_ml[n_seq] = (uint32_t)ml;
+            out_ob[n_seq] = 1;
+            n_seq++;
+            pos = p + ml; anchor = pos;
+            goto dfast_tail;
+        }
+        {
+            int64_t ml = 0, cand = -1;
+            if (candL >= low && read64(src + candL) == cur8) {
+                ml = 8 + count_match(src, pos + 8, candL + 8, end);
+                cand = candL;
+            } else if (candS >= low && read32(src + candS) == cur4) {
+                // try upgrading via long hash at pos+1
+                int64_t c = candS;
+                int64_t m = 4 + count_match(src, pos + 4, c + 4, end);
+                if (pos + 1 < limit) {
+                    const uint64_t nxt8 = read64(src + pos + 1);
+                    const uint32_t hL1 = hash64(nxt8, hlogL);
+                    const int64_t candL1 = tableL[hL1];
+                    tableL[hL1] = pos + 1;
+                    if (candL1 >= low && read64(src + candL1) == nxt8) {
+                        const int64_t m1 = 8 + count_match(src, pos + 9, candL1 + 8, end);
+                        if (m1 > m) { pos += 1; c = candL1; m = m1; }
+                    }
+                }
+                ml = m; cand = c;
+            }
+            if (ml >= 4) {
+                int64_t cc = cand;
+                while (pos > anchor && cc > window_start &&
+                       src[pos - 1] == src[cc - 1]) { pos--; cc--; ml++; }
+                const int64_t offset = pos - cc;
+                out_ll[n_seq] = (uint32_t)(pos - anchor);
+                out_ml[n_seq] = (uint32_t)ml;
+                out_ob[n_seq] = (uint32_t)(offset + 3);
+                n_seq++;
+                rep1 = rep0; rep0 = offset;
+                pos += ml; anchor = pos;
+                if (pos + 8 < limit) {
+                    tableL[hash64(read64(src + pos - 2), hlogL)] = pos - 2;
+                    tableS[hash32(read32(src + pos - 2), hlogS)] = pos - 2;
+                }
+                goto dfast_tail;
+            }
+        }
+        pos += 1 + ((pos - anchor) >> 7);
+        continue;
+
+    dfast_tail:
+        while (pos < limit && n_seq < max_seq && pos - rep1 >= window_start &&
+               read32(src + pos) == read32(src + pos - rep1)) {
+            const int64_t ml2 = 4 + count_match(src, pos + 4, pos + 4 - rep1, end);
+            const int64_t t = rep0; rep0 = rep1; rep1 = t;
+            tableS[hash32(read32(src + pos), hlogS)] = pos;
+            if (pos + 8 < limit) tableL[hash64(read64(src + pos), hlogL)] = pos;
+            out_ll[n_seq] = 0; out_ml[n_seq] = (uint32_t)ml2; out_ob[n_seq] = 1;
+            n_seq++;
+            pos += ml2; anchor = pos;
+        }
+    }
+    rep_io[0] = (uint32_t)rep0; rep_io[1] = (uint32_t)rep1;
+    *out_last_lit = end - anchor;
+    return n_seq;
+}
+
 // ---------------------------------------------------------------------------
 // Hybrid selection: greedy parse over device-provided candidates
 // ---------------------------------------------------------------------------
@@ -1916,7 +2029,7 @@ int64_t compress_frame_body_c(const uint8_t* src, int64_t n, int strategy,
     if (!table) return -1;
     for (int64_t i = 0; i < tbl_n; i++) table[i] = -1;
     int64_t* chain = nullptr;
-    if (strategy >= 3 || strategy >= 7) {
+    if (strategy >= 2) {
         chain = (int64_t*)malloc((size_t)(1LL << chain_log) * 8);
         if (!chain) { free(table); return -1; }
         for (int64_t i = 0; i < (1LL << chain_log); i++) chain[i] = -1;
@@ -1958,7 +2071,11 @@ int64_t compress_frame_body_c(const uint8_t* src, int64_t n, int strategy,
         }
         int64_t last_lit;
         int64_t n_seq;
-        if (strategy <= 2) {
+        if (strategy == 2 && chain) {
+            n_seq = dfast_find_matches(src, n, pos, end, 0, 1LL << window_log,
+                                       table, hash_log, chain, chain_log, rep,
+                                       s_ll, s_ml, s_ob, max_seq_cap, &last_lit);
+        } else if (strategy <= 2) {
             n_seq = fast_find_matches(src, n, pos, end, 0, 1LL << window_log,
                                       table, hash_log, rep, s_ll, s_ml, s_ob,
                                       max_seq_cap, &last_lit, accel);
