@@ -1757,6 +1757,81 @@ static int64_t encode_block_body_c(const uint8_t* block, int64_t nv,
     return size < max_size ? size : -1;
 }
 
+
+// ---------------------------------------------------------------------------
+// Long-distance matcher (ZstdLdm.cs role: gear rolling hash + bucket table)
+// ---------------------------------------------------------------------------
+//
+// A gear hash is fed byte-by-byte (ZSTD_ldm_gear_feed:84); positions where
+// (hash & mask) == 0 become anchors inserted into / probed against a bucket
+// table, yielding matches across windows far beyond the chain table reach.
+// Emitted candidates are merged with the short-range parser per block.
+
+static uint64_t kGear[256];
+static bool kGearInit = false;
+
+static void ldm_init() {
+    if (kGearInit) return;
+    uint64_t x = 0x9E3779B97F4A7C15ULL;
+    for (int i = 0; i < 256; i++) {
+        // splitmix64
+        x += 0x9E3779B97F4A7C15ULL;
+        uint64_t z = x;
+        z = (z ^ (z >> 30)) * 0xBF58476D1CE4E5B9ULL;
+        z = (z ^ (z >> 27)) * 0x94D049BB133111EBULL;
+        kGear[i] = z ^ (z >> 31);
+    }
+    kGearInit = true;
+}
+
+struct LdmMatch { int64_t pos; int64_t len; int64_t dist; };
+
+// Scan [start, end) emitting non-overlapping long matches (>= min_len).
+// bucket table: hash_log buckets x 4 entries of positions (-1 empty).
+static int64_t ldm_scan(const uint8_t* src, int64_t start, int64_t end,
+                        int64_t window_start, int64_t* buckets, int hash_log,
+                        int rate_log, int64_t min_len,
+                        LdmMatch* out, int64_t cap) {
+    ldm_init();
+    const uint64_t mask = (1ULL << rate_log) - 1;
+    const int64_t nbuck = 1LL << hash_log;
+    uint64_t h = 0;
+    int64_t n_out = 0;
+    int64_t next_free = start;
+    for (int64_t i = start; i + 8 < end; i++) {
+        h = (h << 1) + kGear[src[i]];
+        if ((h & mask) != 0) continue;
+        const int64_t b = (int64_t)((h >> rate_log) & (uint64_t)(nbuck - 1)) * 4;
+        int64_t best_len = 0, best_dist = 0;
+        if (i >= next_free && n_out < cap) {
+            for (int e = 0; e < 4; e++) {
+                const int64_t cand = buckets[b + e];
+                if (cand < window_start || cand >= i) continue;
+                if (read64(src + cand) != read64(src + i)) continue;
+                int64_t len = 8 + count_match(src, i + 8, cand + 8, end);
+                // backward extension up to next_free
+                int64_t s = i, cs = cand;
+                while (s > next_free && cs > window_start &&
+                       src[s - 1] == src[cs - 1]) { s--; cs--; len++; }
+                if (len > best_len) { best_len = len; best_dist = s - cs;
+                                      out[n_out].pos = s; }
+            }
+        }
+        // insert (rotate bucket)
+        buckets[b + 3] = buckets[b + 2];
+        buckets[b + 2] = buckets[b + 1];
+        buckets[b + 1] = buckets[b + 0];
+        buckets[b + 0] = i;
+        if (best_len >= min_len) {
+            out[n_out].len = best_len;
+            out[n_out].dist = best_dist;
+            next_free = out[n_out].pos + best_len;
+            n_out++;
+        }
+    }
+    return n_out;
+}
+
 // ---------------------------------------------------------------------------
 // Optimal parser (btopt/btultra role, levels 13+; ZstdOpt.cs:1046 shape)
 // ---------------------------------------------------------------------------
@@ -2015,12 +2090,42 @@ int64_t opt_find_matches(const uint8_t* src, int64_t src_len,
 }
 
 
+int64_t ldm_scan_debug(const uint8_t* src, int64_t n, int64_t* out_pos,
+                       int64_t* out_len, int64_t* out_dist, int64_t cap) {
+    const int hash_log = 20;
+    const int64_t nb = (1LL << hash_log) * 4;
+    int64_t* buckets = (int64_t*)malloc((size_t)nb * 8);
+    for (int64_t i = 0; i < nb; i++) buckets[i] = -1;
+    LdmMatch* m = (LdmMatch*)malloc(sizeof(LdmMatch) * (size_t)cap);
+    int64_t k = ldm_scan(src, 0, n, 0, buckets, hash_log, 7, 64, m, cap);
+    for (int64_t i = 0; i < k; i++) {
+        out_pos[i] = m[i].pos; out_len[i] = m[i].len; out_dist[i] = m[i].dist;
+    }
+    free(buckets); free(m);
+    return k;
+}
+
 // Whole-frame encode: all blocks incl. headers, NOT the frame header.
-// strategy: 1-2 fast, 3+ lazy depth (strategy-2).  Returns size or -1.
+// strategy: 1-2 fast+dfast, 3-6 lazy, 7+ optimal.  use_ldm adds the gear
+// long-distance pre-pass (matches merged as forced sequences; the
+// short-range matcher parses the gaps).  Returns size or -1.
+int64_t compress_frame_body_ldm_c(const uint8_t* src, int64_t n, int strategy,
+                                  int hash_log, int chain_log, int search_log,
+                                  int window_log, int accel, int use_ldm,
+                                  uint8_t* out, int64_t cap);
+
 int64_t compress_frame_body_c(const uint8_t* src, int64_t n, int strategy,
                               int hash_log, int chain_log, int search_log,
                               int window_log, int accel, uint8_t* out,
                               int64_t cap) {
+    return compress_frame_body_ldm_c(src, n, strategy, hash_log, chain_log,
+                                     search_log, window_log, accel, 0, out, cap);
+}
+
+int64_t compress_frame_body_ldm_c(const uint8_t* src, int64_t n, int strategy,
+                                  int hash_log, int chain_log, int search_log,
+                                  int window_log, int accel, int use_ldm,
+                                  uint8_t* out, int64_t cap) {
     codec_init();
     const int64_t block_size = (1 << 17) < (1LL << window_log)
                                    ? (1 << 17) : (1LL << window_log);
@@ -2029,7 +2134,7 @@ int64_t compress_frame_body_c(const uint8_t* src, int64_t n, int strategy,
     if (!table) return -1;
     for (int64_t i = 0; i < tbl_n; i++) table[i] = -1;
     int64_t* chain = nullptr;
-    if (strategy >= 2) {
+    if (strategy >= 2 || use_ldm) {
         chain = (int64_t*)malloc((size_t)(1LL << chain_log) * 8);
         if (!chain) { free(table); return -1; }
         for (int64_t i = 0; i < (1LL << chain_log); i++) chain[i] = -1;
@@ -2045,6 +2150,22 @@ int64_t compress_frame_body_c(const uint8_t* src, int64_t n, int strategy,
     int64_t size = 0;
     int64_t pos = 0;
     int rc = 0;
+
+    // LDM state: bucket table + per-frame candidate list.
+    const int ldm_hash_log = 20;
+    int64_t* ldm_buckets = nullptr;
+    LdmMatch* ldm = nullptr;
+    int64_t n_ldm = 0, ldm_cursor = 0;
+    if (use_ldm) {
+        const int64_t nb = (1LL << ldm_hash_log) * 4;
+        ldm_buckets = (int64_t*)malloc((size_t)nb * 8);
+        ldm = (LdmMatch*)malloc(sizeof(LdmMatch) * (size_t)(n / 512 + 64));
+        if (!ldm_buckets || !ldm) { free(table); free(chain); free(s_ll);
+                                    free(ldm_buckets); free(ldm); return -1; }
+        for (int64_t i = 0; i < nb; i++) ldm_buckets[i] = -1;
+        n_ldm = ldm_scan(src, 0, n, 0, ldm_buckets, ldm_hash_log, 7, 64,
+                         ldm, n / 512 + 64);
+    }
 
     if (n == 0) {
         if (cap < 3) rc = -1;
@@ -2071,7 +2192,73 @@ int64_t compress_frame_body_c(const uint8_t* src, int64_t n, int strategy,
         }
         int64_t last_lit;
         int64_t n_seq;
-        if (strategy == 2 && chain) {
+        if (use_ldm) {
+            // Merge: [gap parse][ldm seq] ... within this block; long LDM
+            // matches are split at block boundaries (a sequence cannot
+            // produce past its block's regenerated size).
+            n_seq = 0;
+            int64_t cursor = pos;
+            while (ldm_cursor < n_ldm && n_seq + 4 < max_seq_cap) {
+                LdmMatch m = ldm[ldm_cursor];
+                if (m.pos + m.len <= cursor || m.dist >= (1LL << window_log)) {
+                    ldm_cursor++;
+                    continue;
+                }
+                if (m.pos < cursor) {  // trim the already-consumed front
+                    const int64_t trim = cursor - m.pos;
+                    m.pos += trim;
+                    m.len -= trim;
+                }
+                if (m.pos >= end) break;
+                const int64_t take = m.len < end - m.pos ? m.len : end - m.pos;
+                if (take < 4) break;  // tail continues in the next block
+                // parse the gap [cursor, m.pos)
+                int64_t gl = 0;
+                if (m.pos > cursor) {
+                    int64_t k = lazy_find_matches(src, n, cursor, m.pos, 0,
+                                                  1LL << window_log, table,
+                                                  hash_log, chain,
+                                                  1LL << chain_log,
+                                                  1LL << search_log, 1,
+                                                  &insert_from, rep,
+                                                  s_ll + n_seq, s_ml + n_seq,
+                                                  s_ob + n_seq,
+                                                  max_seq_cap - n_seq - 2, &gl);
+                    if (k < 0) { n_seq = -1; break; }
+                    n_seq += k;
+                }
+                s_ll[n_seq] = (uint32_t)gl;
+                s_ml[n_seq] = (uint32_t)take;
+                s_ob[n_seq] = (uint32_t)(m.dist + 3);
+                rep[2] = rep[1]; rep[1] = rep[0]; rep[0] = (uint32_t)m.dist;
+                n_seq++;
+                cursor = m.pos + take;
+                insert_from = insert_from > cursor ? insert_from : cursor;
+                if (take < m.len) {  // remainder goes to the next block
+                    ldm[ldm_cursor].pos = m.pos + take;
+                    ldm[ldm_cursor].len = m.len - take;
+                    break;
+                }
+                ldm_cursor++;
+            }
+            if (n_seq >= 0) {
+                int64_t gl = end - cursor;
+                if (cursor < end - 16) {
+                    int64_t k = lazy_find_matches(src, n, cursor, end, 0,
+                                                  1LL << window_log, table,
+                                                  hash_log, chain,
+                                                  1LL << chain_log,
+                                                  1LL << search_log, 1,
+                                                  &insert_from, rep,
+                                                  s_ll + n_seq, s_ml + n_seq,
+                                                  s_ob + n_seq,
+                                                  max_seq_cap - n_seq, &gl);
+                    if (k < 0) n_seq = -1;
+                    else n_seq += k;
+                }
+                last_lit = gl;
+            }
+                } else if (strategy == 2 && chain) {
             n_seq = dfast_find_matches(src, n, pos, end, 0, 1LL << window_log,
                                        table, hash_log, chain, chain_log, rep,
                                        s_ll, s_ml, s_ob, max_seq_cap, &last_lit);
@@ -2113,6 +2300,8 @@ int64_t compress_frame_body_c(const uint8_t* src, int64_t n, int strategy,
     free(table);
     free(chain);
     free(s_ll);
+    free(ldm_buckets);
+    free(ldm);
     return rc == 0 ? size : -1;
 }
 

@@ -1,0 +1,154 @@
+"""API-surface tests: external sequence API, workers, progression,
+try_wrap, multi-dict selection, public package exports."""
+
+import numpy as np
+import pytest
+import zstandard
+
+import zstdsharp_tpu
+from zstdsharp_tpu.decode.frame import Decompressor, decompress
+from zstdsharp_tpu.encode.frame import Compressor, FrameEncoder, compress
+from zstdsharp_tpu.encode.params import CCtxParams
+from zstdsharp_tpu.encode.sequences_api import (Sequence, compress_sequences,
+                                                generate_sequences,
+                                                merge_block_delimiters)
+from zstdsharp_tpu.errors import ZstdError
+
+
+class TestSequenceApi:
+    def test_generate_and_recompress(self, text_corpus):
+        data = text_corpus[:60_000]
+        seqs = generate_sequences(data, level=3)
+        assert seqs[-1].match_length == 0 and seqs[-1].offset == 0
+        # every non-delimiter sequence must reproduce its bytes
+        pos = 0
+        for s in seqs:
+            pos += s.lit_length
+            if s.offset:
+                assert data[pos : pos + s.match_length] == \
+                    data[pos - s.offset : pos - s.offset + s.match_length]
+                pos += s.match_length
+        assert pos == len(data)
+        frame = compress_sequences(seqs, data)
+        assert decompress(frame) == data
+        assert zstandard.ZstdDecompressor().decompress(
+            frame, max_output_size=len(data) + 1) == data
+
+    def test_merge_delimiters(self):
+        seqs = [Sequence(5, 2, 10), Sequence(0, 3, 0), Sequence(7, 1, 4),
+                Sequence(0, 2, 0)]
+        merged = merge_block_delimiters(seqs)
+        assert merged[1].lit_length == 4  # 3 carried + 1
+        assert merged[-1].offset == 0 and merged[-1].lit_length == 2
+
+    def test_invalid_sequences_rejected(self, text_corpus):
+        data = text_corpus[:1000]
+        bad = [Sequence(99999, 10, 50), Sequence(0, len(data) - 60, 0)]
+        with pytest.raises(ZstdError):
+            compress_sequences(bad, data)
+
+    def test_handcrafted_sequences(self):
+        data = b"abcdabcdabcdabcd" + b"xyz"
+        seqs = [Sequence(4, 4, 12), Sequence(0, 3, 0)]
+        frame = compress_sequences(seqs, data)
+        assert decompress(frame) == data
+
+
+class TestWorkers:
+    def test_multiframe_workers(self, text_corpus):
+        data = (text_corpus * 3)[: 1 << 20]
+        p = CCtxParams(compression_level=1, n_workers=4)
+        frame = compress(data, params=p)
+        assert decompress(frame) == data
+        import io
+
+        reader = zstandard.ZstdDecompressor().stream_reader(io.BytesIO(frame))
+        assert reader.read() == data
+
+    def test_workers_zero_single_frame(self, text_corpus):
+        frame = compress(text_corpus[:10_000], 1)
+        from zstdsharp_tpu.decode.frame import frame_info
+
+        assert frame_info(frame).compressed_size == len(frame)
+
+
+class TestIntrospection:
+    def test_progression(self, text_corpus):
+        params = CCtxParams(compression_level=1, content_size_flag=False)
+        enc = FrameEncoder(params.resolve())
+        enc.feed(text_corpus[:200_000])
+        prog = enc.progression
+        assert prog["ingested"] == 200_000
+        assert prog["consumed"] % (1 << 17) == 0
+        assert enc.to_flush_now() == prog["ingested"] - prog["consumed"]
+
+    def test_try_wrap(self, text_corpus):
+        comp = Compressor(level=3)
+        ok, frame = comp.try_wrap(text_corpus[:10_000], dest_capacity=10)
+        assert not ok and frame == b""
+        ok, frame = comp.try_wrap(text_corpus[:10_000], dest_capacity=1 << 20)
+        assert ok and decompress(frame) == text_corpus[:10_000]
+
+
+class TestMultiDict:
+    def test_dict_selection_by_id(self, rng):
+        samples = [bytes(rng.integers(97, 110, 200, dtype=np.uint8)) + b'{"k":1}' * 20
+                   for _ in range(40)]
+        d1 = zstandard.train_dictionary(2048, samples[:20]).as_bytes()
+        d2 = zstandard.train_dictionary(2048, samples[20:]).as_bytes()
+        from zstdsharp_tpu.dictionary import ZstdCompressionDict
+
+        z1, z2 = ZstdCompressionDict(d1), ZstdCompressionDict(d2)
+        assert z1.dict_id != z2.dict_id
+        dec = Decompressor()
+        dec.load_dictionaries([d1, d2])
+        f1 = zstandard.ZstdCompressor(
+            dict_data=zstandard.ZstdCompressionDict(d1)).compress(samples[0])
+        f2 = zstandard.ZstdCompressor(
+            dict_data=zstandard.ZstdCompressionDict(d2)).compress(samples[-1])
+        assert dec.unwrap(f1) == samples[0]
+        assert dec.unwrap(f2) == samples[-1]
+
+
+class TestPackageSurface:
+    def test_top_level_exports(self, text_corpus):
+        data = text_corpus[:5000]
+        frame = zstdsharp_tpu.compress(data, level=5)
+        assert zstdsharp_tpu.decompress(frame) == data
+        assert zstdsharp_tpu.compress_bound(1000) >= 1000
+        c = zstdsharp_tpu.Compressor(level=1)
+        d = zstdsharp_tpu.Decompressor()
+        assert d.unwrap(c.wrap(data)) == data
+
+    def test_version(self):
+        assert zstdsharp_tpu.__version__
+
+
+class TestLongDistanceMatching:
+    def test_ldm_finds_far_repeats(self):
+        import numpy as np
+        import zstandard
+
+        words = [b"alpha", b"beta", b"gamma", b"delta", b"ep", b"ze", b"et", b"th"]
+
+        def text(n, seed):
+            rr = np.random.default_rng(seed)
+            return b" ".join(words[i] for i in rr.choice(8, n))
+
+        blk = text(300_000, 1)
+        data = blk + text(250_000, 2) + blk  # repeat ~2.5 MB apart
+        p_ldm = CCtxParams(compression_level=5, window_log=23, ldm=True)
+        p_no = CCtxParams(compression_level=5, window_log=23, ldm=False,
+                          chain_log=14)
+        f_ldm = compress(data, params=p_ldm)
+        f_no = compress(data, params=p_no)
+        assert decompress(f_ldm, max_window_log=23) == data
+        assert zstandard.ZstdDecompressor(max_window_size=1 << 23).decompress(
+            f_ldm, max_output_size=len(data) + 1) == data
+        assert len(f_ldm) < len(f_no) * 0.75
+
+    def test_ldm_auto_resolution(self):
+        p = CCtxParams(compression_level=19, window_log=27).resolve(1 << 24)
+        assert p.ldm  # auto-on for large windows at high levels
+        p2 = CCtxParams(compression_level=3).resolve(10_000)
+        assert not p2.ldm

@@ -333,6 +333,18 @@ class Decompressor:
 
         self._dict = ZstdCompressionDict(dict_data) if dict_data is not None else None
 
+    def load_dictionaries(self, dicts: list[bytes]) -> None:
+        """Multiple-dictionary support: select by frame dictID at decode time
+        (ZSTD_DDictHashSet role, ZstdDecompress.cs:11-192)."""
+        from ..dictionary import ZstdCompressionDict
+
+        self._dict_set = {}
+        for d in dicts:
+            zd = ZstdCompressionDict(d)
+            check(zd.dict_id != 0, ZstdErrorCode.dictionary_wrong,
+                  "dictionary without ID in multi-dict set")
+            self._dict_set[zd.dict_id] = zd
+
     def set_parameter(self, name: str, value) -> None:
         check(name in ("max_window_log",), ZstdErrorCode.parameter_unsupported, name)
         setattr(self, name, value)
@@ -341,6 +353,14 @@ class Decompressor:
         return decompress_bound(src)
 
     def unwrap(self, src: bytes, max_decompressed_size: int | None = None) -> bytes:
+        dict_set = getattr(self, "_dict_set", None)
+        if dict_set:
+            hdr = parse_frame_header(bytes(src))
+            d = dict_set.get(hdr.dict_id)
+            check(d is not None, ZstdErrorCode.dictionary_wrong,
+                  f"no dictionary with id {hdr.dict_id} loaded")
+            return d.decompress_with(src, max_output_size=max_decompressed_size,
+                                     max_window_log=self.max_window_log)
         if self._dict is not None:
             return self._dict.decompress_with(src, max_output_size=max_decompressed_size,
                                               max_window_log=self.max_window_log)

@@ -184,6 +184,24 @@ class FrameEncoder:
     def finish(self) -> bytes:
         return self.feed(b"", end=True)
 
+    @property
+    def progression(self) -> dict:
+        """ZSTD_getFrameProgression:2385 analog."""
+        ingested = self._filled - self._dict_len
+        consumed = self._emitted - self._dict_len
+        return {
+            "ingested": ingested,
+            "consumed": consumed,
+            "produced": consumed,  # block-granular: emitted == produced
+            "flushed": consumed,
+            "current_job": 0,
+            "n_active_workers": 0,
+        }
+
+    def to_flush_now(self) -> int:
+        """ZSTD_toFlushNow:2411 analog — pending bytes below a block."""
+        return self._filled - self._emitted
+
 
 def compress_frame(data: bytes | np.ndarray, params: ResolvedParams,
                    dict_id: int = 0,
@@ -201,7 +219,8 @@ def compress_frame(data: bytes | np.ndarray, params: ResolvedParams,
             body = native.compress_frame_body(
                 src, int(cp.strategy), cp.hash_log, cp.chain_log,
                 cp.search_log, cp.window_log,
-                accel=cp.target_length if cp.strategy <= 2 and cp.target_length else 1)
+                accel=cp.target_length if cp.strategy <= 2 and cp.target_length else 1,
+                use_ldm=params.ldm)
             if body is not None:
                 out = bytearray(_write_frame_header(
                     len(src), cp.window_log, params.fparams.checksum_flag,
@@ -218,12 +237,34 @@ def compress_frame(data: bytes | np.ndarray, params: ResolvedParams,
 
 def compress(data: bytes, level: int = 3, checksum: bool = False,
              params: CCtxParams | None = None) -> bytes:
-    """One-shot compression producing a single zstd frame
-    (Compressor.Wrap / ZSTD_compress2 equivalent)."""
+    """One-shot compression (Compressor.Wrap / ZSTD_compress2 equivalent).
+
+    With params.n_workers > 0 the input is split into jobs compressed as
+    independent frames in a thread pool — the host analog of zstdmt (which
+    the reference accepts but rejects at runtime, ZstdCompress.cs:1064); the
+    multi-chip analog is parallel.pipeline.  Output stays a valid stream
+    (frame concatenation, RFC 8878 §3).
+    """
     if params is None:
         params = CCtxParams(compression_level=level, checksum_flag=checksum)
+    if params.n_workers > 0 and len(data) > C.ZSTD_BLOCKSIZE_MAX:
+        return _compress_multiframe(data, params)
     resolved = params.resolve(src_size_hint=len(data))
     return compress_frame(data, resolved)
+
+
+def _compress_multiframe(data: bytes, params: CCtxParams) -> bytes:
+    from concurrent.futures import ThreadPoolExecutor
+
+    n_jobs = params.n_workers
+    job = max((len(data) + n_jobs - 1) // n_jobs, C.ZSTD_BLOCKSIZE_MAX)
+    chunks = [data[i : i + job] for i in range(0, len(data), job)]
+
+    def one(chunk: bytes) -> bytes:
+        return compress_frame(chunk, params.resolve(src_size_hint=len(chunk)))
+
+    with ThreadPoolExecutor(max_workers=n_jobs) as pool:
+        return b"".join(pool.map(one, chunks))
 
 
 def write_skippable_frame(content: bytes, magic_variant: int = 0) -> bytes:
@@ -267,7 +308,13 @@ class Compressor:
     def wrap(self, data: bytes) -> bytes:
         if self._dict is not None:
             return self._dict.compress_with(data, self.params)
-        resolved = self.params.resolve(src_size_hint=len(data))
-        return compress_frame(data, resolved)
+        return compress(data, params=self.params)
+
+    def try_wrap(self, data: bytes, dest_capacity: int) -> tuple[bool, bytes]:
+        """TryWrap:118 — (False, b'') when the frame exceeds dest_capacity."""
+        frame = self.wrap(data)
+        if len(frame) > dest_capacity:
+            return False, b""
+        return True, frame
 
     compress = wrap

@@ -95,6 +95,9 @@ def _load():
         lib.compress_frame_body_c.restype = i64
         lib.compress_frame_body_c.argtypes = [u8p, i64, i32, i32, i32, i32,
                                               i32, i32, u8p, i64]
+        lib.compress_frame_body_ldm_c.restype = i64
+        lib.compress_frame_body_ldm_c.argtypes = [u8p, i64, i32, i32, i32, i32,
+                                                  i32, i32, i32, u8p, i64]
         lib.decode_frame_body_c.restype = i64
         lib.decode_frame_body_c.argtypes = [u8p, i64, u8p, i64, i64p]
 
@@ -312,7 +315,7 @@ def huf_encode_stream(symbols: np.ndarray, code: np.ndarray,
 
 def compress_frame_body(src: np.ndarray, strategy: int, hash_log: int,
                         chain_log: int, search_log: int, window_log: int,
-                        accel: int = 1) -> bytes | None:
+                        accel: int = 1, use_ldm: bool = False) -> bytes | None:
     """Whole-frame native encode (all blocks, no frame header/checksum)."""
     lib = get_lib()
     if lib is None:
@@ -320,10 +323,10 @@ def compress_frame_body(src: np.ndarray, strategy: int, hash_log: int,
     n = len(src)
     cap = n + (n >> 6) + 4096
     out = np.empty(cap, dtype=np.uint8)
-    size = lib.compress_frame_body_c(
+    size = lib.compress_frame_body_ldm_c(
         _ptr(np.ascontiguousarray(src, np.uint8), ctypes.c_uint8), n,
         strategy, hash_log, chain_log, search_log, window_log, accel,
-        _ptr(out, ctypes.c_uint8), cap)
+        int(use_ldm), _ptr(out, ctypes.c_uint8), cap)
     if size < 0:
         return None
     return out[:size].tobytes()
