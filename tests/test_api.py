@@ -152,3 +152,22 @@ class TestLongDistanceMatching:
         assert p.ldm  # auto-on for large windows at high levels
         p2 = CCtxParams(compression_level=3).resolve(10_000)
         assert not p2.ldm
+
+
+class TestTraceHooks:
+    def test_trace_events(self, text_corpus):
+        from zstdsharp_tpu.utils import trace
+
+        events = []
+        trace.register(events.append)
+        try:
+            data = text_corpus[:5000]
+            frame = compress(data, 3)
+            decompress(frame)
+        finally:
+            trace.unregister(events.append)
+        kinds = [e.kind for e in events]
+        assert "compress_begin" in kinds and "compress_end" in kinds
+        assert "decompress_end" in kinds
+        end = next(e for e in events if e.kind == "compress_end")
+        assert end.dst_size == len(frame) and end.duration_s > 0

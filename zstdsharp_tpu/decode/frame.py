@@ -294,7 +294,20 @@ def decompress(src: bytes, max_output_size: int | None = None,
                max_window_log: int = _WINDOWLOG_MAX_DEFAULT,
                verify_checksum: bool = True) -> bytes:
     """Decompress all frames in src (ZSTD_decompressMultiFrame:1216)."""
-    src = bytes(src)
+    from ..utils import trace
+
+    if trace.enabled():
+        with trace.span("decompress", src_size=len(src)) as sp:
+            out = _decompress_impl(bytes(src), max_output_size, max_window_log,
+                                   verify_checksum)
+            sp.dst_size = len(out)
+            return out
+    return _decompress_impl(bytes(src), max_output_size, max_window_log,
+                            verify_checksum)
+
+
+def _decompress_impl(src: bytes, max_output_size, max_window_log,
+                     verify_checksum) -> bytes:
     check(len(src) >= 4, ZstdErrorCode.srcSize_wrong, "input too small")
     decoder = FrameDecoder(max_window_log=max_window_log)
     pos = 0

@@ -247,10 +247,16 @@ def compress(data: bytes, level: int = 3, checksum: bool = False,
     """
     if params is None:
         params = CCtxParams(compression_level=level, checksum_flag=checksum)
-    if params.n_workers > 0 and len(data) > C.ZSTD_BLOCKSIZE_MAX:
-        return _compress_multiframe(data, params)
-    resolved = params.resolve(src_size_hint=len(data))
-    return compress_frame(data, resolved)
+    from ..utils import trace
+
+    with trace.span("compress", src_size=len(data), level=params.compression_level) as sp:
+        if params.n_workers > 0 and len(data) > C.ZSTD_BLOCKSIZE_MAX:
+            out = _compress_multiframe(data, params)
+        else:
+            resolved = params.resolve(src_size_hint=len(data))
+            out = compress_frame(data, resolved)
+        sp.dst_size = len(out)
+        return out
 
 
 def _compress_multiframe(data: bytes, params: CCtxParams) -> bytes:

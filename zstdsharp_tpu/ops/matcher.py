@@ -123,13 +123,17 @@ def parse_block_stats(block: jax.Array, n_valid: jax.Array, hash_log: int = 16):
     real = r["starts"] < n
     lit_count = n_valid - jnp.sum(jnp.where(real, r["mls"], 0))
     match_bytes = jnp.sum(jnp.where(real, r["mls"], 0))
-    # Offset-code histogram (highbit of offset+3) for FSE table estimation.
+    # Offset-code histogram (highbit of offset+3) for FSE table estimation,
+    # via compare-reduce (TPU-fast; scatter-add is ~100M elem/s on TPU).
     ob = jnp.where(real, r["offs"] + 3, 1).astype(jnp.uint32)
     of_code = (31 - jnp.clip(jax.lax.clz(ob), 0, 31)).astype(jnp.int32)
-    of_hist = jnp.zeros(32, jnp.int32).at[of_code].add(jnp.where(real, 1, 0))
-    # Literal byte histogram over uncovered positions.
-    lit_sym = jnp.where(r["covered"], 256, block.astype(jnp.int32))
-    lit_hist = jnp.zeros(257, jnp.int32).at[lit_sym].add(
-        (jnp.arange(n) < n_valid).astype(jnp.int32))[:256]
+    codes = jax.lax.broadcasted_iota(jnp.int32, (1, 32), 1)
+    of_hist = jnp.sum((of_code.reshape(-1, 1) == codes) & real.reshape(-1, 1),
+                      axis=0, dtype=jnp.int32)
+    # Literal byte histogram over uncovered valid positions.
+    from .histogram import histogram_u8
+
+    lit_mask = (~r["covered"]) & (jnp.arange(n) < n_valid)
+    lit_hist = histogram_u8(block, mask=lit_mask)
     return {**r, "lit_count": lit_count, "match_bytes": match_bytes,
             "of_hist": of_hist, "lit_hist": lit_hist}
