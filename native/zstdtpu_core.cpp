@@ -207,6 +207,25 @@ static inline uint32_t hash32(uint32_t v, int hlog) {
     return (v * 2654435761u) >> (32 - hlog);
 }
 
+static inline uint64_t read64_fwd(const uint8_t* p) {
+    uint64_t v; std::memcpy(&v, p, 8); return v;
+}
+
+// Hash the first `mls` bytes at p (mls in 4..8).  Wider hashes cut collisions
+// for the fast strategy's high min-match levels (ZSTD_hashPtr:423 role).
+static inline uint32_t hash_mls(const uint8_t* p, int hlog, int mls) {
+    switch (mls) {
+        case 5: return (uint32_t)(((read64_fwd(p) << 24) * 0x9E3779B185EBCA87ULL) >> (64 - hlog));
+        case 6: return (uint32_t)(((read64_fwd(p) << 16) * 0xC2B2AE3D27D4EB4FULL) >> (64 - hlog));
+        case 7: return (uint32_t)(((read64_fwd(p) << 8)  * 0x165667B19E3779F9ULL) >> (64 - hlog));
+        case 8: return (uint32_t)((read64_fwd(p) * 0xCF1BBCDCB7A56463ULL) >> (64 - hlog));
+        default: {
+            uint32_t v; std::memcpy(&v, p, 4);
+            return hash32(v, hlog);
+        }
+    }
+}
+
 static inline int64_t count_match(const uint8_t* src, int64_t a, int64_t b,
                                   int64_t end) {
     int64_t len = 0;
@@ -223,84 +242,107 @@ static inline int64_t count_match(const uint8_t* src, int64_t a, int64_t b,
 // Emits sequences for [start, end) of src; table: int64[1<<hlog] holding
 // absolute positions (-1 = empty), persists across blocks.
 // rep: in/out [2].  Returns nb_seq (capacity guarded) or -1.
+//
+// Search profile mirrors ZSTD_compressBlock_fast_noDict_generic (ZstdFast.cs:96
+// role, re-derived): every position pair (p, p+1) is probed at stride `step`,
+// step escalates +1 each 128 bytes without a match, rep0 is probed at p+step,
+// and hashes cover `mls` bytes (4..8) while match verification stays 4-byte.
 int64_t fast_find_matches(const uint8_t* src, int64_t src_len,
                           int64_t start, int64_t end, int64_t window_start,
                           int64_t window_size,
-                          int64_t* table, int hlog,
+                          int64_t* table, int hlog, int mls,
                           uint32_t* rep_io,
                           uint32_t* out_ll, uint32_t* out_ml, uint32_t* out_ob,
                           int64_t max_seq, int64_t* out_last_lit,
                           int acceleration) {
     if (end - start < 16) { *out_last_lit = end - start; return 0; }
-    const int64_t limit = end - 8;
+    const int64_t limit = end - 8;  // read64/read32(+4) safe for p <= limit
+    const int64_t step0 = acceleration > 1 ? acceleration + 1 : 2;
     int64_t rep0 = rep_io[0], rep1 = rep_io[1];
     int64_t pos = start + (window_start == 0 && start == 0 ? 1 : 0);
     int64_t anchor = start;
     int64_t n_seq = 0;
 
-    while (pos < limit && n_seq + 4 < max_seq) {
-        const uint32_t cur = read32(src + pos);
-        const uint32_t hv = hash32(cur, hlog);
-        int64_t cand = table[hv];
-        table[hv] = pos;
+    while (n_seq + 4 < max_seq) {
+        int64_t step = step0;
+        int64_t next_step = pos + 128;
+        int64_t mp = -1, mc = -1;   // match position / source
+        int64_t ml = 0;
+        uint32_t ob = 0;
 
-        // rep0 probe at pos+1
-        if (pos + 1 < limit && pos + 1 - rep0 >= window_start &&
-            read32(src + pos + 1) == read32(src + pos + 1 - rep0)) {
-            int64_t p = pos + 1;
-            int64_t ml = 4 + count_match(src, p + 4, p + 4 - rep0, end);
-            out_ll[n_seq] = (uint32_t)(p - anchor);
-            out_ml[n_seq] = (uint32_t)ml;
-            out_ob[n_seq] = 1;
-            n_seq++;
-            pos = p + ml; anchor = pos;
-            if (pos + 4 < limit) {
-                table[hash32(read32(src + pos - 2), hlog)] = pos - 2;
+        // search loop: two consecutive probes per stride
+        while (pos + 1 <= limit) {
+            // rep0 probe at pos + step (ip2 role)
+            const int64_t p2 = pos + step;
+            if (p2 <= limit && p2 - rep0 >= window_start &&
+                read32(src + p2) == read32(src + p2 - rep0)) {
+                mp = p2; mc = p2 - rep0;
+                if (mp > anchor && mc > window_start &&
+                    src[mp - 1] == src[mc - 1]) { mp--; mc--; }
+                ml = (p2 - mp) + 4 +
+                     count_match(src, p2 + 4, p2 + 4 - rep0, end);
+                ob = 1;
+                break;
             }
-            // rep1 continuation
-            while (pos < limit && n_seq < max_seq &&
-                   pos - rep1 >= window_start &&
-                   read32(src + pos) == read32(src + pos - rep1)) {
-                int64_t ml2 = 4 + count_match(src, pos + 4, pos + 4 - rep1, end);
-                int64_t t = rep0; rep0 = rep1; rep1 = t;
-                table[hash32(read32(src + pos), hlog)] = pos;
-                out_ll[n_seq] = 0; out_ml[n_seq] = (uint32_t)ml2; out_ob[n_seq] = 1;
-                n_seq++;
-                pos += ml2; anchor = pos;
+            // hash probe at pos
+            {
+                const uint32_t hv = hash_mls(src + pos, hlog, mls);
+                const int64_t cand = table[hv];
+                table[hv] = pos;
+                if (cand >= window_start && cand >= pos - (window_size - 1) &&
+                    read32(src + cand) == read32(src + pos)) {
+                    mp = pos; mc = cand;
+                    break;
+                }
             }
-            continue;
+            // hash probe at pos + 1
+            if (pos + 1 <= limit) {
+                const int64_t p1 = pos + 1;
+                const uint32_t hv = hash_mls(src + p1, hlog, mls);
+                const int64_t cand = table[hv];
+                table[hv] = p1;
+                if (cand >= window_start && cand >= p1 - (window_size - 1) &&
+                    read32(src + cand) == read32(src + p1)) {
+                    mp = p1; mc = cand;
+                    break;
+                }
+            }
+            pos += step;
+            if (pos >= next_step) { step++; next_step += 128; }
         }
+        if (mp < 0) break;  // no more matches in this block
 
-        if (cand >= window_start && cand >= pos - (window_size - 1) &&
-            read32(src + cand) == cur) {
-            int64_t ml = 4 + count_match(src, pos + 4, cand + 4, end);
-            while (pos > anchor && cand > window_start &&
-                   src[pos - 1] == src[cand - 1]) {
-                pos--; cand--; ml++;
-            }
-            const int64_t offset = pos - cand;
-            out_ll[n_seq] = (uint32_t)(pos - anchor);
-            out_ml[n_seq] = (uint32_t)ml;
-            out_ob[n_seq] = (uint32_t)(offset + 3);
-            n_seq++;
+        if (ob == 0) {  // real offset: backward extend + forward count
+            ml = 4 + count_match(src, mp + 4, mc + 4, end);
+            while (mp > anchor && mc > window_start &&
+                   src[mp - 1] == src[mc - 1]) { mp--; mc--; ml++; }
+            const int64_t offset = mp - mc;
+            ob = (uint32_t)(offset + 3);
             rep1 = rep0; rep0 = offset;
-            pos += ml; anchor = pos;
-            if (pos + 4 < limit) {
-                table[hash32(read32(src + pos - 2), hlog)] = pos - 2;
-            }
-            while (pos < limit && n_seq < max_seq &&
+        }
+        out_ll[n_seq] = (uint32_t)(mp - anchor);
+        out_ml[n_seq] = (uint32_t)ml;
+        out_ob[n_seq] = ob;
+        n_seq++;
+        pos = mp + ml; anchor = pos;
+
+        if (pos <= limit) {
+            // seed the table around the match (ZstdFast.cs:262 role)
+            if (mp + 2 <= limit) table[hash_mls(src + mp + 2, hlog, mls)] = mp + 2;
+            if (pos - 2 > start) table[hash_mls(src + pos - 2, hlog, mls)] = pos - 2;
+            // rep1 continuation
+            while (pos <= limit && n_seq < max_seq &&
                    pos - rep1 >= window_start &&
                    read32(src + pos) == read32(src + pos - rep1)) {
-                int64_t ml2 = 4 + count_match(src, pos + 4, pos + 4 - rep1, end);
-                int64_t t = rep0; rep0 = rep1; rep1 = t;
-                table[hash32(read32(src + pos), hlog)] = pos;
+                const int64_t ml2 = 4 + count_match(src, pos + 4, pos + 4 - rep1, end);
+                const int64_t t = rep0; rep0 = rep1; rep1 = t;
+                table[hash_mls(src + pos, hlog, mls)] = pos;
                 out_ll[n_seq] = 0; out_ml[n_seq] = (uint32_t)ml2; out_ob[n_seq] = 1;
                 n_seq++;
                 pos += ml2; anchor = pos;
             }
-            continue;
         }
-        pos += acceleration + ((pos - anchor) >> 6);
+        if (pos + 1 > limit) break;
     }
     rep_io[0] = (uint32_t)rep0; rep_io[1] = (uint32_t)rep1;
     *out_last_lit = end - anchor;
@@ -326,7 +368,7 @@ int64_t dfast_find_matches(const uint8_t* src, int64_t src_len,
                            int64_t start, int64_t end, int64_t window_start,
                            int64_t window_size,
                            int64_t* tableL, int hlogL,
-                           int64_t* tableS, int hlogS,
+                           int64_t* tableS, int hlogS, int mls,
                            uint32_t* rep_io,
                            uint32_t* out_ll, uint32_t* out_ml, uint32_t* out_ob,
                            int64_t max_seq, int64_t* out_last_lit) {
@@ -341,7 +383,7 @@ int64_t dfast_find_matches(const uint8_t* src, int64_t src_len,
         const uint64_t cur8 = read64(src + pos);
         const uint32_t cur4 = (uint32_t)cur8;
         const uint32_t hL = hash64(cur8, hlogL);
-        const uint32_t hS = hash32(cur4, hlogS);
+        const uint32_t hS = hash_mls(src + pos, hlogS, mls);
         const int64_t candL = tableL[hL];
         const int64_t candS = tableS[hS];
         tableL[hL] = pos;
@@ -395,7 +437,7 @@ int64_t dfast_find_matches(const uint8_t* src, int64_t src_len,
                 pos += ml; anchor = pos;
                 if (pos + 8 < limit) {
                     tableL[hash64(read64(src + pos - 2), hlogL)] = pos - 2;
-                    tableS[hash32(read32(src + pos - 2), hlogS)] = pos - 2;
+                    tableS[hash_mls(src + pos - 2, hlogS, mls)] = pos - 2;
                 }
                 goto dfast_tail;
             }
@@ -408,7 +450,7 @@ int64_t dfast_find_matches(const uint8_t* src, int64_t src_len,
                read32(src + pos) == read32(src + pos - rep1)) {
             const int64_t ml2 = 4 + count_match(src, pos + 4, pos + 4 - rep1, end);
             const int64_t t = rep0; rep0 = rep1; rep1 = t;
-            tableS[hash32(read32(src + pos), hlogS)] = pos;
+            tableS[hash_mls(src + pos, hlogS, mls)] = pos;
             if (pos + 8 < limit) tableL[hash64(read64(src + pos), hlogL)] = pos;
             out_ll[n_seq] = 0; out_ml[n_seq] = (uint32_t)ml2; out_ob[n_seq] = 1;
             n_seq++;
@@ -628,9 +670,19 @@ struct BitWriterC {
     int      nbits;
 };
 
-static inline int bw_add(BitWriterC* w, uint64_t v, int n) {
-    w->acc |= (v & ((n >= 64) ? ~0ULL : ((1ULL << n) - 1))) << w->nbits;
-    w->nbits += n;
+// Drain whole bytes from the accumulator.  Fast path: one unaligned 8-byte
+// store per ~7 bytes of output (BIT_flushBits role); falls back to byte
+// stores near the capacity limit.
+static inline int bw_flush(BitWriterC* w) {
+    const int bytes = w->nbits >> 3;
+    if (bytes == 0) return 0;
+    if (w->nbytes + 8 <= w->cap) {
+        std::memcpy(w->out + w->nbytes, &w->acc, 8);
+        w->nbytes += bytes;
+        w->acc = bytes >= 8 ? 0 : w->acc >> (bytes * 8);  // >>64 is UB
+        w->nbits &= 7;
+        return 0;
+    }
     while (w->nbits >= 8) {
         if (w->nbytes >= w->cap) return -1;
         w->out[w->nbytes++] = (uint8_t)(w->acc & 0xFF);
@@ -640,8 +692,18 @@ static inline int bw_add(BitWriterC* w, uint64_t v, int n) {
     return 0;
 }
 
+static inline int bw_add(BitWriterC* w, uint64_t v, int n) {
+    if (w->nbits + n > 64) {
+        if (bw_flush(w)) return -1;   // leaves nbits <= 7
+    }
+    w->acc |= (v & ((n >= 64) ? ~0ULL : ((1ULL << n) - 1))) << w->nbits;
+    w->nbits += n;
+    return 0;
+}
+
 static inline int64_t bw_close(BitWriterC* w) {
     if (bw_add(w, 1, 1)) return -1;
+    if (bw_flush(w)) return -1;
     if (w->nbits) {
         if (w->nbytes >= w->cap) return -1;
         w->out[w->nbytes++] = (uint8_t)(w->acc & ((1u << w->nbits) - 1));
@@ -2112,20 +2174,22 @@ int64_t ldm_scan_debug(const uint8_t* src, int64_t n, int64_t* out_pos,
 int64_t compress_frame_body_ldm_c(const uint8_t* src, int64_t n, int strategy,
                                   int hash_log, int chain_log, int search_log,
                                   int window_log, int accel, int use_ldm,
-                                  uint8_t* out, int64_t cap);
+                                  int min_match, uint8_t* out, int64_t cap);
 
 int64_t compress_frame_body_c(const uint8_t* src, int64_t n, int strategy,
                               int hash_log, int chain_log, int search_log,
                               int window_log, int accel, uint8_t* out,
                               int64_t cap) {
     return compress_frame_body_ldm_c(src, n, strategy, hash_log, chain_log,
-                                     search_log, window_log, accel, 0, out, cap);
+                                     search_log, window_log, accel, 0, 4, out,
+                                     cap);
 }
 
 int64_t compress_frame_body_ldm_c(const uint8_t* src, int64_t n, int strategy,
                                   int hash_log, int chain_log, int search_log,
                                   int window_log, int accel, int use_ldm,
-                                  uint8_t* out, int64_t cap) {
+                                  int min_match, uint8_t* out, int64_t cap) {
+    const int mls = min_match < 4 ? 4 : (min_match > 8 ? 8 : min_match);
     codec_init();
     const int64_t block_size = (1 << 17) < (1LL << window_log)
                                    ? (1 << 17) : (1LL << window_log);
@@ -2260,12 +2324,13 @@ int64_t compress_frame_body_ldm_c(const uint8_t* src, int64_t n, int strategy,
             }
                 } else if (strategy == 2 && chain) {
             n_seq = dfast_find_matches(src, n, pos, end, 0, 1LL << window_log,
-                                       table, hash_log, chain, chain_log, rep,
-                                       s_ll, s_ml, s_ob, max_seq_cap, &last_lit);
+                                       table, hash_log, chain, chain_log, mls,
+                                       rep, s_ll, s_ml, s_ob, max_seq_cap,
+                                       &last_lit);
         } else if (strategy <= 2) {
             n_seq = fast_find_matches(src, n, pos, end, 0, 1LL << window_log,
-                                      table, hash_log, rep, s_ll, s_ml, s_ob,
-                                      max_seq_cap, &last_lit, accel);
+                                      table, hash_log, mls, rep, s_ll, s_ml,
+                                      s_ob, max_seq_cap, &last_lit, accel);
         } else if (strategy >= 7) {
             n_seq = opt_find_matches(src, n, pos, end, 0, 1LL << window_log,
                                      table, hash_log, chain, 1LL << chain_log,

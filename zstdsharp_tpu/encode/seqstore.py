@@ -111,7 +111,7 @@ def compress_block_fast(src: np.ndarray, start: int, end: int,
             res = native.fast_find_matches(
                 np.ascontiguousarray(src), start, end, state.window_start,
                 1 << cp.window_log, state.hash_table, cp.hash_log,
-                state.rep, acc)
+                state.rep, acc, mls=cp.min_match)
             if res is not None:
                 lls, mls, obs, last_lit = res
                 return SeqStore(lls, mls, obs, last_lit)

@@ -74,8 +74,8 @@ def _load():
                                           u32p, u32p, u32p, i64]
         lib.fast_find_matches.restype = i64
         lib.fast_find_matches.argtypes = [u8p, i64, i64, i64, i64, i64, i64p,
-                                          i32, u32p, u32p, u32p, u32p, i64,
-                                          i64p, i32]
+                                          i32, i32, u32p, u32p, u32p, u32p,
+                                          i64, i64p, i32]
         lib.hybrid_select.restype = i64
         lib.hybrid_select.argtypes = [u8p, i64, i32p, u32p, u32p, u32p, u32p,
                                       i64, i64p]
@@ -97,7 +97,7 @@ def _load():
                                               i32, i32, u8p, i64]
         lib.compress_frame_body_ldm_c.restype = i64
         lib.compress_frame_body_ldm_c.argtypes = [u8p, i64, i32, i32, i32, i32,
-                                                  i32, i32, i32, u8p, i64]
+                                                  i32, i32, i32, i32, u8p, i64]
         lib.decode_frame_body_c.restype = i64
         lib.decode_frame_body_c.argtypes = [u8p, i64, u8p, i64, i64p]
 
@@ -188,7 +188,7 @@ def execute_sequences(out: np.ndarray, out_pos: int, prefix_start: int,
 
 def fast_find_matches(src: np.ndarray, start: int, end: int, window_start: int,
                       window_size: int, table: np.ndarray, hash_log: int,
-                      rep: list[int], acceleration: int = 1):
+                      rep: list[int], acceleration: int = 1, mls: int = 4):
     lib = get_lib()
     if lib is None:
         return None
@@ -201,7 +201,7 @@ def fast_find_matches(src: np.ndarray, start: int, end: int, window_start: int,
     n = lib.fast_find_matches(
         _ptr(src, ctypes.c_uint8), len(src), start, end, window_start,
         window_size, _ptr(table, ctypes.c_int64), hash_log,
-        _ptr(rep_arr, ctypes.c_uint32),
+        max(4, min(8, mls)), _ptr(rep_arr, ctypes.c_uint32),
         _ptr(out_ll, ctypes.c_uint32), _ptr(out_ml, ctypes.c_uint32),
         _ptr(out_ob, ctypes.c_uint32), max_seq,
         _ptr(last_lit, ctypes.c_int64), acceleration)
@@ -315,7 +315,8 @@ def huf_encode_stream(symbols: np.ndarray, code: np.ndarray,
 
 def compress_frame_body(src: np.ndarray, strategy: int, hash_log: int,
                         chain_log: int, search_log: int, window_log: int,
-                        accel: int = 1, use_ldm: bool = False) -> bytes | None:
+                        accel: int = 1, use_ldm: bool = False,
+                        min_match: int = 4) -> bytes | None:
     """Whole-frame native encode (all blocks, no frame header/checksum)."""
     lib = get_lib()
     if lib is None:
@@ -326,7 +327,7 @@ def compress_frame_body(src: np.ndarray, strategy: int, hash_log: int,
     size = lib.compress_frame_body_ldm_c(
         _ptr(np.ascontiguousarray(src, np.uint8), ctypes.c_uint8), n,
         strategy, hash_log, chain_log, search_log, window_log, accel,
-        int(use_ldm), _ptr(out, ctypes.c_uint8), cap)
+        int(use_ldm), min_match, _ptr(out, ctypes.c_uint8), cap)
     if size < 0:
         return None
     return out[:size].tobytes()
