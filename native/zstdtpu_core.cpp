@@ -1431,6 +1431,7 @@ static int64_t huf_write_ctable(const HufCTableC* ct, uint8_t* out, int64_t cap)
 struct HufDTableC {
     uint8_t sym[1 << 12];
     uint8_t nb[1 << 12];
+    uint16_t fused[1 << 12];  // nb | sym<<8 — one load per decode
     int tlog;
     bool valid;
 };
@@ -1508,6 +1509,8 @@ static int64_t huf_read_and_build_dtable(const uint8_t* src, int64_t size,
     }
     dt->tlog = tlog;
     dt->valid = true;
+    for (int u = 0; u < (1 << tlog); u++)
+        dt->fused[u] = (uint16_t)(dt->nb[u] | ((uint16_t)dt->sym[u] << 8));
     return consumed;
 }
 
@@ -2381,6 +2384,58 @@ struct EntropyStateC {
 
 // Decode literals section.  Writes into lit (cap >= 1<<17 + 32).
 // Returns bytes consumed, sets *lit_size; -1 on error.
+// 4-stream interleaved Huffman decode (HUF_decompress4X1 role).  One padded
+// buffer holds the whole payload; each stream's reader may touch up to 16
+// bytes before its own start (the previous stream's bytes / the zero prefix)
+// — those bits are don't-care by canonical-table construction, so only
+// memory validity matters.  Streams advance in lockstep for ILP.
+static int huf_decode_4x(const uint8_t* pad, const int64_t* offs,
+                         const int64_t* sizes, const uint16_t* D, int tlog,
+                         uint8_t* out, const int64_t* osz) {
+    int64_t pos[4], rem[4];
+    const uint8_t* sb[4];
+    uint8_t* op[4];
+    int64_t ooff = 0;
+    for (int k = 0; k < 4; k++) {
+        pos[k] = br_init(pad + 16 + offs[k], sizes[k]);
+        if (pos[k] < 0) return -1;
+        sb[k] = pad + offs[k];
+        op[k] = out + ooff;
+        rem[k] = osz[k];
+        ooff += osz[k];
+    }
+    const int per = tlog <= 11 ? 5 : 4;
+    const uint64_t mask = (1ULL << tlog) - 1;
+    while (pos[0] >= 56 && pos[1] >= 56 && pos[2] >= 56 && pos[3] >= 56 &&
+           rem[0] >= per && rem[1] >= per && rem[2] >= per && rem[3] >= per) {
+        for (int k = 0; k < 4; k++) {
+            const int64_t p = pos[k] - 56 + 16 * 8;
+            const uint64_t W = read_window(sb[k] + (p >> 3)) >> (p & 7);
+            int s = 56;
+            for (int j = 0; j < per; j++) {
+                const uint16_t e = D[(W >> (s - tlog)) & mask];
+                *op[k]++ = (uint8_t)(e >> 8);
+                s -= (int)(e & 0xFF);
+            }
+            pos[k] -= 56 - s;
+            rem[k] -= per;
+        }
+    }
+    for (int k = 0; k < 4; k++) {
+        while (rem[k] > 0) {
+            if (pos[k] <= 0) return -1;  // over-consumed: corrupt
+            const int64_t p = pos[k] - tlog + 16 * 8;
+            const uint64_t idx = (read_window(sb[k] + (p >> 3)) >> (p & 7)) & mask;
+            const uint16_t e = D[idx];
+            *op[k]++ = (uint8_t)(e >> 8);
+            pos[k] -= (int)(e & 0xFF);
+            rem[k]--;
+        }
+        if (pos[k] != 0) return -1;
+    }
+    return 0;
+}
+
 static int64_t decode_literals_c(const uint8_t* src, int64_t size,
                                  EntropyStateC* ent, uint8_t* lit,
                                  int64_t* lit_size) {
@@ -2466,15 +2521,10 @@ static int64_t decode_literals_c(const uint8_t* src, int64_t size,
         const int64_t osz[4] = {seg, seg, seg, regen - 3 * seg};
         const int64_t isz[4] = {l1, l2, l3, l4};
         if (osz[3] < 0) { free(pad); return -1; }
-        int64_t ioff = 6, ooff = 0;
-        for (int k = 0; k < 4 && rc == 0; k++) {
-            std::memset(pad, 0, 16);
-            std::memcpy(pad + 16, payload + ioff, (size_t)isz[k]);
-            rc = (int)huf_decode_stream(pad, isz[k], ent->huf.sym, ent->huf.nb,
-                                        ent->huf.tlog, lit + ooff, osz[k]);
-            ioff += isz[k];
-            ooff += osz[k];
-        }
+        std::memcpy(pad + 16, payload + 6, (size_t)(psize - 6));
+        const int64_t offs[4] = {6 - 6, l1, l1 + l2, l1 + l2 + l3};
+        rc = huf_decode_4x(pad, offs, isz, ent->huf.fused, ent->huf.tlog,
+                           lit, osz);
     }
     free(pad);
     if (rc != 0) return -1;
