@@ -17,6 +17,7 @@
 #include <cstdint>
 #include <cstring>
 #include <cstddef>
+#include <cstdlib>
 
 extern "C" {
 
@@ -783,6 +784,67 @@ int64_t huf_encode_stream(const uint8_t* symbols, int64_t n,
         if (bw_add(&w, code[s], nbits[s])) return -1;
     }
     return bw_close(&w);
+}
+
+// Encode the standard 4-segment split with the four bit-writers advancing in
+// lockstep (independent accumulator chains = ILP).  Writes jump table +
+// streams into payload; returns total payload size, -1 on error/overflow.
+int64_t huf_encode_4streams(const uint8_t* lit, int64_t n,
+                            const uint16_t* code, const uint8_t* nbits,
+                            uint8_t* payload, int64_t cap) {
+    const int64_t seg = (n + 3) / 4;
+    const int64_t len[4] = {seg, seg, seg, n - 3 * seg};
+    if (len[3] <= 0) return -1;
+    uint32_t enc[256];
+    for (int s = 0; s < 256; s++)
+        enc[s] = (uint32_t)code[s] | ((uint32_t)nbits[s] << 16);
+    const int64_t scap = seg + 64;
+    uint8_t* scratch = (uint8_t*)malloc((size_t)(4 * scap));
+    if (!scratch) return -1;
+    BitWriterC w[4];
+    const uint8_t* base[4];
+    for (int k = 0; k < 4; k++) {
+        w[k] = BitWriterC{scratch + k * scap, scap, 0, 0, 0};
+        base[k] = lit + k * seg;
+    }
+    // stream 3 may be up to 3 symbols shorter; drain the longer tails first
+    const int64_t rounds = len[3];
+    int rc = 0;
+    for (int k = 0; k < 3 && rc == 0; k++)
+        for (int64_t i = len[k] - 1; i >= rounds && rc == 0; i--) {
+            const uint32_t e = enc[base[k][i]];
+            rc = bw_add(&w[k], e & 0xFFFF, (int)(e >> 16));
+        }
+    for (int64_t r = rounds - 1; r >= 0 && rc == 0; r--) {
+        const uint32_t e0 = enc[base[0][r]];
+        const uint32_t e1 = enc[base[1][r]];
+        const uint32_t e2 = enc[base[2][r]];
+        const uint32_t e3 = enc[base[3][r]];
+        rc |= bw_add(&w[0], e0 & 0xFFFF, (int)(e0 >> 16));
+        rc |= bw_add(&w[1], e1 & 0xFFFF, (int)(e1 >> 16));
+        rc |= bw_add(&w[2], e2 & 0xFFFF, (int)(e2 >> 16));
+        rc |= bw_add(&w[3], e3 & 0xFFFF, (int)(e3 >> 16));
+    }
+    if (rc) { free(scratch); return -1; }
+    int64_t sizes[4];
+    int64_t total = 6;
+    for (int k = 0; k < 4; k++) {
+        sizes[k] = bw_close(&w[k]);
+        if (sizes[k] < 0 || (k < 3 && sizes[k] > 65535)) { free(scratch); return -1; }
+        total += sizes[k];
+    }
+    if (total > cap) { free(scratch); return -1; }
+    for (int k = 0; k < 3; k++) {
+        payload[2 * k] = (uint8_t)sizes[k];
+        payload[2 * k + 1] = (uint8_t)(sizes[k] >> 8);
+    }
+    int64_t off = 6;
+    for (int k = 0; k < 4; k++) {
+        std::memcpy(payload + off, scratch + k * scap, (size_t)sizes[k]);
+        off += sizes[k];
+    }
+    free(scratch);
+    return total;
 }
 
 // XXH64 (frame checksums; used when the Python xxhash module is absent).
@@ -1569,7 +1631,15 @@ static int64_t encode_literals_c(const uint8_t* lit, int64_t n, uint8_t* out,
     if (n <= 63) return raw_literals(lit, n, out, cap);
 
     uint32_t counts[256] = {0};
-    for (int64_t i = 0; i < n; i++) counts[lit[i]]++;
+    {
+        uint32_t c0[256] = {0}, c1[256] = {0}, c2[256] = {0}, c3[256] = {0};
+        int64_t i = 0;
+        for (; i + 4 <= n; i += 4) {
+            c0[lit[i]]++; c1[lit[i + 1]]++; c2[lit[i + 2]]++; c3[lit[i + 3]]++;
+        }
+        for (; i < n; i++) c0[lit[i]]++;
+        for (int s = 0; s < 256; s++) counts[s] = c0[s] + c1[s] + c2[s] + c3[s];
+    }
     int max_sym = 255;
     while (max_sym > 0 && counts[max_sym] == 0) max_sym--;
 
@@ -1591,27 +1661,8 @@ static int64_t encode_literals_c(const uint8_t* lit, int64_t n, uint8_t* out,
     if (single) {
         psize = huf_encode_stream(lit, n, ct.code, ct.nbits, payload, n + 64);
     } else {
-        // 4 streams with jump table
-        const int64_t seg = (n + 3) / 4;
-        int64_t sizes[4];
-        int64_t off = 6;
-        bool ok = true;
-        for (int k = 0; k < 4; k++) {
-            const int64_t s0 = k * seg;
-            const int64_t sl = k < 3 ? seg : n - 3 * seg;
-            if (sl <= 0) { ok = false; break; }
-            int64_t sz = huf_encode_stream(lit + s0, sl, ct.code, ct.nbits,
-                                           payload + off, n + 64 - off);
-            if (sz < 0 || (k < 3 && sz > 65535)) { ok = false; break; }
-            sizes[k] = sz;
-            off += sz;
-        }
-        if (!ok) { free(payload); return raw_literals(lit, n, out, cap); }
-        for (int k = 0; k < 3; k++) {
-            payload[2 * k] = (uint8_t)sizes[k];
-            payload[2 * k + 1] = (uint8_t)(sizes[k] >> 8);
-        }
-        psize = off;
+        psize = huf_encode_4streams(lit, n, ct.code, ct.nbits, payload, n + 64);
+        if (psize < 0) { free(payload); return raw_literals(lit, n, out, cap); }
     }
     if (psize < 0) { free(payload); return raw_literals(lit, n, out, cap); }
     const int64_t comp = tsize + psize;
