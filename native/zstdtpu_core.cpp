@@ -583,32 +583,236 @@ static inline int64_t rep_length(const uint8_t* src, int64_t p, int64_t r,
     return 4 + count_match(src, p + 4, p + 4 - r, end);
 }
 
-// depth: 0 = greedy, 1 = lazy, 2 = lazy2.  insert_from_io persists across
-// blocks.  Returns nb_seq or -1.
-int64_t lazy_find_matches(const uint8_t* src, int64_t src_len,
-                          int64_t start, int64_t end, int64_t window_start,
-                          int64_t window_size,
-                          int64_t* table, int hlog,
-                          int64_t* chain, int64_t chain_size, int64_t attempts,
-                          int depth, int64_t* insert_from_io,
-                          uint32_t* rep_io,
-                          uint32_t* out_ll, uint32_t* out_ml, uint32_t* out_ob,
-                          int64_t max_seq, int64_t* out_last_lit) {
-    if (end - start < 16) { *out_last_lit = end - start; return 0; }
-    LazyCtx c{src, table, chain, chain_size - 1, hlog, window_start,
-              window_size, attempts, *insert_from_io, end - 8};
+// ---------------------------------------------------------------------------
+// Binary-tree matcher (ZSTD_updateDUBT / ZSTD_insertBtAndGetAllMatches role)
+// ---------------------------------------------------------------------------
+//
+// Each position is a node of a binary tree of suffixes sharing a hash head;
+// node links live in bt[2*(pos & bt_mask)] (smaller) / +1 (larger).  A walk
+// simultaneously re-links the tree with the new position as root and
+// collects every match that beats the best length so far — the all-matches
+// enumeration the optimal parser prices.  A hash3 side table supplies one
+// 3-byte candidate at min_match 3 (ZSTD_insertAndFindFirstIndexHash3 role).
+
+struct BtMatch { int64_t len; int64_t off; };
+
+struct BtCtx {
+    const uint8_t* src;
+    int64_t* table;       // hash heads (abs positions, -1 empty)
+    int32_t* bt;          // 2 * (bt_mask + 1) links
+    int64_t bt_mask;
+    int64_t* h3;          // hash3 heads (most recent position, -1 empty)
+    int h3log;
+    int hlog;
+    int mls;              // hash width for the main table (>= 4)
+    int64_t window_start;
+    int64_t window_size;
+    int64_t attempts;
+    int64_t insert_from;
+    int64_t limit;        // last insertable position (end - 8)
+    int64_t end;          // source end for match extension
+};
+
+static inline uint32_t hash3_bt(const uint8_t* p, int h3log) {
+    uint32_t v = (uint32_t)p[0] | ((uint32_t)p[1] << 8) | ((uint32_t)p[2] << 16);
+    return (v * 2654435761u) >> (32 - h3log);
+}
+
+// DUBT scheme (ZSTD_updateDUBT:20 / ZSTD_insertDUBT1:64 /
+// ZSTD_DUBT_findBestMatch:223 roles): inserts are O(1) prepends to an
+// unsorted per-bucket list (slot0 = next candidate, slot1 = unsorted mark);
+// a search reverses the unsorted run, re-inserts each element into the
+// sorted tree, then walks the tree collecting matches while re-linking the
+// probed position as the new root.  Candidates never searched are never
+// sorted.  Position 0 doubles as the null link (never inserted), matching
+// the reference's convention; a match is always re-verified by byte
+// comparison, so stale links can only cost parse quality, not correctness.
+
+static const int32_t kBtNull = 0;
+static const int32_t kBtUnsorted = 1;
+
+static inline void bt_insert_upto(BtCtx* c, int64_t p) {
+    const int64_t stop = p < c->limit ? p : c->limit;
+    for (int64_t i = c->insert_from; i < stop; i++) {
+        if (i == 0) continue;
+        const uint32_t hv = hash_mls(c->src + i, c->hlog, c->mls);
+        const int64_t head = c->table[hv];
+        int32_t* node = &c->bt[2 * (i & c->bt_mask)];
+        node[0] = head > 0 ? (int32_t)head : kBtNull;
+        node[1] = kBtUnsorted;
+        c->table[hv] = i;
+        if (c->h3) c->h3[hash3_bt(c->src + i, c->h3log)] = i;
+    }
+    if (stop > c->insert_from) c->insert_from = stop;
+}
+
+// Sort one unsorted position into the subtree hanging off its own chain
+// link (ZSTD_insertDUBT1 role).
+static void bt_sort_one(BtCtx* c, int64_t curr, int64_t nb_compares,
+                        int64_t window_low, int64_t bt_low) {
+    const uint8_t* src = c->src;
+    int64_t com_s = 0, com_l = 0;
+    int32_t* smaller = &c->bt[2 * (curr & c->bt_mask)];
+    int32_t* larger = smaller + 1;
+    int64_t m_idx = *smaller;
+    int32_t dummy;
+    while (nb_compares-- > 0 && m_idx > window_low && m_idx < curr) {
+        int32_t* nextPtr = &c->bt[2 * (m_idx & c->bt_mask)];
+        int64_t m = com_s < com_l ? com_s : com_l;
+        m += count_match(src, curr + m, m_idx + m, c->end);
+        if (curr + m >= c->end) break;
+        if (src[m_idx + m] < src[curr + m]) {
+            *smaller = (int32_t)m_idx;
+            com_s = m;
+            if (m_idx <= bt_low) { smaller = &dummy; break; }
+            smaller = nextPtr + 1;
+            m_idx = nextPtr[1];
+        } else {
+            *larger = (int32_t)m_idx;
+            com_l = m;
+            if (m_idx <= bt_low) { larger = &dummy; break; }
+            larger = nextPtr;
+            m_idx = nextPtr[0];
+        }
+    }
+    *smaller = kBtNull;
+    *larger = kBtNull;
+}
+
+// Collect all matches at p with strictly increasing length, sorting the
+// pending unsorted candidates first and re-linking p as the new root.
+static int bt_get_all_matches(BtCtx* c, int64_t p, int min_match,
+                              BtMatch* out, int cap) {
+    const uint8_t* src = c->src;
+    bt_insert_upto(c, p);
+    if (p > c->limit || p == 0) return 0;
+    const uint32_t hv = hash_mls(src + p, c->hlog, c->mls);
+    const int64_t bt_low = p > c->bt_mask ? p - c->bt_mask : 0;
+    const int64_t win_low = (p - (c->window_size - 1)) > c->window_start
+                            ? p - (c->window_size - 1) : c->window_start;
+    const int64_t unsort_limit = bt_low > win_low ? bt_low : win_low;
+
+    // phase 1: reverse the unsorted run (mark slot becomes back-link)
+    int64_t m_idx = c->table[hv] > 0 ? c->table[hv] : 0;
+    int64_t prev = 0;
+    int64_t nb_compares = c->attempts;
+    int64_t nb_cand = nb_compares;
+    while (m_idx > unsort_limit &&
+           c->bt[2 * (m_idx & c->bt_mask) + 1] == kBtUnsorted && nb_cand > 1) {
+        int32_t* node = &c->bt[2 * (m_idx & c->bt_mask)];
+        const int64_t nxt = node[0];
+        node[1] = (int32_t)prev;
+        prev = m_idx;
+        m_idx = nxt;
+        nb_cand--;
+    }
+    if (m_idx > unsort_limit &&
+        c->bt[2 * (m_idx & c->bt_mask) + 1] == kBtUnsorted) {
+        // candidate budget exhausted: drop the older tail
+        c->bt[2 * (m_idx & c->bt_mask)] = kBtNull;
+        c->bt[2 * (m_idx & c->bt_mask) + 1] = kBtNull;
+    }
+    // phase 2: sort reversed candidates oldest-first
+    m_idx = prev;
+    while (m_idx != 0) {
+        const int64_t nxt = c->bt[2 * (m_idx & c->bt_mask) + 1];
+        bt_sort_one(c, m_idx, nb_cand, win_low, unsort_limit);
+        m_idx = nxt;
+        nb_cand++;
+    }
+
+    int n = 0;
+    int64_t best = min_match - 1;
+    // hash3 candidate: nearest 3-byte match (only useful while best < 3)
+    if (c->h3 && min_match == 3 && p + 3 <= c->end) {
+        const uint32_t h3v = hash3_bt(src + p, c->h3log);
+        const int64_t cand3 = c->h3[h3v];
+        c->h3[h3v] = p;
+        if (cand3 >= win_low && cand3 > 0 && cand3 < p &&
+            src[cand3] == src[p] && src[cand3 + 1] == src[p + 1] &&
+            src[cand3 + 2] == src[p + 2]) {
+            const int64_t m = 3 + count_match(src, p + 3, cand3 + 3, c->end);
+            if (m > best && n < cap) {
+                out[n].len = m; out[n].off = p - cand3; n++;
+                best = m;
+            }
+        }
+    }
+    // phase 3: tree search + re-link with p as root
+    int32_t* smaller = &c->bt[2 * (p & c->bt_mask)];
+    int32_t* larger = smaller + 1;
+    int64_t com_s = 0, com_l = 0;
+    int64_t match_end_idx = p + 9;
+    int32_t dummy;
+    m_idx = c->table[hv] > 0 ? c->table[hv] : 0;
+    c->table[hv] = p;
+    while (nb_compares-- > 0 && m_idx > win_low && m_idx < p) {
+        int32_t* nextPtr = &c->bt[2 * (m_idx & c->bt_mask)];
+        int64_t m = com_s < com_l ? com_s : com_l;
+        m += count_match(src, p + m, m_idx + m, c->end);
+        if (m > best && n < cap) {
+            out[n].len = m; out[n].off = p - m_idx; n++;
+            best = m;
+            if (m_idx + m > match_end_idx) match_end_idx = m_idx + m;
+            if (p + m >= c->end) break;  // cannot extend further
+        }
+        if (p + m >= c->end) break;
+        if (src[m_idx + m] < src[p + m]) {
+            *smaller = (int32_t)m_idx;
+            com_s = m;
+            if (m_idx <= bt_low) { smaller = &dummy; break; }
+            smaller = nextPtr + 1;
+            m_idx = nextPtr[1];
+        } else {
+            *larger = (int32_t)m_idx;
+            com_l = m;
+            if (m_idx <= bt_low) { larger = &dummy; break; }
+            larger = nextPtr;
+            m_idx = nextPtr[0];
+        }
+    }
+    *smaller = kBtNull;
+    *larger = kBtNull;
+    // skip re-inserting positions covered by a long match (nextToUpdate role)
+    if (c->insert_from < match_end_idx - 8) c->insert_from = match_end_idx - 8;
+    if (c->insert_from <= p) c->insert_from = p + 1;
+    return n;
+}
+
+// Best single match via the binary tree (ZSTD_DUBT_findBestMatch role).
+}  // pause extern "C": templates below
+static inline int64_t bt_search(BtCtx* c, int64_t p, int64_t end,
+                                int64_t* best_off) {
+    BtMatch mt[32];
+    const int nm = bt_get_all_matches(c, p, 4, mt, 32);
+    if (nm == 0) { *best_off = 0; return 0; }
+    *best_off = mt[nm - 1].off;
+    return mt[nm - 1].len;
+}
+
+// Lazy parse core, generic over the search backend (hash-chain for
+// greedy/lazy/lazy2, binary tree for btlazy2; ZSTD_compressBlock_lazy_generic
+// role).  depth 0/1/2 = lookahead.
+template <typename Ctx,
+          int64_t (*SEARCH)(Ctx*, int64_t, int64_t, int64_t*),
+          void (*INSERT)(Ctx*, int64_t)>
+static int64_t lazy_core(Ctx* c, const uint8_t* src,
+                         int64_t start, int64_t end, int64_t window_start,
+                         int depth, uint32_t* rep_io,
+                         uint32_t* out_ll, uint32_t* out_ml, uint32_t* out_ob,
+                         int64_t max_seq, int64_t* out_last_lit) {
     int64_t rep0 = rep_io[0], rep1 = rep_io[1];
     int64_t pos = start + (window_start == 0 && start == 0 ? 1 : 0);
     int64_t anchor = start;
     int64_t n_seq = 0;
-    const int64_t limit = c.limit;
+    const int64_t limit = c->limit;
 
     while (pos < limit && n_seq + 2 < max_seq) {
         // rep0 probe requires litLength >= 1 (offset_value 1 with ll==0
         // means rep1 to the decoder).
         int64_t rl = (pos > anchor) ? rep_length(src, pos, rep0, window_start, end) : 0;
         int64_t off;
-        int64_t ml = lazy_search(&c, pos, end, &off);
+        int64_t ml = SEARCH(c, pos, end, &off);
         if (rl >= 4 && rl + 3 >= ml) { ml = rl; off = 0; }
         if (ml < 4) {
             pos += 1 + ((pos - anchor) >> 8);
@@ -617,7 +821,7 @@ int64_t lazy_find_matches(const uint8_t* src, int64_t src_len,
         for (int d = depth; d > 0 && pos + 1 < limit; d--) {
             int64_t rl2 = rep_length(src, pos + 1, rep0, window_start, end);
             int64_t off2;
-            int64_t ml2 = lazy_search(&c, pos + 1, end, &off2);
+            int64_t ml2 = SEARCH(c, pos + 1, end, &off2);
             bool better = false;
             if (rl2 >= 4 && rl2 + 3 > ml + (off == 0 ? 3 : 0) - 3) {
                 pos++; ml = rl2; off = 0; better = true;
@@ -641,7 +845,7 @@ int64_t lazy_find_matches(const uint8_t* src, int64_t src_len,
         out_ml[n_seq] = (uint32_t)ml;
         n_seq++;
         pos += ml; anchor = pos;
-        lazy_insert_upto(&c, pos);
+        INSERT(c, pos);
         while (pos < limit && n_seq < max_seq) {
             int64_t rl2 = rep_length(src, pos, rep1, window_start, end);
             if (rl2 < 4) break;
@@ -649,13 +853,60 @@ int64_t lazy_find_matches(const uint8_t* src, int64_t src_len,
             out_ll[n_seq] = 0; out_ml[n_seq] = (uint32_t)rl2; out_ob[n_seq] = 1;
             n_seq++;
             pos += rl2; anchor = pos;
-            lazy_insert_upto(&c, pos);
+            INSERT(c, pos);
         }
     }
-    *insert_from_io = c.insert_from;
     rep_io[0] = (uint32_t)rep0; rep_io[1] = (uint32_t)rep1;
     *out_last_lit = end - anchor;
     return n_seq;
+}
+
+static void lazy_insert_upto_v(LazyCtx* c, int64_t p) { lazy_insert_upto(c, p); }
+static void bt_insert_upto_v(BtCtx* c, int64_t p) { bt_insert_upto(c, p); }
+static int64_t lazy_search_v(LazyCtx* c, int64_t p, int64_t end, int64_t* off) {
+    return lazy_search(c, p, end, off);
+}
+
+extern "C" {
+
+int64_t lazy_find_matches(const uint8_t* src, int64_t src_len,
+                          int64_t start, int64_t end, int64_t window_start,
+                          int64_t window_size,
+                          int64_t* table, int hlog,
+                          int64_t* chain, int64_t chain_size, int64_t attempts,
+                          int depth, int64_t* insert_from_io,
+                          uint32_t* rep_io,
+                          uint32_t* out_ll, uint32_t* out_ml, uint32_t* out_ob,
+                          int64_t max_seq, int64_t* out_last_lit) {
+    if (end - start < 16) { *out_last_lit = end - start; return 0; }
+    LazyCtx c{src, table, chain, chain_size - 1, hlog, window_start,
+              window_size, attempts, *insert_from_io, end - 8};
+    int64_t n = lazy_core<LazyCtx, lazy_search_v, lazy_insert_upto_v>(
+        &c, src, start, end, window_start, depth, rep_io,
+        out_ll, out_ml, out_ob, max_seq, out_last_lit);
+    *insert_from_io = c.insert_from;
+    return n;
+}
+
+// btlazy2 (ZSTD_compressBlock_btlazy2 role): lazy depth-2 parse over the
+// binary-tree best-match search.
+int64_t btlazy_find_matches(const uint8_t* src, int64_t src_len,
+                            int64_t start, int64_t end, int64_t window_start,
+                            int64_t window_size,
+                            int64_t* table, int hlog,
+                            int32_t* bt, int64_t bt_size, int64_t attempts,
+                            int depth, int64_t* insert_from_io,
+                            uint32_t* rep_io,
+                            uint32_t* out_ll, uint32_t* out_ml, uint32_t* out_ob,
+                            int64_t max_seq, int64_t* out_last_lit) {
+    if (end - start < 16) { *out_last_lit = end - start; return 0; }
+    BtCtx c{src, table, bt, bt_size - 1, nullptr, 0, hlog, 4, window_start,
+            window_size, attempts, *insert_from_io, end - 8, end};
+    int64_t n = lazy_core<BtCtx, bt_search, bt_insert_upto_v>(
+        &c, src, start, end, window_start, depth, rep_io,
+        out_ll, out_ml, out_ob, max_seq, out_last_lit);
+    *insert_from_io = c.insert_from;
+    return n;
 }
 
 
@@ -1966,8 +2217,64 @@ struct OptCell {
     int32_t from;       // previous position
     uint32_t ml;        // 0 = literal step
     uint32_t off_base;  // offBase when ml > 0
+    uint32_t lits;      // literal-run length ending at this cell
     uint32_t rep[3];
 };
+
+// Adaptive symbol statistics for the optimal parser (ZSTD_rescaleFreqs /
+// ZSTD_initStats_ultra role).  Counts carry across blocks with decay; price
+// tables are 1/32-bit fixed point code costs (extra bits added separately).
+struct OptStats {
+    uint32_t llc[36], mlc[53], ofc[32];
+    uint32_t ll_price[36], ml_price[53], of_price[32];
+    bool inited;
+};
+
+static void opt_build_prices(OptStats* st) {
+    auto build = [](const uint32_t* cnt, uint32_t* price, int n) {
+        uint64_t total = 0;
+        for (int i = 0; i < n; i++) total += cnt[i];
+        const float lt = __builtin_log2f((float)(total + (uint64_t)n));
+        for (int i = 0; i < n; i++) {
+            float bits = lt - __builtin_log2f((float)(cnt[i] + 1));
+            if (bits > 20.f) bits = 20.f;
+            if (bits < 0.125f) bits = 0.125f;
+            price[i] = (uint32_t)(bits * 32.f + 0.5f);
+        }
+    };
+    build(st->llc, st->ll_price, 36);
+    build(st->mlc, st->ml_price, 53);
+    build(st->ofc, st->of_price, 32);
+}
+
+// Seed from the predefined FSE distributions (first block, first pass).
+static void opt_seed_default(OptStats* st) {
+    for (int i = 0; i < 36; i++) st->llc[i] = (uint32_t)(kLLNorm[i] < 1 ? 1 : kLLNorm[i]) * 8;
+    for (int i = 0; i < 53; i++) st->mlc[i] = (uint32_t)(kMLNorm[i] < 1 ? 1 : kMLNorm[i]) * 8;
+    for (int i = 0; i < 32; i++)
+        st->ofc[i] = i <= kDefaultMaxOFF && kOFNorm[i] >= 1 ? (uint32_t)kOFNorm[i] * 8 : 1;
+    st->inited = false;
+    opt_build_prices(st);
+}
+
+// Fold a block's emitted sequences into the running stats.
+static void opt_update_stats(OptStats* st, const uint32_t* ll,
+                             const uint32_t* mlv, const uint32_t* ob,
+                             int64_t n_seq, bool decay) {
+    if (decay) {
+        for (int i = 0; i < 36; i++) st->llc[i] -= st->llc[i] >> 2;
+        for (int i = 0; i < 53; i++) st->mlc[i] -= st->mlc[i] >> 2;
+        for (int i = 0; i < 32; i++) st->ofc[i] -= st->ofc[i] >> 2;
+    }
+    const uint32_t vmax = (1u << 17) - 1;
+    for (int64_t i = 0; i < n_seq; i++) {
+        st->llc[kLLCodeLut[ll[i] < vmax ? ll[i] : vmax]]++;
+        st->mlc[kMLCodeLut[mlv[i] < vmax ? mlv[i] : vmax]]++;
+        st->ofc[highbit32(ob[i])]++;
+    }
+    st->inited = true;
+    opt_build_prices(st);
+}
 
 static inline uint32_t of_code_price32(int of_code) {
     // -log2(norm/32) for the predefined OF distribution, in 1/32 bits,
@@ -1999,19 +2306,27 @@ static inline uint32_t ll_price32(uint32_t llv) {
 }
 
 // Returns nb_seq or -1.  Uses the shared hash/chain tables like lazy.
+// Prices come from OptStats (adaptive, carried across blocks); literal-run
+// LL-code cost is added incrementally per literal step (ZSTD_litLengthPrice
+// role), match steps add ML/OF code prices + extra bits.
 int64_t opt_find_matches(const uint8_t* src, int64_t src_len,
                          int64_t start, int64_t end, int64_t window_start,
                          int64_t window_size,
                          int64_t* table, int hlog,
-                         int64_t* chain, int64_t chain_size, int64_t attempts,
+                         int32_t* bt, int64_t bt_size, int64_t attempts,
+                         int64_t* h3, int h3log, int min_match,
                          int64_t* insert_from_io, uint32_t* rep_io,
+                         OptStats* st,
                          uint32_t* out_ll, uint32_t* out_ml, uint32_t* out_ob,
                          int64_t max_seq, int64_t* out_last_lit) {
     const int64_t bn = end - start;
     if (bn < 32) { *out_last_lit = bn; return 0; }
     codec_init();
-    LazyCtx c{src, table, chain, chain_size - 1, hlog, window_start,
-              window_size, attempts, *insert_from_io, end - 8};
+    if (min_match < 3) min_match = 3;
+    const int bt_mls = min_match > 4 ? (min_match > 8 ? 8 : min_match) : 4;
+    BtCtx c{src, table, bt, bt_size - 1, min_match == 3 ? h3 : nullptr, h3log,
+            hlog, bt_mls, window_start, window_size, attempts,
+            *insert_from_io, end - 8, end};
 
     // Literal prices from block histogram (floor 1/8 bit, cap 14 bits).
     uint32_t counts[256];
@@ -2026,10 +2341,18 @@ int64_t opt_find_matches(const uint8_t* src, int64_t src_len,
         if (p > 14 * 32) p = 14 * 32;
         lit_price[s] = p;
     }
-    // Empirically tuned: per-sequence overhead prices ll/ml/of state costs;
-    // the histogram literal prices already absorb most of the tradeoff.
-    uint32_t seq_overhead = 0;
-    if (getenv("ZT_SEQOH")) seq_overhead = (uint32_t)atoi(getenv("ZT_SEQOH"));
+    const uint32_t vmax = (1u << 17) - 1;
+    auto LLP = [&](int64_t l) -> int64_t {
+        const uint32_t code = kLLCodeLut[(uint64_t)l < vmax ? l : vmax];
+        return (int64_t)st->ll_price[code] + (int64_t)kLLBits[code] * 32;
+    };
+    auto MLP = [&](int64_t m) -> int64_t {
+        const uint32_t code = kMLCodeLut[(uint64_t)m < vmax ? m : vmax];
+        return (int64_t)st->ml_price[code] + (int64_t)kMLBits[code] * 32;
+    };
+    auto OFP = [&](int oc) -> int64_t {
+        return (int64_t)st->of_price[oc & 31] + (int64_t)(oc & 31) * 32;
+    };
 
     OptCell* opt = (OptCell*)malloc(sizeof(OptCell) * (size_t)(bn + 1));
     if (!opt) return -1;
@@ -2037,18 +2360,23 @@ int64_t opt_find_matches(const uint8_t* src, int64_t src_len,
     opt[0].price = 0;
     opt[0].from = -1;
     opt[0].ml = 0;
+    opt[0].lits = 0;
     opt[0].rep[0] = rep_io[0]; opt[0].rep[1] = rep_io[1]; opt[0].rep[2] = rep_io[2];
 
     // `dist` is always the true match distance; repcode values are
     // re-resolved against the real encoder state during emission, so the
     // per-cell rep triple only steers pricing/candidate generation.
-    auto relax = [&](int64_t to, uint32_t price, int64_t from, uint32_t ml,
-                     uint32_t dist, const uint32_t* rep) {
+    auto relax = [&](int64_t to, int64_t price64, int64_t from, uint32_t ml,
+                     uint32_t dist, uint32_t lits, const uint32_t* rep) {
+        const uint32_t price = price64 < 0 ? 0
+                               : price64 >= kInfPrice ? kInfPrice - 1
+                               : (uint32_t)price64;
         if (price < opt[to].price) {
             opt[to].price = price;
             opt[to].from = (int32_t)from;
             opt[to].ml = ml;
             opt[to].off_base = dist;
+            opt[to].lits = lits;
             if (ml == 0 || dist == rep[0]) {
                 opt[to].rep[0] = rep[0]; opt[to].rep[1] = rep[1]; opt[to].rep[2] = rep[2];
             } else {
@@ -2063,10 +2391,14 @@ int64_t opt_find_matches(const uint8_t* src, int64_t src_len,
     for (int64_t i = 0; i < dp_limit; i++) {
         if (opt[i].price >= kInfPrice) continue;
         const int64_t p = start + i;
-        const uint32_t base_price = opt[i].price;
+        const int64_t base_price = opt[i].price;
         const uint32_t* rep = opt[i].rep;
-        // literal step
-        relax(i + 1, base_price + lit_price[src[p]], i, 0, 0, rep);
+        const int64_t lits = opt[i].lits;
+        // literal step (incremental LL-code price)
+        relax(i + 1, base_price + lit_price[src[p]] +
+                     LLP(lits + 1) - (lits > 0 ? LLP(lits) : 0),
+              i, 0, 0, (uint32_t)(lits + 1), rep);
+        const int64_t seq_base = base_price + (lits == 0 ? LLP(0) : 0);
         // sufficient-length shortcut: take a very long rep immediately
         {
             int64_t big = 0, big_dist = 0, big_vcode = 0;
@@ -2076,10 +2408,8 @@ int64_t opt_find_matches(const uint8_t* src, int64_t src_len,
             }
             if (big >= kSufficientLen) {
                 const int64_t L = big < (int64_t)(bn - i) ? big : bn - i;
-                relax(i + L, base_price + ml_price32((uint32_t)L) +
-                      of_code_price32(big_vcode == 0 ? 0 : 1) + seq_overhead,
-                      i, (uint32_t)L, (uint32_t)big_dist, rep);
-                lazy_insert_upto(&c, p + 1 < c.limit ? p + 1 : c.limit);
+                relax(i + L, seq_base + MLP(L) + OFP(big_vcode == 0 ? 0 : 1),
+                      i, (uint32_t)L, (uint32_t)big_dist, 0, rep);
                 i += L - 1;
                 continue;
             }
@@ -2089,12 +2419,12 @@ int64_t opt_find_matches(const uint8_t* src, int64_t src_len,
             const int64_t rl = rep_length(src, p, (int64_t)rep[r], window_start, end);
             if (rl >= 4) {
                 const int64_t cap_len = rl < (int64_t)(bn - i) ? rl : bn - i;
+                const int64_t op = OFP(r == 0 ? 0 : 1);
                 // relax at ml-code boundaries + max
                 for (int64_t L = cap_len; L >= 4; ) {
                     const uint32_t code = kMLCodeLut[L];
-                    relax(i + L, base_price + ml_price32((uint32_t)L) +
-                          of_code_price32(r == 0 ? 0 : 1) + seq_overhead,
-                          i, (uint32_t)L, rep[r], rep);
+                    relax(i + L, seq_base + MLP(L) + op,
+                          i, (uint32_t)L, rep[r], 0, rep);
                     if (code == 0) break;
                     const int64_t next_top = (int64_t)kMLBase[code] - 1;
                     if (next_top >= L) break;
@@ -2102,45 +2432,37 @@ int64_t opt_find_matches(const uint8_t* src, int64_t src_len,
                 }
             }
         }
-        // chain matches: enumerate candidates
-        lazy_insert_upto(&c, p);
+        // tree matches: all-candidates enumeration with increasing length
         if (p + 4 <= end - 4) {
-            const uint32_t cur = read32(src + p);
-            int64_t cand = c.table[hash32(cur, c.hlog)];
-            const int64_t low = (p - (window_size - 1)) > window_start
-                                ? p - (window_size - 1) : window_start;
-            int64_t best_so_far = 3;
-            for (int64_t a = 0; a < attempts; a++) {
-                if (cand < low) break;
-                if (read32(src + cand) == cur) {
-                    int64_t len = 4 + count_match(src, p + 4, cand + 4, end);
-                    if (len > best_so_far) {
-                        best_so_far = len;
-                        const int64_t off = p - cand;
-                        const int oc = highbit32((uint32_t)(off + 3));
-                        const uint32_t op = of_code_price32(oc);
-                        const int64_t cap_len = len < (int64_t)(bn - i) ? len : bn - i;
-                        for (int64_t L = cap_len; L >= 4; ) {
-                            const uint32_t code = kMLCodeLut[L];
-                            relax(i + L, base_price + ml_price32((uint32_t)L) +
-                                  op + seq_overhead, i, (uint32_t)L,
-                                  (uint32_t)off, rep);
-                            if (code == 0) break;
-                            const int64_t next_top = (int64_t)kMLBase[code] - 1;
-                            if (next_top >= L) break;
-                            L = next_top >= 4 ? next_top : 0;
-                        }
-                    }
+            BtMatch mt[64];
+            const int nm = bt_get_all_matches(&c, p, min_match, mt, 64);
+            int64_t best_so_far = 0;
+            int64_t lb = min_match;
+            for (int q = 0; q < nm; q++) {
+                const int64_t len = mt[q].len;
+                const int64_t off = mt[q].off;
+                best_so_far = len;
+                const int oc = highbit32((uint32_t)(off + 3));
+                const int64_t op = OFP(oc);
+                const int64_t cap_len = len < (int64_t)(bn - i) ? len : bn - i;
+                for (int64_t L = cap_len; L >= lb; ) {
+                    const uint32_t code = kMLCodeLut[L];
+                    relax(i + L, seq_base + MLP(L) + op, i, (uint32_t)L,
+                          (uint32_t)off, 0, rep);
+                    if (code == 0) break;
+                    const int64_t next_top = (int64_t)kMLBase[code] - 1;
+                    if (next_top >= L) break;
+                    L = next_top >= lb ? next_top : lb - 1;
                 }
-                int64_t nxt = c.chain[cand & c.chain_mask];
-                if (nxt >= cand) break;
-                cand = nxt;
+                lb = len + 1;  // shorter lengths already priced (closer offsets)
             }
-            // sufficient-length shortcut for chain matches
+            // sufficient-length shortcut for tree matches
             if (best_so_far >= kSufficientLen) {
                 i += (best_so_far < (int64_t)(bn - i) ? best_so_far : bn - i) - 1;
                 continue;
             }
+        } else {
+            bt_insert_upto(&c, p);
         }
     }
     // Find the furthest reachable cell; the remainder becomes last literals.
@@ -2199,7 +2521,7 @@ int64_t opt_find_matches(const uint8_t* src, int64_t src_len,
     *out_last_lit = bn - anchor;
     free(stack);
     free(opt);
-    lazy_insert_upto(&c, end - 8);
+    bt_insert_upto(&c, end - 8);
     *insert_from_io = c.insert_from;
     rep_io[0] = rep[0]; rep_io[1] = rep[1]; rep_io[2] = rep[2];
     return n_seq;
@@ -2252,10 +2574,22 @@ int64_t compress_frame_body_ldm_c(const uint8_t* src, int64_t n, int strategy,
     if (!table) return -1;
     for (int64_t i = 0; i < tbl_n; i++) table[i] = -1;
     int64_t* chain = nullptr;
-    if (strategy >= 2 || use_ldm) {
+    if ((strategy >= 2 && strategy < 7) || use_ldm) {
         chain = (int64_t*)malloc((size_t)(1LL << chain_log) * 8);
         if (!chain) { free(table); return -1; }
         for (int64_t i = 0; i < (1LL << chain_log); i++) chain[i] = -1;
+    }
+    // binary-tree links + hash3 heads for the optimal parser
+    int32_t* bt = nullptr;
+    int64_t* h3 = nullptr;
+    const int h3log = 16;
+    const int64_t bt_size = 1LL << chain_log;
+    if (strategy >= 6) {
+        bt = (int32_t*)malloc((size_t)(2 * bt_size) * 4);
+        h3 = (int64_t*)malloc((size_t)(1LL << h3log) * 8);
+        if (!bt || !h3) { free(table); free(chain); free(bt); free(h3); return -1; }
+        std::memset(bt, 0xFF, (size_t)(2 * bt_size) * 4);
+        for (int64_t i = 0; i < (1LL << h3log); i++) h3[i] = -1;
     }
     const int64_t max_seq_cap = block_size / 3 + 16;
     uint32_t* s_ll = (uint32_t*)malloc((size_t)max_seq_cap * 12);
@@ -2268,6 +2602,13 @@ int64_t compress_frame_body_ldm_c(const uint8_t* src, int64_t n, int strategy,
     int64_t size = 0;
     int64_t pos = 0;
     int rc = 0;
+
+    OptStats* ost = nullptr;
+    if (strategy >= 7) {
+        ost = (OptStats*)malloc(sizeof(OptStats));
+        if (!ost) { free(table); free(chain); free(s_ll); return -1; }
+        opt_seed_default(ost);
+    }
 
     // LDM state: bucket table + per-frame candidate list.
     const int ldm_hash_log = 20;
@@ -2386,10 +2727,40 @@ int64_t compress_frame_body_ldm_c(const uint8_t* src, int64_t n, int strategy,
                                       table, hash_log, mls, rep, s_ll, s_ml,
                                       s_ob, max_seq_cap, &last_lit, accel);
         } else if (strategy >= 7) {
+            const uint32_t rep_in[3] = {rep[0], rep[1], rep[2]};
             n_seq = opt_find_matches(src, n, pos, end, 0, 1LL << window_log,
-                                     table, hash_log, chain, 1LL << chain_log,
-                                     1LL << search_log, &insert_from, rep,
+                                     table, hash_log, bt, bt_size,
+                                     1LL << search_log, h3, h3log, min_match,
+                                     &insert_from, rep, ost,
                                      s_ll, s_ml, s_ob, max_seq_cap, &last_lit);
+            if (n_seq > 0 && !ost->inited) {
+                // btultra2 seeding (ZSTD_initStats_ultra role): fold the
+                // first parse's choices into the prices and re-parse.
+                opt_update_stats(ost, s_ll, s_ml, s_ob, n_seq, false);
+                rep[0] = rep_in[0]; rep[1] = rep_in[1]; rep[2] = rep_in[2];
+                // Rewind matcher state so the re-parse replays the same
+                // inserts (tree roots otherwise point past the parse
+                // position).
+                for (int64_t t = 0; t < tbl_n; t++) table[t] = -1;
+                std::memset(bt, 0xFF, (size_t)(2 * bt_size) * 4);
+                for (int64_t t = 0; t < (1LL << h3log); t++) h3[t] = -1;
+                insert_from = pos;
+                n_seq = opt_find_matches(src, n, pos, end, 0,
+                                         1LL << window_log, table, hash_log,
+                                         bt, bt_size, 1LL << search_log,
+                                         h3, h3log, min_match,
+                                         &insert_from, rep,
+                                         ost, s_ll, s_ml, s_ob, max_seq_cap,
+                                         &last_lit);
+            }
+            if (n_seq >= 0)
+                opt_update_stats(ost, s_ll, s_ml, s_ob, n_seq, true);
+        } else if (strategy == 6) {
+            n_seq = btlazy_find_matches(src, n, pos, end, 0, 1LL << window_log,
+                                        table, hash_log, bt, bt_size,
+                                        1LL << search_log, 2, &insert_from,
+                                        rep, s_ll, s_ml, s_ob, max_seq_cap,
+                                        &last_lit);
         } else {
             const int depth = strategy >= 5 ? 2 : strategy - 3;
             n_seq = lazy_find_matches(src, n, pos, end, 0, 1LL << window_log,
@@ -2418,9 +2789,12 @@ int64_t compress_frame_body_ldm_c(const uint8_t* src, int64_t n, int strategy,
     }
     free(table);
     free(chain);
+    free(bt);
+    free(h3);
     free(s_ll);
     free(ldm_buckets);
     free(ldm);
+    free(ost);
     return rc == 0 ? size : -1;
 }
 
