@@ -2561,6 +2561,77 @@ int64_t compress_frame_body_c(const uint8_t* src, int64_t n, int strategy,
                                      cap);
 }
 
+// ---------------------------------------------------------------------------
+// Block splitter (ZSTD_deriveBlockSplitsHelper:4328 role)
+// ---------------------------------------------------------------------------
+//
+// Recursively split a block's sequence range at the midpoint whenever the
+// estimated cost of the halves beats the whole.  Estimates are Shannon
+// entropy of the literal bytes and LL/ML/OF code histograms plus fixed
+// header charges.  Repcode semantics survive splitting because offset
+// values are resolved against the decoder's cross-block rep state.
+
+struct SplitView {
+    const uint8_t* block;
+    const uint32_t *ll, *ml, *ob;
+    int64_t n_seq, last_lit, bn;
+    const int64_t* seq_start;  // byte offset of each sequence's literals
+};
+
+static double split_entropy(const uint32_t* cnt, int n) {
+    int64_t total = 0;
+    for (int i = 0; i < n; i++) total += cnt[i];
+    if (total == 0) return 0.0;
+    const double lt = __builtin_log2((double)total);
+    double bits = 0.0;
+    for (int i = 0; i < n; i++)
+        if (cnt[i]) bits += (double)cnt[i] * (lt - __builtin_log2((double)cnt[i]));
+    return bits;
+}
+
+// Estimated compressed bytes of sequences [a, b) (+ trailing literals if
+// b == n_seq).
+static double split_cost(const SplitView* v, int64_t a, int64_t b) {
+    uint32_t lit[256] = {0}, llc[36] = {0}, mlc[53] = {0}, ofc[32] = {0};
+    const uint32_t vmax = (1u << 17) - 1;
+    const int64_t byte_a = v->seq_start[a];
+    const int64_t byte_b = b < v->n_seq ? v->seq_start[b] : v->bn;
+    int64_t cursor = byte_a;
+    for (int64_t i = a; i < b; i++) {
+        for (int64_t k = 0; k < v->ll[i]; k++) lit[v->block[cursor + k]]++;
+        cursor += v->ll[i] + v->ml[i];
+        llc[kLLCodeLut[v->ll[i] < vmax ? v->ll[i] : vmax]]++;
+        mlc[kMLCodeLut[v->ml[i] < vmax ? v->ml[i] : vmax]]++;
+        ofc[highbit32(v->ob[i])]++;
+    }
+    if (b == v->n_seq)
+        for (int64_t k = byte_b - v->last_lit; k < byte_b; k++) lit[v->block[k]]++;
+    double bits = split_entropy(lit, 256) + split_entropy(llc, 36) +
+                  split_entropy(mlc, 53) + split_entropy(ofc, 32);
+    // extra bits of ll/ml/of values
+    for (int64_t i = a; i < b; i++) {
+        bits += kLLBits[kLLCodeLut[v->ll[i] < vmax ? v->ll[i] : vmax]];
+        bits += kMLBits[kMLCodeLut[v->ml[i] < vmax ? v->ml[i] : vmax]];
+        bits += highbit32(v->ob[i]);
+    }
+    return bits / 8.0 + 80.0 + 3.0;  // entropy headers + block header charge
+}
+
+static void split_derive(const SplitView* v, int64_t a, int64_t b,
+                         int64_t* bounds, int* nb, int depth) {
+    if (b - a < 300 || *nb >= 195 || depth >= 8) {
+        bounds[(*nb)++] = b;
+        return;
+    }
+    const int64_t mid = (a + b) / 2;
+    if (split_cost(v, a, mid) + split_cost(v, mid, b) < split_cost(v, a, b)) {
+        split_derive(v, a, mid, bounds, nb, depth + 1);
+        split_derive(v, mid, b, bounds, nb, depth + 1);
+    } else {
+        bounds[(*nb)++] = b;
+    }
+}
+
 int64_t compress_frame_body_ldm_c(const uint8_t* src, int64_t n, int strategy,
                                   int hash_log, int chain_log, int search_log,
                                   int window_log, int accel, int use_ldm,
@@ -2770,6 +2841,58 @@ int64_t compress_frame_body_ldm_c(const uint8_t* src, int64_t n, int strategy,
                                       &last_lit);
         }
         if (n_seq < 0) { rc = -1; break; }
+        // Optional block split (btopt+): partitions with homogeneous
+        // statistics compress better than one mixed block.
+        int64_t bounds[200];
+        int nb = 1;
+        bounds[0] = n_seq;
+        if (strategy >= 7 && n_seq >= 600) {
+            int64_t* seq_start = (int64_t*)malloc((size_t)(n_seq + 1) * 8);
+            if (seq_start) {
+                int64_t cur = 0;
+                for (int64_t i2 = 0; i2 < n_seq; i2++) {
+                    seq_start[i2] = cur;
+                    cur += s_ll[i2] + s_ml[i2];
+                }
+                seq_start[n_seq] = cur;
+                SplitView v{src + pos, s_ll, s_ml, s_ob, n_seq, last_lit, bn,
+                            seq_start};
+                nb = 0;
+                split_derive(&v, 0, n_seq, bounds, &nb, 0);
+                // emit partitions
+                int64_t a = 0;
+                bool fail = false;
+                int64_t size0 = size;
+                for (int k = 0; k < nb && !fail; k++) {
+                    const int64_t b2 = bounds[k];
+                    const int64_t pa = seq_start[a];
+                    const int64_t pb = k == nb - 1 ? bn : seq_start[b2];
+                    const int64_t pbn = pb - pa;
+                    const int64_t plast = k == nb - 1 ? last_lit : 0;
+                    const int plast_flag = last && k == nb - 1;
+                    if (size + 3 + pbn + 32 > cap) { fail = true; break; }
+                    int64_t pbody = encode_block_body_c(
+                        src + pos + pa, pbn, s_ll + a, s_ml + a, s_ob + a,
+                        b2 - a, plast, out + size + 3, cap - size - 3 - 8);
+                    if (pbody < 0) {
+                        const uint32_t bh = (uint32_t)(plast_flag | (0 << 1) | (pbn << 3));
+                        out[size] = (uint8_t)bh; out[size + 1] = (uint8_t)(bh >> 8);
+                        out[size + 2] = (uint8_t)(bh >> 16);
+                        std::memcpy(out + size + 3, src + pos + pa, (size_t)pbn);
+                        size += 3 + pbn;
+                    } else {
+                        const uint32_t bh = (uint32_t)(plast_flag | (2 << 1) | (pbody << 3));
+                        out[size] = (uint8_t)bh; out[size + 1] = (uint8_t)(bh >> 8);
+                        out[size + 2] = (uint8_t)(bh >> 16);
+                        size += 3 + pbody;
+                    }
+                    a = b2;
+                }
+                free(seq_start);
+                if (!fail) { pos = end; continue; }
+                size = size0;  // fall through to single-block emission
+            }
+        }
         int64_t body = encode_block_body_c(src + pos, bn, s_ll, s_ml, s_ob,
                                            n_seq, last_lit, out + size + 3,
                                            cap - size - 3 - 8);
