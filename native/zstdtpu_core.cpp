@@ -2550,15 +2550,16 @@ int64_t ldm_scan_debug(const uint8_t* src, int64_t n, int64_t* out_pos,
 int64_t compress_frame_body_ldm_c(const uint8_t* src, int64_t n, int strategy,
                                   int hash_log, int chain_log, int search_log,
                                   int window_log, int accel, int use_ldm,
-                                  int min_match, uint8_t* out, int64_t cap);
+                                  int min_match, int split_mode,
+                                  int target_cblock, uint8_t* out, int64_t cap);
 
 int64_t compress_frame_body_c(const uint8_t* src, int64_t n, int strategy,
                               int hash_log, int chain_log, int search_log,
                               int window_log, int accel, uint8_t* out,
                               int64_t cap) {
     return compress_frame_body_ldm_c(src, n, strategy, hash_log, chain_log,
-                                     search_log, window_log, accel, 0, 4, out,
-                                     cap);
+                                     search_log, window_log, accel, 0, 4,
+                                     strategy >= 7, 0, out, cap);
 }
 
 // ---------------------------------------------------------------------------
@@ -2617,6 +2618,21 @@ static double split_cost(const SplitView* v, int64_t a, int64_t b) {
     return bits / 8.0 + 80.0 + 3.0;  // entropy headers + block header charge
 }
 
+// Subdivide until each partition's estimated compressed size is near the
+// requested targetCBlockSize (ZSTD_compressSuperBlock:584 role).
+static void split_derive_target(const SplitView* v, int64_t a, int64_t b,
+                                double target, int64_t* bounds, int* nb,
+                                int depth) {
+    if (*nb >= 195 || depth >= 10 || b - a < 16 ||
+        split_cost(v, a, b) <= target * 1.25) {
+        bounds[(*nb)++] = b;
+        return;
+    }
+    const int64_t mid = (a + b) / 2;
+    split_derive_target(v, a, mid, target, bounds, nb, depth + 1);
+    split_derive_target(v, mid, b, target, bounds, nb, depth + 1);
+}
+
 static void split_derive(const SplitView* v, int64_t a, int64_t b,
                          int64_t* bounds, int* nb, int depth) {
     if (b - a < 300 || *nb >= 195 || depth >= 8) {
@@ -2635,7 +2651,8 @@ static void split_derive(const SplitView* v, int64_t a, int64_t b,
 int64_t compress_frame_body_ldm_c(const uint8_t* src, int64_t n, int strategy,
                                   int hash_log, int chain_log, int search_log,
                                   int window_log, int accel, int use_ldm,
-                                  int min_match, uint8_t* out, int64_t cap) {
+                                  int min_match, int split_mode,
+                                  int target_cblock, uint8_t* out, int64_t cap) {
     const int mls = min_match < 4 ? 4 : (min_match > 8 ? 8 : min_match);
     codec_init();
     const int64_t block_size = (1 << 17) < (1LL << window_log)
@@ -2846,7 +2863,7 @@ int64_t compress_frame_body_ldm_c(const uint8_t* src, int64_t n, int strategy,
         int64_t bounds[200];
         int nb = 1;
         bounds[0] = n_seq;
-        if (strategy >= 7 && n_seq >= 600) {
+        if ((split_mode && n_seq >= 600) || (target_cblock > 0 && n_seq >= 32)) {
             int64_t* seq_start = (int64_t*)malloc((size_t)(n_seq + 1) * 8);
             if (seq_start) {
                 int64_t cur = 0;
@@ -2858,7 +2875,11 @@ int64_t compress_frame_body_ldm_c(const uint8_t* src, int64_t n, int strategy,
                 SplitView v{src + pos, s_ll, s_ml, s_ob, n_seq, last_lit, bn,
                             seq_start};
                 nb = 0;
-                split_derive(&v, 0, n_seq, bounds, &nb, 0);
+                if (target_cblock > 0)
+                    split_derive_target(&v, 0, n_seq, (double)target_cblock,
+                                        bounds, &nb, 0);
+                else
+                    split_derive(&v, 0, n_seq, bounds, &nb, 0);
                 // emit partitions
                 int64_t a = 0;
                 bool fail = false;

@@ -220,7 +220,9 @@ def compress_frame(data: bytes | np.ndarray, params: ResolvedParams,
                 src, int(cp.strategy), cp.hash_log, cp.chain_log,
                 cp.search_log, cp.window_log,
                 accel=cp.target_length if cp.strategy <= 2 and cp.target_length else 1,
-                use_ldm=params.ldm, min_match=cp.min_match)
+                use_ldm=params.ldm, min_match=cp.min_match,
+                block_splitter=params.block_splitter,
+                target_cblock=params.target_cblock_size)
             if body is not None:
                 out = bytearray(_write_frame_header(
                     len(src), cp.window_log, params.fparams.checksum_flag,

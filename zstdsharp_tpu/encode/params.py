@@ -152,10 +152,14 @@ class CCtxParams:
         ldm = self.ldm
         if ldm is None:  # auto: on for large windows at high levels (ref :276)
             ldm = cp.window_log >= 27 and self.compression_level >= 16
+        split = self.block_splitter
+        if split is None:  # auto: on from btopt up (ref :255)
+            split = int(cp.strategy) >= int(Strategy.BTOPT)
         return ResolvedParams(cp, FrameParameters(self.content_size_flag,
                                                   self.checksum_flag,
                                                   not self.dict_id_flag),
-                              ldm=ldm)
+                              ldm=ldm, block_splitter=split,
+                              target_cblock_size=self.target_cblock_size)
 
 
 @dataclass
@@ -163,3 +167,5 @@ class ResolvedParams:
     cparams: CompressionParameters
     fparams: FrameParameters
     ldm: bool = False
+    block_splitter: bool = True
+    target_cblock_size: int = 0

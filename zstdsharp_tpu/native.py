@@ -97,7 +97,8 @@ def _load():
                                               i32, i32, u8p, i64]
         lib.compress_frame_body_ldm_c.restype = i64
         lib.compress_frame_body_ldm_c.argtypes = [u8p, i64, i32, i32, i32, i32,
-                                                  i32, i32, i32, i32, u8p, i64]
+                                                  i32, i32, i32, i32, i32, i32,
+                                                  u8p, i64]
         lib.decode_frame_body_c.restype = i64
         lib.decode_frame_body_c.argtypes = [u8p, i64, u8p, i64, i64p]
 
@@ -316,7 +317,8 @@ def huf_encode_stream(symbols: np.ndarray, code: np.ndarray,
 def compress_frame_body(src: np.ndarray, strategy: int, hash_log: int,
                         chain_log: int, search_log: int, window_log: int,
                         accel: int = 1, use_ldm: bool = False,
-                        min_match: int = 4) -> bytes | None:
+                        min_match: int = 4, block_splitter: bool = True,
+                        target_cblock: int = 0) -> bytes | None:
     """Whole-frame native encode (all blocks, no frame header/checksum)."""
     lib = get_lib()
     if lib is None:
@@ -327,7 +329,8 @@ def compress_frame_body(src: np.ndarray, strategy: int, hash_log: int,
     size = lib.compress_frame_body_ldm_c(
         _ptr(np.ascontiguousarray(src, np.uint8), ctypes.c_uint8), n,
         strategy, hash_log, chain_log, search_log, window_log, accel,
-        int(use_ldm), min_match, _ptr(out, ctypes.c_uint8), cap)
+        int(use_ldm), min_match, int(block_splitter), target_cblock,
+        _ptr(out, ctypes.c_uint8), cap)
     if size < 0:
         return None
     return out[:size].tobytes()
