@@ -7,6 +7,7 @@ import zstandard
 
 from zstdsharp_tpu.decode import frame as dframe
 from zstdsharp_tpu.encode import frame as eframe
+from zstdsharp_tpu.encode.params import CCtxParams
 
 LEVELS = [-3, 1, 2, 3, 5, 7, 9, 12]
 
@@ -102,3 +103,54 @@ class TestEncodeRoundtrip:
             frame = eframe.compress(data, level)
             assert oracle_decompress(frame) == data
             assert dframe.decompress(frame) == data
+
+
+class TestBlockSplitterAndSuperblock:
+    """Block splitter (ZSTD_deriveBlockSplitsHelper:4328 role) and
+    targetCBlockSize (ZSTD_compressSuperBlock:584 role)."""
+
+    @staticmethod
+    def _block_sizes(frame: bytes) -> list[int]:
+        arr = np.frombuffer(frame, np.uint8)
+        hdr = dframe.parse_frame_header(arr)
+        off, sizes = hdr.header_size, []
+        while off < len(frame):
+            bh = frame[off] | frame[off + 1] << 8 | frame[off + 2] << 16
+            last, btype, bsize = bh & 1, (bh >> 1) & 3, bh >> 3
+            sizes.append(bsize)
+            off += 3 + (1 if btype == 1 else bsize)
+            if last:
+                break
+        return sizes
+
+    def test_splitter_partitions_heterogeneous_block(self, rng):
+        words = [b"alpha", b"beta", b"gamma", b"delta", b"epsilon", b"zeta",
+                 b"theta", b"kappa", b"lambda", b"sigma"]
+        idx = rng.integers(0, len(words), 20_000)
+        text = b" ".join(words[i] for i in idx)[: 64 << 10]
+        rand = rng.integers(0, 256, 64 << 10, dtype=np.uint8).tobytes()
+        mixed = text + rand  # one 128KB block with a sharp statistics change
+        frame = eframe.compress(mixed, 19)
+        assert oracle_decompress(frame) == mixed
+        assert len(self._block_sizes(frame)) >= 2
+
+    def test_target_cblock_size_bounds_partitions(self, text_corpus):
+        data = text_corpus[:512_000]
+        p = CCtxParams(compression_level=9, target_cblock_size=4096)
+        frame = eframe.compress(data, params=p)
+        assert oracle_decompress(frame) == data
+        base = eframe.compress(data, 9)
+        sizes = self._block_sizes(frame)
+        assert len(sizes) > len(self._block_sizes(base))
+        import statistics
+        assert statistics.median(sizes) < 8192
+
+    @pytest.mark.parametrize("level", [13, 16, 19])
+    def test_high_level_ratio_near_oracle(self, level, text_corpus, rng):
+        """Optimal-parser levels must stay within 6% of libzstd (adaptive
+        prices + DUBT all-matches; PARITY.md tracks the remainder)."""
+        data = text_corpus[:300_000] + rng.integers(
+            0, 64, 50_000, dtype=np.uint8).tobytes()
+        ours = len(eframe.compress(data, level))
+        theirs = len(zstandard.ZstdCompressor(level=level).compress(data))
+        assert ours < theirs * 1.06, f"L{level}: ours {ours} vs oracle {theirs}"
