@@ -2662,7 +2662,7 @@ int64_t compress_frame_body_ldm_c(const uint8_t* src, int64_t n, int strategy,
     if (!table) return -1;
     for (int64_t i = 0; i < tbl_n; i++) table[i] = -1;
     int64_t* chain = nullptr;
-    if ((strategy >= 2 && strategy < 7) || use_ldm) {
+    if ((strategy >= 2 && strategy < 6) || (use_ldm && strategy < 6)) {
         chain = (int64_t*)malloc((size_t)(1LL << chain_log) * 8);
         if (!chain) { free(table); return -1; }
         for (int64_t i = 0; i < (1LL << chain_log); i++) chain[i] = -1;
@@ -2714,6 +2714,29 @@ int64_t compress_frame_body_ldm_c(const uint8_t* src, int64_t n, int strategy,
                          ldm, n / 512 + 64);
     }
 
+    // Gap parser for the LDM merge: same strategy family as the block
+    // parser so long-window mode keeps optimal/btlazy parse quality
+    // (ZSTD_ldm_blockCompress:761 hands gaps to the selected compressor).
+    auto parse_gap = [&](int64_t from, int64_t to, uint32_t* gll,
+                         uint32_t* gml, uint32_t* gob, int64_t budget,
+                         int64_t* gl) -> int64_t {
+        if (strategy >= 7)
+            return opt_find_matches(src, n, from, to, 0, 1LL << window_log,
+                                    table, hash_log, bt, bt_size,
+                                    1LL << search_log, h3, h3log, min_match,
+                                    &insert_from, rep, ost, gll, gml, gob,
+                                    budget, gl);
+        if (strategy == 6)
+            return btlazy_find_matches(src, n, from, to, 0, 1LL << window_log,
+                                       table, hash_log, bt, bt_size,
+                                       1LL << search_log, 2, &insert_from,
+                                       rep, gll, gml, gob, budget, gl);
+        return lazy_find_matches(src, n, from, to, 0, 1LL << window_log,
+                                 table, hash_log, chain, 1LL << chain_log,
+                                 1LL << search_log, strategy >= 5 ? 2 : 1,
+                                 &insert_from, rep, gll, gml, gob, budget, gl);
+    };
+
     if (n == 0) {
         if (cap < 3) rc = -1;
         else { out[0] = 1; out[1] = 0; out[2] = 0; size = 3; }
@@ -2762,15 +2785,9 @@ int64_t compress_frame_body_ldm_c(const uint8_t* src, int64_t n, int strategy,
                 // parse the gap [cursor, m.pos)
                 int64_t gl = 0;
                 if (m.pos > cursor) {
-                    int64_t k = lazy_find_matches(src, n, cursor, m.pos, 0,
-                                                  1LL << window_log, table,
-                                                  hash_log, chain,
-                                                  1LL << chain_log,
-                                                  1LL << search_log, 1,
-                                                  &insert_from, rep,
-                                                  s_ll + n_seq, s_ml + n_seq,
-                                                  s_ob + n_seq,
-                                                  max_seq_cap - n_seq - 2, &gl);
+                    int64_t k = parse_gap(cursor, m.pos, s_ll + n_seq,
+                                          s_ml + n_seq, s_ob + n_seq,
+                                          max_seq_cap - n_seq - 2, &gl);
                     if (k < 0) { n_seq = -1; break; }
                     n_seq += k;
                 }
@@ -2791,20 +2808,16 @@ int64_t compress_frame_body_ldm_c(const uint8_t* src, int64_t n, int strategy,
             if (n_seq >= 0) {
                 int64_t gl = end - cursor;
                 if (cursor < end - 16) {
-                    int64_t k = lazy_find_matches(src, n, cursor, end, 0,
-                                                  1LL << window_log, table,
-                                                  hash_log, chain,
-                                                  1LL << chain_log,
-                                                  1LL << search_log, 1,
-                                                  &insert_from, rep,
-                                                  s_ll + n_seq, s_ml + n_seq,
-                                                  s_ob + n_seq,
-                                                  max_seq_cap - n_seq, &gl);
+                    int64_t k = parse_gap(cursor, end, s_ll + n_seq,
+                                          s_ml + n_seq, s_ob + n_seq,
+                                          max_seq_cap - n_seq, &gl);
                     if (k < 0) n_seq = -1;
                     else n_seq += k;
                 }
                 last_lit = gl;
             }
+            if (n_seq > 0 && ost)
+                opt_update_stats(ost, s_ll, s_ml, s_ob, n_seq, true);
                 } else if (strategy == 2 && chain) {
             n_seq = dfast_find_matches(src, n, pos, end, 0, 1LL << window_log,
                                        table, hash_log, chain, chain_log, mls,
