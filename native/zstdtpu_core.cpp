@@ -115,15 +115,32 @@ int64_t fse_decode_sequences(
 
     uint64_t r0 = rep[0], r1 = rep[1], r2 = rep[2];
 
+    // Rolling 57-bit window: one unaligned load covers several fields
+    // (BIT_DStream reload discipline; the old per-field loads cost ~7
+    // memcpy+shift chains per sequence).
+    int64_t wpos = 0;
+    uint64_t win = 0;
+    auto reload = [&](int64_t at) {
+        wpos = at - 57;
+        if (wpos < -120) wpos = -120;
+        const int64_t pb = wpos + 16 * 8;
+        win = read_window(padded + (pb >> 3)) >> (pb & 7);
+    };
+    reload(pos);
+
     for (int64_t i = 0; i < nb_seq; i++) {
         const uint32_t llB = ll_base[s_ll]; const int llb = ll_add[s_ll];
         const uint32_t mlB = ml_base[s_ml]; const int mlb = ml_add[s_ml];
         const uint32_t ofB = of_base[s_of]; const int ofb = of_add[s_of];
 
+        if (pos - ofb < wpos) reload(pos);
+        if (pos - ofb < wpos) return -2;
+
         uint64_t offset;
         if (ofb > 1) {
             pos -= ofb;
-            offset = ofB + br_field(padded, pos, ofb);
+            offset = ofB + ((win >> (pos - wpos)) &
+                            ((ofb >= 64) ? ~0ULL : ((1ULL << ofb) - 1)));
             r2 = r1; r1 = r0; r0 = offset;
         } else {
             const int ll0 = (llB == 0);
@@ -132,7 +149,7 @@ int64_t fse_decode_sequences(
                 if (ll0) { uint64_t t = r0; r0 = r1; r1 = t; }
             } else {
                 pos -= 1;
-                uint64_t idx = ofB + ll0 + br_field(padded, pos, 1);
+                uint64_t idx = ofB + ll0 + ((win >> (pos - wpos)) & 1);
                 uint64_t t = (idx == 3) ? r0 - 1 : (idx == 1 ? r1 : r2);
                 if (t == 0) t = 1;
                 if (idx != 1) r2 = r1;
@@ -140,20 +157,24 @@ int64_t fse_decode_sequences(
             }
         }
 
+        if (pos - (mlb + llb) < wpos) reload(pos);
+        if (pos - (mlb + llb) < wpos) return -2;
         uint64_t ml = mlB;
-        if (mlb) { pos -= mlb; ml += br_field(padded, pos, mlb); }
+        if (mlb) { pos -= mlb; ml += (win >> (pos - wpos)) & ((1ULL << mlb) - 1); }
         uint64_t ll = llB;
-        if (llb) { pos -= llb; ll += br_field(padded, pos, llb); }
+        if (llb) { pos -= llb; ll += (win >> (pos - wpos)) & ((1ULL << llb) - 1); }
 
         out_ll[i] = (uint32_t)ll;
         out_ml[i] = (uint32_t)ml;
         out_of[i] = (uint32_t)offset;
 
         if (i != nb_seq - 1) {
-            int nb;
-            nb = ll_sb[s_ll]; pos -= nb; s_ll = ll_ns[s_ll] + (uint32_t)br_field(padded, pos, nb);
-            nb = ml_sb[s_ml]; pos -= nb; s_ml = ml_ns[s_ml] + (uint32_t)br_field(padded, pos, nb);
-            nb = of_sb[s_of]; pos -= nb; s_of = of_ns[s_of] + (uint32_t)br_field(padded, pos, nb);
+            const int nb1 = ll_sb[s_ll], nb2 = ml_sb[s_ml], nb3 = of_sb[s_of];
+            if (pos - (nb1 + nb2 + nb3) < wpos) reload(pos);
+            if (pos - (nb1 + nb2 + nb3) < wpos) return -2;
+            pos -= nb1; s_ll = ll_ns[s_ll] + (uint32_t)((win >> (pos - wpos)) & ((1ULL << nb1) - 1));
+            pos -= nb2; s_ml = ml_ns[s_ml] + (uint32_t)((win >> (pos - wpos)) & ((1ULL << nb2) - 1));
+            pos -= nb3; s_of = of_ns[s_of] + (uint32_t)((win >> (pos - wpos)) & ((1ULL << nb3) - 1));
             if (pos < 0) return -2;
         }
     }
@@ -166,6 +187,15 @@ int64_t fse_decode_sequences(
 // Sequence execution (LZ copy into frame-wide output)
 // ---------------------------------------------------------------------------
 
+// 16-byte chunked copy; may write up to 15 bytes past dst+n (callers
+// guarantee slack — ZSTD_wildcopy role).
+static inline void wildcopy16(uint8_t* dst, const uint8_t* src, int64_t n) {
+    do {
+        std::memcpy(dst, src, 16);
+        dst += 16; src += 16; n -= 16;
+    } while (n > 0);
+}
+
 int64_t execute_sequences(uint8_t* out, int64_t out_pos, int64_t out_cap,
                           int64_t prefix_start,
                           const uint8_t* literals, int64_t n_literals,
@@ -176,19 +206,33 @@ int64_t execute_sequences(uint8_t* out, int64_t out_pos, int64_t out_cap,
         const int64_t l = ll[i], m = ml[i], o = of[i];
         if (lit_pos + l > n_literals) return -1;
         if (out_pos + l + m > out_cap) return -2;
-        std::memcpy(out + out_pos, literals + lit_pos, (size_t)l);
-        out_pos += l; lit_pos += l;
+        const bool slack = out_pos + l + m + 31 <= out_cap;
+        if (l) {
+            if (slack) wildcopy16(out + out_pos, literals + lit_pos, l);
+            else std::memcpy(out + out_pos, literals + lit_pos, (size_t)l);
+            out_pos += l; lit_pos += l;
+        }
         if (o <= 0 || o > out_pos - prefix_start) return -3;
         const uint8_t* src = out + out_pos - o;
-        if (o >= m) {
-            std::memcpy(out + out_pos, src, (size_t)m);
-            out_pos += m;
+        uint8_t* dst = out + out_pos;
+        if (o >= 16 && slack) {
+            wildcopy16(dst, src, m);
+        } else if (o >= m) {
+            std::memcpy(dst, src, (size_t)m);
         } else {
-            // overlapped: byte-wise (pattern replication)
-            uint8_t* dst = out + out_pos;
-            for (int64_t k = 0; k < m; k++) dst[k] = src[k];
-            out_pos += m;
+            // overlapped: write the pattern bytewise until a multiple-of-o
+            // read distance >= 16 exists, then chunk from that distance
+            // (reads then never overlap a pending 16-byte write)
+            if (slack) {
+                const int64_t O = o * ((16 + o - 1) / o);
+                const int64_t head = m < O ? m : O;
+                for (int64_t k = 0; k < head; k++) dst[k] = src[k];
+                if (m > head) wildcopy16(dst + head, dst + head - O, m - head);
+            } else {
+                for (int64_t k = 0; k < m; k++) dst[k] = src[k];
+            }
         }
+        out_pos += m;
     }
     const int64_t rest = n_literals - lit_pos;
     if (rest < 0 || out_pos + rest > out_cap) return -4;

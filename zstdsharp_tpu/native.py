@@ -177,10 +177,12 @@ def execute_sequences(out: np.ndarray, out_pos: int, prefix_start: int,
     lib = get_lib()
     if lib is None:
         return None
-    literals = np.ascontiguousarray(literals, np.uint8)
+    lit_src = np.ascontiguousarray(literals, np.uint8)
+    literals = np.zeros(len(lit_src) + 16, dtype=np.uint8)  # wildcopy slack
+    literals[: len(lit_src)] = lit_src
     rc = lib.execute_sequences(
         _ptr(out, ctypes.c_uint8), out_pos, len(out), prefix_start,
-        _ptr(literals, ctypes.c_uint8), len(literals),
+        _ptr(literals, ctypes.c_uint8), len(lit_src),
         _ptr(np.ascontiguousarray(lls, np.uint32), ctypes.c_uint32),
         _ptr(np.ascontiguousarray(mls, np.uint32), ctypes.c_uint32),
         _ptr(np.ascontiguousarray(ofs, np.uint32), ctypes.c_uint32), len(lls))
