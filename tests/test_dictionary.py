@@ -139,3 +139,28 @@ class TestApiClasses:
         assert not ok
         ok, data = dec.try_unwrap(frame, max_decompressed_size=len(samples[0]) * 10)
         assert ok and data == samples[0] * 10
+
+
+def test_optimize_train_from_buffer_sweep():
+    """ZDICT_optimizeTrainFromBuffer_fastCover role: the (k, d) sweep must
+    return a dictionary no worse than the default parameters."""
+    from zstdsharp_tpu.dictionary import optimize_train_from_buffer, train_dictionary
+    from zstdsharp_tpu.encode.frame import Compressor
+
+    samples = [b'{"user": "u%d", "v": %d, "tags": ["a", "b"]}' % (i, i * 37 % 997)
+               for i in range(400)]
+    swept, params = optimize_train_from_buffer(samples, dict_size=2048, level=3)
+    assert params["k"] >= 16 and params["d"] in (6, 8)
+    base = train_dictionary(samples, 2048)
+
+    def total(d):
+        c = Compressor(level=3)
+        c.load_dictionary(d)
+        return sum(len(c.wrap(s)) for s in samples)
+
+    assert total(swept) <= total(base) * 1.001
+    # libzstd must accept the swept dictionary
+    import zstandard
+    zd = zstandard.ZstdCompressionDict(swept)
+    out = zstandard.ZstdCompressor(level=3, dict_data=zd).compress(samples[0])
+    assert len(out) > 0

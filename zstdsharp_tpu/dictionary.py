@@ -213,8 +213,43 @@ def finalize_dictionary(content: np.ndarray, samples: list[bytes],
     return bytes(out)
 
 
+def optimize_train_from_buffer(samples: list[bytes],
+                               dict_size: int = DEFAULT_DICT_CAPACITY,
+                               level: int = 3,
+                               steps: int = 4,
+                               dict_id: int | None = None) -> tuple[bytes, dict]:
+    """Parameter sweep over (k, d) picking the dictionary that compresses
+    the training set best (ZDICT_optimizeTrainFromBuffer_fastCover role,
+    Fastcover.cs).  Returns (dictionary, best_params)."""
+    check(len(samples) > 0, ZstdErrorCode.srcSize_wrong, "no samples")
+    from .encode.frame import Compressor
+
+    stride = max(1, len(samples) // 64)
+    probe = samples[::stride][:64]  # spread sample, not a prefix
+    best = None
+    k_grid = sorted({max(16, dict_size // 64), max(32, dict_size // 32),
+                     max(64, dict_size // 16), min(2048, max(128, dict_size // 8))})
+    k_grid = k_grid[: max(1, steps)]
+    for d in (6, 8):
+        for k in k_grid:
+            try:
+                cand = train_dictionary(samples, dict_size, d=d, level=level,
+                                        dict_id=dict_id, k=k)
+            except ZstdError:
+                continue
+            comp = Compressor(level=level)
+            comp.load_dictionary(cand)
+            cost = sum(len(comp.wrap(bytes(s))) for s in probe)
+            if best is None or cost < best[0]:
+                best = (cost, cand, {"k": k, "d": d})
+    check(best is not None, ZstdErrorCode.dictionaryCreation_failed,
+          "no parameter combination produced a dictionary")
+    return best[1], best[2]
+
+
 def train_dictionary(samples: list[bytes], dict_size: int = DEFAULT_DICT_CAPACITY,
-                     d: int = 8, level: int = 3, dict_id: int | None = None) -> bytes:
+                     d: int = 8, level: int = 3, dict_id: int | None = None,
+                     k: int | None = None) -> bytes:
     """Train a dictionary from samples (DictBuilder.TrainFromBuffer:11 ->
     ZDICT_trainFromBuffer with fastCover d=8)."""
     check(len(samples) > 0, ZstdErrorCode.srcSize_wrong, "no samples")
@@ -222,7 +257,8 @@ def train_dictionary(samples: list[bytes], dict_size: int = DEFAULT_DICT_CAPACIT
     check(len(blob) >= d, ZstdErrorCode.srcSize_wrong, "samples too small")
     f = 20 if len(blob) > (1 << 20) else max(10, int(len(blob)).bit_length())
     hashes = _dmer_hashes(blob, d, f)
-    k = min(max(64, dict_size // 16), 2048)
+    if k is None:
+        k = min(max(64, dict_size // 16), 2048)
     segments = _select_segments(blob, hashes, d, k, f, dict_size)
 
     parts = []
