@@ -1789,6 +1789,12 @@ struct HufDTableC {
     uint8_t sym[1 << 12];
     uint8_t nb[1 << 12];
     uint16_t fused[1 << 12];  // nb | sym<<8 — one load per decode
+    // X2 double-symbol table (HUF_decompress4X2 role), built on demand:
+    // sym1 | sym2<<8 | nb_total<<16 | nb_first<<21 | npairs<<26
+    uint32_t fused2[1 << 12];
+    uint8_t weights_[256];
+    int nsym_;
+    bool x2_valid;
     int tlog;
     bool valid;
 };
@@ -1866,9 +1872,129 @@ static int64_t huf_read_and_build_dtable(const uint8_t* src, int64_t size,
     }
     dt->tlog = tlog;
     dt->valid = true;
+    dt->x2_valid = false;
+    dt->nsym_ = nsym;
+    std::memcpy(dt->weights_, weights, (size_t)nsym);
     for (int u = 0; u < (1 << tlog); u++)
         dt->fused[u] = (uint16_t)(dt->nb[u] | ((uint16_t)dt->sym[u] << 8));
     return consumed;
+}
+
+// Build the double-symbol table: each T-bit window decodes one symbol and,
+// when a complete second code fits in the remaining bits, a second one
+// (HUF_fillDTableX2 role).
+static void huf_build_x2(HufDTableC* dt) {
+    const int tlog = dt->tlog;
+    const int nsym = dt->nsym_;
+    const uint8_t* w = dt->weights_;
+    // canonical (start, len, L) per symbol, replaying the X1 fill order
+    int fill[14];
+    {
+        int rank_start[14] = {0};
+        for (int wt = 1; wt <= tlog; wt++) {
+            int cnt = 0;
+            for (int s2 = 0; s2 < nsym; s2++) if (w[s2] == wt) cnt++;
+            rank_start[wt + 1] = rank_start[wt] + cnt * (1 << (wt - 1));
+        }
+        std::memcpy(fill, rank_start, sizeof fill);
+    }
+    int start[256], len[256], L[256];
+    int lmin = tlog;
+    for (int s2 = 0; s2 < nsym; s2++) {
+        if (!w[s2]) { len[s2] = 0; continue; }
+        L[s2] = tlog + 1 - w[s2];
+        len[s2] = 1 << (w[s2] - 1);
+        start[s2] = fill[w[s2]];
+        fill[w[s2]] += len[s2];
+        if (L[s2] < lmin) lmin = L[s2];
+    }
+    for (int s1 = 0; s1 < nsym; s1++) {
+        if (!len[s1]) continue;
+        const int rem = tlog - L[s1];
+        const uint32_t single = (uint32_t)s1 | ((uint32_t)L[s1] << 16) |
+                                ((uint32_t)L[s1] << 21) | (1u << 26);
+        if (rem < lmin) {
+            for (int u = start[s1]; u < start[s1] + len[s1]; u++)
+                dt->fused2[u] = single;
+            continue;
+        }
+        // default to single, then overlay complete pairs
+        for (int u = start[s1]; u < start[s1] + len[s1]; u++)
+            dt->fused2[u] = single;
+        for (int s2 = 0; s2 < nsym; s2++) {
+            if (!len[s2] || L[s2] > rem) continue;
+            // code2 = top L2 bits of s2's T-bit range
+            const int code2 = start[s2] >> (tlog - L[s2]);
+            const int sub = rem - L[s2];                 // free low bits
+            const int lo = start[s1] + (code2 << sub);
+            const uint32_t pair = (uint32_t)s1 | ((uint32_t)s2 << 8) |
+                                  ((uint32_t)(L[s1] + L[s2]) << 16) |
+                                  ((uint32_t)L[s1] << 21) | (2u << 26);
+            for (int u = lo; u < lo + (1 << sub); u++) dt->fused2[u] = pair;
+        }
+    }
+    dt->x2_valid = true;
+}
+
+// 4-stream interleaved double-symbol decode.  Layout/pointer discipline
+// matches huf_decode_4x; the fast loop needs rem >= 11 so an unconditional
+// 2-byte store never crosses into the next stream's region.
+static int huf_decode_4x2(const uint8_t* pad, const int64_t* offs,
+                          const int64_t* sizes, const uint32_t* D, int tlog,
+                          uint8_t* out, const int64_t* osz) {
+    int64_t pos[4], rem[4];
+    const uint8_t* sb[4];
+    uint8_t* op[4];
+    int64_t ooff = 0;
+    for (int k = 0; k < 4; k++) {
+        pos[k] = br_init(pad + 16 + offs[k], sizes[k]);
+        if (pos[k] < 0) return -1;
+        sb[k] = pad + offs[k];
+        op[k] = out + ooff;
+        rem[k] = osz[k];
+        ooff += osz[k];
+    }
+    const uint64_t mask = (1ULL << tlog) - 1;
+    const int per = tlog <= 11 ? 5 : 4;
+    while (pos[0] >= 56 && pos[1] >= 56 && pos[2] >= 56 && pos[3] >= 56 &&
+           rem[0] >= 11 && rem[1] >= 11 && rem[2] >= 11 && rem[3] >= 11) {
+        for (int k = 0; k < 4; k++) {
+            const int64_t p = pos[k] - 56 + 16 * 8;
+            const uint64_t W = read_window(sb[k] + (p >> 3)) >> (p & 7);
+            int s = 56;
+            uint8_t* o = op[k];
+            for (int j = 0; j < per; j++) {
+                const uint32_t e = D[(W >> (s - tlog)) & mask];
+                o[0] = (uint8_t)e;
+                o[1] = (uint8_t)(e >> 8);
+                o += (e >> 26);
+                s -= (int)((e >> 16) & 31);
+            }
+            rem[k] -= o - op[k];
+            op[k] = o;
+            pos[k] -= 56 - s;
+        }
+    }
+    for (int k = 0; k < 4; k++) {
+        while (rem[k] > 0) {
+            if (pos[k] <= 0) return -1;
+            const int64_t p = pos[k] - tlog + 16 * 8;
+            const uint64_t idx = (read_window(sb[k] + (p >> 3)) >> (p & 7)) & mask;
+            const uint32_t e = D[idx];
+            if ((e >> 26) == 2 && rem[k] >= 2) {
+                op[k][0] = (uint8_t)e;
+                op[k][1] = (uint8_t)(e >> 8);
+                op[k] += 2; rem[k] -= 2;
+                pos[k] -= (int)((e >> 16) & 31);
+            } else {
+                op[k][0] = (uint8_t)e;
+                op[k] += 1; rem[k] -= 1;
+                pos[k] -= (int)((e >> 21) & 31);
+            }
+        }
+        if (pos[k] != 0) return -1;
+    }
+    return 0;
 }
 
 // ------------------------- literals section codec --------------------------
@@ -3149,8 +3275,20 @@ static int64_t decode_literals_c(const uint8_t* src, int64_t size,
         if (osz[3] < 0) { free(pad); return -1; }
         std::memcpy(pad + 16, payload + 6, (size_t)(psize - 6));
         const int64_t offs[4] = {6 - 6, l1, l1 + l2, l1 + l2 + l3};
-        rc = huf_decode_4x(pad, offs, isz, ent->huf.fused, ent->huf.tlog,
-                           lit, osz);
+        // Decoder selection (HUF_selectDecoder role): double-symbol X2 wins
+        // when two typical codes fit in one tableLog window:
+        // 2 * avgBits = 2 * 8*comp/regen <= tlog.
+        const int x2_env = getenv("ZT_HUF_X2") ? atoi(getenv("ZT_HUF_X2")) : -1;
+        const bool use_x2 = x2_env >= 0 ? x2_env != 0
+            : (regen >= 1024 && comp * 16 <= regen * (int64_t)ent->huf.tlog);
+        if (use_x2) {
+            if (!ent->huf.x2_valid) huf_build_x2(&ent->huf);
+            rc = huf_decode_4x2(pad, offs, isz, ent->huf.fused2,
+                                ent->huf.tlog, lit, osz);
+        } else {
+            rc = huf_decode_4x(pad, offs, isz, ent->huf.fused, ent->huf.tlog,
+                               lit, osz);
+        }
     }
     free(pad);
     if (rc != 0) return -1;
