@@ -114,3 +114,45 @@ class TestStreamingDecompressor:
         dec = StreamingDecompressor()
         assert dec.feed(frame + skip + frame) == data1k * 2
         assert dec.finished
+
+
+def test_mid_block_flush_makes_data_decodable():
+    """ZSTD_flushStream role: after flush(), the receiver can decode every
+    byte written so far, even mid-block; the frame still closes cleanly."""
+    import io
+
+    import zstandard
+
+    from zstdsharp_tpu.streaming import CompressionStream
+
+    sink = io.BytesIO()
+    cs = CompressionStream(sink, level=3)
+    part1 = b"hello flush " * 500  # far below one block
+    cs.write(part1)
+    cs.flush()
+    # a streaming oracle decoder must reproduce part1 from the flushed bytes
+    dctx = zstandard.ZstdDecompressor().decompressobj()
+    got = dctx.decompress(sink.getvalue())
+    assert got == part1
+    part2 = b"and more after the flush " * 300
+    cs.write(part2)
+    cs.close()
+    full = zstandard.ZstdDecompressor().decompress(
+        sink.getvalue(), max_output_size=len(part1) + len(part2) + 16)
+    assert full == part1 + part2
+
+
+def test_flush_empty_and_repeated():
+    import io
+
+    from zstdsharp_tpu.streaming import CompressionStream
+    from zstdsharp_tpu.decode.frame import decompress
+
+    sink = io.BytesIO()
+    cs = CompressionStream(sink, level=1)
+    cs.flush()  # nothing pending: at most the header
+    cs.write(b"abc")
+    cs.flush()
+    cs.flush()  # idempotent: no duplicate block
+    cs.close()
+    assert decompress(sink.getvalue()) == b"abc"

@@ -181,6 +181,25 @@ class FrameEncoder:
             self._finished = True
         return bytes(out)
 
+    def flush(self) -> bytes:
+        """Mid-block flush (ZSTD_flushStream:7714 / ZSTD_e_flush role):
+        force the buffered tail out as a (non-last) block so the receiver
+        can decode every byte fed so far.  Matcher/entropy state persists,
+        so flushing costs ratio only through the extra block header and a
+        sub-full block's entropy tables.  No-op on a finished frame
+        (io close paths flush after finishing)."""
+        if self._finished:
+            return b""
+        out = bytearray()
+        if not self._header_sent:
+            out += self._header
+            self._header_sent = True
+        while self._filled - self._emitted >= self.block_size:
+            self._emit_block(out, self._emitted + self.block_size, False)
+        if self._filled > self._emitted:
+            self._emit_block(out, self._filled, False)
+        return bytes(out)
+
     def finish(self) -> bytes:
         return self.feed(b"", end=True)
 

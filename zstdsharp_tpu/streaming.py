@@ -45,9 +45,11 @@ class CompressionStream(io.RawIOBase):
         return len(data)
 
     def flush(self) -> None:
-        # Block-granular flush: pending sub-block data is held until more
-        # input or close (full zstd mid-block flush lands with the
-        # flush-mode parameter; tracked in PARITY.md).
+        """Mid-block flush (ZSTD_e_flush role): everything written so far
+        becomes decodable by the receiver."""
+        produced = self._encoder.flush()
+        if produced:
+            self._inner.write(produced)
         if hasattr(self._inner, "flush"):
             self._inner.flush()
 
