@@ -240,6 +240,125 @@ int64_t execute_sequences(uint8_t* out, int64_t out_pos, int64_t out_cap,
     return out_pos + rest;
 }
 
+// Fused sequence decode + execute: one pass, no intermediate (ll, ml, of)
+// arrays (ZSTD_decompressSequences_body role — decode a sequence, run it).
+// Tables are struct-of-arrays as in fse_decode_sequences; literals are
+// consumed sequentially from lit; copies use the wildcopy discipline.
+static int64_t decode_execute_sequences(
+    const uint8_t* padded, int64_t payload_size, int64_t nb_seq,
+    const uint64_t* ll_f, int ll_log,
+    const uint64_t* of_f, int of_log,
+    const uint64_t* ml_f, int ml_log,
+    uint32_t* rep,
+    uint8_t* out, int64_t out_pos, int64_t out_cap, int64_t prefix_start,
+    const uint8_t* lit, int64_t n_literals) {
+
+    int64_t pos = br_init(padded + 16, payload_size);
+    if (pos < 0) return -1;
+
+    pos -= ll_log; uint32_t s_ll = (uint32_t)br_field(padded, pos, ll_log);
+    pos -= of_log; uint32_t s_of = (uint32_t)br_field(padded, pos, of_log);
+    pos -= ml_log; uint32_t s_ml = (uint32_t)br_field(padded, pos, ml_log);
+
+    uint64_t r0 = rep[0], r1 = rep[1], r2 = rep[2];
+    int64_t lit_pos = 0;
+
+    int64_t wpos = 0;
+    uint64_t win = 0;
+    auto reload = [&](int64_t at) {
+        wpos = at - 57;
+        if (wpos < -120) wpos = -120;
+        const int64_t pb = wpos + 16 * 8;
+        win = read_window(padded + (pb >> 3)) >> (pb & 7);
+    };
+    reload(pos);
+
+    for (int64_t i = 0; i < nb_seq; i++) {
+        const uint64_t eL = ll_f[s_ll], eM = ml_f[s_ml], eO = of_f[s_of];
+        const uint32_t llB = (uint32_t)eL; const int llb = (int)((eL >> 32) & 0xFF);
+        const uint32_t mlB = (uint32_t)eM; const int mlb = (int)((eM >> 32) & 0xFF);
+        const uint32_t ofB = (uint32_t)eO; const int ofb = (int)((eO >> 32) & 0xFF);
+
+        if (pos - ofb < wpos) reload(pos);
+        if (pos - ofb < wpos) return -2;
+
+        uint64_t offset;
+        if (ofb > 1) {
+            pos -= ofb;
+            offset = ofB + ((win >> (pos - wpos)) &
+                            ((ofb >= 64) ? ~0ULL : ((1ULL << ofb) - 1)));
+            r2 = r1; r1 = r0; r0 = offset;
+        } else {
+            const int ll0 = (llB == 0);
+            if (ofb == 0) {
+                offset = ll0 ? r1 : r0;
+                if (ll0) { uint64_t t = r0; r0 = r1; r1 = t; }
+            } else {
+                pos -= 1;
+                uint64_t idx = ofB + ll0 + ((win >> (pos - wpos)) & 1);
+                uint64_t t = (idx == 3) ? r0 - 1 : (idx == 1 ? r1 : r2);
+                if (t == 0) t = 1;
+                if (idx != 1) r2 = r1;
+                r1 = r0; r0 = offset = t;
+            }
+        }
+
+        if (pos - (mlb + llb) < wpos) reload(pos);
+        if (pos - (mlb + llb) < wpos) return -2;
+        uint64_t m = mlB;
+        if (mlb) { pos -= mlb; m += (win >> (pos - wpos)) & ((1ULL << mlb) - 1); }
+        uint64_t l = llB;
+        if (llb) { pos -= llb; l += (win >> (pos - wpos)) & ((1ULL << llb) - 1); }
+
+        // prefetch the match source before the state updates retire
+        __builtin_prefetch(out + out_pos + (int64_t)l - (int64_t)offset);
+
+        if (i != nb_seq - 1) {
+            const int nb1 = (int)(eL >> 56), nb2 = (int)(eM >> 56), nb3 = (int)(eO >> 56);
+            if (pos - (nb1 + nb2 + nb3) < wpos) reload(pos);
+            if (pos - (nb1 + nb2 + nb3) < wpos) return -2;
+            pos -= nb1; s_ll = (uint32_t)((eL >> 40) & 0xFFFF) + (uint32_t)((win >> (pos - wpos)) & ((1ULL << nb1) - 1));
+            pos -= nb2; s_ml = (uint32_t)((eM >> 40) & 0xFFFF) + (uint32_t)((win >> (pos - wpos)) & ((1ULL << nb2) - 1));
+            pos -= nb3; s_of = (uint32_t)((eO >> 40) & 0xFFFF) + (uint32_t)((win >> (pos - wpos)) & ((1ULL << nb3) - 1));
+            if (pos < 0) return -2;
+        }
+
+        // ---- execute (ll=l, ml=m, offset) ----
+        if (lit_pos + (int64_t)l > n_literals) return -3;
+        if (out_pos + (int64_t)(l + m) > out_cap) return -3;
+        const bool slack = out_pos + (int64_t)(l + m) + 31 <= out_cap;
+        if (l) {
+            if (slack) wildcopy16(out + out_pos, lit + lit_pos, (int64_t)l);
+            else std::memcpy(out + out_pos, lit + lit_pos, (size_t)l);
+            out_pos += l; lit_pos += l;
+        }
+        const int64_t o = (int64_t)offset;
+        if (o <= 0 || o > out_pos - prefix_start) return -3;
+        const uint8_t* cs = out + out_pos - o;
+        uint8_t* dst = out + out_pos;
+        if (o >= 16 && slack) {
+            wildcopy16(dst, cs, (int64_t)m);
+        } else if (o >= (int64_t)m) {
+            std::memcpy(dst, cs, (size_t)m);
+        } else if (slack) {
+            const int64_t O = o * ((16 + o - 1) / o);
+            const int64_t head = (int64_t)m < O ? (int64_t)m : O;
+            for (int64_t k = 0; k < head; k++) dst[k] = cs[k];
+            if ((int64_t)m > head) wildcopy16(dst + head, dst + head - O, m - head);
+        } else {
+            for (int64_t k = 0; k < (int64_t)m; k++) dst[k] = cs[k];
+        }
+        out_pos += m;
+    }
+    if (pos != 0) return -1;
+    rep[0] = (uint32_t)r0; rep[1] = (uint32_t)r1; rep[2] = (uint32_t)r2;
+
+    const int64_t rest = n_literals - lit_pos;
+    if (rest < 0 || out_pos + rest > out_cap) return -3;
+    std::memcpy(out + out_pos, lit + lit_pos, (size_t)rest);
+    return out_pos + rest;
+}
+
 // ---------------------------------------------------------------------------
 // Greedy fast match finder (single hash table)
 // ---------------------------------------------------------------------------
@@ -1513,8 +1632,18 @@ struct FseDTableC {
     uint8_t add_bits[1 << 10];
     uint16_t next_state[1 << 10];
     uint8_t state_bits[1 << 10];
+    // base | add<<32 | next_state<<40 | state_bits<<56 — one load per step
+    uint64_t fused[1 << 10];
     int tlog;
 };
+
+static void fse_fuse_dtable(FseDTableC* dt) {
+    for (int i = 0; i < (1 << dt->tlog); i++)
+        dt->fused[i] = (uint64_t)dt->base[i] |
+                       ((uint64_t)dt->add_bits[i] << 32) |
+                       ((uint64_t)dt->next_state[i] << 40) |
+                       ((uint64_t)dt->state_bits[i] << 56);
+}
 
 static void fse_build_dtable_c(FseDTableC* dt, const int16_t* norm, int max_sym,
                                int tlog, const uint32_t* base_tab,
@@ -2132,6 +2261,9 @@ static void codec_init() {
     fse_build_dtable_c(&kLLDefaultDT, kLLNorm, kMaxLL, kLLNormLog, kLLBase, kLLBits);
     fse_build_dtable_c(&kMLDefaultDT, kMLNorm, kMaxML, kMLNormLog, kMLBase, kMLBits);
     fse_build_dtable_c(&kOFDefaultDT, kOFNorm, kDefaultMaxOFF, kOFNormLog, kOFBase, kOFBits);
+    fse_fuse_dtable(&kLLDefaultDT);
+    fse_fuse_dtable(&kMLDefaultDT);
+    fse_fuse_dtable(&kOFDefaultDT);
     kInited = true;
 }
 
@@ -3305,6 +3437,7 @@ static int64_t build_seq_table_c(int mode, const uint8_t* src, int64_t size,
     if (mode == 1) {
         if (size < 1 || src[0] > max_sym) return -1;
         fse_rle_dtable_c(dt, src[0], base, bits);
+        fse_fuse_dtable(dt);
         *valid = true;
         return 1;
     }
@@ -3314,12 +3447,29 @@ static int64_t build_seq_table_c(int mode, const uint8_t* src, int64_t size,
         int64_t h = fse_read_ncount(norm, &ms, &tl, src, size, max_sym, max_log);
         if (h < 0) return -1;
         fse_build_dtable_c(dt, norm, ms, tl, base, bits);
+        fse_fuse_dtable(dt);
         *valid = true;
         return 0 + h;
     }
     // repeat
     if (!*valid) return -1;
     return 0;
+}
+
+// Stage profiler (ZT_PROF=1): nanoseconds per decode stage, printed at
+// frame end.  Zero overhead when disabled (single branch per stage).
+#include <ctime>
+#include <cstdio>
+static int64_t g_prof[4];  // 0=literals 1=tables 2=seqdecode 3=execute
+static inline int64_t prof_now() {
+    struct timespec ts;
+    clock_gettime(CLOCK_MONOTONIC, &ts);
+    return ts.tv_sec * 1000000000LL + ts.tv_nsec;
+}
+static bool prof_on() {
+    static int v = -1;
+    if (v < 0) v = getenv("ZT_PROF") ? 1 : 0;
+    return v == 1;
 }
 
 // Decode one compressed block into out at out_pos.  Returns new out_pos, -1.
@@ -3329,7 +3479,10 @@ static int64_t decode_block_c(const uint8_t* src, int64_t size,
                               int64_t prefix_start, uint8_t* lit_buf,
                               uint32_t* seq_buf, int64_t max_seq) {
     int64_t lit_size;
+    const bool prof = prof_on();
+    int64_t t0 = prof ? prof_now() : 0;
     int64_t consumed = decode_literals_c(src, size, ent, lit_buf, &lit_size);
+    if (prof) { int64_t t = prof_now(); g_prof[0] += t - t0; t0 = t; }
     if (consumed < 0) return -1;
     src += consumed;
     size -= consumed;
@@ -3369,24 +3522,22 @@ static int64_t decode_block_c(const uint8_t* src, int64_t size,
                           &kMLDefaultDT, kMLBase, kMLBits, kMaxML, kMLFseLog);
     if (h < 0) return -1;
     src += h; size -= h;
+    if (prof) { int64_t t = prof_now(); g_prof[1] += t - t0; t0 = t; }
 
-    uint32_t* d_ll = seq_buf;
-    uint32_t* d_ml = seq_buf + max_seq;
-    uint32_t* d_of = seq_buf + 2 * max_seq;
+    (void)seq_buf; (void)max_seq;
     uint8_t* pad = (uint8_t*)malloc((size_t)size + 24);
     if (!pad) return -1;
     std::memset(pad, 0, 16);
     std::memcpy(pad + 16, src, (size_t)size);
-    int64_t rc = fse_decode_sequences(
+    int64_t r2 = decode_execute_sequences(
         pad, size, nb_seq,
-        ent->ll.base, ent->ll.add_bits, ent->ll.next_state, ent->ll.state_bits, ent->ll.tlog,
-        ent->of.base, ent->of.add_bits, ent->of.next_state, ent->of.state_bits, ent->of.tlog,
-        ent->ml.base, ent->ml.add_bits, ent->ml.next_state, ent->ml.state_bits, ent->ml.tlog,
-        ent->rep, d_ll, d_ml, d_of);
+        ent->ll.fused, ent->ll.tlog,
+        ent->of.fused, ent->of.tlog,
+        ent->ml.fused, ent->ml.tlog,
+        ent->rep, out, out_pos, out_cap, prefix_start, lit_buf, lit_size);
     free(pad);
-    if (rc != 0) return -1;
-    return execute_sequences(out, out_pos, out_cap, prefix_start, lit_buf,
-                             lit_size, d_ll, d_ml, d_of, nb_seq);
+    if (prof) { int64_t t = prof_now(); g_prof[2] += t - t0; t0 = t; }
+    return r2 < 0 ? -1 : r2;
 }
 
 // Whole-frame block loop: src points after the frame header.  Returns
@@ -3394,6 +3545,7 @@ static int64_t decode_block_c(const uint8_t* src, int64_t size,
 int64_t decode_frame_body_c(const uint8_t* src, int64_t size, uint8_t* out,
                             int64_t out_cap, int64_t* consumed_out) {
     codec_init();
+    if (prof_on()) { g_prof[0] = g_prof[1] = g_prof[2] = g_prof[3] = 0; }
     EntropyStateC* ent = (EntropyStateC*)malloc(sizeof(EntropyStateC));
     if (!ent) return -1;
     ent->huf.valid = false;
@@ -3436,6 +3588,11 @@ int64_t decode_frame_body_c(const uint8_t* src, int64_t size, uint8_t* out,
         }
         if (last) break;
     }
+    if (prof_on())
+        fprintf(stderr, "ZT_PROF decode ns: literals=%lld tables=%lld "
+                "seqdec=%lld execute=%lld\n", (long long)g_prof[0],
+                (long long)g_prof[1], (long long)g_prof[2],
+                (long long)g_prof[3]);
     free(ent);
     free(lit_buf);
     free(seq_buf);
