@@ -156,3 +156,31 @@ def test_flush_empty_and_repeated():
     cs.flush()  # idempotent: no duplicate block
     cs.close()
     assert decompress(sink.getvalue()) == b"abc"
+
+
+def test_long_stream_bounded_memory():
+    """Round-buffer discipline (ZSTD_window_correctOverflow role): an
+    unbounded stream through a small window keeps the history buffer at
+    O(window) and every byte decodes correctly."""
+    import numpy as np
+    import zstandard
+
+    from zstdsharp_tpu.encode.frame import FrameEncoder
+    from zstdsharp_tpu.encode.params import CCtxParams
+
+    r = np.random.default_rng(42)
+    enc = FrameEncoder(CCtxParams(compression_level=3,
+                                  window_log=17).resolve(src_size_hint=-1))
+    out = bytearray()
+    total = bytearray()
+    peak = 0
+    for i in range(40):  # ~3.8 MB through a 128 KB window
+        words = [b"alpha", b"beta", b"gamma%d" % (i % 7), b"delta"]
+        chunk = b" ".join(words[int(j)] for j in r.integers(0, 4, 16000))[:96 * 1024]
+        total += chunk
+        out += enc.feed(chunk)
+        peak = max(peak, len(enc._buf))
+    out += enc.finish()
+    dctx = zstandard.ZstdDecompressor(max_window_size=1 << 20).decompressobj()
+    assert dctx.decompress(bytes(out)) == bytes(total)
+    assert peak < 4 * (1 << 20)

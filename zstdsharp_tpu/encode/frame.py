@@ -152,6 +152,41 @@ class FrameEncoder:
                 out += body
         self._emitted = end
 
+    def _maybe_trim(self) -> None:
+        """Round-buffer discipline (ZSTD_window_correctOverflow:589 role):
+        drop history beyond the match window so unbounded streams run in
+        O(window) memory.  Hash positions are rebased; the chain table's
+        pos&mask indexing stays valid because the trim amount is a multiple
+        of the chain size."""
+        window = 1 << self.params.cparams.window_log
+        keep = window + self.block_size
+        excess = self._emitted - keep
+        unit = self.block_size
+        if self.state.chain_table is not None:
+            unit = max(unit, len(self.state.chain_table))
+        if excess < unit:
+            return
+        delta = (excess // unit) * unit
+        self._buf[: self._filled - delta] = self._buf[delta : self._filled]
+        self._filled -= delta
+        self._emitted -= delta
+        self._dict_len = max(0, self._dict_len - delta)
+        st = self.state
+        st.window_start = max(0, st.window_start - delta)
+        ht = st.hash_table
+        np.subtract(ht, delta, out=ht, where=ht >= 0)
+        ht[ht < 0] = -1
+        if st.chain_table is not None:
+            ct = st.chain_table
+            np.subtract(ct, delta, out=ct, where=ct >= 0)
+            ct[ct < 0] = -1
+        if hasattr(st, "_next_to_insert"):
+            st._next_to_insert = max(0, st._next_to_insert - delta)
+        if hasattr(st, "dfast_long"):
+            lt = st.dfast_long
+            np.subtract(lt, delta, out=lt, where=lt >= 0)
+            lt[lt < 0] = -1
+
     def feed(self, data: bytes | np.ndarray, end: bool = False) -> bytes:
         """Consume input, return any compressed bytes produced."""
         assert not self._finished, "frame already finished"
@@ -169,6 +204,7 @@ class FrameEncoder:
         while self._filled - self._emitted >= self.block_size:
             is_tail = end and (self._filled - self._emitted == self.block_size)
             self._emit_block(out, self._emitted + self.block_size, is_tail)
+        self._maybe_trim()
         if end:
             if self._filled > self._emitted:
                 self._emit_block(out, self._filled, True)
