@@ -57,10 +57,10 @@ def main() -> None:
 
     # Warm up (builds the native engine) then measure steady state.
     frame = compress(data, 1)
-    best_enc = min(_timed(lambda: compress(data, 1)) for _ in range(3))
+    best_enc = min(_timed(lambda: compress(data, 1)) for _ in range(5))
     out = decompress(frame)
     assert out == data, "roundtrip mismatch"
-    best_dec = min(_timed(lambda: decompress(frame)) for _ in range(3))
+    best_dec = min(_timed(lambda: decompress(frame)) for _ in range(5))
 
     enc_gbs = n / best_enc / 1e9
     dec_gbs = n / best_dec / 1e9
@@ -86,7 +86,7 @@ def main() -> None:
 
         dev = jax.devices()[0]
         blk = np.frombuffer(data[: 64 << 17], np.uint8).reshape(64, 1 << 17)
-        f = jax.jit(jax.vmap(lambda b: candidate_stage(b, 16)))
+        f = jax.jit(jax.vmap(lambda b: candidate_stage(b, 15)))
         blk_d = jax.device_put(jnp.asarray(blk), dev)
         jax.block_until_ready(f(blk_d))
         t = _timed(lambda: jax.block_until_ready(f(blk_d)))

@@ -102,12 +102,26 @@ def candidate_stage(block: jax.Array, hash_log: int = 16):
     """
     n = block.shape[0]
     v32 = u32_at_every_byte(block)
-    h = hash4(v32, hash_log)
     v64 = u64_at_every_byte(block)
-    pos = jnp.arange(n, dtype=jnp.int32)
-    hs, ps, vs = jax.lax.sort((h, pos, v64), num_keys=1, is_stable=True)
+    pos = jnp.arange(n, dtype=jnp.uint32)
+    # Pack (hash, pos) into ONE sort key so a plain non-stable single-key
+    # sort replaces the stable 3-operand one (the sort is the wall: the
+    # whole stage runs within ~5% of a bare key sort on a v5e).  Blocks are
+    # <= 128KiB (17 position bits), so hash_log <= 15 packs into u32.
+    pos_bits = max(int(n - 1).bit_length(), 1)
+    if hash_log + pos_bits <= 32:
+        h = hash4(v32, hash_log)
+        key = (h.astype(jnp.uint32) << pos_bits) | pos
+    else:
+        h = hash4(v32, hash_log)
+        key = (h.astype(jnp.uint64) << 32) | pos.astype(jnp.uint64)
+    ks, vs = jax.lax.sort((key, v64), num_keys=1, is_stable=False)
+    ps = (ks & ((1 << pos_bits) - 1) if ks.dtype == jnp.uint32
+          else ks & jnp.uint64(0xFFFFFFFF)).astype(jnp.int32)
+    hshift = pos_bits if ks.dtype == jnp.uint32 else 32
     prev_v = jnp.concatenate([jnp.zeros(1, jnp.uint64), vs[:-1]])
-    same_h = jnp.concatenate([jnp.array([False]), hs[1:] == hs[:-1]])
+    same_h = jnp.concatenate(
+        [jnp.array([False]), (ks[1:] >> hshift) == (ks[:-1] >> hshift)])
     cand = jnp.concatenate([jnp.full(1, -1, jnp.int32), ps[:-1]])
     match4 = ((vs ^ prev_v) & jnp.uint64(0xFFFFFFFF)) == 0
     valid = same_h & (cand >= 0) & match4
