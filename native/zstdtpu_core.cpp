@@ -514,6 +514,105 @@ int64_t fast_find_matches(const uint8_t* src, int64_t src_len,
 }
 
 
+// u32 hash-table variant of fast_find_matches (positions stored +1, 0 =
+// empty): half the table footprint -> better cache residency for the
+// level-1/2 hot path.  Same search profile as the int64 version.
+int64_t fast_find_matches32(const uint8_t* src, int64_t src_len,
+                            int64_t start, int64_t end, int64_t window_start,
+                            int64_t window_size,
+                            uint32_t* table, int hlog, int mls,
+                            uint32_t* rep_io,
+                            uint32_t* out_ll, uint32_t* out_ml, uint32_t* out_ob,
+                            int64_t max_seq, int64_t* out_last_lit,
+                            int acceleration) {
+    if (end - start < 16) { *out_last_lit = end - start; return 0; }
+    const int64_t limit = end - 8;
+    const int64_t step0 = acceleration > 1 ? acceleration + 1 : 2;
+    int64_t rep0 = rep_io[0], rep1 = rep_io[1];
+    int64_t pos = start + (window_start == 0 && start == 0 ? 1 : 0);
+    int64_t anchor = start;
+    int64_t n_seq = 0;
+
+    while (n_seq + 4 < max_seq) {
+        int64_t step = step0;
+        int64_t next_step = pos + 128;
+        int64_t mp = -1, mc = -1;
+        int64_t ml = 0;
+        uint32_t ob = 0;
+
+        while (pos + 1 <= limit) {
+            const int64_t p2 = pos + step;
+            if (p2 <= limit && p2 - rep0 >= window_start &&
+                read32(src + p2) == read32(src + p2 - rep0)) {
+                mp = p2; mc = p2 - rep0;
+                if (mp > anchor && mc > window_start &&
+                    src[mp - 1] == src[mc - 1]) { mp--; mc--; }
+                ml = (p2 - mp) + 4 +
+                     count_match(src, p2 + 4, p2 + 4 - rep0, end);
+                ob = 1;
+                break;
+            }
+            {
+                const uint32_t hv = hash_mls(src + pos, hlog, mls);
+                const int64_t cand = (int64_t)table[hv] - 1;
+                table[hv] = (uint32_t)(pos + 1);
+                if (cand >= window_start && cand >= pos - (window_size - 1) &&
+                    read32(src + cand) == read32(src + pos)) {
+                    mp = pos; mc = cand;
+                    break;
+                }
+            }
+            if (pos + 1 <= limit) {
+                const int64_t p1 = pos + 1;
+                const uint32_t hv = hash_mls(src + p1, hlog, mls);
+                const int64_t cand = (int64_t)table[hv] - 1;
+                table[hv] = (uint32_t)(p1 + 1);
+                if (cand >= window_start && cand >= p1 - (window_size - 1) &&
+                    read32(src + cand) == read32(src + p1)) {
+                    mp = p1; mc = cand;
+                    break;
+                }
+            }
+            pos += step;
+            if (pos >= next_step) { step++; next_step += 128; }
+        }
+        if (mp < 0) break;
+
+        if (ob == 0) {
+            ml = 4 + count_match(src, mp + 4, mc + 4, end);
+            while (mp > anchor && mc > window_start &&
+                   src[mp - 1] == src[mc - 1]) { mp--; mc--; ml++; }
+            const int64_t offset = mp - mc;
+            ob = (uint32_t)(offset + 3);
+            rep1 = rep0; rep0 = offset;
+        }
+        out_ll[n_seq] = (uint32_t)(mp - anchor);
+        out_ml[n_seq] = (uint32_t)ml;
+        out_ob[n_seq] = ob;
+        n_seq++;
+        pos = mp + ml; anchor = pos;
+
+        if (pos <= limit) {
+            if (mp + 2 <= limit) table[hash_mls(src + mp + 2, hlog, mls)] = (uint32_t)(mp + 3);
+            if (pos - 2 > start) table[hash_mls(src + pos - 2, hlog, mls)] = (uint32_t)(pos - 1);
+            while (pos <= limit && n_seq < max_seq &&
+                   pos - rep1 >= window_start &&
+                   read32(src + pos) == read32(src + pos - rep1)) {
+                const int64_t ml2 = 4 + count_match(src, pos + 4, pos + 4 - rep1, end);
+                const int64_t t = rep0; rep0 = rep1; rep1 = t;
+                table[hash_mls(src + pos, hlog, mls)] = (uint32_t)(pos + 1);
+                out_ll[n_seq] = 0; out_ml[n_seq] = (uint32_t)ml2; out_ob[n_seq] = 1;
+                n_seq++;
+                pos += ml2; anchor = pos;
+            }
+        }
+        if (pos + 1 > limit) break;
+    }
+    rep_io[0] = (uint32_t)rep0; rep_io[1] = (uint32_t)rep1;
+    *out_last_lit = end - anchor;
+    return n_seq;
+}
+
 // ---------------------------------------------------------------------------
 // Double-fast match finder (levels 3-4; ZstdDoubleFast.cs role)
 // ---------------------------------------------------------------------------
@@ -2963,6 +3062,13 @@ int64_t compress_frame_body_ldm_c(const uint8_t* src, int64_t n, int strategy,
     int64_t* table = (int64_t*)malloc((size_t)tbl_n * 8);
     if (!table) return -1;
     for (int64_t i = 0; i < tbl_n; i++) table[i] = -1;
+    // level-1/2 fast path: compact u32 table (positions stored +1)
+    uint32_t* table32 = nullptr;
+    if (strategy <= 1 && !use_ldm && n < (1LL << 31) &&
+        !(getenv("ZT_FAST64"))) {
+        table32 = (uint32_t*)calloc((size_t)tbl_n, 4);
+        if (!table32) { free(table); return -1; }
+    }
     int64_t* chain = nullptr;
     if ((strategy >= 2 && strategy < 6) || (use_ldm && strategy < 6)) {
         chain = (int64_t*)malloc((size_t)(1LL << chain_log) * 8);
@@ -3125,6 +3231,11 @@ int64_t compress_frame_body_ldm_c(const uint8_t* src, int64_t n, int strategy,
                                        table, hash_log, chain, chain_log, mls,
                                        rep, s_ll, s_ml, s_ob, max_seq_cap,
                                        &last_lit);
+        } else if (strategy <= 2 && table32) {
+            n_seq = fast_find_matches32(src, n, pos, end, 0, 1LL << window_log,
+                                        table32, hash_log, mls, rep, s_ll,
+                                        s_ml, s_ob, max_seq_cap, &last_lit,
+                                        accel);
         } else if (strategy <= 2) {
             n_seq = fast_find_matches(src, n, pos, end, 0, 1LL << window_log,
                                       table, hash_log, mls, rep, s_ll, s_ml,
@@ -3247,6 +3358,7 @@ int64_t compress_frame_body_ldm_c(const uint8_t* src, int64_t n, int strategy,
         pos = end;
     }
     free(table);
+    free(table32);
     free(chain);
     free(bt);
     free(h3);

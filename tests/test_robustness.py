@@ -86,3 +86,77 @@ class TestOwnFramesFuzzed:
         a = compress(text_corpus[:1000], 3)
         with pytest.raises((ZstdError, Exception)):
             decompress(a + a[: len(a) // 2])
+
+
+class TestFeatureMatrixDifferential:
+    """Randomized parameter-combination fuzz: every frame we emit must be
+    accepted bit-exactly by libzstd AND by our own decoder (the reference's
+    differential strategy, ZstdTest.cs:69 shape, over the full feature
+    matrix: levels x splitter x targetCBlockSize x LDM x checksum x flush)."""
+
+    def _mixed_payload(self, r, n):
+        parts = []
+        while sum(map(len, parts)) < n:
+            kind = int(r.integers(0, 5))
+            if kind == 0:
+                parts.append(b"lorem ipsum dolor sit amet " * int(r.integers(1, 60)))
+            elif kind == 1:
+                parts.append(r.integers(0, 256, int(r.integers(10, 4000)),
+                                        dtype=np.uint8).tobytes())
+            elif kind == 2:
+                parts.append(bytes([int(r.integers(0, 256))]) * int(r.integers(4, 9000)))
+            elif kind == 3:
+                parts.append(b'{"k": %d}' % int(r.integers(0, 10 ** 9)))
+            else:
+                seed = r.integers(0, 256, 64, dtype=np.uint8).tobytes()
+                parts.append(seed * int(r.integers(2, 40)))
+        return b"".join(parts)[:n]
+
+    def test_random_param_combinations(self):
+        import zstandard
+
+        from zstdsharp_tpu.encode.frame import compress as zc
+        from zstdsharp_tpu.encode.params import CCtxParams
+
+        r = np.random.default_rng(20260816)
+        for trial in range(30):
+            n = int(r.integers(100, 300_000))
+            data = self._mixed_payload(r, n)
+            level = int(r.choice([-5, -1, 1, 2, 3, 5, 7, 9, 12, 13, 16, 19]))
+            p = CCtxParams(
+                compression_level=level,
+                checksum_flag=bool(r.integers(0, 2)),
+                block_splitter=bool(r.integers(0, 2)) or None,
+                target_cblock_size=int(r.choice([0, 0, 1340, 4096])),
+                ldm=bool(r.integers(0, 2)) or None,
+            )
+            frame = zc(data, params=p)
+            ref = zstandard.ZstdDecompressor().decompress(
+                frame, max_output_size=2 * n + 64)
+            assert ref == data, f"trial {trial}: level {level} params {p}"
+            assert decompress(frame) == data
+
+    def test_random_stream_flush_points(self):
+        import io
+
+        import zstandard
+
+        from zstdsharp_tpu.streaming import CompressionStream
+
+        r = np.random.default_rng(77)
+        for trial in range(10):
+            data = self._mixed_payload(r, int(r.integers(1000, 400_000)))
+            sink = io.BytesIO()
+            cs = CompressionStream(sink, level=int(r.choice([1, 3, 9, 13])))
+            pos = 0
+            while pos < len(data):
+                step = int(r.integers(1, 70_000))
+                cs.write(data[pos : pos + step])
+                pos += step
+                if r.integers(0, 3) == 0:
+                    cs.flush()
+            cs.close()
+            out = zstandard.ZstdDecompressor().decompress(
+                sink.getvalue(), max_output_size=2 * len(data) + 64)
+            assert out == data, f"trial {trial}"
+            assert decompress(sink.getvalue()) == data
