@@ -1330,15 +1330,36 @@ int64_t huf_encode_4streams(const uint8_t* lit, int64_t n,
             const uint32_t e = enc[base[k][i]];
             rc = bw_add(&w[k], e & 0xFFFF, (int)(e >> 16));
         }
-    for (int64_t r = rounds - 1; r >= 0 && rc == 0; r--) {
-        const uint32_t e0 = enc[base[0][r]];
-        const uint32_t e1 = enc[base[1][r]];
-        const uint32_t e2 = enc[base[2][r]];
-        const uint32_t e3 = enc[base[3][r]];
-        rc |= bw_add(&w[0], e0 & 0xFFFF, (int)(e0 >> 16));
-        rc |= bw_add(&w[1], e1 & 0xFFFF, (int)(e1 >> 16));
-        rc |= bw_add(&w[2], e2 & 0xFFFF, (int)(e2 >> 16));
-        rc |= bw_add(&w[3], e3 & 0xFFFF, (int)(e3 >> 16));
+    // 5 unconditional adds per flush: 5*11 bits + 7 residual <= 62, so no
+    // per-symbol overflow checks are needed between flushes.  Drain any
+    // residue from the tail loop first (bw_add can leave up to 64 bits).
+    for (int k = 0; k < 4; k++) rc |= bw_flush(&w[k]);
+    int64_t r = rounds;
+    while (r >= 5 && rc == 0) {
+        for (int j = 0; j < 5; j++) {
+            const int64_t i = r - 1 - j;
+            const uint32_t e0 = enc[base[0][i]];
+            const uint32_t e1 = enc[base[1][i]];
+            const uint32_t e2 = enc[base[2][i]];
+            const uint32_t e3 = enc[base[3][i]];
+            w[0].acc |= (uint64_t)(e0 & 0xFFFF) << w[0].nbits; w[0].nbits += (int)(e0 >> 16);
+            w[1].acc |= (uint64_t)(e1 & 0xFFFF) << w[1].nbits; w[1].nbits += (int)(e1 >> 16);
+            w[2].acc |= (uint64_t)(e2 & 0xFFFF) << w[2].nbits; w[2].nbits += (int)(e2 >> 16);
+            w[3].acc |= (uint64_t)(e3 & 0xFFFF) << w[3].nbits; w[3].nbits += (int)(e3 >> 16);
+        }
+        rc |= bw_flush(&w[0]);
+        rc |= bw_flush(&w[1]);
+        rc |= bw_flush(&w[2]);
+        rc |= bw_flush(&w[3]);
+        r -= 5;
+    }
+    while (r > 0 && rc == 0) {
+        const int64_t i = r - 1;
+        for (int k = 0; k < 4; k++) {
+            const uint32_t e = enc[base[k][i]];
+            rc |= bw_add(&w[k], e & 0xFFFF, (int)(e >> 16));
+        }
+        r--;
     }
     if (rc) { free(scratch); return -1; }
     int64_t sizes[4];
