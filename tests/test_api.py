@@ -171,3 +171,40 @@ class TestTraceHooks:
         assert "decompress_end" in kinds
         end = next(e for e in events if e.kind == "compress_end")
         assert end.dst_size == len(frame) and end.duration_s > 0
+
+
+def test_find_frame_compressed_size():
+    from zstdsharp_tpu.decode.frame import find_frame_compressed_size
+    from zstdsharp_tpu.encode.frame import compress, write_skippable_frame
+
+    a = compress(b"hello world " * 100, 3, checksum=True)
+    b = compress(b"second frame", 1)
+    skip = write_skippable_frame(b"meta", 0)
+    stream = a + skip + b
+    n1 = find_frame_compressed_size(stream)
+    assert n1 == len(a)
+    n2 = find_frame_compressed_size(stream[n1:])
+    assert n2 == len(skip)
+    assert find_frame_compressed_size(stream[n1 + n2:]) == len(b)
+
+
+def test_estimate_sizes_positive_and_ordered():
+    from zstdsharp_tpu.encode.params import estimate_cctx_size, estimate_dctx_size
+
+    small = estimate_cctx_size(1)
+    big = estimate_cctx_size(19)
+    assert 0 < small < big
+    assert estimate_dctx_size() > 0
+
+
+def test_streaming_no_forward_progress_guard():
+    import pytest
+
+    from zstdsharp_tpu.decode.streaming import StreamingDecompressor
+    from zstdsharp_tpu.errors import ZstdError
+
+    d = StreamingDecompressor()
+    d.feed(b"\x28\xb5\x2f\xfd")  # magic only; decoder now waits for header
+    with pytest.raises(ZstdError):
+        for _ in range(20):  # empty feeds: must abort, not spin forever
+            d.feed(b"")

@@ -124,6 +124,31 @@ def frame_info(src: bytes) -> FrameInfo:
     return _scan_frame(bytes(src))
 
 
+def find_frame_compressed_size(src: bytes) -> int:
+    """ZSTD_findFrameCompressedSize:958 — bytes of the first frame
+    (incl. header/blocks/checksum, or the whole skippable frame)."""
+    buf = bytes(src)
+    check(len(buf) >= 4, ZstdErrorCode.srcSize_wrong, "input too small")
+    magic = int.from_bytes(buf[:4], "little")
+    if (magic & C.ZSTD_MAGIC_SKIPPABLE_MASK) == C.ZSTD_MAGIC_SKIPPABLE_START:
+        check(len(buf) >= 8, ZstdErrorCode.srcSize_wrong)
+        return 8 + int.from_bytes(buf[4:8], "little")
+    hdr = parse_frame_header(np.frombuffer(buf, np.uint8))
+    pos = hdr.header_size
+    while True:
+        check(len(buf) >= pos + 3, ZstdErrorCode.srcSize_wrong)
+        bh = int.from_bytes(buf[pos : pos + 3], "little")
+        btype = (bh >> 1) & 3
+        check(btype != 3, ZstdErrorCode.corruption_detected, "reserved block")
+        pos += 3 + (1 if btype == 1 else bh >> 3)
+        if bh & 1:
+            break
+    if hdr.has_checksum:
+        pos += 4
+    check(pos <= len(buf), ZstdErrorCode.srcSize_wrong)
+    return pos
+
+
 def decompress_bound(src: bytes) -> int:
     """Upper bound on decompressed size of all frames (ZSTD_decompressBound:971)."""
     src = bytes(src)

@@ -79,6 +79,16 @@ class StreamingDecompressor:
             produced = self._step(out)
             if not produced:
                 break
+        # Livelock guard (noForwardProgress, ZSTD_DCtx_s.cs:116 role): a
+        # caller feeding without the stream advancing is aborted after 16
+        # fruitless calls instead of spinning forever.
+        if not out and not chunk and not self.finished:
+            self._no_progress = getattr(self, "_no_progress", 0) + 1
+            check(self._no_progress < 16,
+                  ZstdErrorCode.noForwardProgress_inputEmpty,
+                  "16 calls without input or output progress")
+        else:
+            self._no_progress = 0
         return bytes(out)
 
     def _ensure_out(self, need: int) -> None:

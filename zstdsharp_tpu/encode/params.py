@@ -169,3 +169,27 @@ class ResolvedParams:
     ldm: bool = False
     block_splitter: bool = True
     target_cblock_size: int = 0
+
+
+def estimate_cctx_size(level: int = C.ZSTD_DEFAULT_CLEVEL,
+                       src_size_hint: int = -1) -> int:
+    """ZSTD_estimateCCtxSize:2212 analog: bytes of matcher/entropy working
+    state the native engine allocates for one frame at this level."""
+    cp = CompressionParameters.from_level(level, src_size_hint)
+    size = (1 << cp.hash_log) * 8            # hash heads
+    if int(cp.strategy) >= 6:
+        size += (2 << cp.chain_log) * 4      # binary-tree links
+        size += (1 << 16) * 8                # hash3 heads
+    elif int(cp.strategy) >= 2:
+        size += (1 << cp.chain_log) * 8      # chain links
+    size += ((1 << 17) // 3 + 16) * 12       # sequence scratch
+    size += 1 << 17                          # literals scratch
+    return size
+
+
+def estimate_dctx_size() -> int:
+    """ZSTD_estimateDCtxSize analog: decoder working state (entropy tables
+    + literal/sequence scratch)."""
+    huf = (1 << 12) * (1 + 1 + 2 + 4) + 256  # X1 + fused + X2 tables
+    fse = 3 * ((1 << 10) * (4 + 1 + 2 + 1 + 8))
+    return huf + fse + (1 << 17) + 64 + ((1 << 17) // 3 + 16) * 12
