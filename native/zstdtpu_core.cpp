@@ -807,12 +807,13 @@ struct LazyCtx {
     int64_t attempts;
     int64_t insert_from;
     int64_t limit;
+    int mls = 4;          // hash width (min_match clamped to 4..8)
 };
 
 static inline void lazy_insert_upto(LazyCtx* c, int64_t p) {
     int64_t stop = p < c->limit ? p : c->limit;
     for (int64_t i = c->insert_from; i < stop; i++) {
-        const uint32_t hv = hash32(read32(c->src + i), c->hlog);
+        const uint32_t hv = hash_mls(c->src + i, c->hlog, c->mls);
         c->chain[i & c->chain_mask] = c->table[hv];
         c->table[hv] = i;
     }
@@ -823,7 +824,7 @@ static inline int64_t lazy_search(LazyCtx* c, int64_t p, int64_t end,
                                   int64_t* best_off) {
     lazy_insert_upto(c, p);
     const uint32_t cur = read32(c->src + p);
-    int64_t cand = c->table[hash32(cur, c->hlog)];
+    int64_t cand = c->table[hash_mls(c->src + p, c->hlog, c->mls)];
     const int64_t low = (p - (c->window_size - 1)) > c->window_start
                         ? p - (c->window_size - 1) : c->window_start;
     int64_t best_len = 0; *best_off = 0;
@@ -1141,10 +1142,11 @@ int64_t lazy_find_matches(const uint8_t* src, int64_t src_len,
                           int depth, int64_t* insert_from_io,
                           uint32_t* rep_io,
                           uint32_t* out_ll, uint32_t* out_ml, uint32_t* out_ob,
-                          int64_t max_seq, int64_t* out_last_lit) {
+                          int64_t max_seq, int64_t* out_last_lit, int mls) {
     if (end - start < 16) { *out_last_lit = end - start; return 0; }
     LazyCtx c{src, table, chain, chain_size - 1, hlog, window_start,
-              window_size, attempts, *insert_from_io, end - 8};
+              window_size, attempts, *insert_from_io, end - 8,
+              mls < 4 ? 4 : (mls > 8 ? 8 : mls)};
     int64_t n = lazy_core<LazyCtx, lazy_search_v, lazy_insert_upto_v>(
         &c, src, start, end, window_start, depth, rep_io,
         out_ll, out_ml, out_ob, max_seq, out_last_lit);
@@ -3165,7 +3167,8 @@ int64_t compress_frame_body_ldm_c(const uint8_t* src, int64_t n, int strategy,
         return lazy_find_matches(src, n, from, to, 0, 1LL << window_log,
                                  table, hash_log, chain, 1LL << chain_log,
                                  1LL << search_log, strategy >= 5 ? 2 : 1,
-                                 &insert_from, rep, gll, gml, gob, budget, gl);
+                                 &insert_from, rep, gll, gml, gob, budget, gl,
+                                 min_match);
     };
 
     if (n == 0) {
@@ -3304,7 +3307,7 @@ int64_t compress_frame_body_ldm_c(const uint8_t* src, int64_t n, int strategy,
                                       table, hash_log, chain, 1LL << chain_log,
                                       1LL << search_log, depth, &insert_from,
                                       rep, s_ll, s_ml, s_ob, max_seq_cap,
-                                      &last_lit);
+                                      &last_lit, min_match);
         }
         if (n_seq < 0) { rc = -1; break; }
         // Optional block split (btopt+): partitions with homogeneous

@@ -219,7 +219,8 @@ def compress_block_lazy(src: np.ndarray, start: int, end: int,
                 np.ascontiguousarray(src), start, end, state.window_start,
                 1 << cp.window_log, state.hash_table, cp.hash_log,
                 state.chain_table, 1 << cp.search_log, depth,
-                getattr(state, "_next_to_insert", start), state.rep)
+                getattr(state, "_next_to_insert", start), state.rep,
+                mls=cp.min_match)
             if res is not None:
                 lls, mls, obs, last_lit, ins = res
                 state._next_to_insert = ins

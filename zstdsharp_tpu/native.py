@@ -82,7 +82,7 @@ def _load():
         lib.lazy_find_matches.restype = i64
         lib.lazy_find_matches.argtypes = [u8p, i64, i64, i64, i64, i64, i64p,
                                           i32, i64p, i64, i64, i32, i64p, u32p,
-                                          u32p, u32p, u32p, i64, i64p]
+                                          u32p, u32p, u32p, i64, i64p, i32]
         lib.encode_sequences.restype = i64
         lib.encode_sequences.argtypes = (
             [u32p, u32p, u32p, u8p, u8p, u8p, u8p, u8p, i64]
@@ -242,7 +242,7 @@ def hybrid_select(src: np.ndarray, n_valid: int, cand: np.ndarray,
 def lazy_find_matches(src: np.ndarray, start: int, end: int, window_start: int,
                       window_size: int, table: np.ndarray, hash_log: int,
                       chain: np.ndarray, attempts: int, depth: int,
-                      insert_from: int, rep: list[int]):
+                      insert_from: int, rep: list[int], mls: int = 4):
     lib = get_lib()
     if lib is None:
         return None
@@ -260,7 +260,7 @@ def lazy_find_matches(src: np.ndarray, start: int, end: int, window_start: int,
         _ptr(ins, ctypes.c_int64), _ptr(rep_arr, ctypes.c_uint32),
         _ptr(out_ll, ctypes.c_uint32), _ptr(out_ml, ctypes.c_uint32),
         _ptr(out_ob, ctypes.c_uint32), max_seq,
-        _ptr(last_lit, ctypes.c_int64))
+        _ptr(last_lit, ctypes.c_int64), max(4, min(8, mls)))
     if n < 0:
         return None
     rep[0], rep[1] = int(rep_arr[0]), int(rep_arr[1])
