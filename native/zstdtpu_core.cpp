@@ -707,7 +707,7 @@ int64_t dfast_find_matches(const uint8_t* src, int64_t src_len,
                 goto dfast_tail;
             }
         }
-        pos += 1 + ((pos - anchor) >> 7);
+        pos += 1 + ((pos - anchor) >> 8);
         continue;
 
     dfast_tail:
@@ -2291,8 +2291,15 @@ static int64_t raw_literals(const uint8_t* lit, int64_t n, uint8_t* out,
 }
 
 // Encode literals (raw/RLE/compressed choice).  Returns bytes or -1.
+// Cross-block encoder entropy state: previous Huffman table for the
+// repeat-literals mode (HUF_repeat / ZSTD_compressLiterals:86 role).
+struct EncEntropyC {
+    HufCTableC huf;
+    bool huf_valid;
+};
+
 static int64_t encode_literals_c(const uint8_t* lit, int64_t n, uint8_t* out,
-                                 int64_t cap) {
+                                 int64_t cap, EncEntropyC* est) {
     if (n == 0) { out[0] = 0; return 1; }
     bool all_same = true;
     for (int64_t i = 1; i < n; i++) if (lit[i] != lit[0]) { all_same = false; break; }
@@ -2328,6 +2335,23 @@ static int64_t encode_literals_c(const uint8_t* lit, int64_t n, uint8_t* out,
     int64_t tsize = huf_write_ctable(&ct, table_buf, sizeof table_buf);
     if (tsize < 0) return raw_literals(lit, n, out, cap);
 
+    // Repeat-table candidate: reuse the previous block's table (type 3, no
+    // header) when its estimated payload beats fresh table + payload.
+    bool use_repeat = false;
+    if (est && est->huf_valid) {
+        uint64_t fresh_bits = 0, rep_bits = 0;
+        bool coverable = true;
+        for (int sy = 0; sy <= max_sym && coverable; sy++) {
+            if (!counts[sy]) continue;
+            fresh_bits += (uint64_t)counts[sy] * ct.nbits[sy];
+            if (sy > est->huf.max_sym || est->huf.nbits[sy] == 0) coverable = false;
+            else rep_bits += (uint64_t)counts[sy] * est->huf.nbits[sy];
+        }
+        if (coverable && rep_bits / 8 + 1 < fresh_bits / 8 + (uint64_t)tsize)
+            use_repeat = true;
+    }
+    if (use_repeat) ct = est->huf;
+
     uint8_t* payload = (uint8_t*)malloc((size_t)(n + 64));
     if (!payload) return -1;
     int64_t psize;
@@ -2339,19 +2363,22 @@ static int64_t encode_literals_c(const uint8_t* lit, int64_t n, uint8_t* out,
         if (psize < 0) { free(payload); return raw_literals(lit, n, out, cap); }
     }
     if (psize < 0) { free(payload); return raw_literals(lit, n, out, cap); }
-    const int64_t comp = tsize + psize;
+    const int64_t hdr_t = use_repeat ? 0 : tsize;
+    const int64_t comp = hdr_t + psize;
     const int64_t min_gain = (n >> 6) + 2;
     if (comp >= n - min_gain) { free(payload); return raw_literals(lit, n, out, cap); }
+    const int lit_type = use_repeat ? 3 : 2;
     int sf;
-    if (single) sf = 0;
+    if (single) sf = 0;                              // 1 stream
     else if (n < 1024 && comp < 1024) sf = 1;
     else if (n < 16384 && comp < 16384) sf = 2;
     else sf = 3;
-    int64_t h = write_lit_header(out, 2, sf, n, comp);
+    int64_t h = write_lit_header(out, lit_type, sf, n, comp);
     if (h + comp > cap) { free(payload); return -1; }
-    std::memcpy(out + h, table_buf, (size_t)tsize);
-    std::memcpy(out + h + tsize, payload, (size_t)psize);
+    if (!use_repeat) std::memcpy(out + h, table_buf, (size_t)tsize);
+    std::memcpy(out + h + hdr_t, payload, (size_t)psize);
     free(payload);
+    if (est && !use_repeat) { est->huf = ct; est->huf_valid = true; }
     return h + comp;
 }
 
@@ -2463,7 +2490,8 @@ static int64_t select_channel(const uint8_t* codes, int64_t n, int max_allowed,
 static int64_t encode_block_body_c(const uint8_t* block, int64_t nv,
                                    const uint32_t* ll, const uint32_t* mlv,
                                    const uint32_t* ob, int64_t n_seq,
-                                   int64_t last_lit, uint8_t* out, int64_t cap) {
+                                   int64_t last_lit, uint8_t* out, int64_t cap,
+                                   EncEntropyC* est = nullptr) {
     codec_init();
     // Literals: gather uncovered bytes.
     int64_t lit_total = last_lit;
@@ -2479,7 +2507,7 @@ static int64_t encode_block_body_c(const uint8_t* block, int64_t nv,
         }
         std::memcpy(lit + lp, block + nv - last_lit, (size_t)last_lit);
     }
-    int64_t size = encode_literals_c(lit, lit_total, out, cap);
+    int64_t size = encode_literals_c(lit, lit_total, out, cap, est);
     free(lit);
     if (size < 0) return -1;
 
@@ -3130,6 +3158,8 @@ int64_t compress_frame_body_ldm_c(const uint8_t* src, int64_t n, int strategy,
         if (!ost) { free(table); free(chain); free(s_ll); return -1; }
         opt_seed_default(ost);
     }
+    EncEntropyC enc_state;
+    enc_state.huf_valid = false;
 
     // LDM state: bucket table + per-frame candidate list.
     const int ldm_hash_log = 20;
@@ -3346,7 +3376,8 @@ int64_t compress_frame_body_ldm_c(const uint8_t* src, int64_t n, int strategy,
                     if (size + 3 + pbn + 32 > cap) { fail = true; break; }
                     int64_t pbody = encode_block_body_c(
                         src + pos + pa, pbn, s_ll + a, s_ml + a, s_ob + a,
-                        b2 - a, plast, out + size + 3, cap - size - 3 - 8);
+                        b2 - a, plast, out + size + 3, cap - size - 3 - 8,
+                        &enc_state);
                     if (pbody < 0) {
                         const uint32_t bh = (uint32_t)(plast_flag | (0 << 1) | (pbn << 3));
                         out[size] = (uint8_t)bh; out[size + 1] = (uint8_t)(bh >> 8);
@@ -3368,7 +3399,7 @@ int64_t compress_frame_body_ldm_c(const uint8_t* src, int64_t n, int strategy,
         }
         int64_t body = encode_block_body_c(src + pos, bn, s_ll, s_ml, s_ob,
                                            n_seq, last_lit, out + size + 3,
-                                           cap - size - 3 - 8);
+                                           cap - size - 3 - 8, &enc_state);
         if (body < 0) {
             const uint32_t bh = (uint32_t)(last | (0 << 1) | (bn << 3));
             out[size] = (uint8_t)bh; out[size + 1] = (uint8_t)(bh >> 8);
