@@ -18,6 +18,22 @@
 #include <cstring>
 #include <cstddef>
 #include <cstdlib>
+#include <ctime>
+#include <cstdio>
+
+// Stage profiler (ZT_PROF=1): nanoseconds per codec stage, printed at
+// frame end.  Zero overhead when disabled (single branch per stage).
+static int64_t g_prof[4];
+static inline int64_t prof_now() {
+    struct timespec ts;
+    clock_gettime(CLOCK_MONOTONIC, &ts);
+    return ts.tv_sec * 1000000000LL + ts.tv_nsec;
+}
+static bool prof_on() {
+    static int v = -1;
+    if (v < 0) v = getenv("ZT_PROF") ? 1 : 0;
+    return v == 1;
+}
 
 extern "C" {
 
@@ -1276,14 +1292,47 @@ int64_t encode_sequences(
     if (bw_add(&w, ll[n - 1], ll_bits_tab[llc[n - 1]])) return -1;
     if (bw_add(&w, mlv[n - 1], ml_bits_tab[mlc[n - 1]])) return -1;
     if (bw_add(&w, ob[n - 1], ofc[n - 1])) return -1;
+    if (bw_flush(&w)) return -1;
 
-    for (int64_t i = n - 2; i >= 0; i--) {
-        if (fse_enc(&e_of, &w, ofc[i])) return -1;
-        if (fse_enc(&e_ml, &w, mlc[i])) return -1;
-        if (fse_enc(&e_ll, &w, llc[i])) return -1;
-        if (bw_add(&w, ll[i], ll_bits_tab[llc[i]])) return -1;
-        if (bw_add(&w, mlv[i], ml_bits_tab[mlc[i]])) return -1;
-        if (bw_add(&w, ob[i], ofc[i])) return -1;
+    // Register-resident hot loop: two unconditional 8-byte flushes per
+    // sequence (state bits + ll extra <= 49 bits incl. residue, ml + ob
+    // extras <= 54), one capacity check per sequence.
+    {
+        uint64_t acc = w.acc;
+        int nb = w.nbits;
+        uint8_t* o = w.out + w.nbytes;
+        uint8_t* const oend = w.out + w.cap - 16;
+        uint32_t v_of = e_of.value, v_ml = e_ml.value, v_ll = e_ll.value;
+        for (int64_t i = n - 2; i >= 0; i--) {
+            if (o >= oend) return -1;
+            const uint32_t co = ofc[i], cm = mlc[i], cl = llc[i];
+            // state emissions (order: of, ml, ll)
+            uint32_t b;
+            b = (v_of + of_dnb[co]) >> 16;
+            acc |= (uint64_t)(v_of & ((1u << b) - 1)) << nb; nb += (int)b;
+            v_of = of_st[(v_of >> b) + of_dfs[co]];
+            b = (v_ml + ml_dnb[cm]) >> 16;
+            acc |= (uint64_t)(v_ml & ((1u << b) - 1)) << nb; nb += (int)b;
+            v_ml = ml_st[(v_ml >> b) + ml_dfs[cm]];
+            b = (v_ll + ll_dnb[cl]) >> 16;
+            acc |= (uint64_t)(v_ll & ((1u << b) - 1)) << nb; nb += (int)b;
+            v_ll = ll_st[(v_ll >> b) + ll_dfs[cl]];
+            // ll extra
+            const int lb = ll_bits_tab[cl];
+            acc |= (uint64_t)(ll[i] & ((lb >= 32) ? 0xFFFFFFFFu : ((1u << lb) - 1))) << nb;
+            nb += lb;
+            std::memcpy(o, &acc, 8); o += nb >> 3;
+            acc = (nb & ~7) >= 64 ? 0 : acc >> (nb & ~7); nb &= 7;
+            // ml + ob extras
+            const int mb = ml_bits_tab[cm];
+            acc |= (uint64_t)(mlv[i] & ((1u << mb) - 1)) << nb; nb += mb;
+            acc |= (uint64_t)(ob[i] & ((co >= 32) ? ~0u : ((1u << co) - 1))) << nb;
+            nb += (int)co;
+            std::memcpy(o, &acc, 8); o += nb >> 3;
+            acc = (nb & ~7) >= 64 ? 0 : acc >> (nb & ~7); nb &= 7;
+        }
+        w.acc = acc; w.nbits = nb; w.nbytes = o - w.out;
+        e_of.value = v_of; e_ml.value = v_ml; e_ll.value = v_ll;
     }
     if (bw_add(&w, e_ml.value, ml_log)) return -1;
     if (bw_add(&w, e_of.value, of_log)) return -1;
@@ -1315,7 +1364,7 @@ int64_t huf_encode_4streams(const uint8_t* lit, int64_t n,
     uint32_t enc[256];
     for (int s = 0; s < 256; s++)
         enc[s] = (uint32_t)code[s] | ((uint32_t)nbits[s] << 16);
-    const int64_t scap = seg + 64;
+    const int64_t scap = (seg * 11) / 8 + 64;  // worst case: 11 bits/symbol
     uint8_t* scratch = (uint8_t*)malloc((size_t)(4 * scap));
     if (!scratch) return -1;
     BitWriterC w[4];
@@ -1334,26 +1383,44 @@ int64_t huf_encode_4streams(const uint8_t* lit, int64_t n,
         }
     // 5 unconditional adds per flush: 5*11 bits + 7 residual <= 62, so no
     // per-symbol overflow checks are needed between flushes.  Drain any
-    // residue from the tail loop first (bw_add can leave up to 64 bits).
+    // residue from the tail loop first (bw_add can leave up to 64 bits),
+    // then run the lockstep rounds on register-resident writer state.
     for (int k = 0; k < 4; k++) rc |= bw_flush(&w[k]);
     int64_t r = rounds;
-    while (r >= 5 && rc == 0) {
-        for (int j = 0; j < 5; j++) {
-            const int64_t i = r - 1 - j;
-            const uint32_t e0 = enc[base[0][i]];
-            const uint32_t e1 = enc[base[1][i]];
-            const uint32_t e2 = enc[base[2][i]];
-            const uint32_t e3 = enc[base[3][i]];
-            w[0].acc |= (uint64_t)(e0 & 0xFFFF) << w[0].nbits; w[0].nbits += (int)(e0 >> 16);
-            w[1].acc |= (uint64_t)(e1 & 0xFFFF) << w[1].nbits; w[1].nbits += (int)(e1 >> 16);
-            w[2].acc |= (uint64_t)(e2 & 0xFFFF) << w[2].nbits; w[2].nbits += (int)(e2 >> 16);
-            w[3].acc |= (uint64_t)(e3 & 0xFFFF) << w[3].nbits; w[3].nbits += (int)(e3 >> 16);
+    if (rc == 0) {
+        uint64_t a0 = w[0].acc, a1 = w[1].acc, a2 = w[2].acc, a3 = w[3].acc;
+        int n0 = w[0].nbits, n1 = w[1].nbits, n2 = w[2].nbits, n3 = w[3].nbits;
+        uint8_t* o0 = w[0].out + w[0].nbytes;
+        uint8_t* o1 = w[1].out + w[1].nbytes;
+        uint8_t* o2 = w[2].out + w[2].nbytes;
+        uint8_t* o3 = w[3].out + w[3].nbytes;
+        const uint8_t* b0 = base[0];
+        const uint8_t* b1 = base[1];
+        const uint8_t* b2 = base[2];
+        const uint8_t* b3 = base[3];
+        while (r >= 5) {
+            for (int j = 0; j < 5; j++) {
+                const int64_t i = r - 1 - j;
+                const uint32_t e0 = enc[b0[i]];
+                const uint32_t e1 = enc[b1[i]];
+                const uint32_t e2 = enc[b2[i]];
+                const uint32_t e3 = enc[b3[i]];
+                a0 |= (uint64_t)(e0 & 0xFFFF) << n0; n0 += (int)(e0 >> 16);
+                a1 |= (uint64_t)(e1 & 0xFFFF) << n1; n1 += (int)(e1 >> 16);
+                a2 |= (uint64_t)(e2 & 0xFFFF) << n2; n2 += (int)(e2 >> 16);
+                a3 |= (uint64_t)(e3 & 0xFFFF) << n3; n3 += (int)(e3 >> 16);
+            }
+            // scratch segments have 64B slack: unchecked 8-byte stores
+            std::memcpy(o0, &a0, 8); o0 += n0 >> 3; a0 >>= (n0 & ~7); n0 &= 7;
+            std::memcpy(o1, &a1, 8); o1 += n1 >> 3; a1 >>= (n1 & ~7); n1 &= 7;
+            std::memcpy(o2, &a2, 8); o2 += n2 >> 3; a2 >>= (n2 & ~7); n2 &= 7;
+            std::memcpy(o3, &a3, 8); o3 += n3 >> 3; a3 >>= (n3 & ~7); n3 &= 7;
+            r -= 5;
         }
-        rc |= bw_flush(&w[0]);
-        rc |= bw_flush(&w[1]);
-        rc |= bw_flush(&w[2]);
-        rc |= bw_flush(&w[3]);
-        r -= 5;
+        w[0].acc = a0; w[0].nbits = n0; w[0].nbytes = o0 - w[0].out;
+        w[1].acc = a1; w[1].nbits = n1; w[1].nbytes = o1 - w[1].out;
+        w[2].acc = a2; w[2].nbits = n2; w[2].nbytes = o2 - w[2].out;
+        w[3].acc = a3; w[3].nbits = n3; w[3].nbytes = o3 - w[3].out;
     }
     while (r > 0 && rc == 0) {
         const int64_t i = r - 1;
@@ -2493,6 +2560,8 @@ static int64_t encode_block_body_c(const uint8_t* block, int64_t nv,
                                    int64_t last_lit, uint8_t* out, int64_t cap,
                                    EncEntropyC* est = nullptr) {
     codec_init();
+    const bool eprof = prof_on();
+    int64_t t0 = eprof ? prof_now() : 0;
     // Literals: gather uncovered bytes.
     int64_t lit_total = last_lit;
     for (int64_t i = 0; i < n_seq; i++) lit_total += ll[i];
@@ -2507,8 +2576,10 @@ static int64_t encode_block_body_c(const uint8_t* block, int64_t nv,
         }
         std::memcpy(lit + lp, block + nv - last_lit, (size_t)last_lit);
     }
+    if (eprof) { int64_t t = prof_now(); g_prof[0] += t - t0; t0 = t; }
     int64_t size = encode_literals_c(lit, lit_total, out, cap, est);
     free(lit);
+    if (eprof) { int64_t t = prof_now(); g_prof[1] += t - t0; t0 = t; }
     if (size < 0) return -1;
 
     // nbSeq header
@@ -2564,6 +2635,7 @@ static int64_t encode_block_body_c(const uint8_t* block, int64_t nv,
     if (h < 0) { free(llc); free(mlbase); return -1; }
     size += h;
     out[mode_pos] = (uint8_t)((m_ll << 6) | (m_of << 4) | (m_ml << 2));
+    if (eprof) { int64_t t = prof_now(); g_prof[2] += t - t0; t0 = t; }
 
     int64_t bs = encode_sequences(ll, mlbase, ob, llc, mlc, ofc, kLLBits,
                                   kMLBits, n_seq,
@@ -2572,6 +2644,7 @@ static int64_t encode_block_body_c(const uint8_t* block, int64_t nv,
                                   ct_ml->state_table, ct_ml->delta_nb, ct_ml->delta_fs, ct_ml->tlog,
                                   out + size, cap - size);
     free(llc); free(mlbase);
+    if (eprof) g_prof[3] += prof_now() - t0;
     if (bs < 0) return -1;
     size += bs;
     const int64_t max_size = nv - (nv >> 6) - 3;
@@ -3107,6 +3180,7 @@ int64_t compress_frame_body_ldm_c(const uint8_t* src, int64_t n, int strategy,
                                   int window_log, int accel, int use_ldm,
                                   int min_match, int split_mode,
                                   int target_cblock, uint8_t* out, int64_t cap) {
+    if (prof_on()) { g_prof[0] = g_prof[1] = g_prof[2] = g_prof[3] = 0; }
     const int mls = min_match < 4 ? 4 : (min_match > 8 ? 8 : min_match);
     codec_init();
     const int64_t block_size = (1 << 17) < (1LL << window_log)
@@ -3414,6 +3488,11 @@ int64_t compress_frame_body_ldm_c(const uint8_t* src, int64_t n, int strategy,
         }
         pos = end;
     }
+    if (prof_on())
+        fprintf(stderr, "ZT_PROF encode ns: gather=%lld literals=%lld "
+                "codes+tables=%lld fse=%lld\n", (long long)g_prof[0],
+                (long long)g_prof[1], (long long)g_prof[2],
+                (long long)g_prof[3]);
     free(table);
     free(table32);
     free(chain);
@@ -3623,22 +3702,6 @@ static int64_t build_seq_table_c(int mode, const uint8_t* src, int64_t size,
     // repeat
     if (!*valid) return -1;
     return 0;
-}
-
-// Stage profiler (ZT_PROF=1): nanoseconds per decode stage, printed at
-// frame end.  Zero overhead when disabled (single branch per stage).
-#include <ctime>
-#include <cstdio>
-static int64_t g_prof[4];  // 0=literals 1=tables 2=seqdecode 3=execute
-static inline int64_t prof_now() {
-    struct timespec ts;
-    clock_gettime(CLOCK_MONOTONIC, &ts);
-    return ts.tv_sec * 1000000000LL + ts.tv_nsec;
-}
-static bool prof_on() {
-    static int v = -1;
-    if (v < 0) v = getenv("ZT_PROF") ? 1 : 0;
-    return v == 1;
 }
 
 // Decode one compressed block into out at out_pos.  Returns new out_pos, -1.
