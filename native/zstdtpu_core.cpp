@@ -2358,12 +2358,22 @@ static int64_t raw_literals(const uint8_t* lit, int64_t n, uint8_t* out,
 }
 
 // Encode literals (raw/RLE/compressed choice).  Returns bytes or -1.
-// Cross-block encoder entropy state: previous Huffman table for the
-// repeat-literals mode (HUF_repeat / ZSTD_compressLiterals:86 role).
+// Cross-block encoder entropy state (repeat modes: HUF_repeat role for
+// literals, FSE mode 3 for the three sequence channels).
 struct EncEntropyC {
     HufCTableC huf;
     bool huf_valid;
+    FseCTableC ll_ct, of_ct, ml_ct;
+    int16_t ll_norm[64], of_norm[64], ml_norm[64];
+    int ll_max, of_max, ml_max;
+    int ll_log, of_log, ml_log;
+    bool ll_valid, of_valid, ml_valid;
 };
+
+static void enc_entropy_reset(EncEntropyC* e) {
+    e->huf_valid = false;
+    e->ll_valid = e->of_valid = e->ml_valid = false;
+}
 
 static int64_t encode_literals_c(const uint8_t* lit, int64_t n, uint8_t* out,
                                  int64_t cap, EncEntropyC* est) {
@@ -2504,7 +2514,15 @@ static int64_t select_channel(const uint8_t* codes, int64_t n, int max_allowed,
                               const int16_t* dnorm, int dmax, int dlog,
                               const FseCTableC* dct, int max_log,
                               bool default_ok, uint8_t* out, int* mode,
-                              FseCTableC* scratch, const FseCTableC** ct_out) {
+                              FseCTableC* scratch, const FseCTableC** ct_out,
+                              const FseCTableC* prev_ct = nullptr,
+                              const int16_t* prev_norm = nullptr,
+                              int prev_max = 0, int prev_log = 0,
+                              // out: fresh norm recorded for the caller's
+                              // repeat state (valid when *mode == 2)
+                              int16_t* fresh_norm = nullptr,
+                              int* fresh_max = nullptr,
+                              int* fresh_log = nullptr) {
     uint32_t counts[64] = {0};
     for (int64_t i = 0; i < n; i++) counts[codes[i]]++;
     int max_code = max_allowed;
@@ -2524,6 +2542,10 @@ static int64_t select_channel(const uint8_t* codes, int64_t n, int max_allowed,
         return 1;
     }
     double dcost = default_ok ? fse_cost_bits(counts, max_code, dnorm, dmax, dlog) : -1;
+    // repeat previous table (mode 3, no header)
+    double rcost = -1;
+    if (prev_ct && max_code <= prev_max)
+        rcost = fse_cost_bits(counts, max_code, prev_norm, prev_max, prev_log);
     // fresh FSE
     double fcost = -1;
     int16_t norm[64];
@@ -2540,12 +2562,24 @@ static int64_t select_channel(const uint8_t* codes, int64_t n, int max_allowed,
             }
         }
     }
-    if (fcost >= 0 && (dcost < 0 || fcost < dcost)) {
+    const bool fresh_best = fcost >= 0 && (dcost < 0 || fcost < dcost) &&
+                            (rcost < 0 || fcost < rcost);
+    if (fresh_best) {
         *mode = 2;  // FSE
         fse_build_ctable_c(scratch, norm, max_code, tlog);
         std::memcpy(out, hdr, (size_t)hsize);
         *ct_out = scratch;
+        if (fresh_norm) {
+            std::memcpy(fresh_norm, norm, sizeof norm);
+            *fresh_max = max_code;
+            *fresh_log = tlog;
+        }
         return hsize;
+    }
+    if (rcost >= 0 && (dcost < 0 || rcost < dcost)) {
+        *mode = 3;  // repeat
+        *ct_out = prev_ct;
+        return 0;
     }
     if (dcost < 0) return -1;
     *mode = 0;  // predefined
@@ -2554,6 +2588,36 @@ static int64_t select_channel(const uint8_t* codes, int64_t n, int max_allowed,
 }
 
 // Encode a full compressed-block body.  Returns size or -1 (emit raw).
+
+// Mirror the decoder's repeat semantics: mode 3 reuses whatever table the
+// previous block USED (fresh, predefined or RLE alike), so the encoder
+// state must update on every mode.
+static void enc_update_channel(FseCTableC* dst_ct, int16_t* dst_norm,
+                               int* dst_max, int* dst_log, bool* dst_valid,
+                               int mode, const FseCTableC* used,
+                               const int16_t* fresh_norm, int fresh_max,
+                               int fresh_log, const int16_t* dnorm, int dmax,
+                               int dlog, int rle_sym) {
+    if (mode == 3) return;  // unchanged
+    *dst_ct = *used;
+    *dst_valid = true;
+    if (mode == 2) {
+        std::memcpy(dst_norm, fresh_norm, 64 * sizeof(int16_t));
+        *dst_max = fresh_max;
+        *dst_log = fresh_log;
+    } else if (mode == 0) {
+        std::memset(dst_norm, 0, 64 * sizeof(int16_t));
+        std::memcpy(dst_norm, dnorm, (size_t)(dmax + 1) * sizeof(int16_t));
+        *dst_max = dmax;
+        *dst_log = dlog;
+    } else {  // RLE: only this symbol, zero bits
+        std::memset(dst_norm, 0, 64 * sizeof(int16_t));
+        dst_norm[rle_sym] = 1;
+        *dst_max = rle_sym;
+        *dst_log = 0;
+    }
+}
+
 static int64_t encode_block_body_c(const uint8_t* block, int64_t nv,
                                    const uint32_t* ll, const uint32_t* mlv,
                                    const uint32_t* ob, int64_t n_seq,
@@ -2618,21 +2682,50 @@ static int64_t encode_block_body_c(const uint8_t* block, int64_t nv,
     FseCTableC sc_ll, sc_of, sc_ml;
     const FseCTableC *ct_ll, *ct_of, *ct_ml;
     int m_ll, m_of, m_ml;
+    int16_t fn[64];
+    int fmax, flog;
     int64_t h;
     h = select_channel(llc, n_seq, kMaxLL, kLLNorm, kMaxLL, kLLNormLog,
                        &kLLDefaultCT, kLLFseLog, true, out + size, &m_ll,
-                       &sc_ll, &ct_ll);
+                       &sc_ll, &ct_ll,
+                       est && est->ll_valid ? &est->ll_ct : nullptr,
+                       est ? est->ll_norm : nullptr,
+                       est ? est->ll_max : 0, est ? est->ll_log : 0,
+                       fn, &fmax, &flog);
     if (h < 0) { free(llc); free(mlbase); return -1; }
+    if (est)
+        enc_update_channel(&est->ll_ct, est->ll_norm, &est->ll_max,
+                           &est->ll_log, &est->ll_valid, m_ll, ct_ll, fn,
+                           fmax, flog, kLLNorm, kMaxLL, kLLNormLog,
+                           n_seq ? llc[0] : 0);
     size += h;
     h = select_channel(ofc, n_seq, kMaxOFF, kOFNorm, kDefaultMaxOFF, kOFNormLog,
                        &kOFDefaultCT, kOFFseLog, of_default_ok, out + size,
-                       &m_of, &sc_of, &ct_of);
+                       &m_of, &sc_of, &ct_of,
+                       est && est->of_valid ? &est->of_ct : nullptr,
+                       est ? est->of_norm : nullptr,
+                       est ? est->of_max : 0, est ? est->of_log : 0,
+                       fn, &fmax, &flog);
     if (h < 0) { free(llc); free(mlbase); return -1; }
+    if (est)
+        enc_update_channel(&est->of_ct, est->of_norm, &est->of_max,
+                           &est->of_log, &est->of_valid, m_of, ct_of, fn,
+                           fmax, flog, kOFNorm, kDefaultMaxOFF, kOFNormLog,
+                           n_seq ? ofc[0] : 0);
     size += h;
     h = select_channel(mlc, n_seq, kMaxML, kMLNorm, kMaxML, kMLNormLog,
                        &kMLDefaultCT, kMLFseLog, true, out + size, &m_ml,
-                       &sc_ml, &ct_ml);
+                       &sc_ml, &ct_ml,
+                       est && est->ml_valid ? &est->ml_ct : nullptr,
+                       est ? est->ml_norm : nullptr,
+                       est ? est->ml_max : 0, est ? est->ml_log : 0,
+                       fn, &fmax, &flog);
     if (h < 0) { free(llc); free(mlbase); return -1; }
+    if (est)
+        enc_update_channel(&est->ml_ct, est->ml_norm, &est->ml_max,
+                           &est->ml_log, &est->ml_valid, m_ml, ct_ml, fn,
+                           fmax, flog, kMLNorm, kMaxML, kMLNormLog,
+                           n_seq ? mlc[0] : 0);
     size += h;
     out[mode_pos] = (uint8_t)((m_ll << 6) | (m_of << 4) | (m_ml << 2));
     if (eprof) { int64_t t = prof_now(); g_prof[2] += t - t0; t0 = t; }
@@ -3233,7 +3326,7 @@ int64_t compress_frame_body_ldm_c(const uint8_t* src, int64_t n, int strategy,
         opt_seed_default(ost);
     }
     EncEntropyC enc_state;
-    enc_state.huf_valid = false;
+    enc_entropy_reset(&enc_state);
 
     // LDM state: bucket table + per-frame candidate list.
     const int ldm_hash_log = 20;
