@@ -3798,14 +3798,18 @@ static int64_t build_seq_table_c(int mode, const uint8_t* src, int64_t size,
 }
 
 // Decode one compressed block into out at out_pos.  Returns new out_pos, -1.
+// dirty (nullable): bit0 huf, bit1 ll, bit2 of, bit3 ml set when the block
+// overwrites that table (dictionary scratch restoration).
 static int64_t decode_block_c(const uint8_t* src, int64_t size,
                               EntropyStateC* ent, uint8_t* out,
                               int64_t out_pos, int64_t out_cap,
                               int64_t prefix_start, uint8_t* lit_buf,
-                              uint32_t* seq_buf, int64_t max_seq) {
+                              uint32_t* seq_buf, int64_t max_seq,
+                              int* dirty = nullptr) {
     int64_t lit_size;
     const bool prof = prof_on();
     int64_t t0 = prof ? prof_now() : 0;
+    if (dirty && size >= 1 && (src[0] & 3) == 2) *dirty |= 1;  // fresh huf
     int64_t consumed = decode_literals_c(src, size, ent, lit_buf, &lit_size);
     if (prof) { int64_t t = prof_now(); g_prof[0] += t - t0; t0 = t; }
     if (consumed < 0) return -1;
@@ -3833,6 +3837,11 @@ static int64_t decode_block_c(const uint8_t* src, int64_t size,
     if (size < 1) return -1;
     const int mode_byte = src[0];
     if (mode_byte & 3) return -1;
+    if (dirty) {
+        if ((mode_byte >> 6) != 3) *dirty |= 2;          // ll overwritten
+        if (((mode_byte >> 4) & 3) != 3) *dirty |= 4;    // of
+        if (((mode_byte >> 2) & 3) != 3) *dirty |= 8;    // ml
+    }
     src += 1; size -= 1;
     int64_t h;
     h = build_seq_table_c(mode_byte >> 6, src, size, &ent->ll, &ent->ll_valid,
@@ -3867,6 +3876,14 @@ static int64_t decode_block_c(const uint8_t* src, int64_t size,
 
 // Whole-frame block loop: src points after the frame header.  Returns
 // produced bytes; sets *consumed (excl. checksum).  -1/-2.. on error.
+// Block loop shared by the plain and dictionary paths: `ent` is the
+// (possibly dictionary-preloaded) entropy state, `out_start` is where
+// frame content begins in `out` (bytes below it are match history).
+static int64_t decode_frame_blocks(const uint8_t* src, int64_t size,
+                                   EntropyStateC* ent, uint8_t* out,
+                                   int64_t out_start, int64_t out_cap,
+                                   int64_t* consumed_out, int* dirty = nullptr);
+
 int64_t decode_frame_body_c(const uint8_t* src, int64_t size, uint8_t* out,
                             int64_t out_cap, int64_t* consumed_out) {
     codec_init();
@@ -3876,10 +3893,20 @@ int64_t decode_frame_body_c(const uint8_t* src, int64_t size, uint8_t* out,
     ent->huf.valid = false;
     ent->ll_valid = ent->of_valid = ent->ml_valid = false;
     ent->rep[0] = 1; ent->rep[1] = 4; ent->rep[2] = 8;
+    int64_t r = decode_frame_blocks(src, size, ent, out, 0, out_cap,
+                                    consumed_out);
+    free(ent);
+    return r;
+}
+
+static int64_t decode_frame_blocks(const uint8_t* src, int64_t size,
+                                   EntropyStateC* ent, uint8_t* out,
+                                   int64_t out_start, int64_t out_cap,
+                                   int64_t* consumed_out, int* dirty) {
     const int64_t max_seq = (1 << 17) / 3 + 16;
     uint8_t* lit_buf = (uint8_t*)malloc((1 << 17) + 64);
     uint32_t* seq_buf = (uint32_t*)malloc((size_t)max_seq * 12);
-    int64_t pos = 0, out_pos = 0;
+    int64_t pos = 0, out_pos = out_start;
     int64_t rc = 0;
     if (!lit_buf || !seq_buf) rc = -1;
     while (rc == 0) {
@@ -3903,7 +3930,8 @@ int64_t decode_frame_body_c(const uint8_t* src, int64_t size, uint8_t* out,
         } else if (btype == 2) {
             if (size - pos < bsize || bsize > (1 << 17) + 32) { rc = -5; break; }
             int64_t np = decode_block_c(src + pos, bsize, ent, out, out_pos,
-                                        out_cap, 0, lit_buf, seq_buf, max_seq);
+                                        out_cap, 0, lit_buf, seq_buf, max_seq,
+                                        dirty);
             if (np < 0) { rc = -6; break; }
             out_pos = np;
             pos += bsize;
@@ -3918,12 +3946,596 @@ int64_t decode_frame_body_c(const uint8_t* src, int64_t size, uint8_t* out,
                 "seqdec=%lld execute=%lld\n", (long long)g_prof[0],
                 (long long)g_prof[1], (long long)g_prof[2],
                 (long long)g_prof[3]);
-    free(ent);
     free(lit_buf);
     free(seq_buf);
     if (rc != 0) return rc;
     *consumed_out = pos;
-    return out_pos;
+    return out_pos - out_start;
+}
+
+
+// ===========================================================================
+// Native dictionary contexts (ZSTD_CDict / ZSTD_DDict roles).
+// Wire format (ZSTD_loadDEntropy, ZstdDecompress.cs:1770):
+// [magic EC30A437][dictID u32][HUF weights][OF NCount][ML NCount][LL NCount]
+// [rep0..2 u32][content].  Raw-content dictionaries (no magic) carry only
+// history bytes.
+// ===========================================================================
+
+// Read a Huffman weights header (direct 4-bit or FSE-compressed) into
+// weights[]; returns bytes consumed and sets *n_weights, or -1.
+static int64_t huf_read_weights_c(const uint8_t* src, int64_t size,
+                                  uint8_t* weights, int* n_weights) {
+    if (size < 1) return -1;
+    const int i_size = src[0];
+    if (i_size >= 128) {
+        const int nw = i_size - 127;
+        const int64_t consumed = ((nw + 1) / 2) + 1;
+        if (size < consumed) return -1;
+        for (int i = 0; i < nw; i++) {
+            uint8_t b = src[1 + i / 2];
+            weights[i] = (i & 1) ? (b & 15) : (b >> 4);
+        }
+        *n_weights = nw;
+        return consumed;
+    }
+    const int64_t consumed = i_size + 1;
+    if (size < consumed) return -1;
+    int16_t norm[13];
+    int wmax, wlog;
+    int64_t h = fse_read_ncount(norm, &wmax, &wlog, src + 1, i_size, 12, 6);
+    if (h < 0) return -1;
+    FseDTableC* wdt = (FseDTableC*)malloc(sizeof(FseDTableC));
+    if (!wdt) return -1;
+    static const uint32_t zb[13] = {0};
+    static const uint8_t zbits[13] = {0};
+    fse_build_dtable_c(wdt, norm, wmax, wlog, zb, zbits);
+    uint8_t tsym[64];
+    fse_spread(norm, wmax, wlog, tsym);
+    int64_t nw = fse_decompress_2state(src + 1 + h, i_size - h, tsym,
+                                       wdt->state_bits, wdt->next_state, wlog,
+                                       weights, 255);
+    free(wdt);
+    if (nw < 1) return -1;
+    *n_weights = (int)nw;
+    return consumed;
+}
+
+// Canonical compress table from weights (incl. implied last weight).
+static int huf_ctable_from_weights(const uint8_t* weights_in, int n_weights,
+                                   HufCTableC* ct) {
+    uint8_t weights[257];
+    std::memcpy(weights, weights_in, (size_t)n_weights);
+    uint64_t total = 0;
+    for (int i = 0; i < n_weights; i++) {
+        if (weights[i] > 12) return -1;
+        if (weights[i]) total += 1ULL << (weights[i] - 1);
+    }
+    if (total == 0) return -1;
+    const int tlog = highbit32((uint32_t)total) + 1;
+    if (tlog > 12) return -1;
+    const uint64_t rest = (1ULL << tlog) - total;
+    if (rest & (rest - 1)) return -1;
+    weights[n_weights] = (uint8_t)(highbit32((uint32_t)rest) + 1);
+    const int nsym = n_weights + 1;
+    uint8_t lengths[257];
+    for (int i = 0; i < nsym; i++)
+        lengths[i] = weights[i] ? (uint8_t)(tlog + 1 - weights[i]) : 0;
+    huf_canonical(ct, lengths, nsym - 1);
+    return 0;
+}
+
+// Attach-mode matchers (ZSTD_dictMatchState role): the dictionary's
+// prefilled tables are read-only; frame-local inserts go to a small local
+// table sized for the input, so per-frame setup is O(local table) instead
+// of copying the dictionary state.  Candidates probe local first (more
+// recent), then the dictionary.
+
+static int64_t fast_attach_find(const uint8_t* all, int64_t clen,
+                                int64_t end_all, int64_t wsize,
+                                const uint32_t* dict_tbl, int dict_hlog,
+                                uint32_t* loc_tbl, int loc_hlog, int mls,
+                                uint32_t* rep_io,
+                                uint32_t* out_ll, uint32_t* out_ml,
+                                uint32_t* out_ob, int64_t max_seq,
+                                int64_t* out_last_lit) {
+    const int64_t start = clen, end = end_all;
+    if (end - start < 16) { *out_last_lit = end - start; return 0; }
+    const int64_t limit = end - 8;
+    int64_t rep0 = rep_io[0], rep1 = rep_io[1];
+    int64_t pos = start, anchor = start, n_seq = 0;
+
+    auto probe = [&](int64_t p) -> int64_t {
+        const uint32_t hl = hash_mls(all + p, loc_hlog, mls);
+        const int64_t lc = (int64_t)loc_tbl[hl] - 1;
+        loc_tbl[hl] = (uint32_t)(p + 1);
+        if (lc >= 0 && read32(all + lc) == read32(all + p)) return lc;
+        const int64_t dc =
+            (int64_t)dict_tbl[hash_mls(all + p, dict_hlog, mls)] - 1;
+        if (dc >= 0 && dc < clen && p - dc < wsize &&
+            read32(all + dc) == read32(all + p)) return dc;
+        return -1;
+    };
+
+    while (n_seq + 4 < max_seq) {
+        int64_t step = 2, next_step = pos + 128;
+        int64_t mp = -1, mc = -1, ml = 0;
+        uint32_t ob = 0;
+        while (pos + 1 <= limit) {
+            const int64_t p2 = pos + step;
+            if (p2 <= limit && p2 - rep0 >= 0 &&
+                read32(all + p2) == read32(all + p2 - rep0)) {
+                mp = p2; mc = p2 - rep0;
+                if (mp > anchor && mc > 0 && all[mp - 1] == all[mc - 1]) {
+                    mp--; mc--;
+                }
+                ml = (p2 - mp) + 4 + count_match(all, p2 + 4, p2 + 4 - rep0, end);
+                ob = 1;
+                break;
+            }
+            int64_t cand = probe(pos);
+            if (cand >= 0) { mp = pos; mc = cand; break; }
+            if (pos + 1 <= limit) {
+                cand = probe(pos + 1);
+                if (cand >= 0) { mp = pos + 1; mc = cand; break; }
+            }
+            pos += step;
+            if (pos >= next_step) { step++; next_step += 128; }
+        }
+        if (mp < 0) break;
+        if (ob == 0) {
+            ml = 4 + count_match(all, mp + 4, mc + 4, end);
+            while (mp > anchor && mc > 0 && all[mp - 1] == all[mc - 1]) {
+                mp--; mc--; ml++;
+            }
+            const int64_t off = mp - mc;
+            ob = (uint32_t)(off + 3);
+            rep1 = rep0; rep0 = off;
+        }
+        out_ll[n_seq] = (uint32_t)(mp - anchor);
+        out_ml[n_seq] = (uint32_t)ml;
+        out_ob[n_seq] = ob;
+        n_seq++;
+        pos = mp + ml; anchor = pos;
+        while (pos <= limit && n_seq < max_seq && pos - rep1 >= 0 &&
+               read32(all + pos) == read32(all + pos - rep1)) {
+            const int64_t ml2 = 4 + count_match(all, pos + 4, pos + 4 - rep1, end);
+            const int64_t t = rep0; rep0 = rep1; rep1 = t;
+            out_ll[n_seq] = 0; out_ml[n_seq] = (uint32_t)ml2; out_ob[n_seq] = 1;
+            n_seq++;
+            pos += ml2; anchor = pos;
+        }
+        if (pos + 1 > limit) break;
+    }
+    rep_io[0] = (uint32_t)rep0; rep_io[1] = (uint32_t)rep1;
+    *out_last_lit = end - anchor;
+    return n_seq;
+}
+
+struct CDictC {
+    uint8_t* buf;          // [content | src...] working buffer
+    int64_t buf_cap;
+    int64_t clen;
+    uint32_t rep[3];
+    EncEntropyC entropy;
+    int strategy, hlog, clog, slog, wlog, mls;
+    uint32_t* fast32;      // strategy 1-2: read-only attach table (pos+1)
+    int64_t* tbl;          // lazy heads (copied per frame)
+    int64_t* chain;        // lazy chain (copied per frame)
+    uint32_t* loc;         // frame-local attach table scratch
+    int loc_hlog;
+};
+
+// Parse entropy tables into (enc, dec) states; returns content offset or -1.
+static int64_t dict_parse_common(const uint8_t* d, int64_t n,
+                                 EncEntropyC* enc, EntropyStateC* dec,
+                                 uint32_t* rep) {
+    codec_init();
+    if (n < 8 || read32(d) != 0xEC30A437u) return 0;  // raw content dict
+    int64_t pos = 8;
+    uint8_t weights[256];
+    int nw;
+    int64_t h = huf_read_weights_c(d + pos, n - pos, weights, &nw);
+    if (h < 0) return -1;
+    if (enc && huf_ctable_from_weights(weights, nw, &enc->huf) != 0) return -1;
+    if (dec && huf_read_and_build_dtable(d + pos, n - pos, &dec->huf) < 0)
+        return -1;
+    pos += h;
+    // OF, ML, LL NCounts
+    struct Chan { int max_sym, max_log; };
+    const Chan chans[3] = {{kMaxOFF, kOFFseLog}, {kMaxML, kMLFseLog},
+                           {kMaxLL, kLLFseLog}};
+    int16_t norms[3][64];
+    int maxs[3], logs[3];
+    for (int c = 0; c < 3; c++) {
+        std::memset(norms[c], 0, sizeof norms[c]);
+        int64_t hh = fse_read_ncount(norms[c], &maxs[c], &logs[c], d + pos,
+                                     n - pos, chans[c].max_sym,
+                                     chans[c].max_log);
+        if (hh < 0) return -1;
+        pos += hh;
+    }
+    if (enc) {
+        fse_build_ctable_c(&enc->of_ct, norms[0], maxs[0], logs[0]);
+        std::memcpy(enc->of_norm, norms[0], sizeof norms[0]);
+        enc->of_max = maxs[0]; enc->of_log = logs[0]; enc->of_valid = true;
+        fse_build_ctable_c(&enc->ml_ct, norms[1], maxs[1], logs[1]);
+        std::memcpy(enc->ml_norm, norms[1], sizeof norms[1]);
+        enc->ml_max = maxs[1]; enc->ml_log = logs[1]; enc->ml_valid = true;
+        fse_build_ctable_c(&enc->ll_ct, norms[2], maxs[2], logs[2]);
+        std::memcpy(enc->ll_norm, norms[2], sizeof norms[2]);
+        enc->ll_max = maxs[2]; enc->ll_log = logs[2]; enc->ll_valid = true;
+        enc->huf_valid = true;
+    }
+    if (dec) {
+        fse_build_dtable_c(&dec->of, norms[0], maxs[0], logs[0], kOFBase, kOFBits);
+        fse_build_dtable_c(&dec->ml, norms[1], maxs[1], logs[1], kMLBase, kMLBits);
+        fse_build_dtable_c(&dec->ll, norms[2], maxs[2], logs[2], kLLBase, kLLBits);
+        fse_fuse_dtable(&dec->of);
+        fse_fuse_dtable(&dec->ml);
+        fse_fuse_dtable(&dec->ll);
+        dec->of_valid = dec->ml_valid = dec->ll_valid = true;
+    }
+    if (n < pos + 12) return -1;
+    for (int i = 0; i < 3; i++) {
+        uint32_t r;
+        std::memcpy(&r, d + pos + 4 * i, 4);
+        rep[i] = r;
+    }
+    pos += 12;
+    return pos;
+}
+
+void* zt_cdict_create(const uint8_t* dict, int64_t dlen, int strategy,
+                      int hlog, int clog, int slog, int wlog, int min_match) {
+    if (strategy > 5) return nullptr;  // btlazy2+ stay on the generic path
+    CDictC* c = (CDictC*)calloc(1, sizeof(CDictC));
+    if (!c) return nullptr;
+    enc_entropy_reset(&c->entropy);
+    c->rep[0] = 1; c->rep[1] = 4; c->rep[2] = 8;
+    int64_t coff = dict_parse_common(dict, dlen, &c->entropy, nullptr, c->rep);
+    if (coff < 0) { free(c); return nullptr; }
+    if (coff == 0) {  // raw dict: no entropy
+        enc_entropy_reset(&c->entropy);
+        c->rep[0] = 1; c->rep[1] = 4; c->rep[2] = 8;
+    }
+    c->clen = dlen - coff;
+    c->strategy = strategy; c->hlog = hlog; c->clog = clog; c->slog = slog;
+    c->wlog = wlog;
+    c->mls = min_match < 4 ? 4 : (min_match > 8 ? 8 : min_match);
+    c->buf_cap = c->clen + (1 << 18);
+    c->buf = (uint8_t*)malloc((size_t)c->buf_cap);
+    if (!c->buf) { free(c); return nullptr; }
+    std::memcpy(c->buf, dict + coff, (size_t)c->clen);
+    const uint8_t* src = c->buf;
+    const int64_t lim = c->clen - 8;
+    if (strategy <= 2) {
+        // fast/dfast share the attach-mode path: one read-only table over
+        // the dictionary, tiny local table per frame
+        c->fast32 = (uint32_t*)calloc((size_t)1 << hlog, 4);
+        if (!c->fast32) { free(c->buf); free(c); return nullptr; }
+        for (int64_t i = 0; i < lim; i++)
+            c->fast32[hash_mls(src + i, hlog, c->mls)] = (uint32_t)(i + 1);
+        c->loc_hlog = 12;
+        c->loc = (uint32_t*)malloc(((size_t)1 << c->loc_hlog) * 4);
+        if (!c->loc) { free(c->fast32); free(c->buf); free(c); return nullptr; }
+    } else {
+        c->tbl = (int64_t*)malloc(((size_t)1 << hlog) * 8);
+        c->chain = (int64_t*)malloc(((size_t)1 << clog) * 8);
+        if (!c->tbl || !c->chain) {
+            free(c->tbl); free(c->chain); free(c->buf); free(c);
+            return nullptr;
+        }
+        for (int64_t i = 0; i < (1LL << hlog); i++) c->tbl[i] = -1;
+        const int64_t cmask = (1LL << clog) - 1;
+        for (int64_t i = 0; i < (1LL << clog); i++) c->chain[i] = -1;
+        for (int64_t i = 0; i < lim; i++) {
+            const uint32_t hv = hash_mls(src + i, hlog, c->mls);
+            c->chain[i & cmask] = c->tbl[hv];
+            c->tbl[hv] = i;
+        }
+    }
+    return c;
+}
+
+void zt_cdict_free(void* h) {
+    if (!h) return;
+    CDictC* c = (CDictC*)h;
+    free(c->fast32); free(c->tbl); free(c->chain); free(c->loc); free(c->buf);
+    free(c);
+}
+
+// Compress one frame body against the dictionary.  Scratch tables are
+// copies of the prefilled ones, so calls are independent.
+int64_t zt_compress_frame_body_cdict(void* h, const uint8_t* src, int64_t n,
+                                     uint8_t* out, int64_t cap) {
+    CDictC* c = (CDictC*)h;
+    if (!c || n == 0) return -1;
+    if (c->clen + n > c->buf_cap) {
+        const int64_t need = c->clen + n;
+        uint8_t* nb = (uint8_t*)realloc(c->buf, (size_t)need);
+        if (!nb) return -1;
+        c->buf = nb;
+        c->buf_cap = need;
+    }
+    std::memcpy(c->buf + c->clen, src, (size_t)n);
+    const uint8_t* all = c->buf;
+    const int64_t end_all = c->clen + n;
+    const int64_t wsize = 1LL << c->wlog;
+
+    const int64_t block_size = (1 << 17) < wsize ? (1 << 17) : wsize;
+    int64_t max_seq_cap = (block_size < n ? block_size : n) / 3 + 16;
+    uint32_t* s_ll = (uint32_t*)malloc((size_t)max_seq_cap * 12);
+    if (!s_ll) return -1;
+    uint32_t* s_ml = s_ll + max_seq_cap;
+    uint32_t* s_ob = s_ml + max_seq_cap;
+
+    // attach mode: wipe only the small local table
+    if (c->loc)
+        std::memset(c->loc, 0, ((size_t)1 << c->loc_hlog) * 4);
+    int64_t* tbl = nullptr;
+    int64_t* chain = nullptr;
+    if (c->tbl) {
+        tbl = (int64_t*)malloc(((size_t)1 << c->hlog) * 8);
+        chain = (int64_t*)malloc(((size_t)1 << c->clog) * 8);
+        if (!tbl || !chain) { free(tbl); free(chain); free(s_ll); return -1; }
+        std::memcpy(tbl, c->tbl, ((size_t)1 << c->hlog) * 8);
+        std::memcpy(chain, c->chain, ((size_t)1 << c->clog) * 8);
+    }
+    EncEntropyC est = c->entropy;
+    uint32_t rep[3] = {c->rep[0], c->rep[1], c->rep[2]};
+    // fast32 path carries only rep0/rep1 in its io array
+    int64_t insert_from = c->clen;
+    int64_t size = 0;
+    int64_t pos = c->clen;
+    int rc = 0;
+    while (pos < end_all && rc == 0) {
+        const int64_t end = pos + block_size < end_all ? pos + block_size
+                                                       : end_all;
+        const int last = end == end_all;
+        const int64_t bn = end - pos;
+        if (size + 3 + bn + 32 > cap) { rc = -1; break; }
+        int64_t last_lit = 0;
+        int64_t n_seq = 0;
+        if (c->strategy <= 2) {
+            n_seq = fast_attach_find(all, pos, end, wsize, c->fast32,
+                                     c->hlog, c->loc, c->loc_hlog, c->mls,
+                                     rep, s_ll, s_ml, s_ob, max_seq_cap,
+                                     &last_lit);
+        } else {
+            const int depth = c->strategy >= 5 ? 2 : c->strategy - 3;
+            n_seq = lazy_find_matches(all, end_all, pos, end, 0, wsize, tbl,
+                                      c->hlog, chain, 1LL << c->clog,
+                                      1LL << c->slog, depth, &insert_from,
+                                      rep, s_ll, s_ml, s_ob, max_seq_cap,
+                                      &last_lit, c->mls);
+        }
+        if (n_seq < 0) { rc = -1; break; }
+        int64_t body = encode_block_body_c(all + pos, bn, s_ll, s_ml, s_ob,
+                                           n_seq, last_lit, out + size + 3,
+                                           cap - size - 3 - 8, &est);
+        if (body < 0) {
+            const uint32_t bh = (uint32_t)(last | (0 << 1) | (bn << 3));
+            out[size] = (uint8_t)bh; out[size + 1] = (uint8_t)(bh >> 8);
+            out[size + 2] = (uint8_t)(bh >> 16);
+            std::memcpy(out + size + 3, all + pos, (size_t)bn);
+            size += 3 + bn;
+        } else {
+            const uint32_t bh = (uint32_t)(last | (2 << 1) | (body << 3));
+            out[size] = (uint8_t)bh; out[size + 1] = (uint8_t)(bh >> 8);
+            out[size + 2] = (uint8_t)(bh >> 16);
+            size += 3 + body;
+        }
+        pos = end;
+    }
+    free(tbl); free(chain); free(s_ll);
+    return rc == 0 ? size : -1;
+}
+
+struct DDictC {
+    uint8_t* content;
+    int64_t clen;
+    EntropyStateC ent;        // pristine (as loaded)
+    EntropyStateC scratch;    // per-call working copy, dirty-restored
+    int scratch_dirty;        // bit0 huf, 1 ll, 2 of, 3 ml; -1 = all
+    bool has_entropy;
+};
+
+void* zt_ddict_create(const uint8_t* dict, int64_t dlen) {
+    DDictC* d = (DDictC*)calloc(1, sizeof(DDictC));
+    if (!d) return nullptr;
+    d->ent.huf.valid = false;
+    d->ent.ll_valid = d->ent.of_valid = d->ent.ml_valid = false;
+    d->ent.rep[0] = 1; d->ent.rep[1] = 4; d->ent.rep[2] = 8;
+    int64_t coff = dict_parse_common(dict, dlen, nullptr, &d->ent, d->ent.rep);
+    if (coff < 0) { free(d); return nullptr; }
+    d->has_entropy = coff > 0;
+    d->clen = dlen - coff;
+    d->content = (uint8_t*)malloc((size_t)(d->clen > 0 ? d->clen : 1));
+    if (!d->content) { free(d); return nullptr; }
+    std::memcpy(d->content, dict + coff, (size_t)d->clen);
+    d->scratch = d->ent;
+    d->scratch_dirty = 0;
+    return d;
+}
+
+void zt_ddict_free(void* h) {
+    if (!h) return;
+    DDictC* d = (DDictC*)h;
+    free(d->content);
+    free(d);
+}
+
+// Decode one frame body with dictionary history + entropy.  `out` must have
+// room for clen + content; returns content bytes (excluding the prefix,
+// which occupies out[0..clen)), sets *consumed.
+int64_t zt_decode_frame_body_ddict(const uint8_t* src, int64_t size, void* h,
+                                   uint8_t* out, int64_t out_cap,
+                                   int64_t* consumed_out) {
+    DDictC* d = (DDictC*)h;
+    if (!d || out_cap < d->clen) return -1;
+    std::memcpy(out, d->content, (size_t)d->clen);
+    // Restore only what the previous frame overwrote (tables are large).
+    if (d->scratch_dirty & 1) d->scratch.huf = d->ent.huf;
+    if (d->scratch_dirty & 2) d->scratch.ll = d->ent.ll;
+    if (d->scratch_dirty & 4) d->scratch.of = d->ent.of;
+    if (d->scratch_dirty & 8) d->scratch.ml = d->ent.ml;
+    d->scratch.ll_valid = d->ent.ll_valid;
+    d->scratch.of_valid = d->ent.of_valid;
+    d->scratch.ml_valid = d->ent.ml_valid;
+    d->scratch.huf.valid = d->ent.huf.valid;
+    std::memcpy(d->scratch.rep, d->ent.rep, sizeof d->scratch.rep);
+    d->scratch_dirty = 0;
+    int64_t r = decode_frame_blocks(src, size, &d->scratch, out, d->clen,
+                                    out_cap, consumed_out, &d->scratch_dirty);
+    return r;
+}
+
+
+// ---------------------------------------------------------------------------
+// Batch dictionary codec (the 10K-small-records shape): one call per batch,
+// frame headers written/parsed natively.
+// ---------------------------------------------------------------------------
+
+static int64_t write_frame_header_c(uint8_t* out, int64_t src_size, int wlog,
+                                    uint32_t dict_id, int checksum) {
+    const uint32_t magic = 0xFD2FB528u;
+    std::memcpy(out, &magic, 4);
+    int64_t p = 5;
+    const int64_t wsize = 1LL << wlog;
+    const int single = src_size <= wsize;
+    int fcs_code = (src_size >= 256) + (src_size >= 65536 + 256);
+    const int did = dict_id == 0 ? 0 : (dict_id < 256 ? 1 : dict_id < 65536 ? 2 : 3);
+    out[4] = (uint8_t)((fcs_code << 6) | (single << 5) | (checksum << 2) | did);
+    if (!single) out[p++] = (uint8_t)((wlog - 10) << 3);
+    if (did == 1) { out[p++] = (uint8_t)dict_id; }
+    else if (did == 2) { std::memcpy(out + p, &dict_id, 2); p += 2; }
+    else if (did == 3) { std::memcpy(out + p, &dict_id, 4); p += 4; }
+    if (fcs_code == 0) {
+        if (single) out[p++] = (uint8_t)src_size;
+    } else if (fcs_code == 1) {
+        const uint16_t v = (uint16_t)(src_size - 256);
+        std::memcpy(out + p, &v, 2); p += 2;
+    } else {
+        const uint32_t v = (uint32_t)src_size;
+        std::memcpy(out + p, &v, 4); p += 4;
+    }
+    return p;
+}
+
+// Compress n_items records (concatenated) into framed outputs.  out_lens[i]
+// receives each frame's size; returns total bytes or -1.
+int64_t zt_compress_many_cdict(void* h, const uint8_t* concat,
+                               const int64_t* lens, int64_t n_items,
+                               uint32_t dict_id, uint8_t* out, int64_t cap,
+                               int64_t* out_lens) {
+    CDictC* c = (CDictC*)h;
+    if (!c) return -1;
+    int64_t ip = 0, op = 0;
+    for (int64_t i = 0; i < n_items; i++) {
+        const int64_t n = lens[i];
+        if (op + n + 64 > cap) return -1;
+        const int64_t h0 = write_frame_header_c(out + op, n, c->wlog, dict_id, 0);
+        int64_t body;
+        if (n == 0) {
+            out[op + h0] = 1; out[op + h0 + 1] = 0; out[op + h0 + 2] = 0;
+            body = 3;
+        } else {
+            body = zt_compress_frame_body_cdict(h, concat + ip, n,
+                                                out + op + h0,
+                                                cap - op - h0);
+            if (body < 0) return -1;
+        }
+        out_lens[i] = h0 + body;
+        op += h0 + body;
+        ip += n;
+    }
+    return op;
+}
+
+// Parse a frame header: returns header size, sets *fcs (-1 unknown) and
+// checks the dict id matches.  -1 on error.
+static int64_t parse_frame_header_c(const uint8_t* src, int64_t size,
+                                    int64_t* fcs, int* has_cksum) {
+    if (size < 5) return -1;
+    uint32_t magic;
+    std::memcpy(&magic, src, 4);
+    if (magic != 0xFD2FB528u) return -1;
+    const uint8_t fhd = src[4];
+    const int fcs_code = fhd >> 6;
+    const int single = (fhd >> 5) & 1;
+    *has_cksum = (fhd >> 2) & 1;
+    const int did = fhd & 3;
+    int64_t p = 5;
+    if (!single) p += 1;
+    p += (did == 0 ? 0 : did == 1 ? 1 : did == 2 ? 2 : 4);
+    if (fcs_code == 0) {
+        if (single) { if (size < p + 1) return -1; *fcs = src[p]; p += 1; }
+        else *fcs = -1;
+    } else if (fcs_code == 1) {
+        uint16_t v; if (size < p + 2) return -1;
+        std::memcpy(&v, src + p, 2); *fcs = v + 256; p += 2;
+    } else if (fcs_code == 2) {
+        uint32_t v; if (size < p + 4) return -1;
+        std::memcpy(&v, src + p, 4); *fcs = v; p += 4;
+    } else {
+        int64_t v; if (size < p + 8) return -1;
+        std::memcpy(&v, src + p, 8); *fcs = v; p += 8;
+    }
+    return p;
+}
+
+// Decompress n_items frames (concatenated, sizes in flens) into concatenated
+// outputs; out_lens[i] receives each content size.  Returns total or -1.
+int64_t zt_decompress_many_ddict(void* h, const uint8_t* concat,
+                                 const int64_t* flens, int64_t n_items,
+                                 uint8_t* out, int64_t out_cap,
+                                 int64_t* out_lens) {
+    DDictC* d = (DDictC*)h;
+    if (!d) return -1;
+    const int64_t clen = d->clen;
+    uint8_t* work = nullptr;
+    int64_t work_cap = 0;
+    int64_t ip = 0, op = 0;
+    for (int64_t i = 0; i < n_items; i++) {
+        const int64_t fl = flens[i];
+        int64_t fcs;
+        int cksum;
+        const int64_t h0 = parse_frame_header_c(concat + ip, fl, &fcs, &cksum);
+        if (h0 < 0 || fcs < 0) { free(work); return -1; }
+        const int64_t need = clen + fcs + 64;
+        if (need > work_cap) {
+            free(work);
+            work_cap = need * 2;
+            work = (uint8_t*)malloc((size_t)work_cap);
+            if (!work) return -1;
+        }
+        // restore scratch (dirty-tracked) and decode
+        if (d->scratch_dirty & 1) d->scratch.huf = d->ent.huf;
+        if (d->scratch_dirty & 2) d->scratch.ll = d->ent.ll;
+        if (d->scratch_dirty & 4) d->scratch.of = d->ent.of;
+        if (d->scratch_dirty & 8) d->scratch.ml = d->ent.ml;
+        d->scratch.ll_valid = d->ent.ll_valid;
+        d->scratch.of_valid = d->ent.of_valid;
+        d->scratch.ml_valid = d->ent.ml_valid;
+        d->scratch.huf.valid = d->ent.huf.valid;
+        std::memcpy(d->scratch.rep, d->ent.rep, sizeof d->scratch.rep);
+        d->scratch_dirty = 0;
+        std::memcpy(work, d->content, (size_t)clen);
+        int64_t consumed = 0;
+        const int64_t r = decode_frame_blocks(concat + ip + h0, fl - h0,
+                                              &d->scratch, work, clen,
+                                              clen + fcs, &consumed,
+                                              &d->scratch_dirty);
+        if (r != fcs) { free(work); return -1; }
+        if (op + r > out_cap) { free(work); return -1; }
+        std::memcpy(out + op, work + clen, (size_t)r);
+        out_lens[i] = r;
+        op += r;
+        ip += fl;
+    }
+    free(work);
+    return op;
 }
 
 }  // extern "C"

@@ -164,3 +164,57 @@ def test_optimize_train_from_buffer_sweep():
     zd = zstandard.ZstdCompressionDict(swept)
     out = zstandard.ZstdCompressor(level=3, dict_data=zd).compress(samples[0])
     assert len(out) > 0
+
+
+def test_native_cdict_ddict_small_records():
+    """Native CDict/DDict path (ZSTD_CDict/DDict roles): attach-mode
+    matchers + dictionary entropy repeat; frames accepted by libzstd."""
+    import zstandard
+
+    from zstdsharp_tpu.decode.frame import Decompressor
+    from zstdsharp_tpu.dictionary import train_dictionary
+    from zstdsharp_tpu.encode.frame import Compressor
+
+    samples = [b'{"k": "u%d", "v": %d, "t": [1, 2, %d]}' % (i, i * 37 % 997, i)
+               for i in range(800)]
+    d = train_dictionary(samples, 2048)
+    comp = Compressor(level=3)
+    comp.load_dictionary(d)
+    frames = [comp.wrap(s) for s in samples]
+    zd = zstandard.ZstdCompressionDict(d)
+    dz = zstandard.ZstdDecompressor(dict_data=zd)
+    for f, s in zip(frames, samples):
+        assert dz.decompress(f, max_output_size=1000) == s
+    dec = Decompressor()
+    dec.load_dictionary(d)
+    for f, s in zip(frames, samples):
+        assert dec.unwrap(f) == s
+
+
+def test_batch_wrap_unwrap_many():
+    """Batch codec entries: one native call per batch, bit-exact through
+    both libzstd and our decoder; mixed record sizes."""
+    import zstandard
+
+    from zstdsharp_tpu.decode.frame import Decompressor
+    from zstdsharp_tpu.dictionary import train_dictionary
+    from zstdsharp_tpu.encode.frame import Compressor
+
+    samples = [b'{"n": %d, "payload": "%s"}' % (i, b"x" * (i % 200 + 1))
+               for i in range(500)]
+    d = train_dictionary(samples, 2048)
+    comp = Compressor(level=3)
+    comp.load_dictionary(d)
+    frames = comp.wrap_many(samples)
+    assert len(frames) == len(samples)
+    zd = zstandard.ZstdCompressionDict(d)
+    dz = zstandard.ZstdDecompressor(dict_data=zd)
+    for f, s in zip(frames, samples):
+        assert dz.decompress(f, max_output_size=2000) == s
+    dec = Decompressor()
+    dec.load_dictionary(d)
+    assert dec.unwrap_many(frames) == samples
+    # checksum path falls back element-wise and still roundtrips
+    comp.set_parameter("checksum_flag", True)
+    frames_ck = comp.wrap_many(samples[:50])
+    assert dec.unwrap_many(frames_ck) == samples[:50]

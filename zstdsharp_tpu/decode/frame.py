@@ -405,6 +405,14 @@ class Decompressor:
         return decompress(src, max_output_size=max_decompressed_size,
                           max_window_log=self.max_window_log)
 
+    def unwrap_many(self, frames: list[bytes],
+                    max_decompressed_size: int | None = None) -> list[bytes]:
+        """Batch unwrap (dictionary fast path when loaded)."""
+        if self._dict is not None:
+            return self._dict.decompress_many(
+                frames, max_output_size=max_decompressed_size)
+        return [self.unwrap(f, max_decompressed_size) for f in frames]
+
     def try_unwrap(self, src: bytes, max_decompressed_size: int) -> tuple[bool, bytes]:
         """TryUnwrap:96 — returns (ok, data) instead of raising on size."""
         try:

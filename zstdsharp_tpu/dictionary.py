@@ -76,6 +76,30 @@ class ZstdCompressionDict:
 
     def __init__(self, data: bytes):
         self._parsed = parse_dictionary(data)
+        self._native_cdicts = {}   # cparams key -> NativeCDict
+        self._native_ddict = None  # lazily created
+
+    def _cdict_for(self, cp):
+        """Native CDict cache (prefilled matcher tables + entropy seed)."""
+        key = (int(cp.strategy), cp.hash_log, cp.chain_log, cp.search_log,
+               cp.window_log, cp.min_match)
+        cd = self._native_cdicts.get(key)
+        if cd is None:
+            from .native import NativeCDict
+
+            cd = NativeCDict(self._parsed.raw or bytes(self._parsed.content),
+                             int(cp.strategy), cp.hash_log, cp.chain_log,
+                             cp.search_log, cp.window_log, cp.min_match)
+            self._native_cdicts[key] = cd
+        return cd if cd.valid else None
+
+    def _ddict(self):
+        if self._native_ddict is None:
+            from .native import NativeDDict
+
+            self._native_ddict = NativeDDict(
+                self._parsed.raw or bytes(self._parsed.content))
+        return self._native_ddict if self._native_ddict.valid else None
 
     @property
     def dict_id(self) -> int:
@@ -86,19 +110,119 @@ class ZstdCompressionDict:
         return self._parsed.content
 
     def compress_with(self, data: bytes, params) -> bytes:
-        from .encode.frame import compress_frame
-        from .encode.seqstore import MatchState
+        from .encode.frame import compress_frame, _write_frame_header
+        from .utils.xxhash import content_checksum
 
-        resolved = params.resolve(src_size_hint=len(data),
-                                  dict_size=len(self._parsed.content))
+        # Parameter resolution depends only on the srcSize class; cache per
+        # (params identity, size class) to keep tiny-record wrap() cheap.
+        size_class = (0 if len(data) == 0 else
+                      1 if len(data) <= (16 << 10) else
+                      2 if len(data) <= (128 << 10) else
+                      3 if len(data) <= (256 << 10) else 4)
+        cache = getattr(self, "_resolve_cache", None)
+        if cache is None:
+            cache = self._resolve_cache = {}
+        key = (id(params), repr(params), size_class)
+        resolved = cache.get(key)
+        if resolved is None:
+            resolved = params.resolve(src_size_hint=len(data),
+                                      dict_size=len(self._parsed.content))
+            cache[key] = resolved
+        cp = resolved.cparams
+        # Native CDict fast path (prefilled tables + dict entropy repeat).
+        if (len(data) > 0 and int(cp.strategy) <= 5 and not resolved.ldm
+                and resolved.target_cblock_size == 0):
+            cd = self._cdict_for(cp)
+            if cd is not None:
+                src = np.frombuffer(bytes(data), dtype=np.uint8)
+                body = cd.compress_frame_body(src)
+                if body is not None:
+                    out = bytearray(_write_frame_header(
+                        len(src), cp.window_log,
+                        resolved.fparams.checksum_flag,
+                        resolved.fparams.content_size_flag,
+                        0 if resolved.fparams.no_dict_id_flag else self._parsed.dict_id))
+                    out += body
+                    if resolved.fparams.checksum_flag:
+                        out += content_checksum(src).to_bytes(4, "little")
+                    return bytes(out)
         reps = self._parsed.entropy.rep if self._parsed.entropy is not None else None
         return compress_frame(data, resolved, dict_id=self._parsed.dict_id,
                               dict_content=self._parsed.content, dict_reps=reps,
                               dict_entropy=self._parsed.enc_entropy)
 
+    def compress_many(self, records: list[bytes], params) -> list[bytes]:
+        """Batch wrap (the 10K-small-records shape): one native call when
+        the fast path applies, element-wise fallback otherwise."""
+        if not records:
+            return []
+        hint = max(len(r) for r in records)
+        resolved = params.resolve(src_size_hint=hint,
+                                  dict_size=len(self._parsed.content))
+        cp = resolved.cparams
+        if (int(cp.strategy) <= 5 and not resolved.ldm
+                and resolved.target_cblock_size == 0
+                and not resolved.fparams.checksum_flag
+                and all(len(r) > 0 for r in records)):
+            cd = self._cdict_for(cp)
+            if cd is not None:
+                out = cd.compress_many(
+                    [bytes(r) for r in records],
+                    0 if resolved.fparams.no_dict_id_flag else self._parsed.dict_id)
+                if out is not None:
+                    return out
+        return [self.compress_with(r, params) for r in records]
+
+    def decompress_many(self, frames: list[bytes],
+                        max_output_size: int | None = None) -> list[bytes]:
+        """Batch unwrap; falls back element-wise when the native fast path
+        does not apply (unknown sizes, checksums...)."""
+        if not frames:
+            return []
+        dd = self._ddict()
+        if dd is not None:
+            out = dd.decompress_many([bytes(f) for f in frames])
+            if out is not None:
+                if max_output_size is not None:
+                    for o in out:
+                        check(len(o) <= max_output_size,
+                              ZstdErrorCode.dstSize_tooSmall)
+                return out
+        return [self.decompress_with(f, max_output_size=max_output_size)
+                for f in frames]
+
     def decompress_with(self, src: bytes, max_output_size: int | None = None,
                         max_window_log: int = C.ZSTD_WINDOWLOG_LIMIT_DEFAULT) -> bytes:
-        from .decode.frame import FrameDecoder
+        from .decode.frame import FrameDecoder, parse_frame_header
+        from .utils.xxhash import content_checksum as _cksum
+
+        # Native DDict fast path (single frame, preloaded entropy/history).
+        dd = self._ddict()
+        if dd is not None:
+            buf = bytes(src)
+            try:
+                hdr = parse_frame_header(np.frombuffer(buf, np.uint8))
+            except ZstdError:
+                hdr = None
+            if hdr is not None and hdr.frame_content_size >= 0:
+                res = dd.decode_frame_body(
+                    np.frombuffer(buf, np.uint8)[hdr.header_size:],
+                    hdr.frame_content_size)
+                if res is not None:
+                    content, consumed = res
+                    pos = hdr.header_size + consumed
+                    ok = len(content) == hdr.frame_content_size
+                    if ok and hdr.has_checksum:
+                        check(len(buf) >= pos + 4, ZstdErrorCode.srcSize_wrong)
+                        stored = int.from_bytes(buf[pos : pos + 4], "little")
+                        ok = _cksum(content) == stored
+                        pos += 4
+                    if ok and pos == len(buf):
+                        if max_output_size is not None:
+                            check(len(content) <= max_output_size,
+                                  ZstdErrorCode.dstSize_tooSmall)
+                        return content.tobytes()
+                # fall through to the reference path on any mismatch
 
         p = self._parsed
         decoder = FrameDecoder(max_window_log=max_window_log,

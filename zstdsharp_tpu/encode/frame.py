@@ -373,6 +373,13 @@ class Compressor:
             return self._dict.compress_with(data, self.params)
         return compress(data, params=self.params)
 
+    def wrap_many(self, records: list[bytes]) -> list[bytes]:
+        """Batch wrap: one native call per batch on the dictionary fast
+        path (ZSTD_compress_usingCDict over a record stream role)."""
+        if self._dict is not None:
+            return self._dict.compress_many(records, self.params)
+        return [self.wrap(r) for r in records]
+
     def try_wrap(self, data: bytes, dest_capacity: int) -> tuple[bool, bytes]:
         """TryWrap:118 — (False, b'') when the frame exceeds dest_capacity."""
         frame = self.wrap(data)

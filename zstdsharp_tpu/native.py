@@ -101,6 +101,25 @@ def _load():
                                                   u8p, i64]
         lib.decode_frame_body_c.restype = i64
         lib.decode_frame_body_c.argtypes = [u8p, i64, u8p, i64, i64p]
+        vp = ctypes.c_void_p
+        lib.zt_cdict_create.restype = vp
+        lib.zt_cdict_create.argtypes = [u8p, i64, i32, i32, i32, i32, i32, i32]
+        lib.zt_cdict_free.restype = None
+        lib.zt_cdict_free.argtypes = [vp]
+        lib.zt_compress_frame_body_cdict.restype = i64
+        lib.zt_compress_frame_body_cdict.argtypes = [vp, u8p, i64, u8p, i64]
+        lib.zt_ddict_create.restype = vp
+        lib.zt_ddict_create.argtypes = [u8p, i64]
+        lib.zt_ddict_free.restype = None
+        lib.zt_ddict_free.argtypes = [vp]
+        lib.zt_decode_frame_body_ddict.restype = i64
+        lib.zt_decode_frame_body_ddict.argtypes = [u8p, i64, vp, u8p, i64, i64p]
+        lib.zt_compress_many_cdict.restype = i64
+        lib.zt_compress_many_cdict.argtypes = [vp, u8p, i64p, i64,
+                                               ctypes.c_uint32, u8p, i64, i64p]
+        lib.zt_decompress_many_ddict.restype = i64
+        lib.zt_decompress_many_ddict.argtypes = [vp, u8p, i64p, i64, u8p, i64,
+                                                 i64p]
 
         _lib = lib
         AVAILABLE = True
@@ -364,3 +383,133 @@ def xxh64(data: bytes, seed: int = 0) -> int | None:
         return None
     arr = np.frombuffer(data, dtype=np.uint8)
     return int(lib.xxh64(_ptr(arr, ctypes.c_uint8), len(arr), seed))
+
+
+class NativeCDict:
+    """Owned handle to a native compression dictionary context
+    (ZSTD_CDict role): prefilled matcher tables + entropy seed."""
+
+    def __init__(self, dict_raw: bytes, strategy: int, hash_log: int,
+                 chain_log: int, search_log: int, window_log: int,
+                 min_match: int):
+        self._lib = get_lib()
+        self._h = None
+        if self._lib is None:
+            return
+        raw = np.frombuffer(bytes(dict_raw), dtype=np.uint8)
+        self._raw = raw  # keep alive during create
+        self._h = self._lib.zt_cdict_create(
+            _ptr(raw, ctypes.c_uint8), len(raw), strategy, hash_log,
+            chain_log, search_log, window_log, min_match)
+
+    @property
+    def valid(self) -> bool:
+        return bool(self._h)
+
+    def compress_many(self, records: list[bytes], dict_id: int) -> list[bytes] | None:
+        """Batch wrap: one native call for the whole record list."""
+        if not self._h:
+            return None
+        concat = np.frombuffer(b"".join(records), dtype=np.uint8)
+        lens = np.array([len(r) for r in records], dtype=np.int64)
+        cap = int(len(concat) + 64 * len(records) + 4096)
+        out = np.empty(cap, dtype=np.uint8)
+        out_lens = np.empty(len(records), dtype=np.int64)
+        total = self._lib.zt_compress_many_cdict(
+            self._h, _ptr(concat, ctypes.c_uint8), _ptr(lens, ctypes.c_int64),
+            len(records), dict_id, _ptr(out, ctypes.c_uint8), cap,
+            _ptr(out_lens, ctypes.c_int64))
+        if total < 0:
+            return None
+        res = []
+        off = 0
+        raw = out.tobytes()
+        for ln in out_lens.tolist():
+            res.append(raw[off : off + ln])
+            off += ln
+        return res
+
+    def compress_frame_body(self, src: np.ndarray) -> bytes | None:
+        if not self._h or len(src) == 0:
+            return None
+        n = len(src)
+        cap = n + (n >> 6) + 4096
+        out = np.empty(cap, dtype=np.uint8)
+        size = self._lib.zt_compress_frame_body_cdict(
+            self._h, _ptr(np.ascontiguousarray(src, np.uint8), ctypes.c_uint8),
+            n, _ptr(out, ctypes.c_uint8), cap)
+        if size < 0:
+            return None
+        return out[:size].tobytes()
+
+    def __del__(self):
+        if getattr(self, "_h", None) and self._lib is not None:
+            self._lib.zt_cdict_free(self._h)
+            self._h = None
+
+
+class NativeDDict:
+    """Owned handle to a native decompression dictionary context
+    (ZSTD_DDict role): content history + preloaded entropy tables."""
+
+    def __init__(self, dict_raw: bytes):
+        self._lib = get_lib()
+        self._h = None
+        self.content_len = 0
+        if self._lib is None:
+            return
+        raw = np.frombuffer(bytes(dict_raw), dtype=np.uint8)
+        self._h = self._lib.zt_ddict_create(_ptr(raw, ctypes.c_uint8), len(raw))
+        if self._h:
+            # content length = dict minus header (recomputed python-side)
+            from .dictionary import parse_dictionary
+
+            self.content_len = len(parse_dictionary(bytes(dict_raw)).content)
+
+    @property
+    def valid(self) -> bool:
+        return bool(self._h)
+
+    def decompress_many(self, frames: list[bytes]) -> list[bytes] | None:
+        """Batch unwrap: one native call for the whole frame list (frames
+        must carry a known content size and no checksum)."""
+        if not self._h:
+            return None
+        concat = np.frombuffer(b"".join(frames), dtype=np.uint8)
+        flens = np.array([len(f) for f in frames], dtype=np.int64)
+        cap = int(len(concat) * 64 + (1 << 20))
+        out = np.empty(cap, dtype=np.uint8)
+        out_lens = np.empty(len(frames), dtype=np.int64)
+        total = self._lib.zt_decompress_many_ddict(
+            self._h, _ptr(concat, ctypes.c_uint8), _ptr(flens, ctypes.c_int64),
+            len(frames), _ptr(out, ctypes.c_uint8), cap,
+            _ptr(out_lens, ctypes.c_int64))
+        if total < 0:
+            return None
+        res = []
+        off = 0
+        raw = out.tobytes()
+        for ln in out_lens.tolist():
+            res.append(raw[off : off + ln])
+            off += ln
+        return res
+
+    def decode_frame_body(self, src: np.ndarray, content_cap: int):
+        """Returns (content np.uint8, consumed) or None."""
+        if not self._h:
+            return None
+        arr = np.ascontiguousarray(src, np.uint8)
+        cap = self.content_len + content_cap + 64
+        out = np.empty(cap, dtype=np.uint8)
+        consumed = np.zeros(1, dtype=np.int64)
+        size = self._lib.zt_decode_frame_body_ddict(
+            _ptr(arr, ctypes.c_uint8), len(arr), self._h,
+            _ptr(out, ctypes.c_uint8), cap, _ptr(consumed, ctypes.c_int64))
+        if size < 0:
+            return None
+        return out[self.content_len : self.content_len + size], int(consumed[0])
+
+    def __del__(self):
+        if getattr(self, "_h", None) and self._lib is not None:
+            self._lib.zt_ddict_free(self._h)
+            self._h = None
