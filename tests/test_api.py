@@ -208,3 +208,26 @@ def test_streaming_no_forward_progress_guard():
     with pytest.raises(ZstdError):
         for _ in range(20):  # empty feeds: must abort, not spin forever
             d.feed(b"")
+
+
+def test_n_workers_multiframe_stream():
+    """compress(n_workers=N) emits a valid multi-frame stream (frame
+    concatenation, RFC 8878 §3): every frame decodes through libzstd and
+    the whole stream through our decoder."""
+    import zstandard
+
+    import zstdsharp_tpu as zt
+    from zstdsharp_tpu.decode.frame import find_frame_compressed_size
+    from zstdsharp_tpu.encode.params import CCtxParams
+
+    rng = __import__("numpy").random.default_rng(9)
+    data = rng.integers(0, 64, 600_000, dtype="uint8").tobytes()
+    c = zt.compress(data, params=CCtxParams(compression_level=3, n_workers=4))
+    assert zt.decompress(c) == data
+    pos, parts = 0, []
+    while pos < len(c):
+        n = find_frame_compressed_size(c[pos:])
+        parts.append(zstandard.ZstdDecompressor().decompress(
+            c[pos : pos + n], max_output_size=len(data)))
+        pos += n
+    assert b"".join(parts) == data and len(parts) > 1
