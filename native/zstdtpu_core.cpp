@@ -2276,24 +2276,42 @@ static int huf_decode_4x2(const uint8_t* pad, const int64_t* offs,
     }
     const uint64_t mask = (1ULL << tlog) - 1;
     const int per = tlog <= 11 ? 5 : 4;
-    while (pos[0] >= 56 && pos[1] >= 56 && pos[2] >= 56 && pos[3] >= 56 &&
-           rem[0] >= 11 && rem[1] >= 11 && rem[2] >= 11 && rem[3] >= 11) {
-        for (int k = 0; k < 4; k++) {
-            const int64_t p = pos[k] - 56 + 16 * 8;
-            const uint64_t W = read_window(sb[k] + (p >> 3)) >> (p & 7);
-            int s = 56;
-            uint8_t* o = op[k];
+    {
+        int64_t p0 = pos[0], p1 = pos[1], p2 = pos[2], p3 = pos[3];
+        int64_t r0 = rem[0], r1 = rem[1], r2 = rem[2], r3 = rem[3];
+        uint8_t *q0 = op[0], *q1 = op[1], *q2 = op[2], *q3 = op[3];
+        const uint8_t *b0 = sb[0], *b1 = sb[1], *b2 = sb[2], *b3 = sb[3];
+        while (p0 >= 56 && p1 >= 56 && p2 >= 56 && p3 >= 56 &&
+               r0 >= 11 && r1 >= 11 && r2 >= 11 && r3 >= 11) {
+            const int64_t a0 = p0 - 56 + 128, a1 = p1 - 56 + 128;
+            const int64_t a2 = p2 - 56 + 128, a3 = p3 - 56 + 128;
+            const uint64_t W0 = read_window(b0 + (a0 >> 3)) >> (a0 & 7);
+            const uint64_t W1 = read_window(b1 + (a1 >> 3)) >> (a1 & 7);
+            const uint64_t W2 = read_window(b2 + (a2 >> 3)) >> (a2 & 7);
+            const uint64_t W3 = read_window(b3 + (a3 >> 3)) >> (a3 & 7);
+            int s0 = 56, s1 = 56, s2 = 56, s3 = 56;
+            uint8_t *o0 = q0, *o1 = q1, *o2 = q2, *o3 = q3;
             for (int j = 0; j < per; j++) {
-                const uint32_t e = D[(W >> (s - tlog)) & mask];
-                o[0] = (uint8_t)e;
-                o[1] = (uint8_t)(e >> 8);
-                o += (e >> 26);
-                s -= (int)((e >> 16) & 31);
+                const uint32_t e0 = D[(W0 >> (s0 - tlog)) & mask];
+                const uint32_t e1 = D[(W1 >> (s1 - tlog)) & mask];
+                const uint32_t e2 = D[(W2 >> (s2 - tlog)) & mask];
+                const uint32_t e3 = D[(W3 >> (s3 - tlog)) & mask];
+                o0[0] = (uint8_t)e0; o0[1] = (uint8_t)(e0 >> 8);
+                o1[0] = (uint8_t)e1; o1[1] = (uint8_t)(e1 >> 8);
+                o2[0] = (uint8_t)e2; o2[1] = (uint8_t)(e2 >> 8);
+                o3[0] = (uint8_t)e3; o3[1] = (uint8_t)(e3 >> 8);
+                o0 += (e0 >> 26); s0 -= (int)((e0 >> 16) & 31);
+                o1 += (e1 >> 26); s1 -= (int)((e1 >> 16) & 31);
+                o2 += (e2 >> 26); s2 -= (int)((e2 >> 16) & 31);
+                o3 += (e3 >> 26); s3 -= (int)((e3 >> 16) & 31);
             }
-            rem[k] -= o - op[k];
-            op[k] = o;
-            pos[k] -= 56 - s;
+            r0 -= o0 - q0; r1 -= o1 - q1; r2 -= o2 - q2; r3 -= o3 - q3;
+            q0 = o0; q1 = o1; q2 = o2; q3 = o3;
+            p0 -= 56 - s0; p1 -= 56 - s1; p2 -= 56 - s2; p3 -= 56 - s3;
         }
+        pos[0] = p0; pos[1] = p1; pos[2] = p2; pos[3] = p3;
+        rem[0] = r0; rem[1] = r1; rem[2] = r2; rem[3] = r3;
+        op[0] = q0; op[1] = q1; op[2] = q2; op[3] = q3;
     }
     for (int k = 0; k < 4; k++) {
         while (rem[k] > 0) {
@@ -3631,20 +3649,38 @@ static int huf_decode_4x(const uint8_t* pad, const int64_t* offs,
     }
     const int per = tlog <= 11 ? 5 : 4;
     const uint64_t mask = (1ULL << tlog) - 1;
-    while (pos[0] >= 56 && pos[1] >= 56 && pos[2] >= 56 && pos[3] >= 56 &&
-           rem[0] >= per && rem[1] >= per && rem[2] >= per && rem[3] >= per) {
-        for (int k = 0; k < 4; k++) {
-            const int64_t p = pos[k] - 56 + 16 * 8;
-            const uint64_t W = read_window(sb[k] + (p >> 3)) >> (p & 7);
-            int s = 56;
+    {
+        // register-resident stream state (the array form spills)
+        int64_t p0 = pos[0], p1 = pos[1], p2 = pos[2], p3 = pos[3];
+        int64_t r0 = rem[0], r1 = rem[1], r2 = rem[2], r3 = rem[3];
+        uint8_t *q0 = op[0], *q1 = op[1], *q2 = op[2], *q3 = op[3];
+        const uint8_t *b0 = sb[0], *b1 = sb[1], *b2 = sb[2], *b3 = sb[3];
+        while (p0 >= 56 && p1 >= 56 && p2 >= 56 && p3 >= 56 &&
+               r0 >= per && r1 >= per && r2 >= per && r3 >= per) {
+            const int64_t a0 = p0 - 56 + 128, a1 = p1 - 56 + 128;
+            const int64_t a2 = p2 - 56 + 128, a3 = p3 - 56 + 128;
+            uint64_t W0 = read_window(b0 + (a0 >> 3)) >> (a0 & 7);
+            uint64_t W1 = read_window(b1 + (a1 >> 3)) >> (a1 & 7);
+            uint64_t W2 = read_window(b2 + (a2 >> 3)) >> (a2 & 7);
+            uint64_t W3 = read_window(b3 + (a3 >> 3)) >> (a3 & 7);
+            int s0 = 56, s1 = 56, s2 = 56, s3 = 56;
             for (int j = 0; j < per; j++) {
-                const uint16_t e = D[(W >> (s - tlog)) & mask];
-                *op[k]++ = (uint8_t)(e >> 8);
-                s -= (int)(e & 0xFF);
+                const uint16_t e0 = D[(W0 >> (s0 - tlog)) & mask];
+                const uint16_t e1 = D[(W1 >> (s1 - tlog)) & mask];
+                const uint16_t e2 = D[(W2 >> (s2 - tlog)) & mask];
+                const uint16_t e3 = D[(W3 >> (s3 - tlog)) & mask];
+                q0[j] = (uint8_t)(e0 >> 8); s0 -= (int)(e0 & 0xFF);
+                q1[j] = (uint8_t)(e1 >> 8); s1 -= (int)(e1 & 0xFF);
+                q2[j] = (uint8_t)(e2 >> 8); s2 -= (int)(e2 & 0xFF);
+                q3[j] = (uint8_t)(e3 >> 8); s3 -= (int)(e3 & 0xFF);
             }
-            pos[k] -= 56 - s;
-            rem[k] -= per;
+            q0 += per; q1 += per; q2 += per; q3 += per;
+            p0 -= 56 - s0; p1 -= 56 - s1; p2 -= 56 - s2; p3 -= 56 - s3;
+            r0 -= per; r1 -= per; r2 -= per; r3 -= per;
         }
+        pos[0] = p0; pos[1] = p1; pos[2] = p2; pos[3] = p3;
+        rem[0] = r0; rem[1] = r1; rem[2] = r2; rem[3] = r3;
+        op[0] = q0; op[1] = q1; op[2] = q2; op[3] = q3;
     }
     for (int k = 0; k < 4; k++) {
         while (rem[k] > 0) {
