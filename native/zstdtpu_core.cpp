@@ -2540,9 +2540,14 @@ static int64_t select_channel(const uint8_t* codes, int64_t n, int max_allowed,
                               // repeat state (valid when *mode == 2)
                               int16_t* fresh_norm = nullptr,
                               int* fresh_max = nullptr,
-                              int* fresh_log = nullptr) {
-    uint32_t counts[64] = {0};
-    for (int64_t i = 0; i < n; i++) counts[codes[i]]++;
+                              int* fresh_log = nullptr,
+                              const uint32_t* pre_counts = nullptr) {
+    uint32_t counts[64];
+    if (pre_counts) std::memcpy(counts, pre_counts, sizeof counts);
+    else {
+        std::memset(counts, 0, sizeof counts);
+        for (int64_t i = 0; i < n; i++) counts[codes[i]]++;
+    }
     int max_code = max_allowed;
     while (max_code > 0 && counts[max_code] == 0) max_code--;
     int distinct = 0;
@@ -2680,19 +2685,23 @@ static int64_t encode_block_body_c(const uint8_t* block, int64_t nv,
         return size < max_size ? size : -1;
     }
 
-    // Codes.
+    // Codes + histograms in one pass (the channel selector reuses them).
     uint8_t* llc = (uint8_t*)malloc((size_t)n_seq * 3);
     uint8_t* mlc = llc + n_seq;
     uint8_t* ofc = mlc + n_seq;
     uint32_t* mlbase = (uint32_t*)malloc((size_t)n_seq * 4);
     if (!llc || !mlbase) { free(llc); free(mlbase); return -1; }
+    uint32_t cnt_ll[64] = {0}, cnt_ml[64] = {0}, cnt_of[64] = {0};
     bool of_default_ok = true;
     for (int64_t i = 0; i < n_seq; i++) {
-        llc[i] = kLLCodeLut[ll[i]];
-        mlc[i] = kMLCodeLut[mlv[i]];
-        mlbase[i] = mlv[i] - 3;
+        const uint8_t cl = kLLCodeLut[ll[i]];
+        const uint8_t cm = kMLCodeLut[mlv[i]];
         const int oc = highbit32(ob[i]);
+        llc[i] = cl;
+        mlc[i] = cm;
+        mlbase[i] = mlv[i] - 3;
         ofc[i] = (uint8_t)oc;
+        cnt_ll[cl]++; cnt_ml[cm]++; cnt_of[oc]++;
         if (oc > kDefaultMaxOFF) of_default_ok = false;
     }
 
@@ -2709,7 +2718,7 @@ static int64_t encode_block_body_c(const uint8_t* block, int64_t nv,
                        est && est->ll_valid ? &est->ll_ct : nullptr,
                        est ? est->ll_norm : nullptr,
                        est ? est->ll_max : 0, est ? est->ll_log : 0,
-                       fn, &fmax, &flog);
+                       fn, &fmax, &flog, cnt_ll);
     if (h < 0) { free(llc); free(mlbase); return -1; }
     if (est)
         enc_update_channel(&est->ll_ct, est->ll_norm, &est->ll_max,
@@ -2723,7 +2732,7 @@ static int64_t encode_block_body_c(const uint8_t* block, int64_t nv,
                        est && est->of_valid ? &est->of_ct : nullptr,
                        est ? est->of_norm : nullptr,
                        est ? est->of_max : 0, est ? est->of_log : 0,
-                       fn, &fmax, &flog);
+                       fn, &fmax, &flog, cnt_of);
     if (h < 0) { free(llc); free(mlbase); return -1; }
     if (est)
         enc_update_channel(&est->of_ct, est->of_norm, &est->of_max,
@@ -2737,7 +2746,7 @@ static int64_t encode_block_body_c(const uint8_t* block, int64_t nv,
                        est && est->ml_valid ? &est->ml_ct : nullptr,
                        est ? est->ml_norm : nullptr,
                        est ? est->ml_max : 0, est ? est->ml_log : 0,
-                       fn, &fmax, &flog);
+                       fn, &fmax, &flog, cnt_ml);
     if (h < 0) { free(llc); free(mlbase); return -1; }
     if (est)
         enc_update_channel(&est->ml_ct, est->ml_norm, &est->ml_max,
