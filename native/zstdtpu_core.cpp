@@ -2786,14 +2786,13 @@ static bool kGearInit = false;
 
 static void ldm_init() {
     if (kGearInit) return;
-    uint64_t x = 0x9E3779B97F4A7C15ULL;
+    // Arithmetic gear shared with the device scan (ops/ldm.py): anchor
+    // placement is encoder-internal, and a multiplicative-hash gear keeps
+    // the device path gather-free.  Values masked to rate_log+8 bits so
+    // the device's int32 arithmetic is exact (rate_log default 7).
     for (int i = 0; i < 256; i++) {
-        // splitmix64
-        x += 0x9E3779B97F4A7C15ULL;
-        uint64_t z = x;
-        z = (z ^ (z >> 30)) * 0xBF58476D1CE4E5B9ULL;
-        z = (z ^ (z >> 27)) * 0x94D049BB133111EBULL;
-        kGear[i] = z ^ (z >> 31);
+        const uint32_t v = ((uint32_t)(i + 1)) * 0x9E3779B1u;
+        kGear[i] = (v >> 12) & 0x7FFFu;
     }
     kGearInit = true;
 }

@@ -185,3 +185,21 @@ class TestDeviceSeqDecode:
             np.testing.assert_array_equal(np.asarray(d_ll[b, :n]), lls[b])
             np.testing.assert_array_equal(np.asarray(d_ml[b, :n]), mls[b])
             np.testing.assert_array_equal(np.asarray(d_of[b, :n]), ofs[b])
+
+
+def test_ldm_anchor_mask_matches_serial_gear():
+    """Device LDM anchor scan (ZSTD_ldm_gear_feed role): the windowed
+    shifted-add formulation equals the serial rolling hash outside the
+    warmup region, and anchor density is ~2^-rate_log."""
+    import numpy as np
+
+    from zstdsharp_tpu.ops.ldm import (ldm_anchor_mask,
+                                       ldm_anchor_mask_reference)
+
+    rng = np.random.default_rng(5)
+    src = rng.integers(0, 256, 50_000, dtype=np.uint8)
+    ref = ldm_anchor_mask_reference(src, 7)
+    dev = np.asarray(ldm_anchor_mask(jnp.asarray(src), 7))
+    assert np.array_equal(ref[6:], dev[6:])
+    density = dev[6:].mean()
+    assert 0.5 / 128 < density < 2.5 / 128
