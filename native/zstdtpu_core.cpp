@@ -3770,28 +3770,27 @@ static int64_t decode_literals_c(const uint8_t* src, int64_t size,
         return -1;
     }
     *lit_size = regen;
-    // padded copies for the backward readers
-    uint8_t* pad = (uint8_t*)malloc((size_t)psize + 24);
-    if (!pad) return -1;
-    std::memset(pad, 0, 16);
+    // Backward readers may touch up to 16 bytes before a stream's start;
+    // the frame loop guarantees those bytes are readable (frame-level
+    // padded copy), and canonical-table don't-care bits make their values
+    // irrelevant for valid streams — so streams decode in place.
     int rc = 0;
     if (streams == 1) {
-        std::memcpy(pad + 16, payload, (size_t)psize);
-        rc = (int)huf_decode_stream(pad, psize, ent->huf.sym, ent->huf.nb,
-                                    ent->huf.tlog, lit, regen);
+        rc = (int)huf_decode_stream(payload - 16, psize, ent->huf.sym,
+                                    ent->huf.nb, ent->huf.tlog, lit, regen);
     } else {
-        if (psize < 6 + 3) { free(pad); return -1; }
+        if (psize < 6 + 3) return -1;
         const int64_t l1 = payload[0] | (payload[1] << 8);
         const int64_t l2 = payload[2] | (payload[3] << 8);
         const int64_t l3 = payload[4] | (payload[5] << 8);
         const int64_t l4 = psize - 6 - l1 - l2 - l3;
-        if (l4 <= 0) { free(pad); return -1; }
+        if (l4 <= 0) return -1;
         const int64_t seg = (regen + 3) / 4;
         const int64_t osz[4] = {seg, seg, seg, regen - 3 * seg};
         const int64_t isz[4] = {l1, l2, l3, l4};
-        if (osz[3] < 0) { free(pad); return -1; }
-        std::memcpy(pad + 16, payload + 6, (size_t)(psize - 6));
-        const int64_t offs[4] = {6 - 6, l1, l1 + l2, l1 + l2 + l3};
+        if (osz[3] < 0) return -1;
+        const uint8_t* pad = payload + 6 - 16;
+        const int64_t offs[4] = {0, l1, l1 + l2, l1 + l2 + l3};
         // Decoder selection (HUF_selectDecoder role): double-symbol X2 wins
         // when two typical codes fit in one tableLog window:
         // 2 * avgBits = 2 * 8*comp/regen <= tlog.
@@ -3807,7 +3806,6 @@ static int64_t decode_literals_c(const uint8_t* src, int64_t size,
                                lit, osz);
         }
     }
-    free(pad);
     if (rc != 0) return -1;
     return h + comp;
 }
@@ -3903,17 +3901,12 @@ static int64_t decode_block_c(const uint8_t* src, int64_t size,
     if (prof) { int64_t t = prof_now(); g_prof[1] += t - t0; t0 = t; }
 
     (void)seq_buf; (void)max_seq;
-    uint8_t* pad = (uint8_t*)malloc((size_t)size + 24);
-    if (!pad) return -1;
-    std::memset(pad, 0, 16);
-    std::memcpy(pad + 16, src, (size_t)size);
     int64_t r2 = decode_execute_sequences(
-        pad, size, nb_seq,
+        src - 16, size, nb_seq,
         ent->ll.fused, ent->ll.tlog,
         ent->of.fused, ent->of.tlog,
         ent->ml.fused, ent->ml.tlog,
         ent->rep, out, out_pos, out_cap, prefix_start, lit_buf, lit_size);
-    free(pad);
     if (prof) { int64_t t = prof_now(); g_prof[2] += t - t0; t0 = t; }
     return r2 < 0 ? -1 : r2;
 }
@@ -3937,8 +3930,15 @@ int64_t decode_frame_body_c(const uint8_t* src, int64_t size, uint8_t* out,
     ent->huf.valid = false;
     ent->ll_valid = ent->of_valid = ent->ml_valid = false;
     ent->rep[0] = 1; ent->rep[1] = 4; ent->rep[2] = 8;
-    int64_t r = decode_frame_blocks(src, size, ent, out, 0, out_cap,
+    // One padded copy for the whole frame: backward bit-readers may touch
+    // up to 16 bytes before any payload, so blocks decode in place here.
+    uint8_t* fpad = (uint8_t*)malloc((size_t)size + 24);
+    if (!fpad) { free(ent); return -1; }
+    std::memset(fpad, 0, 16);
+    std::memcpy(fpad + 16, src, (size_t)size);
+    int64_t r = decode_frame_blocks(fpad + 16, size, ent, out, 0, out_cap,
                                     consumed_out);
+    free(fpad);
     free(ent);
     return r;
 }
@@ -4430,8 +4430,13 @@ int64_t zt_decode_frame_body_ddict(const uint8_t* src, int64_t size, void* h,
     d->scratch.huf.valid = d->ent.huf.valid;
     std::memcpy(d->scratch.rep, d->ent.rep, sizeof d->scratch.rep);
     d->scratch_dirty = 0;
-    int64_t r = decode_frame_blocks(src, size, &d->scratch, out, d->clen,
+    uint8_t* fpad = (uint8_t*)malloc((size_t)size + 24);
+    if (!fpad) return -1;
+    std::memset(fpad, 0, 16);
+    std::memcpy(fpad + 16, src, (size_t)size);
+    int64_t r = decode_frame_blocks(fpad + 16, size, &d->scratch, out, d->clen,
                                     out_cap, consumed_out, &d->scratch_dirty);
+    free(fpad);
     return r;
 }
 
@@ -4531,12 +4536,19 @@ static int64_t parse_frame_header_c(const uint8_t* src, int64_t size,
 
 // Decompress n_items frames (concatenated, sizes in flens) into concatenated
 // outputs; out_lens[i] receives each content size.  Returns total or -1.
-int64_t zt_decompress_many_ddict(void* h, const uint8_t* concat,
+int64_t zt_decompress_many_ddict(void* h, const uint8_t* concat_in,
                                  const int64_t* flens, int64_t n_items,
                                  uint8_t* out, int64_t out_cap,
                                  int64_t* out_lens) {
     DDictC* d = (DDictC*)h;
     if (!d) return -1;
+    int64_t total_in = 0;
+    for (int64_t i = 0; i < n_items; i++) total_in += flens[i];
+    uint8_t* cpad = (uint8_t*)malloc((size_t)total_in + 24);
+    if (!cpad) return -1;
+    std::memset(cpad, 0, 16);
+    std::memcpy(cpad + 16, concat_in, (size_t)total_in);
+    const uint8_t* concat = cpad + 16;
     const int64_t clen = d->clen;
     uint8_t* work = nullptr;
     int64_t work_cap = 0;
@@ -4546,13 +4558,13 @@ int64_t zt_decompress_many_ddict(void* h, const uint8_t* concat,
         int64_t fcs;
         int cksum;
         const int64_t h0 = parse_frame_header_c(concat + ip, fl, &fcs, &cksum);
-        if (h0 < 0 || fcs < 0) { free(work); return -1; }
+        if (h0 < 0 || fcs < 0) { free(work); free(cpad); return -1; }
         const int64_t need = clen + fcs + 64;
         if (need > work_cap) {
             free(work);
             work_cap = need * 2;
             work = (uint8_t*)malloc((size_t)work_cap);
-            if (!work) return -1;
+            if (!work) { free(cpad); return -1; }
         }
         // restore scratch (dirty-tracked) and decode
         if (d->scratch_dirty & 1) d->scratch.huf = d->ent.huf;
@@ -4571,14 +4583,15 @@ int64_t zt_decompress_many_ddict(void* h, const uint8_t* concat,
                                               &d->scratch, work, clen,
                                               clen + fcs, &consumed,
                                               &d->scratch_dirty);
-        if (r != fcs) { free(work); return -1; }
-        if (op + r > out_cap) { free(work); return -1; }
+        if (r != fcs) { free(work); free(cpad); return -1; }
+        if (op + r > out_cap) { free(work); free(cpad); return -1; }
         std::memcpy(out + op, work + clen, (size_t)r);
         out_lens[i] = r;
         op += r;
         ip += fl;
     }
     free(work);
+    free(cpad);
     return op;
 }
 
