@@ -123,3 +123,57 @@ class TestFrameIntrospection:
         data = text_corpus[:20_000]
         frame = oracle_compress(data, 3)
         assert dframe.decompress_bound(frame) >= len(data)
+
+
+class TestZstdSideExoticFrames:
+    """Frames produced by libzstd with advanced parameters must decode
+    bit-exactly through every tier (the reference's differential strategy
+    in the decode direction, ZstdTest.cs:69 role)."""
+
+    def test_zstd_dictionary_frames(self, sample_factory):
+        import zstandard
+
+        from zstdsharp_tpu.decode.frame import Decompressor
+        from zstdsharp_tpu.dictionary import train_dictionary
+
+        samples = [sample_factory() for _ in range(300)]
+        d = train_dictionary(samples, 2048)
+        zd = zstandard.ZstdCompressionDict(d)
+        dec = Decompressor()
+        dec.load_dictionary(d)
+        for lvl in (1, 3, 9, 19):
+            zc = zstandard.ZstdCompressor(level=lvl, dict_data=zd)
+            for s in samples[:40]:
+                assert dec.unwrap(zc.compress(s)) == s
+
+    def test_zstd_small_window_many_blocks(self, text_corpus):
+        import zstandard
+
+        from zstdsharp_tpu.decode.frame import decompress
+
+        data = text_corpus[:400_000]
+        p = zstandard.ZstdCompressionParameters.from_level(9, window_log=11)
+        frame = zstandard.ZstdCompressor(compression_params=p).compress(data)
+        assert decompress(frame) == data
+
+    def test_zstd_ldm_large_window(self, rng):
+        import zstandard
+
+        from zstdsharp_tpu.decode.frame import decompress
+
+        seg = rng.integers(0, 256, 700_000, dtype=np.uint8).tobytes()
+        data = seg + b"filler " * 30_000 + seg[:400_000]
+        p = zstandard.ZstdCompressionParameters.from_level(
+            16, enable_ldm=1, window_log=24)
+        frame = zstandard.ZstdCompressor(compression_params=p).compress(data)
+        assert decompress(frame, max_window_log=26) == data
+
+    def test_zstd_write_content_size_off(self, text_corpus):
+        import zstandard
+
+        from zstdsharp_tpu.decode.frame import decompress
+
+        data = text_corpus[:100_000]
+        zc = zstandard.ZstdCompressor(level=5, write_content_size=False)
+        frame = zc.compress(data)
+        assert decompress(frame) == data
