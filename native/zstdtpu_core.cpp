@@ -393,6 +393,18 @@ static inline uint64_t read64_fwd(const uint8_t* p) {
     uint64_t v; std::memcpy(&v, p, 8); return v;
 }
 
+// Hash mls bytes from a preloaded little-endian u64 (one load serves both
+// the hash and the 4-byte verification value).
+static inline uint32_t hash_mls_v(uint64_t v, int hlog, int mls) {
+    switch (mls) {
+        case 5: return (uint32_t)(((v << 24) * 0x9E3779B185EBCA87ULL) >> (64 - hlog));
+        case 6: return (uint32_t)(((v << 16) * 0xC2B2AE3D27D4EB4FULL) >> (64 - hlog));
+        case 7: return (uint32_t)(((v << 8)  * 0x165667B19E3779F9ULL) >> (64 - hlog));
+        case 8: return (uint32_t)((v * 0xCF1BBCDCB7A56463ULL) >> (64 - hlog));
+        default: return hash32((uint32_t)v, hlog);
+    }
+}
+
 // Hash the first `mls` bytes at p (mls in 4..8).  Wider hashes cut collisions
 // for the fast strategy's high min-match levels (ZSTD_hashPtr:423 role).
 static inline uint32_t hash_mls(const uint8_t* p, int hlog, int mls) {
@@ -571,22 +583,24 @@ int64_t fast_find_matches32(const uint8_t* src, int64_t src_len,
                 break;
             }
             {
-                const uint32_t hv = hash_mls(src + pos, hlog, mls);
+                const uint64_t v = read64_fwd(src + pos);
+                const uint32_t hv = hash_mls_v(v, hlog, mls);
                 const int64_t cand = (int64_t)table[hv] - 1;
                 table[hv] = (uint32_t)(pos + 1);
                 if (cand >= window_start && cand >= pos - (window_size - 1) &&
-                    read32(src + cand) == read32(src + pos)) {
+                    read32(src + cand) == (uint32_t)v) {
                     mp = pos; mc = cand;
                     break;
                 }
             }
             if (pos + 1 <= limit) {
                 const int64_t p1 = pos + 1;
-                const uint32_t hv = hash_mls(src + p1, hlog, mls);
+                const uint64_t v = read64_fwd(src + p1);
+                const uint32_t hv = hash_mls_v(v, hlog, mls);
                 const int64_t cand = (int64_t)table[hv] - 1;
                 table[hv] = (uint32_t)(p1 + 1);
                 if (cand >= window_start && cand >= p1 - (window_size - 1) &&
-                    read32(src + cand) == read32(src + p1)) {
+                    read32(src + cand) == (uint32_t)v) {
                     mp = p1; mc = cand;
                     break;
                 }
