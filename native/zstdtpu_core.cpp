@@ -3412,11 +3412,19 @@ int64_t compress_frame_body_ldm_c(const uint8_t* src, int64_t n, int strategy,
         if (cap < 3) rc = -1;
         else { out[0] = 1; out[1] = 0; out[2] = 0; size = 3; }
     }
+    EncEntropyC est_snap;
+    uint32_t rep_snap[3];
     while (pos < n && rc == 0) {
         const int64_t end = pos + block_size < n ? pos + block_size : n;
         const int last = end == n;
         const int64_t bn = end - pos;
         if (size + 3 + bn + 32 > cap) { rc = -1; break; }
+        // Snapshot decoder-visible state: a raw-block fallback must not
+        // advance repcodes or repeat-mode entropy tables, or every later
+        // block's rep/repeat references desync from the decoder
+        // (ZSTD_confirmRepcodesAndEntropyTables role).
+        rep_snap[0] = rep[0]; rep_snap[1] = rep[1]; rep_snap[2] = rep[2];
+        est_snap = enc_state;
         // RLE block?
         bool all_same = bn > 1;
         for (int64_t i = pos + 1; i < end && all_same; i++)
@@ -3586,28 +3594,29 @@ int64_t compress_frame_body_ldm_c(const uint8_t* src, int64_t n, int strategy,
                         b2 - a, plast, out + size + 3, cap - size - 3 - 8,
                         &enc_state);
                     if (pbody < 0) {
-                        const uint32_t bh = (uint32_t)(plast_flag | (0 << 1) | (pbn << 3));
-                        out[size] = (uint8_t)bh; out[size + 1] = (uint8_t)(bh >> 8);
-                        out[size + 2] = (uint8_t)(bh >> 16);
-                        std::memcpy(out + size + 3, src + pos + pa, (size_t)pbn);
-                        size += 3 + pbn;
-                    } else {
-                        const uint32_t bh = (uint32_t)(plast_flag | (2 << 1) | (pbody << 3));
-                        out[size] = (uint8_t)bh; out[size + 1] = (uint8_t)(bh >> 8);
-                        out[size + 2] = (uint8_t)(bh >> 16);
-                        size += 3 + pbody;
+                        // a raw partition would desync later partitions'
+                        // repcodes; abandon the split entirely
+                        fail = true;
+                        break;
                     }
+                    const uint32_t bh = (uint32_t)(plast_flag | (2 << 1) | (pbody << 3));
+                    out[size] = (uint8_t)bh; out[size + 1] = (uint8_t)(bh >> 8);
+                    out[size + 2] = (uint8_t)(bh >> 16);
+                    size += 3 + pbody;
                     a = b2;
                 }
                 free(seq_start);
                 if (!fail) { pos = end; continue; }
                 size = size0;  // fall through to single-block emission
+                enc_state = est_snap;
             }
         }
         int64_t body = encode_block_body_c(src + pos, bn, s_ll, s_ml, s_ob,
                                            n_seq, last_lit, out + size + 3,
                                            cap - size - 3 - 8, &enc_state);
         if (body < 0) {
+            rep[0] = rep_snap[0]; rep[1] = rep_snap[1]; rep[2] = rep_snap[2];
+            enc_state = est_snap;
             const uint32_t bh = (uint32_t)(last | (0 << 1) | (bn << 3));
             out[size] = (uint8_t)bh; out[size + 1] = (uint8_t)(bh >> 8);
             out[size + 2] = (uint8_t)(bh >> 16);
@@ -4347,12 +4356,16 @@ int64_t zt_compress_frame_body_cdict(void* h, const uint8_t* src, int64_t n,
     int64_t size = 0;
     int64_t pos = c->clen;
     int rc = 0;
+    EncEntropyC est_snap2;
+    uint32_t rep_in[3];
     while (pos < end_all && rc == 0) {
         const int64_t end = pos + block_size < end_all ? pos + block_size
                                                        : end_all;
         const int last = end == end_all;
         const int64_t bn = end - pos;
         if (size + 3 + bn + 32 > cap) { rc = -1; break; }
+        rep_in[0] = rep[0]; rep_in[1] = rep[1]; rep_in[2] = rep[2];
+        est_snap2 = est;
         int64_t last_lit = 0;
         int64_t n_seq = 0;
         if (c->strategy <= 2) {
@@ -4373,6 +4386,8 @@ int64_t zt_compress_frame_body_cdict(void* h, const uint8_t* src, int64_t n,
                                            n_seq, last_lit, out + size + 3,
                                            cap - size - 3 - 8, &est);
         if (body < 0) {
+            rep[0] = rep_in[0]; rep[1] = rep_in[1]; rep[2] = rep_in[2];
+            est = est_snap2;
             const uint32_t bh = (uint32_t)(last | (0 << 1) | (bn << 3));
             out[size] = (uint8_t)bh; out[size + 1] = (uint8_t)(bh >> 8);
             out[size + 2] = (uint8_t)(bh >> 16);

@@ -154,3 +154,21 @@ class TestBlockSplitterAndSuperblock:
         ours = len(eframe.compress(data, level))
         theirs = len(zstandard.ZstdCompressor(level=level).compress(data))
         assert ours < theirs * 1.06, f"L{level}: ours {ours} vs oracle {theirs}"
+
+
+def test_raw_fallback_keeps_rep_and_entropy_state(rng):
+    """A block that falls back to RAW must not advance repcodes or
+    repeat-mode entropy tables (ZSTD_confirmRepcodesAndEntropyTables
+    role): later blocks' rep references would desync from the decoder.
+    Small windows force tiny blocks with frequent raw fallbacks."""
+    import zstandard
+
+    text = b"the quick brown fox " * 400
+    noise = rng.integers(0, 256, 30_000, dtype=np.uint8).tobytes()
+    data = (text + noise + text + noise[:5_000] + text) * 3
+    for level in (1, 3, 6, 13, 19):
+        p = CCtxParams(compression_level=level, window_log=11)
+        frame = eframe.compress(data, params=p)
+        assert zstandard.ZstdDecompressor(max_window_size=1 << 27).decompress(
+            frame, max_output_size=len(data) + 64) == data
+        assert dframe.decompress(frame, max_window_log=27) == data

@@ -142,9 +142,17 @@ class FrameEncoder:
             out.append(int(block[0]))
             self.state._next_to_insert = end
         else:
+            # Snapshot decoder-visible state: a raw fallback must not
+            # advance repcodes/repeat tables (confirmRepcodes role).
+            import copy as _copy
+
+            rep_snap = list(self.state.rep)
+            ent_snap = _copy.deepcopy(self.entropy)
             seqs = compress_block(self._buf, pos, end, self.state)
             body = encode_block_body(block, seqs, self.entropy)
             if body is None:
+                self.state.rep = rep_snap
+                self.entropy = ent_snap
                 out += _block_header(last, C.BlockType.RAW, bsize)
                 out += block.tobytes()
             else:
