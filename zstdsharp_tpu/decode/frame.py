@@ -202,6 +202,14 @@ class FrameDecoder:
         if hdr.dict_id and self.dict_id and hdr.dict_id != self.dict_id:
             raise ZstdError(ZstdErrorCode.dictionary_wrong,
                             f"frame wants dict {hdr.dict_id}, have {self.dict_id}")
+        if hdr.frame_content_size >= 0:
+            # Structural sanity: a frame of B input bytes holds at most
+            # ~B/3 blocks of <= 128KB each; a larger claimed FCS means a
+            # corrupt header (and guards the output allocation).
+            max_possible = (len(src) // 3 + 2) * C.ZSTD_BLOCKSIZE_MAX
+            check(hdr.frame_content_size <= max_possible,
+                  ZstdErrorCode.corruption_detected,
+                  "content size impossible for frame size")
 
         if self.dict_entropy is None and self.dict_content is None:
             # Whole-frame native fast path.
