@@ -77,6 +77,30 @@ def main() -> None:
     print(f"bench: encode {enc_gbs:.4f} GB/s, decode {dec_gbs:.4f} GB/s, "
           f"roundtrip {rt_gbs:.4f} GB/s, {ratio_note}", file=sys.stderr)
 
+    # Dictionary batch path (the 10K-small-records headline config).
+    try:
+        from zstdsharp_tpu.decode.frame import Decompressor
+        from zstdsharp_tpu.dictionary import train_dictionary
+        from zstdsharp_tpu.encode.frame import Compressor
+
+        recs = [b'{"id": %d, "name": "user%d", "score": %d}' % (i, i, i * 7 % 997)
+                for i in range(5000)]
+        dic = train_dictionary(recs[:1000], 4096)
+        comp = Compressor(level=3)
+        comp.load_dictionary(dic)
+        frames_d = comp.wrap_many(recs)
+        te = min(_timed(lambda: comp.wrap_many(recs)) for _ in range(3))
+        dec = Decompressor()
+        dec.load_dictionary(dic)
+        assert dec.unwrap_many(frames_d) == recs
+        td = min(_timed(lambda: dec.unwrap_many(frames_d)) for _ in range(3))
+        tot = sum(map(len, recs))
+        print(f"bench: dict batch (5K json records) encode {tot/te/1e6:.1f} MB/s, "
+              f"decode {tot/td/1e6:.1f} MB/s, size {sum(map(len, frames_d))}",
+              file=sys.stderr)
+    except Exception as e:  # pragma: no cover
+        print(f"bench: dict batch skipped ({e})", file=sys.stderr)
+
     # Device candidate-stage throughput (the TPU half of the hybrid encoder).
     try:
         import jax
