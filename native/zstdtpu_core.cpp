@@ -2421,7 +2421,7 @@ static int64_t encode_literals_c(const uint8_t* lit, int64_t n, uint8_t* out,
     if (n <= 63) return raw_literals(lit, n, out, cap);
 
     uint32_t counts[256] = {0};
-    {
+    if (n >= 1024) {
         uint32_t c0[256] = {0}, c1[256] = {0}, c2[256] = {0}, c3[256] = {0};
         int64_t i = 0;
         for (; i + 4 <= n; i += 4) {
@@ -2429,9 +2429,54 @@ static int64_t encode_literals_c(const uint8_t* lit, int64_t n, uint8_t* out,
         }
         for (; i < n; i++) c0[lit[i]]++;
         for (int s = 0; s < 256; s++) counts[s] = c0[s] + c1[s] + c2[s] + c3[s];
+    } else {
+        for (int64_t i = 0; i < n; i++) counts[lit[i]]++;
     }
     int max_sym = 255;
     while (max_sym > 0 && counts[max_sym] == 0) max_sym--;
+
+    // preferRepeat (HUF_compress4X_repeat role): for small blocks with a
+    // valid previous/dictionary table, skip the fresh tree build entirely
+    // when the repeat table covers the block within ~1% of its entropy.
+    if (est && est->huf_valid && n < 4096) {
+        uint64_t rep_bits = 0;
+        bool coverable = true;
+        for (int sy = 0; sy <= max_sym && coverable; sy++) {
+            if (!counts[sy]) continue;
+            if (sy > est->huf.max_sym || est->huf.nbits[sy] == 0) coverable = false;
+            else rep_bits += (uint64_t)counts[sy] * est->huf.nbits[sy];
+        }
+        const int64_t comp_est = (int64_t)(rep_bits / 8) + 1;
+        const int64_t min_gain = (n >> 6) + 2;
+        if (coverable && comp_est < n - min_gain) {
+            uint8_t* payload = (uint8_t*)malloc((size_t)((n * 11) / 8 + 96));
+            if (!payload) return -1;
+            const bool single = n < 256;
+            int64_t psize;
+            if (single)
+                psize = huf_encode_stream(lit, n, est->huf.code,
+                                          est->huf.nbits, payload,
+                                          (n * 11) / 8 + 96);
+            else
+                psize = huf_encode_4streams(lit, n, est->huf.code,
+                                            est->huf.nbits, payload,
+                                            (n * 11) / 8 + 96);
+            if (psize >= 0 && psize < n - min_gain) {
+                int sf;
+                if (single) sf = 0;
+                else if (n < 1024 && psize < 1024) sf = 1;
+                else if (n < 16384 && psize < 16384) sf = 2;
+                else sf = 3;
+                int64_t h = write_lit_header(out, 3, sf, n, psize);
+                if (h + psize <= cap) {
+                    std::memcpy(out + h, payload, (size_t)psize);
+                    free(payload);
+                    return h + psize;
+                }
+            }
+            free(payload);
+        }
+    }
 
     uint8_t lengths[256];
     int maxd = huf_lengths(counts, max_sym, lengths);
@@ -2583,6 +2628,13 @@ static int64_t select_channel(const uint8_t* codes, int64_t n, int max_allowed,
     double rcost = -1;
     if (prev_ct && max_code <= prev_max)
         rcost = fse_cost_bits(counts, max_code, prev_norm, prev_max, prev_log);
+    // preferRepeat: tiny blocks skip the fresh normalize+build when the
+    // previous table already beats (or matches) the predefined one
+    if (n < 64 && rcost >= 0 && (dcost < 0 || rcost <= dcost + 8)) {
+        *mode = 3;
+        *ct_out = prev_ct;
+        return 0;
+    }
     // fresh FSE
     double fcost = -1;
     int16_t norm[64];
