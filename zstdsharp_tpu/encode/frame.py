@@ -382,10 +382,36 @@ class Compressor:
         return compress(data, params=self.params)
 
     def wrap_many(self, records: list[bytes]) -> list[bytes]:
-        """Batch wrap: one native call per batch on the dictionary fast
-        path (ZSTD_compress_usingCDict over a record stream role)."""
+        """Batch wrap: one native call per batch (ZSTD_compress_usingCDict
+        over a record stream role; without a dictionary an empty-content
+        context provides the same zero-setup per-record path)."""
         if self._dict is not None:
             return self._dict.compress_many(records, self.params)
+        if records:
+            hint = max(len(r) for r in records)
+            resolved = self.params.resolve(src_size_hint=hint)
+            cp = resolved.cparams
+            if (int(cp.strategy) <= 5 and not resolved.ldm
+                    and resolved.target_cblock_size == 0
+                    and not resolved.fparams.checksum_flag
+                    and all(len(r) > 0 for r in records)):
+                key = (int(cp.strategy), cp.hash_log, cp.chain_log,
+                       cp.search_log, cp.window_log, cp.min_match)
+                cache = getattr(self, "_empty_cdicts", None)
+                if cache is None:
+                    cache = self._empty_cdicts = {}
+                cd = cache.get(key)
+                if cd is None:
+                    from ..native import NativeCDict
+
+                    cd = NativeCDict(b"", int(cp.strategy), cp.hash_log,
+                                     cp.chain_log, cp.search_log,
+                                     cp.window_log, cp.min_match)
+                    cache[key] = cd
+                if cd.valid:
+                    out = cd.compress_many([bytes(r) for r in records], 0)
+                    if out is not None:
+                        return out
         return [self.wrap(r) for r in records]
 
     def try_wrap(self, data: bytes, dest_capacity: int) -> tuple[bool, bytes]:
