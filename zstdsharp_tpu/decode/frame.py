@@ -415,10 +415,25 @@ class Decompressor:
 
     def unwrap_many(self, frames: list[bytes],
                     max_decompressed_size: int | None = None) -> list[bytes]:
-        """Batch unwrap (dictionary fast path when loaded)."""
+        """Batch unwrap: one native call per batch (an empty-content
+        context serves the no-dictionary case)."""
         if self._dict is not None:
             return self._dict.decompress_many(
                 frames, max_output_size=max_decompressed_size)
+        if frames:
+            dd = getattr(self, "_empty_ddict", None)
+            if dd is None:
+                from ..native import NativeDDict
+
+                dd = self._empty_ddict = NativeDDict(b"")
+            if dd.valid:
+                out = dd.decompress_many([bytes(f) for f in frames])
+                if out is not None:
+                    if max_decompressed_size is not None:
+                        for o in out:
+                            check(len(o) <= max_decompressed_size,
+                                  ZstdErrorCode.dstSize_tooSmall)
+                    return out
         return [self.unwrap(f, max_decompressed_size) for f in frames]
 
     def try_unwrap(self, src: bytes, max_decompressed_size: int) -> tuple[bool, bytes]:
