@@ -1310,27 +1310,40 @@ int64_t encode_sequences(
 
     // Register-resident hot loop: two unconditional 8-byte flushes per
     // sequence (state bits + ll extra <= 49 bits incl. residue, ml + ob
-    // extras <= 54), one capacity check per sequence.
+    // extras <= 54), one capacity check and one fused table load per
+    // channel per sequence.
     {
         uint64_t acc = w.acc;
         int nb = w.nbits;
         uint8_t* o = w.out + w.nbytes;
         uint8_t* const oend = w.out + w.cap - 16;
         uint32_t v_of = e_of.value, v_ml = e_ml.value, v_ll = e_ll.value;
+        // fused (delta_nb | (delta_fs+32768)<<32) per symbol, built locally
+        // (the export ABI carries split arrays)
+        uint64_t of_f[64], ml_f[64], ll_f[64];
+        for (int sy = 0; sy < 64; sy++) {
+            of_f[sy] = (uint64_t)of_dnb[sy & 31] |
+                       ((uint64_t)(uint32_t)(of_dfs[sy & 31] + 32768) << 32);
+            ml_f[sy] = (uint64_t)ml_dnb[sy % 53] |
+                       ((uint64_t)(uint32_t)(ml_dfs[sy % 53] + 32768) << 32);
+            ll_f[sy] = (uint64_t)ll_dnb[sy % 36] |
+                       ((uint64_t)(uint32_t)(ll_dfs[sy % 36] + 32768) << 32);
+        }
         for (int64_t i = n - 2; i >= 0; i--) {
             if (o >= oend) return -1;
             const uint32_t co = ofc[i], cm = mlc[i], cl = llc[i];
+            const uint64_t fo = of_f[co], fm = ml_f[cm], fl = ll_f[cl];
             // state emissions (order: of, ml, ll)
             uint32_t b;
-            b = (v_of + of_dnb[co]) >> 16;
+            b = (v_of + (uint32_t)fo) >> 16;
             acc |= (uint64_t)(v_of & ((1u << b) - 1)) << nb; nb += (int)b;
-            v_of = of_st[(v_of >> b) + of_dfs[co]];
-            b = (v_ml + ml_dnb[cm]) >> 16;
+            v_of = of_st[(v_of >> b) + (int32_t)((uint32_t)(fo >> 32)) - 32768];
+            b = (v_ml + (uint32_t)fm) >> 16;
             acc |= (uint64_t)(v_ml & ((1u << b) - 1)) << nb; nb += (int)b;
-            v_ml = ml_st[(v_ml >> b) + ml_dfs[cm]];
-            b = (v_ll + ll_dnb[cl]) >> 16;
+            v_ml = ml_st[(v_ml >> b) + (int32_t)((uint32_t)(fm >> 32)) - 32768];
+            b = (v_ll + (uint32_t)fl) >> 16;
             acc |= (uint64_t)(v_ll & ((1u << b) - 1)) << nb; nb += (int)b;
-            v_ll = ll_st[(v_ll >> b) + ll_dfs[cl]];
+            v_ll = ll_st[(v_ll >> b) + (int32_t)((uint32_t)(fl >> 32)) - 32768];
             // ll extra
             const int lb = ll_bits_tab[cl];
             acc |= (uint64_t)(ll[i] & ((lb >= 32) ? 0xFFFFFFFFu : ((1u << lb) - 1))) << nb;
