@@ -2731,14 +2731,20 @@ static int64_t encode_block_body_c(const uint8_t* block, int64_t nv,
     // Literals: gather uncovered bytes.
     int64_t lit_total = last_lit;
     for (int64_t i = 0; i < n_seq; i++) lit_total += ll[i];
-    uint8_t* lit = (uint8_t*)malloc((size_t)(lit_total + 1));
+    uint8_t* lit = (uint8_t*)malloc((size_t)(lit_total + 16));
     if (!lit) return -1;
     {
         int64_t pos = 0, lp = 0;
         for (int64_t i = 0; i < n_seq; i++) {
-            std::memcpy(lit + lp, block + pos, (size_t)ll[i]);
-            lp += ll[i];
-            pos += ll[i] + mlv[i];
+            const int64_t l = ll[i];
+            // wildcopy: the +16 slack on lit and the in-block source bound
+            // make the unconditional 16-byte chunks safe for short runs
+            if (l && pos + l + 16 <= nv)
+                wildcopy16(lit + lp, block + pos, l);
+            else
+                std::memcpy(lit + lp, block + pos, (size_t)l);
+            lp += l;
+            pos += l + mlv[i];
         }
         std::memcpy(lit + lp, block + nv - last_lit, (size_t)last_lit);
     }
