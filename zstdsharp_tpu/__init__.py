@@ -29,6 +29,10 @@ __all__ = [
     "Decompressor",
     "CompressionStream",
     "DecompressionStream",
+    "train_dictionary",
+    "finalize_dictionary",
+    "optimize_train_from_buffer",
+    "ZstdCompressionDict",
     "__version__",
 ]
 
@@ -48,4 +52,9 @@ def __getattr__(name):
         from . import streaming as _s
 
         return getattr(_s, name)
+    if name in ("train_dictionary", "finalize_dictionary",
+                "optimize_train_from_buffer", "ZstdCompressionDict"):
+        from . import dictionary as _d
+
+        return getattr(_d, name)
     raise AttributeError(name)
