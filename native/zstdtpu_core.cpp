@@ -2172,11 +2172,8 @@ static int64_t huf_read_and_build_dtable(const uint8_t* src, int64_t size,
         static const uint32_t zb[13] = {0};
         static const uint8_t zbits[13] = {0};
         fse_build_dtable_c(&wdt, norm, wmax, wlog, zb, zbits);
-        // decode weights with the 2-state machine; symbol table = cell symbol
-        uint8_t dsym[64];
-        const int tsz = 1 << wlog;
-        for (int u = 0; u < tsz; u++) dsym[u] = 0;
-        // rebuild symbol array via spread (same as dtable build)
+        // decode weights with the 2-state machine; symbol table comes from
+        // the same spread as the dtable build
         uint8_t tsym[64];
         fse_spread(norm, wmax, wlog, tsym);
         int64_t nw = fse_decompress_2state(src + 1 + h, i_size - h, tsym,
