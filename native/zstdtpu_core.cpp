@@ -1074,6 +1074,107 @@ static int bt_get_all_matches(BtCtx* c, int64_t p, int min_match,
     return n;
 }
 
+// ---------------------------------------------------------------------------
+// Row-hash matcher (ZSTD_RowFindBestMatch:1101 role): rows of 16 entries,
+// one 8-bit tag per entry, SSE2 tag compare -> candidate bitmask.  The
+// newest-first probe order comes from a per-row rotating head.
+// ---------------------------------------------------------------------------
+
+#include <immintrin.h>
+
+struct RowCtx {
+    const uint8_t* src;
+    uint32_t* pos;        // [n_rows][16] positions + 1 (0 = empty)
+    uint8_t* tags;        // [n_rows][16]
+    uint8_t* heads;       // [n_rows] rotating insert cursor
+    int row_log;          // log2(n_rows)
+    int mls;
+    int64_t window_start;
+    int64_t window_size;
+    int64_t attempts;
+    int64_t insert_from;
+    int64_t limit;
+};
+
+static inline void row_hash(const uint8_t* p, int row_log, int mls,
+                            uint32_t* row, uint8_t* tag) {
+    // one multiplicative hash supplies both the row and the 8-bit tag
+    const uint64_t v = read64_fwd(p);
+    uint64_t h;
+    switch (mls) {
+        case 5: h = (v << 24) * 0x9E3779B185EBCA87ULL; break;
+        case 6: h = (v << 16) * 0xC2B2AE3D27D4EB4FULL; break;
+        case 7: h = (v << 8) * 0x165667B19E3779F9ULL; break;
+        case 8: h = v * 0xCF1BBCDCB7A56463ULL; break;
+        default: h = (uint64_t)((uint32_t)v * 2654435761u) << 32; break;
+    }
+    *row = (uint32_t)(h >> (64 - row_log));
+    *tag = (uint8_t)((h >> (64 - row_log - 8)) & 0xFF);
+}
+
+static inline void row_insert_one(RowCtx* c, int64_t p) {
+    uint32_t row; uint8_t tag;
+    row_hash(c->src + p, c->row_log, c->mls, &row, &tag);
+    const uint32_t base = row * 16;
+    const uint8_t h = (uint8_t)((c->heads[row] - 1) & 15);
+    c->heads[row] = h;
+    c->tags[base + h] = tag;
+    c->pos[base + h] = (uint32_t)(p + 1);
+}
+
+static inline void row_insert_upto(RowCtx* c, int64_t p) {
+    const int64_t stop = p < c->limit ? p : c->limit;
+    for (int64_t i = c->insert_from; i < stop; i++) row_insert_one(c, i);
+    if (stop > c->insert_from) c->insert_from = stop;
+}
+
+static inline int64_t row_search(RowCtx* c, int64_t p, int64_t end,
+                                 int64_t* best_off) {
+    row_insert_upto(c, p);
+    const uint8_t* src = c->src;
+    uint32_t row; uint8_t tag;
+    row_hash(src + p, c->row_log, c->mls, &row, &tag);
+    const uint32_t base = row * 16;
+    const __m128i tags = _mm_loadu_si128((const __m128i*)(c->tags + base));
+    const __m128i want = _mm_set1_epi8((char)tag);
+    uint32_t mask = (uint32_t)_mm_movemask_epi8(_mm_cmpeq_epi8(tags, want));
+    const int64_t low = (p - (c->window_size - 1)) > c->window_start
+                        ? p - (c->window_size - 1) : c->window_start;
+    const uint32_t cur32 = read32(src + p);
+    int64_t best_len = 0;
+    *best_off = 0;
+    int64_t budget = c->attempts;
+    const uint8_t head = c->heads[row];
+    // probe newest-first: rotate the mask so bit 0 is the head slot
+    mask = ((mask >> head) | (mask << (16 - head))) & 0xFFFF;
+    while (mask && budget-- > 0) {
+        const int r = __builtin_ctz(mask);
+        mask &= mask - 1;
+        const int slot = (r + head) & 15;
+        const int64_t cand = (int64_t)c->pos[base + slot] - 1;
+        if (cand < low || cand >= p) continue;
+        if (read32(src + cand) != cur32) continue;
+        const int64_t len = 4 + count_match(src, p + 4, cand + 4, end);
+        if (len > best_len) {
+            best_len = len;
+            *best_off = p - cand;
+            if (p + len >= end) break;
+        }
+    }
+    // insert p itself
+    const uint8_t h = (uint8_t)((head - 1) & 15);
+    c->heads[row] = h;
+    c->tags[base + h] = tag;
+    c->pos[base + h] = (uint32_t)(p + 1);
+    if (c->insert_from <= p) c->insert_from = p + 1;
+    return best_len;
+}
+
+static void row_insert_upto_v(RowCtx* c, int64_t p) { row_insert_upto(c, p); }
+static int64_t row_search_v(RowCtx* c, int64_t p, int64_t end, int64_t* off) {
+    return row_search(c, p, end, off);
+}
+
 // Best single match via the binary tree (ZSTD_DUBT_findBestMatch role).
 }  // pause extern "C": templates below
 static inline int64_t bt_search(BtCtx* c, int64_t p, int64_t end,
@@ -1183,6 +1284,32 @@ int64_t lazy_find_matches(const uint8_t* src, int64_t src_len,
     *insert_from_io = c.insert_from;
     return n;
 }
+
+extern "C" {
+// Row-matcher lazy parse (ZSTD_RowFindBestMatch under the lazy driver;
+// levels 5-12 default in the reference).  pos/tags/heads persist across
+// blocks like the other tables.
+int64_t row_lazy_find_matches(const uint8_t* src, int64_t src_len,
+                              int64_t start, int64_t end, int64_t window_start,
+                              int64_t window_size,
+                              uint32_t* row_pos, uint8_t* row_tags,
+                              uint8_t* row_heads, int row_log, int mls,
+                              int64_t attempts, int depth,
+                              int64_t* insert_from_io, uint32_t* rep_io,
+                              uint32_t* out_ll, uint32_t* out_ml,
+                              uint32_t* out_ob,
+                              int64_t max_seq, int64_t* out_last_lit) {
+    if (end - start < 16) { *out_last_lit = end - start; return 0; }
+    RowCtx c{src, row_pos, row_tags, row_heads, row_log,
+             mls < 4 ? 4 : (mls > 8 ? 8 : mls), window_start, window_size,
+             attempts, *insert_from_io, end - 8};
+    int64_t n = lazy_core<RowCtx, row_search_v, row_insert_upto_v>(
+        &c, src, start, end, window_start, depth, rep_io,
+        out_ll, out_ml, out_ob, max_seq, out_last_lit);
+    *insert_from_io = c.insert_from;
+    return n;
+}
+}  // extern "C"
 
 // btlazy2 (ZSTD_compressBlock_btlazy2 role): lazy depth-2 parse over the
 // binary-tree best-match search.
@@ -3403,6 +3530,27 @@ int64_t compress_frame_body_ldm_c(const uint8_t* src, int64_t n, int strategy,
         if (!chain) { free(table); return -1; }
         for (int64_t i = 0; i < (1LL << chain_log); i++) chain[i] = -1;
     }
+    // row-matcher tables (levels 5-12 role; ZSTD_RowFindBestMatch)
+    uint32_t* row_pos = nullptr;
+    uint8_t* row_tags = nullptr;
+    uint8_t* row_heads = nullptr;
+    int row_log = hash_log - 4;
+    if (row_log < 8) row_log = 8;
+    if (row_log > 21) row_log = 21;
+    // 16-entry rows cover up to ~32 attempts; deeper searches keep chains
+    const bool use_row = strategy >= 3 && strategy <= 5 && window_log >= 14 &&
+                         search_log <= 5 && !use_ldm &&
+                         !(getenv("ZT_ROW") && atoi(getenv("ZT_ROW")) == 0);
+    if (use_row) {
+        const int64_t n_rows = 1LL << row_log;
+        row_pos = (uint32_t*)calloc((size_t)n_rows * 16, 4);
+        row_tags = (uint8_t*)calloc((size_t)n_rows * 16, 1);
+        row_heads = (uint8_t*)calloc((size_t)n_rows, 1);
+        if (!row_pos || !row_tags || !row_heads) {
+            free(row_pos); free(row_tags); free(row_heads);
+            row_pos = nullptr; row_tags = nullptr; row_heads = nullptr;
+        }
+    }
     // binary-tree links + hash3 heads for the optimal parser
     int32_t* bt = nullptr;
     int64_t* h3 = nullptr;
@@ -3614,6 +3762,14 @@ int64_t compress_frame_body_ldm_c(const uint8_t* src, int64_t n, int strategy,
                                         1LL << search_log, 2, &insert_from,
                                         rep, s_ll, s_ml, s_ob, max_seq_cap,
                                         &last_lit);
+        } else if (row_pos) {
+            const int depth = strategy >= 5 ? 2 : strategy - 3;
+            n_seq = row_lazy_find_matches(src, n, pos, end, 0,
+                                          1LL << window_log, row_pos,
+                                          row_tags, row_heads, row_log,
+                                          min_match, 1LL << search_log, depth,
+                                          &insert_from, rep, s_ll, s_ml, s_ob,
+                                          max_seq_cap, &last_lit);
         } else {
             const int depth = strategy >= 5 ? 2 : strategy - 3;
             n_seq = lazy_find_matches(src, n, pos, end, 0, 1LL << window_log,
@@ -3708,6 +3864,9 @@ int64_t compress_frame_body_ldm_c(const uint8_t* src, int64_t n, int strategy,
     free(chain);
     free(bt);
     free(h3);
+    free(row_pos);
+    free(row_tags);
+    free(row_heads);
     free(s_ll);
     free(ldm_buckets);
     free(ldm);
