@@ -57,10 +57,10 @@ def main() -> None:
 
     # Warm up (builds the native engine) then measure steady state.
     frame = compress(data, 1)
-    best_enc = min(_timed(lambda: compress(data, 1)) for _ in range(5))
+    best_enc = min(_timed(lambda: compress(data, 1)) for _ in range(9))
     out = decompress(frame)
     assert out == data, "roundtrip mismatch"
-    best_dec = min(_timed(lambda: decompress(frame)) for _ in range(5))
+    best_dec = min(_timed(lambda: decompress(frame)) for _ in range(9))
 
     enc_gbs = n / best_enc / 1e9
     dec_gbs = n / best_dec / 1e9
