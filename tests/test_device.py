@@ -203,3 +203,23 @@ def test_ldm_anchor_mask_matches_serial_gear():
     assert np.array_equal(ref[6:], dev[6:])
     density = dev[6:].mean()
     assert 0.5 / 128 < density < 2.5 / 128
+
+
+def test_pipeline_rep_carry_across_blocks():
+    """Repcodes persist across blocks in the decoder; the DP pipeline's
+    selector must carry them (regression: block starting with a
+    distance-1 run after a block ending in a real match)."""
+    import zstandard
+
+    from zstdsharp_tpu.decode.frame import decompress
+    from zstdsharp_tpu.parallel.pipeline import compress_data_parallel, make_mesh
+
+    r = np.random.default_rng(3)
+    block0 = b"hello world pattern " * 100 + bytes(
+        r.integers(0, 256, 2096, dtype=np.uint8))
+    block1 = b"Z" * 2000 + bytes(r.integers(0, 256, 2096, dtype=np.uint8))
+    data = (block0 + block1)[:8192]
+    frame = compress_data_parallel(data, make_mesh(), block_size=4096)
+    assert decompress(frame) == data
+    assert zstandard.ZstdDecompressor().decompress(
+        frame, max_output_size=len(data) * 2) == data

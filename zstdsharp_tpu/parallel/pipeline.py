@@ -104,6 +104,12 @@ def compress_data_parallel(data: bytes, mesh: Mesh | None = None,
         out += _block_header(True, C.BlockType.RAW, 0)
     entropy = EncoderEntropy()
     cand_by_pos = np.empty(block_size, dtype=np.int32)
+    # Repcodes persist across blocks in the DECODER, so the selector must
+    # carry them too, and a raw fallback must not advance them
+    # (confirmRepcodesAndEntropyTables role).
+    rep = [1, 4]
+    import copy as _copy
+
     for b in range(n_blocks):
         last = b == n_blocks - 1
         nv = int(n_valid[b])
@@ -114,7 +120,8 @@ def compress_data_parallel(data: bytes, mesh: Mesh | None = None,
             continue
         # Unsort the device candidates (one O(n) scatter).
         cand_by_pos[ps_all[b]] = cand_all[b]
-        rep = [1, 4]
+        rep_snap = list(rep)
+        ent_snap = _copy.deepcopy(entropy)
         res = native.hybrid_select(blocks[b], nv, cand_by_pos, rep)
         if res is not None:
             lls, mls, obs, last_lit = res
@@ -123,6 +130,8 @@ def compress_data_parallel(data: bytes, mesh: Mesh | None = None,
         seqs = SeqStore(lls, mls, obs, last_lit)
         body = encode_block_body(block, seqs, entropy) if nv else None
         if body is None:
+            rep = rep_snap
+            entropy = ent_snap
             out += _block_header(last, C.BlockType.RAW, nv)
             out += block.tobytes()
         else:
