@@ -906,6 +906,7 @@ struct BtCtx {
     int64_t insert_from;
     int64_t limit;        // last insertable position (end - 8)
     int64_t end;          // source end for match extension
+    bool skip_in_matches = true;  // nextToUpdate jump (opt: on, btlazy: off)
 };
 
 static inline uint32_t hash3_bt(const uint8_t* p, int h3log) {
@@ -1069,7 +1070,8 @@ static int bt_get_all_matches(BtCtx* c, int64_t p, int min_match,
     *smaller = kBtNull;
     *larger = kBtNull;
     // skip re-inserting positions covered by a long match (nextToUpdate role)
-    if (c->insert_from < match_end_idx - 8) c->insert_from = match_end_idx - 8;
+    if (c->skip_in_matches && c->insert_from < match_end_idx - 8)
+        c->insert_from = match_end_idx - 8;
     if (c->insert_from <= p) c->insert_from = p + 1;
     return n;
 }
@@ -1324,7 +1326,7 @@ int64_t btlazy_find_matches(const uint8_t* src, int64_t src_len,
                             int64_t max_seq, int64_t* out_last_lit) {
     if (end - start < 16) { *out_last_lit = end - start; return 0; }
     BtCtx c{src, table, bt, bt_size - 1, nullptr, 0, hlog, 4, window_start,
-            window_size, attempts, *insert_from_io, end - 8, end};
+            window_size, attempts, *insert_from_io, end - 8, end, false};
     int64_t n = lazy_core<BtCtx, bt_search, bt_insert_upto_v>(
         &c, src, start, end, window_start, depth, rep_io,
         out_ll, out_ml, out_ob, max_seq, out_last_lit);
