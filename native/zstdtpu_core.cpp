@@ -295,8 +295,9 @@ static int64_t decode_execute_sequences(
         const uint32_t mlB = (uint32_t)eM; const int mlb = (int)((eM >> 32) & 0xFF);
         const uint32_t ofB = (uint32_t)eO; const int ofb = (int)((eO >> 32) & 0xFF);
 
-        // Two unconditional reloads per sequence: ofb+mlb <= 47 and
-        // llb+state bits <= 42, both within the 57-bit window.
+        // One reload covers of+ml+ll when ofb+mlb+llb <= 57 (all offsets
+        // below ~32MB); the rare long-offset case reloads once more before
+        // the literals field.
         reload(pos);
         if (pos - (ofb + mlb) < wpos) return -2;
 
@@ -324,8 +325,10 @@ static int64_t decode_execute_sequences(
         uint64_t m = mlB;
         if (mlb) { pos -= mlb; m += (win >> (pos - wpos)) & ((1ULL << mlb) - 1); }
 
-        reload(pos);
-        if (pos - llb < wpos) return -2;
+        if (pos - llb < wpos) {
+            reload(pos);
+            if (pos - llb < wpos) return -2;
+        }
         uint64_t l = llB;
         if (llb) { pos -= llb; l += (win >> (pos - wpos)) & ((1ULL << llb) - 1); }
 
@@ -334,7 +337,10 @@ static int64_t decode_execute_sequences(
 
         if (i != nb_seq - 1) {
             const int nb1 = (int)(eL >> 56), nb2 = (int)(eM >> 56), nb3 = (int)(eO >> 56);
-            if (pos - (nb1 + nb2 + nb3) < wpos) return -2;
+            if (pos - (nb1 + nb2 + nb3) < wpos) {
+                reload(pos);
+                if (pos - (nb1 + nb2 + nb3) < wpos) return -2;
+            }
             pos -= nb1; s_ll = (uint32_t)((eL >> 40) & 0xFFFF) + (uint32_t)((win >> (pos - wpos)) & ((1ULL << nb1) - 1));
             pos -= nb2; s_ml = (uint32_t)((eM >> 40) & 0xFFFF) + (uint32_t)((win >> (pos - wpos)) & ((1ULL << nb2) - 1));
             pos -= nb3; s_of = (uint32_t)((eO >> 40) & 0xFFFF) + (uint32_t)((win >> (pos - wpos)) & ((1ULL << nb3) - 1));
