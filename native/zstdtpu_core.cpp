@@ -457,6 +457,7 @@ int64_t fast_find_matches(const uint8_t* src, int64_t src_len,
                           int acceleration) {
     if (end - start < 16) { *out_last_lit = end - start; return 0; }
     const int64_t limit = end - 8;  // read64/read32(+4) safe for p <= limit
+    static const int64_t kIncr = getenv("ZT_STEPINCR") ? atoi(getenv("ZT_STEPINCR")) : 384;
     const int64_t step0 = acceleration > 1 ? acceleration + 1 : 2;
     int64_t rep0 = rep_io[0], rep1 = rep_io[1];
     int64_t pos = start + (window_start == 0 && start == 0 ? 1 : 0);
@@ -465,7 +466,7 @@ int64_t fast_find_matches(const uint8_t* src, int64_t src_len,
 
     while (n_seq + 4 < max_seq) {
         int64_t step = step0;
-        int64_t next_step = pos + 128;
+        int64_t next_step = pos + kIncr;
         int64_t mp = -1, mc = -1;   // match position / source
         int64_t ml = 0;
         uint32_t ob = 0;
@@ -476,6 +477,8 @@ int64_t fast_find_matches(const uint8_t* src, int64_t src_len,
             const int64_t p2 = pos + step;
             if (p2 <= limit && p2 - rep0 >= window_start &&
                 read32(src + p2) == read32(src + p2 - rep0)) {
+                // the probe position still enters the table (ZstdFast.cs:166)
+                table[hash_mls(src + pos, hlog, mls)] = pos;
                 mp = p2; mc = p2 - rep0;
                 if (mp > anchor && mc > window_start &&
                     src[mp - 1] == src[mc - 1]) { mp--; mc--; }
@@ -508,7 +511,7 @@ int64_t fast_find_matches(const uint8_t* src, int64_t src_len,
                 }
             }
             pos += step;
-            if (pos >= next_step) { step++; next_step += 128; }
+            if (pos >= next_step) { step++; next_step += kIncr; }
         }
         if (mp < 0) break;  // no more matches in this block
 
@@ -563,6 +566,7 @@ int64_t fast_find_matches32(const uint8_t* src, int64_t src_len,
                             int acceleration) {
     if (end - start < 16) { *out_last_lit = end - start; return 0; }
     const int64_t limit = end - 8;
+    static const int64_t kIncr32 = getenv("ZT_STEPINCR") ? atoi(getenv("ZT_STEPINCR")) : 384;
     const int64_t step0 = acceleration > 1 ? acceleration + 1 : 2;
     int64_t rep0 = rep_io[0], rep1 = rep_io[1];
     int64_t pos = start + (window_start == 0 && start == 0 ? 1 : 0);
@@ -571,7 +575,7 @@ int64_t fast_find_matches32(const uint8_t* src, int64_t src_len,
 
     while (n_seq + 4 < max_seq) {
         int64_t step = step0;
-        int64_t next_step = pos + 128;
+        int64_t next_step = pos + kIncr32;
         int64_t mp = -1, mc = -1;
         int64_t ml = 0;
         uint32_t ob = 0;
@@ -580,6 +584,8 @@ int64_t fast_find_matches32(const uint8_t* src, int64_t src_len,
             const int64_t p2 = pos + step;
             if (p2 <= limit && p2 - rep0 >= window_start &&
                 read32(src + p2) == read32(src + p2 - rep0)) {
+                // the probe position still enters the table (ZstdFast.cs:166)
+                table[hash_mls(src + pos, hlog, mls)] = (uint32_t)(pos + 1);
                 mp = p2; mc = p2 - rep0;
                 if (mp > anchor && mc > window_start &&
                     src[mp - 1] == src[mc - 1]) { mp--; mc--; }
@@ -612,7 +618,7 @@ int64_t fast_find_matches32(const uint8_t* src, int64_t src_len,
                 }
             }
             pos += step;
-            if (pos >= next_step) { step++; next_step += 128; }
+            if (pos >= next_step) { step++; next_step += kIncr32; }
         }
         if (mp < 0) break;
 
