@@ -3551,8 +3551,11 @@ int64_t compress_frame_body_ldm_c(const uint8_t* src, int64_t n, int strategy,
     int row_log = hash_log - 4;
     if (row_log < 8) row_log = 8;
     if (row_log > 21) row_log = 21;
-    // 16-entry rows cover up to ~32 attempts; deeper searches keep chains
-    const bool use_row = strategy >= 3 && strategy <= 5 && window_log >= 14 &&
+    // 16-entry rows cover up to ~32 attempts; deeper searches keep chains.
+    // The dfast levels (strategy 2) also route here: row-greedy with 4
+    // attempts beats libzstd's ratio at levels 3-4 (dfast stays the
+    // fallback for small windows / LDM).
+    const bool use_row = strategy >= 2 && strategy <= 5 && window_log >= 14 &&
                          search_log <= 5 && !use_ldm &&
                          !(getenv("ZT_ROW") && atoi(getenv("ZT_ROW")) == 0);
     if (use_row) {
@@ -3727,17 +3730,17 @@ int64_t compress_frame_body_ldm_c(const uint8_t* src, int64_t n, int strategy,
             }
             if (n_seq > 0 && ost)
                 opt_update_stats(ost, s_ll, s_ml, s_ob, n_seq, true);
-                } else if (strategy == 2 && chain) {
+                } else if (strategy == 2 && chain && !row_pos) {
             n_seq = dfast_find_matches(src, n, pos, end, 0, 1LL << window_log,
                                        table, hash_log, chain, chain_log, mls,
                                        rep, s_ll, s_ml, s_ob, max_seq_cap,
                                        &last_lit);
-        } else if (strategy <= 2 && table32) {
+        } else if (strategy <= 1 && table32) {
             n_seq = fast_find_matches32(src, n, pos, end, 0, 1LL << window_log,
                                         table32, hash_log, mls, rep, s_ll,
                                         s_ml, s_ob, max_seq_cap, &last_lit,
                                         accel);
-        } else if (strategy <= 2) {
+        } else if (strategy <= 2 && !row_pos) {
             n_seq = fast_find_matches(src, n, pos, end, 0, 1LL << window_log,
                                       table, hash_log, mls, rep, s_ll, s_ml,
                                       s_ob, max_seq_cap, &last_lit, accel);
@@ -3777,11 +3780,12 @@ int64_t compress_frame_body_ldm_c(const uint8_t* src, int64_t n, int strategy,
                                         rep, s_ll, s_ml, s_ob, max_seq_cap,
                                         &last_lit);
         } else if (row_pos) {
-            const int depth = strategy >= 5 ? 2 : strategy - 3;
+            const int depth = strategy >= 5 ? 2 : strategy >= 3 ? strategy - 3 : 0;
+            const int64_t att = strategy == 2 ? 4 : 1LL << search_log;
             n_seq = row_lazy_find_matches(src, n, pos, end, 0,
                                           1LL << window_log, row_pos,
                                           row_tags, row_heads, row_log,
-                                          min_match, 1LL << search_log, depth,
+                                          min_match, att, depth,
                                           &insert_from, rep, s_ll, s_ml, s_ob,
                                           max_seq_cap, &last_lit);
         } else {
