@@ -3254,8 +3254,10 @@ int64_t opt_find_matches(const uint8_t* src, int64_t src_len,
         }
     };
 
-    const int64_t kSufficientLen = 192;  // immediate-take shortcut (zstd
-    // btopt targetLength role): avoids O(run^2) rep scanning inside runs.
+    static const int64_t kSufficientLen =
+        getenv("ZT_SUFLEN") ? atoi(getenv("ZT_SUFLEN")) : 192;
+    // immediate-take shortcut (zstd btopt targetLength role): avoids
+    // O(run^2) rep scanning inside runs.
     const int64_t dp_limit = bn - 8;
     for (int64_t i = 0; i < dp_limit; i++) {
         if (opt[i].price >= kInfPrice) continue;
@@ -3307,6 +3309,8 @@ int64_t opt_find_matches(const uint8_t* src, int64_t src_len,
             const int nm = bt_get_all_matches(&c, p, min_match, mt, 64);
             int64_t best_so_far = 0;
             int64_t lb = min_match;
+            static const int kFullRelax =
+                getenv("ZT_FULLRELAX") ? atoi(getenv("ZT_FULLRELAX")) : 0;
             for (int q = 0; q < nm; q++) {
                 const int64_t len = mt[q].len;
                 const int64_t off = mt[q].off;
@@ -3314,14 +3318,20 @@ int64_t opt_find_matches(const uint8_t* src, int64_t src_len,
                 const int oc = highbit32((uint32_t)(off + 3));
                 const int64_t op = OFP(oc);
                 const int64_t cap_len = len < (int64_t)(bn - i) ? len : bn - i;
-                for (int64_t L = cap_len; L >= lb; ) {
-                    const uint32_t code = kMLCodeLut[L];
-                    relax(i + L, seq_base + MLP(L) + op, i, (uint32_t)L,
-                          (uint32_t)off, 0, rep);
-                    if (code == 0) break;
-                    const int64_t next_top = (int64_t)kMLBase[code] - 1;
-                    if (next_top >= L) break;
-                    L = next_top >= lb ? next_top : lb - 1;
+                if (kFullRelax && cap_len - lb <= kFullRelax) {
+                    for (int64_t L = cap_len; L >= lb; L--)
+                        relax(i + L, seq_base + MLP(L) + op, i, (uint32_t)L,
+                              (uint32_t)off, 0, rep);
+                } else {
+                    for (int64_t L = cap_len; L >= lb; ) {
+                        const uint32_t code = kMLCodeLut[L];
+                        relax(i + L, seq_base + MLP(L) + op, i, (uint32_t)L,
+                              (uint32_t)off, 0, rep);
+                        if (code == 0) break;
+                        const int64_t next_top = (int64_t)kMLBase[code] - 1;
+                        if (next_top >= L) break;
+                        L = next_top >= lb ? next_top : lb - 1;
+                    }
                 }
                 lb = len + 1;  // shorter lengths already priced (closer offsets)
             }
@@ -3774,9 +3784,12 @@ int64_t compress_frame_body_ldm_c(const uint8_t* src, int64_t n, int strategy,
             if (n_seq >= 0)
                 opt_update_stats(ost, s_ll, s_ml, s_ob, n_seq, true);
         } else if (strategy == 6) {
+            // double the attempt budget: the DUBT candidate cut costs the
+            // lazy parse more than zstd's eager tree, and 2x still beats
+            // the reference's btlazy2 on both ratio and speed here
             n_seq = btlazy_find_matches(src, n, pos, end, 0, 1LL << window_log,
                                         table, hash_log, bt, bt_size,
-                                        1LL << search_log, 2, &insert_from,
+                                        2LL << search_log, 2, &insert_from,
                                         rep, s_ll, s_ml, s_ob, max_seq_cap,
                                         &last_lit);
         } else if (row_pos) {
