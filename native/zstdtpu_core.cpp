@@ -3544,6 +3544,7 @@ int64_t compress_frame_body_ldm_c(const uint8_t* src, int64_t n, int strategy,
     // level-1/2 fast path: compact u32 table (positions stored +1)
     uint32_t* table32 = nullptr;
     if (strategy <= 1 && !use_ldm && n < (1LL << 31) &&
+        !(strategy == 1 && hash_log >= 15 && accel <= 1) &&
         !(getenv("ZT_FAST64"))) {
         table32 = (uint32_t*)calloc((size_t)tbl_n, 4);
         if (!table32) { free(table); return -1; }
@@ -3565,8 +3566,12 @@ int64_t compress_frame_body_ldm_c(const uint8_t* src, int64_t n, int strategy,
     // The dfast levels (strategy 2) also route here: row-greedy with 4
     // attempts beats libzstd's ratio at levels 3-4 (dfast stays the
     // fallback for small windows / LDM).
-    const bool use_row = strategy >= 2 && strategy <= 5 && window_log >= 14 &&
-                         search_log <= 5 && !use_ldm &&
+    // Level 2 (fast with hashLog 16) also routes here: its speed contract
+    // is looser than level 1's, and the row's ratio wins (level 1 keeps
+    // the greedy fast loop: hashLog 14 + accel identify it).
+    const bool l2_shape = strategy == 1 && hash_log >= 15 && accel <= 1;
+    const bool use_row = (l2_shape || (strategy >= 2 && strategy <= 5)) &&
+                         window_log >= 14 && search_log <= 5 && !use_ldm &&
                          !(getenv("ZT_ROW") && atoi(getenv("ZT_ROW")) == 0);
     if (use_row) {
         const int64_t n_rows = 1LL << row_log;
@@ -3745,7 +3750,7 @@ int64_t compress_frame_body_ldm_c(const uint8_t* src, int64_t n, int strategy,
                                        table, hash_log, chain, chain_log, mls,
                                        rep, s_ll, s_ml, s_ob, max_seq_cap,
                                        &last_lit);
-        } else if (strategy <= 1 && table32) {
+        } else if (strategy <= 1 && table32 && !row_pos) {
             n_seq = fast_find_matches32(src, n, pos, end, 0, 1LL << window_log,
                                         table32, hash_log, mls, rep, s_ll,
                                         s_ml, s_ob, max_seq_cap, &last_lit,
@@ -3794,7 +3799,7 @@ int64_t compress_frame_body_ldm_c(const uint8_t* src, int64_t n, int strategy,
                                         &last_lit);
         } else if (row_pos) {
             const int depth = strategy >= 5 ? 2 : strategy >= 3 ? strategy - 3 : 0;
-            const int64_t att = strategy == 2 ? 4 : 1LL << search_log;
+            const int64_t att = strategy <= 2 ? 4 : 1LL << search_log;
             n_seq = row_lazy_find_matches(src, n, pos, end, 0,
                                           1LL << window_log, row_pos,
                                           row_tags, row_heads, row_log,
