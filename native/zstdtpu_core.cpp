@@ -3131,9 +3131,11 @@ static void opt_update_stats(OptStats* st, const uint32_t* ll,
                              const uint32_t* mlv, const uint32_t* ob,
                              int64_t n_seq, bool decay) {
     if (decay) {
-        for (int i = 0; i < 36; i++) st->llc[i] -= st->llc[i] >> 2;
-        for (int i = 0; i < 53; i++) st->mlc[i] -= st->mlc[i] >> 2;
-        for (int i = 0; i < 32; i++) st->ofc[i] -= st->ofc[i] >> 2;
+        static const int kShift =
+            getenv("ZT_OPT_DECAY") ? atoi(getenv("ZT_OPT_DECAY")) : 2;
+        for (int i = 0; i < 36; i++) st->llc[i] -= st->llc[i] >> kShift;
+        for (int i = 0; i < 53; i++) st->mlc[i] -= st->mlc[i] >> kShift;
+        for (int i = 0; i < 32; i++) st->ofc[i] -= st->ofc[i] >> kShift;
     }
     const uint32_t vmax = (1u << 17) - 1;
     for (int64_t i = 0; i < n_seq; i++) {
