@@ -3108,7 +3108,7 @@ static void opt_build_prices(OptStats* st) {
             float bits = lt - __builtin_log2f((float)(cnt[i] + 1));
             if (bits > 20.f) bits = 20.f;
             if (bits < 0.125f) bits = 0.125f;
-            price[i] = (uint32_t)(bits * 32.f + 0.5f);
+            price[i] = (uint32_t)(bits * 256.f + 0.5f);  // 1/256-bit units
         }
     };
     build(st->llc, st->ll_price, 36);
@@ -3205,24 +3205,24 @@ int64_t opt_find_matches(const uint8_t* src, int64_t src_len,
     for (int64_t i = start; i < end; i++) counts[src[i]]++;
     uint32_t lit_price[256];
     for (int s = 0; s < 256; s++) {
-        if (!counts[s]) { lit_price[s] = 14 * 32; continue; }
+        if (!counts[s]) { lit_price[s] = 14 * 256; continue; }
         const double bits = -__builtin_log2((double)counts[s] / (double)bn);
-        uint32_t p = (uint32_t)(bits * 32.0 + 0.5);
-        if (p < 4) p = 4;
-        if (p > 14 * 32) p = 14 * 32;
+        uint32_t p = (uint32_t)(bits * 256.0 + 0.5);
+        if (p < 32) p = 32;
+        if (p > 14 * 256) p = 14 * 256;
         lit_price[s] = p;
     }
     const uint32_t vmax = (1u << 17) - 1;
     auto LLP = [&](int64_t l) -> int64_t {
         const uint32_t code = kLLCodeLut[(uint64_t)l < vmax ? l : vmax];
-        return (int64_t)st->ll_price[code] + (int64_t)kLLBits[code] * 32;
+        return (int64_t)st->ll_price[code] + (int64_t)kLLBits[code] * 256;
     };
     auto MLP = [&](int64_t m) -> int64_t {
         const uint32_t code = kMLCodeLut[(uint64_t)m < vmax ? m : vmax];
-        return (int64_t)st->ml_price[code] + (int64_t)kMLBits[code] * 32;
+        return (int64_t)st->ml_price[code] + (int64_t)kMLBits[code] * 256;
     };
     auto OFP = [&](int oc) -> int64_t {
-        return (int64_t)st->of_price[oc & 31] + (int64_t)(oc & 31) * 32;
+        return (int64_t)st->of_price[oc & 31] + (int64_t)(oc & 31) * 256;
     };
 
     OptCell* opt = (OptCell*)malloc(sizeof(OptCell) * (size_t)(bn + 1));
