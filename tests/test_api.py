@@ -231,3 +231,24 @@ def test_n_workers_multiframe_stream():
             c[pos : pos + n], max_output_size=len(data)))
         pos += n
     assert b"".join(parts) == data and len(parts) > 1
+
+
+def test_parallel_multiframe_decode():
+    """decompress(n_workers=N): frame-parallel decode of a multi-frame
+    stream (the decode-side pair of compress(n_workers=))."""
+    import numpy as np
+
+    import zstdsharp_tpu as zt
+    from zstdsharp_tpu.decode.frame import decompress
+    from zstdsharp_tpu.encode.frame import write_skippable_frame
+    from zstdsharp_tpu.encode.params import CCtxParams
+
+    rng = np.random.default_rng(4)
+    data = rng.integers(0, 50, 500_000, dtype="uint8").tobytes()
+    stream = zt.compress(data, params=CCtxParams(compression_level=3,
+                                                 n_workers=4))
+    stream += write_skippable_frame(b"meta", 1)
+    stream += zt.compress(b"tail frame", level=1)
+    expect = data + b"tail frame"
+    assert decompress(stream, n_workers=4) == expect
+    assert decompress(stream) == expect

@@ -325,8 +325,18 @@ class FrameDecoder:
 
 def decompress(src: bytes, max_output_size: int | None = None,
                max_window_log: int = _WINDOWLOG_MAX_DEFAULT,
-               verify_checksum: bool = True) -> bytes:
-    """Decompress all frames in src (ZSTD_decompressMultiFrame:1216)."""
+               verify_checksum: bool = True, n_workers: int = 0) -> bytes:
+    """Decompress all frames in src (ZSTD_decompressMultiFrame:1216).
+
+    n_workers > 0 decodes independent frames in a thread pool (the native
+    decoder releases the GIL, so multi-frame streams — e.g. from
+    compress(n_workers=) — scale across host cores; frames are
+    self-delimiting per RFC 8878 §3).
+    """
+    if n_workers > 0:
+        return _decompress_parallel(bytes(src), max_output_size,
+                                    max_window_log, verify_checksum,
+                                    n_workers)
     from ..utils import trace
 
     if trace.enabled():
@@ -337,6 +347,37 @@ def decompress(src: bytes, max_output_size: int | None = None,
             return out
     return _decompress_impl(bytes(src), max_output_size, max_window_log,
                             verify_checksum)
+
+
+def _decompress_parallel(src: bytes, max_output_size, max_window_log,
+                         verify_checksum, n_workers: int) -> bytes:
+    """Frame-parallel decode: split on frame boundaries
+    (ZSTD_findFrameCompressedSize walk), decode concurrently, join in
+    order."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    spans = []
+    pos = 0
+    while pos < len(src):
+        n = find_frame_compressed_size(src[pos:])
+        spans.append((pos, n))
+        pos += n
+
+    def one(span):
+        off, n = span
+        magic = int.from_bytes(src[off : off + 4], "little")
+        if (magic & C.ZSTD_MAGIC_SKIPPABLE_MASK) == C.ZSTD_MAGIC_SKIPPABLE_START:
+            return b""
+        return _decompress_impl(src[off : off + n], None, max_window_log,
+                                verify_checksum)
+
+    with ThreadPoolExecutor(max_workers=n_workers) as ex:
+        outs = list(ex.map(one, spans))
+    result = b"".join(outs)
+    if max_output_size is not None:
+        check(len(result) <= max_output_size, ZstdErrorCode.dstSize_tooSmall,
+              "output exceeds max_output_size")
+    return result
 
 
 def _decompress_impl(src: bytes, max_output_size, max_window_log,
