@@ -218,3 +218,23 @@ def test_batch_wrap_unwrap_many():
     comp.set_parameter("checksum_flag", True)
     frames_ck = comp.wrap_many(samples[:50])
     assert dec.unwrap_many(frames_ck) == samples[:50]
+
+
+def test_train_dictionary_flat_literal_distribution():
+    """Near-uniform sample literals produce a flat 256-symbol Huffman table,
+    which the weights format cannot serialize directly (raw caps at 128
+    weights, FSE needs two distinct weights); the finalizer must perturb
+    and still emit a libzstd-accepted dictionary."""
+    import zstandard
+
+    from zstdsharp_tpu.dictionary import train_dictionary
+    from zstdsharp_tpu.encode.frame import Compressor
+
+    samples = [b'{"k": %d}' % i for i in range(300)]
+    d = train_dictionary(samples, 1024)
+    zd = zstandard.ZstdCompressionDict(d)
+    comp = Compressor(level=3)
+    comp.load_dictionary(d)
+    dz = zstandard.ZstdDecompressor(dict_data=zd)
+    for s in samples[:30]:
+        assert dz.decompress(comp.wrap(s), max_output_size=200) == s

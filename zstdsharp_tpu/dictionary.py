@@ -321,7 +321,18 @@ def finalize_dictionary(content: np.ndarray, samples: list[bytes],
     out += dict_id.to_bytes(4, "little")
 
     huf_ct = huffman.build_ctable(lit_counts, 255)
-    out += huffman.write_ctable(huf_ct)
+    try:
+        huf_hdr = huffman.write_ctable(huf_ct)
+    except ZstdError:
+        # A perfectly flat 256-symbol table (uniform smoothed counts) is not
+        # serializable: the raw form caps at 128 weights and the FSE form
+        # needs >= 2 distinct weights.  Doubling the most frequent symbol's
+        # count breaks the tie with minimal distortion.
+        lc = lit_counts.astype(np.int64) + 1
+        lc[int(np.argmax(lc))] = int(lc.max()) * 2 + 1
+        huf_ct = huffman.build_ctable(lc, 255)
+        huf_hdr = huffman.write_ctable(huf_ct)
+    out += huf_hdr
 
     for counts, max_sym, max_log in ((of_counts, C.DEFAULT_MAX_OFF, C.OF_FSE_LOG),
                                      (ml_counts, C.MAX_ML, C.ML_FSE_LOG),

@@ -341,8 +341,10 @@ def write_ctable(ct: HufCTable) -> bytes:
                 payload = hdr + body
             except ZstdError:
                 payload = None
-    if payload is not None and 1 < len(payload) < ct.max_symbol / 2:
-        check(len(payload) < 128, ZstdErrorCode.generic)
+    # The raw-nibble form caps at 128 weights, so for max_symbol >= 128 the
+    # FSE form is mandatory (not merely profitable).
+    fse_ok = payload is not None and 1 < len(payload) < 128
+    if fse_ok and (len(payload) < ct.max_symbol / 2 or ct.max_symbol >= 128):
         return bytes([len(payload)]) + payload
 
     # Raw nibble fallback.
