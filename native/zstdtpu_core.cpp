@@ -4385,7 +4385,8 @@ static int64_t fast_attach_find(const uint8_t* all, int64_t clen,
         const uint32_t hl = hash_mls(all + p, loc_hlog, mls);
         const int64_t lc = (int64_t)loc_tbl[hl] - 1;
         loc_tbl[hl] = (uint32_t)(p + 1);
-        if (lc >= 0 && read32(all + lc) == read32(all + p)) return lc;
+        if (lc >= 0 && p - lc < wsize && read32(all + lc) == read32(all + p))
+            return lc;
         const int64_t dc =
             (int64_t)dict_tbl[hash_mls(all + p, dict_hlog, mls)] - 1;
         if (dc >= 0 && dc < clen && p - dc < wsize &&
@@ -4399,7 +4400,7 @@ static int64_t fast_attach_find(const uint8_t* all, int64_t clen,
         uint32_t ob = 0;
         while (pos + 1 <= limit) {
             const int64_t p2 = pos + step;
-            if (p2 <= limit && p2 - rep0 >= 0 &&
+            if (p2 <= limit && p2 - rep0 >= 0 && rep0 <= wsize &&
                 read32(all + p2) == read32(all + p2 - rep0)) {
                 mp = p2; mc = p2 - rep0;
                 if (mp > anchor && mc > 0 && all[mp - 1] == all[mc - 1]) {
@@ -4434,6 +4435,7 @@ static int64_t fast_attach_find(const uint8_t* all, int64_t clen,
         n_seq++;
         pos = mp + ml; anchor = pos;
         while (pos <= limit && n_seq < max_seq && pos - rep1 >= 0 &&
+               rep1 <= wsize &&
                read32(all + pos) == read32(all + pos - rep1)) {
             const int64_t ml2 = 4 + count_match(all, pos + 4, pos + 4 - rep1, end);
             const int64_t t = rep0; rep0 = rep1; rep1 = t;
@@ -4751,7 +4753,8 @@ static int64_t write_frame_header_c(uint8_t* out, int64_t src_size, int wlog,
     int64_t p = 5;
     const int64_t wsize = 1LL << wlog;
     const int single = src_size <= wsize;
-    int fcs_code = (src_size >= 256) + (src_size >= 65536 + 256);
+    int fcs_code = (src_size >= 256) + (src_size >= 65536 + 256) +
+                   (src_size > 0xFFFFFFFFLL);
     const int did = dict_id == 0 ? 0 : (dict_id < 256 ? 1 : dict_id < 65536 ? 2 : 3);
     out[4] = (uint8_t)((fcs_code << 6) | (single << 5) | (checksum << 2) | did);
     if (!single) out[p++] = (uint8_t)((wlog - 10) << 3);
@@ -4763,9 +4766,12 @@ static int64_t write_frame_header_c(uint8_t* out, int64_t src_size, int wlog,
     } else if (fcs_code == 1) {
         const uint16_t v = (uint16_t)(src_size - 256);
         std::memcpy(out + p, &v, 2); p += 2;
-    } else {
+    } else if (fcs_code == 2) {
         const uint32_t v = (uint32_t)src_size;
         std::memcpy(out + p, &v, 4); p += 4;
+    } else {
+        const uint64_t v = (uint64_t)src_size;
+        std::memcpy(out + p, &v, 8); p += 8;
     }
     return p;
 }
@@ -4800,10 +4806,11 @@ int64_t zt_compress_many_cdict(void* h, const uint8_t* concat,
     return op;
 }
 
-// Parse a frame header: returns header size, sets *fcs (-1 unknown) and
-// checks the dict id matches.  -1 on error.
+// Parse a frame header: returns header size, sets *fcs (-1 unknown),
+// *has_cksum, and *dict_id (0 when absent).  -1 on error.
 static int64_t parse_frame_header_c(const uint8_t* src, int64_t size,
-                                    int64_t* fcs, int* has_cksum) {
+                                    int64_t* fcs, int* has_cksum,
+                                    uint32_t* dict_id) {
     if (size < 5) return -1;
     uint32_t magic;
     std::memcpy(&magic, src, 4);
@@ -4815,7 +4822,11 @@ static int64_t parse_frame_header_c(const uint8_t* src, int64_t size,
     const int did = fhd & 3;
     int64_t p = 5;
     if (!single) p += 1;
-    p += (did == 0 ? 0 : did == 1 ? 1 : did == 2 ? 2 : 4);
+    const int did_bytes = did == 0 ? 0 : did == 1 ? 1 : did == 2 ? 2 : 4;
+    if (size < p + did_bytes) return -1;
+    *dict_id = 0;
+    if (did_bytes) std::memcpy(dict_id, src + p, (size_t)did_bytes);
+    p += did_bytes;
     if (fcs_code == 0) {
         if (single) { if (size < p + 1) return -1; *fcs = src[p]; p += 1; }
         else *fcs = -1;
@@ -4836,6 +4847,7 @@ static int64_t parse_frame_header_c(const uint8_t* src, int64_t size,
 // outputs; out_lens[i] receives each content size.  Returns total or -1.
 int64_t zt_decompress_many_ddict(void* h, const uint8_t* concat_in,
                                  const int64_t* flens, int64_t n_items,
+                                 uint32_t expect_dict_id,
                                  uint8_t* out, int64_t out_cap,
                                  int64_t* out_lens) {
     DDictC* d = (DDictC*)h;
@@ -4855,8 +4867,16 @@ int64_t zt_decompress_many_ddict(void* h, const uint8_t* concat_in,
         const int64_t fl = flens[i];
         int64_t fcs;
         int cksum;
-        const int64_t h0 = parse_frame_header_c(concat + ip, fl, &fcs, &cksum);
+        uint32_t frame_did;
+        const int64_t h0 = parse_frame_header_c(concat + ip, fl, &fcs, &cksum,
+                                                &frame_did);
         if (h0 < 0 || fcs < 0) { free(work); free(cpad); return -1; }
+        // A frame that names a different dictionary must not silently decode
+        // against this one (ZSTD_decodeFrameHeader dictionary_wrong role);
+        // bail to the element-wise path, which raises the proper error.
+        if (frame_did != 0 && frame_did != expect_dict_id) {
+            free(work); free(cpad); return -1;
+        }
         const int64_t need = clen + fcs + 64;
         if (need > work_cap) {
             free(work);
@@ -4882,6 +4902,17 @@ int64_t zt_decompress_many_ddict(void* h, const uint8_t* concat_in,
                                               clen + fcs, &consumed,
                                               &d->scratch_dirty);
         if (r != fcs) { free(work); free(cpad); return -1; }
+        // Verify the XXH64 content checksum when the frame carries one
+        // (ZSTD_decompressFrame checksum verify role); the epilogue must
+        // also account for the frame length.
+        if (cksum) {
+            if (h0 + consumed + 4 > fl) { free(work); free(cpad); return -1; }
+            uint32_t stored;
+            std::memcpy(&stored, concat + ip + h0 + consumed, 4);
+            const uint32_t calc =
+                (uint32_t)xxh64(work + clen, r, 0);
+            if (stored != calc) { free(work); free(cpad); return -1; }
+        }
         if (op + r > out_cap) { free(work); free(cpad); return -1; }
         std::memcpy(out + op, work + clen, (size_t)r);
         out_lens[i] = r;

@@ -177,3 +177,26 @@ class TestZstdSideExoticFrames:
         zc = zstandard.ZstdCompressor(level=5, write_content_size=False)
         frame = zc.compress(data)
         assert decompress(frame) == data
+
+
+def test_long_offset_decode_stress():
+    """Matches at distances far beyond 64KB (long-offset regime the
+    reference serves with its prefetch decoder, ZstdDecompressBlock.cs:2796):
+    both directions must survive a >1MB window with cross-block matches."""
+    import zstandard
+
+    from zstdsharp_tpu.decode.frame import decompress as ours_d
+    from zstdsharp_tpu.encode.frame import compress as ours_c
+
+    r = np.random.default_rng(424242)
+    unit = r.integers(0, 256, 80_000, dtype=np.uint8).tobytes()
+    filler = (b"abcdefgh" * 20_000)  # 160KB of compressible distance
+    data = unit + filler + unit + filler[:90_000] + unit  # offsets ~90K-240K
+    # oracle frame (level 19 emits large offsets) -> our decoder
+    blob = zstandard.ZstdCompressor(level=19).compress(data)
+    assert ours_d(blob) == data
+    # our frame at a long-window level -> oracle + ourselves
+    frame = ours_c(data, 17)
+    assert zstandard.ZstdDecompressor().decompress(
+        frame, max_output_size=len(data) + 1) == data
+    assert ours_d(frame) == data

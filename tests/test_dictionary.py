@@ -238,3 +238,75 @@ def test_train_dictionary_flat_literal_distribution():
     dz = zstandard.ZstdDecompressor(dict_data=zd)
     for s in samples[:30]:
         assert dz.decompress(comp.wrap(s), max_output_size=200) == s
+
+
+class TestAdvisorRegressions:
+    """Round-1 advisor findings: dictID checks on the native fast paths,
+    checksum verification in batch unwrap, window_log cache correctness."""
+
+    def _two_dicts(self):
+        r = np.random.default_rng(99)
+        mk = lambda tag: [
+            (f'{{"{tag}": {int(r.integers(0, 999))}, "v": "{tag}{i}"}}' * 4).encode()
+            for i in range(120)]
+        sa, sb = mk("alpha"), mk("beta")
+        da = zstandard.train_dictionary(2048, sa).as_bytes()
+        db = zstandard.train_dictionary(2048, sb).as_bytes()
+        return sa, sb, da, db
+
+    def test_fast_path_rejects_wrong_dict_single(self):
+        sa, sb, da, db = self._two_dicts()
+        zd_a = zstandard.ZstdCompressionDict(da)
+        frame = zstandard.ZstdCompressor(level=3, dict_data=zd_a).compress(sa[0])
+        wrong = ZstdCompressionDict(db)
+        with pytest.raises(ZstdError):
+            wrong.decompress_with(frame)
+
+    def test_fast_path_rejects_wrong_dict_batch(self):
+        sa, sb, da, db = self._two_dicts()
+        zd_a = zstandard.ZstdCompressionDict(da)
+        frames = [zstandard.ZstdCompressor(level=3, dict_data=zd_a).compress(s)
+                  for s in sa[:10]]
+        wrong = ZstdCompressionDict(db)
+        with pytest.raises(ZstdError):
+            wrong.decompress_many(frames)
+        dec = Decompressor()
+        dec.load_dictionary(db)
+        with pytest.raises(ZstdError):
+            dec.unwrap_many(frames)
+
+    def test_unwrap_many_verifies_checksum(self, samples, oracle_dict):
+        comp = Compressor(level=3)
+        comp.load_dictionary(oracle_dict)
+        comp.set_parameter("checksum_flag", True)
+        frames = comp.wrap_many(samples[:20])
+        dec = Decompressor()
+        dec.load_dictionary(oracle_dict)
+        assert dec.unwrap_many(frames) == samples[:20]
+        # Corrupt the stored checksum (last 4 bytes) of one frame: the
+        # batch path must reject it, exactly like single unwrap does.
+        bad = bytearray(frames[3])
+        bad[-1] ^= 0xFF
+        frames_bad = frames[:3] + [bytes(bad)] + frames[4:20]
+        with pytest.raises(ZstdError):
+            dec.unwrap_many(frames_bad)
+
+    def test_window_covers_growing_records(self, oracle_dict):
+        """A small record must not pin a too-small window_log for later
+        larger records (resolve-cache key regression): every emitted frame
+        must declare a window covering its content."""
+        from zstdsharp_tpu.decode.frame import parse_frame_header
+
+        comp = Compressor(level=1)
+        comp.load_dictionary(oracle_dict)
+        small = b"abcd" * 750          # ~3000 B
+        big = (b"wxyz" * 40 + b"#") * 56  # ~9016 B, same coarse class
+        for rec in (small, big, small, big):
+            frame = comp.wrap(rec)
+            hdr = parse_frame_header(np.frombuffer(frame, np.uint8))
+            if not hdr.single_segment:
+                assert hdr.window_size >= len(rec)
+            out = zstandard.ZstdDecompressor(
+                dict_data=zstandard.ZstdCompressionDict(oracle_dict)
+            ).decompress(frame, max_output_size=len(rec) + 1)
+            assert out == rec

@@ -9,7 +9,7 @@ from zstdsharp_tpu.decode import frame as dframe
 from zstdsharp_tpu.encode import frame as eframe
 from zstdsharp_tpu.encode.params import CCtxParams
 
-LEVELS = [-3, 1, 2, 3, 5, 7, 9, 12]
+LEVELS = [-3, 1, 2, 3, 5, 7, 9, 12, 13, 16, 19, 22]
 
 
 def oracle_decompress(frame: bytes, expected_size: int | None = None) -> bytes:

@@ -33,15 +33,15 @@ class TestCorruption:
                 out = decompress(bytes(mutated))
                 if out != data:
                     silent_wrong += 1
-            except (ZstdError, Exception):
-                pass
+            except ZstdError:
+                pass  # a typed error is the only acceptable failure
         # checksum is on: silent wrong output must be impossible
         assert silent_wrong == 0
 
     def test_truncations(self, frame):
         blob, _ = frame
         for cut in (1, 4, 5, 9, len(blob) // 2, len(blob) - 1):
-            with pytest.raises((ZstdError, Exception)):
+            with pytest.raises(ZstdError):
                 decompress(blob[:cut])
 
     def test_header_lies_about_content_size(self, frame):
@@ -79,12 +79,12 @@ class TestOwnFramesFuzzed:
             try:
                 out = decompress(bytes(mutated))
                 assert out == data  # checksum must catch everything else
-            except (ZstdError, Exception):
-                pass
+            except ZstdError:
+                pass  # never IndexError/TypeError/... — those are crashes
 
     def test_concatenated_partial_frame(self, text_corpus):
         a = compress(text_corpus[:1000], 3)
-        with pytest.raises((ZstdError, Exception)):
+        with pytest.raises(ZstdError):
             decompress(a + a[: len(a) // 2])
 
 

@@ -113,12 +113,12 @@ class ZstdCompressionDict:
         from .encode.frame import compress_frame, _write_frame_header
         from .utils.xxhash import content_checksum
 
-        # Parameter resolution depends only on the srcSize class; cache per
-        # (params identity, size class) to keep tiny-record wrap() cheap.
-        size_class = (0 if len(data) == 0 else
-                      1 if len(data) <= (16 << 10) else
-                      2 if len(data) <= (128 << 10) else
-                      3 if len(data) <= (256 << 10) else 4)
+        # Parameter resolution is cached to keep tiny-record wrap() cheap.
+        # adjust() derives window_log from ceil(log2(srcSize)), so the cache
+        # key must carry that exact bucket — a coarser size class would let a
+        # larger record reuse a window_log resolved for a smaller one and
+        # emit offsets beyond the declared window (RFC 8878 violation).
+        size_class = (len(data) - 1).bit_length() if len(data) else 0
         cache = getattr(self, "_resolve_cache", None)
         if cache is None:
             cache = self._resolve_cache = {}
@@ -181,7 +181,8 @@ class ZstdCompressionDict:
             return []
         dd = self._ddict()
         if dd is not None:
-            out = dd.decompress_many([bytes(f) for f in frames])
+            out = dd.decompress_many([bytes(f) for f in frames],
+                                     expect_dict_id=self._parsed.dict_id)
             if out is not None:
                 if max_output_size is not None:
                     for o in out:
@@ -197,6 +198,9 @@ class ZstdCompressionDict:
         from .utils.xxhash import content_checksum as _cksum
 
         # Native DDict fast path (single frame, preloaded entropy/history).
+        # A frame naming a different dictID must not take it: decoding
+        # against the wrong dictionary yields silently wrong bytes, where
+        # the reference path raises dictionary_wrong.
         dd = self._ddict()
         if dd is not None:
             buf = bytes(src)
@@ -204,6 +208,9 @@ class ZstdCompressionDict:
                 hdr = parse_frame_header(np.frombuffer(buf, np.uint8))
             except ZstdError:
                 hdr = None
+            if (hdr is not None and hdr.dict_id
+                    and hdr.dict_id != self._parsed.dict_id):
+                hdr = None  # reference path raises dictionary_wrong
             if hdr is not None and hdr.frame_content_size >= 0:
                 res = dd.decode_frame_body(
                     np.frombuffer(buf, np.uint8)[hdr.header_size:],

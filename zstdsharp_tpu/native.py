@@ -118,7 +118,8 @@ def _load():
         lib.zt_compress_many_cdict.argtypes = [vp, u8p, i64p, i64,
                                                ctypes.c_uint32, u8p, i64, i64p]
         lib.zt_decompress_many_ddict.restype = i64
-        lib.zt_decompress_many_ddict.argtypes = [vp, u8p, i64p, i64, u8p, i64,
+        lib.zt_decompress_many_ddict.argtypes = [vp, u8p, i64p, i64,
+                                                 ctypes.c_uint32, u8p, i64,
                                                  i64p]
 
         _lib = lib
@@ -394,6 +395,11 @@ class NativeCDict:
                  min_match: int):
         self._lib = get_lib()
         self._h = None
+        # The native CDictC keeps per-call scratch (working buffer, local
+        # table, entropy snapshot) in the handle; ctypes releases the GIL, so
+        # concurrent wrap() calls on one dictionary must serialize here (the
+        # reference ZSTD_CDict is immutable and needs no lock).
+        self._mtx = threading.Lock()
         if self._lib is None:
             return
         raw = np.frombuffer(bytes(dict_raw), dtype=np.uint8)
@@ -415,10 +421,11 @@ class NativeCDict:
         cap = int(len(concat) + 64 * len(records) + 4096)
         out = np.empty(cap, dtype=np.uint8)
         out_lens = np.empty(len(records), dtype=np.int64)
-        total = self._lib.zt_compress_many_cdict(
-            self._h, _ptr(concat, ctypes.c_uint8), _ptr(lens, ctypes.c_int64),
-            len(records), dict_id, _ptr(out, ctypes.c_uint8), cap,
-            _ptr(out_lens, ctypes.c_int64))
+        with self._mtx:
+            total = self._lib.zt_compress_many_cdict(
+                self._h, _ptr(concat, ctypes.c_uint8), _ptr(lens, ctypes.c_int64),
+                len(records), dict_id, _ptr(out, ctypes.c_uint8), cap,
+                _ptr(out_lens, ctypes.c_int64))
         if total < 0:
             return None
         res = []
@@ -435,9 +442,10 @@ class NativeCDict:
         n = len(src)
         cap = n + (n >> 6) + 4096
         out = np.empty(cap, dtype=np.uint8)
-        size = self._lib.zt_compress_frame_body_cdict(
-            self._h, _ptr(np.ascontiguousarray(src, np.uint8), ctypes.c_uint8),
-            n, _ptr(out, ctypes.c_uint8), cap)
+        with self._mtx:
+            size = self._lib.zt_compress_frame_body_cdict(
+                self._h, _ptr(np.ascontiguousarray(src, np.uint8), ctypes.c_uint8),
+                n, _ptr(out, ctypes.c_uint8), cap)
         if size < 0:
             return None
         return out[:size].tobytes()
@@ -456,6 +464,9 @@ class NativeDDict:
         self._lib = get_lib()
         self._h = None
         self.content_len = 0
+        # DDictC keeps a per-call entropy scratch in the handle (dirty-
+        # restored); serialize concurrent unwrap() calls on one dictionary.
+        self._mtx = threading.Lock()
         if self._lib is None:
             return
         raw = np.frombuffer(bytes(dict_raw), dtype=np.uint8)
@@ -470,9 +481,12 @@ class NativeDDict:
     def valid(self) -> bool:
         return bool(self._h)
 
-    def decompress_many(self, frames: list[bytes]) -> list[bytes] | None:
+    def decompress_many(self, frames: list[bytes],
+                        expect_dict_id: int = 0) -> list[bytes] | None:
         """Batch unwrap: one native call for the whole frame list (frames
-        must carry a known content size and no checksum)."""
+        must carry a known content size; checksums are verified natively;
+        a frame naming a different dictID fails the batch so the caller's
+        element-wise path raises dictionary_wrong)."""
         if not self._h:
             return None
         concat = np.frombuffer(b"".join(frames), dtype=np.uint8)
@@ -480,10 +494,11 @@ class NativeDDict:
         cap = int(len(concat) * 64 + (1 << 20))
         out = np.empty(cap, dtype=np.uint8)
         out_lens = np.empty(len(frames), dtype=np.int64)
-        total = self._lib.zt_decompress_many_ddict(
-            self._h, _ptr(concat, ctypes.c_uint8), _ptr(flens, ctypes.c_int64),
-            len(frames), _ptr(out, ctypes.c_uint8), cap,
-            _ptr(out_lens, ctypes.c_int64))
+        with self._mtx:
+            total = self._lib.zt_decompress_many_ddict(
+                self._h, _ptr(concat, ctypes.c_uint8), _ptr(flens, ctypes.c_int64),
+                len(frames), expect_dict_id, _ptr(out, ctypes.c_uint8), cap,
+                _ptr(out_lens, ctypes.c_int64))
         if total < 0:
             return None
         res = []
@@ -502,9 +517,10 @@ class NativeDDict:
         cap = self.content_len + content_cap + 64
         out = np.empty(cap, dtype=np.uint8)
         consumed = np.zeros(1, dtype=np.int64)
-        size = self._lib.zt_decode_frame_body_ddict(
-            _ptr(arr, ctypes.c_uint8), len(arr), self._h,
-            _ptr(out, ctypes.c_uint8), cap, _ptr(consumed, ctypes.c_int64))
+        with self._mtx:
+            size = self._lib.zt_decode_frame_body_ddict(
+                _ptr(arr, ctypes.c_uint8), len(arr), self._h,
+                _ptr(out, ctypes.c_uint8), cap, _ptr(consumed, ctypes.c_int64))
         if size < 0:
             return None
         return out[self.content_len : self.content_len + size], int(consumed[0])
