@@ -4924,4 +4924,1648 @@ int64_t zt_decompress_many_ddict(void* h, const uint8_t* concat_in,
     return op;
 }
 
+}  // pause extern "C": exact-encoder templates below
+// ===========================================================================
+// EXACT ENCODER — reproduces the reference encoder's output byte-for-byte
+// for the fast/dfast strategies (levels <=4 and negative levels).
+//
+// Role map (reference file:line):
+//   parse:    ZSTD_compressBlock_fast_noDict_generic      ZstdFast.cs:96
+//             ZSTD_compressBlock_doubleFast_noDict_generic ZstdDoubleFast.cs:51
+//   literals: ZSTD_compressLiterals / HUF_compress_internal
+//             ZstdCompressLiterals.cs:86, HufCompress.cs:1360
+//   huffman:  HUF_sort:635, HUF_buildTree:689, HUF_setMaxHeight:377,
+//             HUF_writeCTable_wksp:168
+//   seqs:     ZSTD_buildSequencesStatistics ZstdCompress.cs:3127,
+//             ZSTD_selectEncodingType ZstdCompressSequences.cs:400,
+//             ZSTD_buildCTable:471
+//   frame:    ZSTD_compress_frameChunk:4690, ZSTD_writeFrameHeader:4817,
+//             ZSTD_writeEpilogue:5598, params Clevels.cs:8 +
+//             ZSTD_adjustCParams_internal:2023
+// ===========================================================================
+
+struct ZxCP { uint32_t wlog, clog, hlog, slog, mml, tlen, strat; };
+
+static const ZxCP kZxCParams[4][23] = {
+    {{19,12,13,1,6,1,1},{19,13,14,1,7,0,1},{20,15,16,1,6,0,1},{21,16,17,1,5,0,2},{21,18,18,1,5,0,2},{21,18,19,3,5,2,3},{21,18,19,3,5,4,4},{21,19,20,4,5,8,4},{21,19,20,4,5,16,5},{22,20,21,4,5,16,5},{22,21,22,5,5,16,5},{22,21,22,6,5,16,5},{22,22,23,6,5,32,5},{22,22,22,4,5,32,6},{22,22,23,5,5,32,6},{22,23,23,6,5,32,6},{22,22,22,5,5,48,7},{23,23,22,5,4,64,7},{23,23,22,6,3,64,8},{23,24,22,7,3,256,9},{25,25,23,7,3,256,9},{26,26,24,7,3,512,9},{27,27,25,9,3,999,9}},
+    {{18,12,13,1,5,1,1},{18,13,14,1,6,0,1},{18,14,14,1,5,0,2},{18,16,16,1,4,0,2},{18,16,17,3,5,2,3},{18,17,18,5,5,2,3},{18,18,19,3,5,4,4},{18,18,19,4,4,4,4},{18,18,19,4,4,8,5},{18,18,19,5,4,8,5},{18,18,19,6,4,8,5},{18,18,19,5,4,12,6},{18,19,19,7,4,12,6},{18,18,19,4,4,16,7},{18,18,19,4,3,32,7},{18,18,19,6,3,128,7},{18,19,19,6,3,128,8},{18,19,19,8,3,256,8},{18,19,19,6,3,128,9},{18,19,19,8,3,256,9},{18,19,19,10,3,512,9},{18,19,19,12,3,512,9},{18,19,19,13,3,999,9}},
+    {{17,12,12,1,5,1,1},{17,12,13,1,6,0,1},{17,13,15,1,5,0,1},{17,15,16,2,5,0,2},{17,17,17,2,4,0,2},{17,16,17,3,4,2,3},{17,16,17,3,4,4,4},{17,16,17,3,4,8,5},{17,16,17,4,4,8,5},{17,16,17,5,4,8,5},{17,16,17,6,4,8,5},{17,17,17,5,4,8,6},{17,18,17,7,4,12,6},{17,18,17,3,4,12,7},{17,18,17,4,3,32,7},{17,18,17,6,3,256,7},{17,18,17,6,3,128,8},{17,18,17,8,3,256,8},{17,18,17,10,3,512,8},{17,18,17,5,3,256,9},{17,18,17,7,3,512,9},{17,18,17,9,3,512,9},{17,18,17,11,3,999,9}},
+    {{14,12,13,1,5,1,1},{14,14,15,1,5,0,1},{14,14,15,1,4,0,1},{14,14,15,2,4,0,2},{14,14,14,4,4,2,3},{14,14,14,3,4,4,4},{14,14,14,4,4,8,5},{14,14,14,6,4,8,5},{14,14,14,8,4,8,5},{14,15,14,5,4,8,6},{14,15,14,9,4,8,6},{14,15,14,3,4,12,7},{14,15,14,4,3,24,7},{14,15,14,5,3,32,8},{14,15,15,6,3,64,8},{14,15,15,7,3,256,8},{14,15,15,5,3,48,9},{14,15,15,6,3,128,9},{14,15,15,7,3,256,9},{14,15,15,8,3,256,9},{14,15,15,8,3,512,9},{14,15,15,9,3,512,9},{14,15,15,10,3,999,9}}
+};
+
+static const uint32_t kZxInvProbLog256[256] = {
+    0,2048,1792,1642,1536,1453,1386,1329,1280,1236,1197,1162,1130,1100,1073,1047,
+    1024,1001,980,960,941,923,906,889,874,859,844,830,817,804,791,779,
+    768,756,745,734,724,714,704,694,685,676,667,658,650,642,633,626,
+    618,610,603,595,588,581,574,567,561,554,548,542,535,529,523,517,
+    512,506,500,495,489,484,478,473,468,463,458,453,448,443,438,434,
+    429,424,420,415,411,407,402,398,394,390,386,382,377,373,370,366,
+    362,358,354,350,347,343,339,336,332,329,325,322,318,315,311,308,
+    305,302,298,295,292,289,286,282,279,276,273,270,267,264,261,258,
+    256,253,250,247,244,241,239,236,233,230,228,225,222,220,217,215,
+    212,209,207,204,202,199,197,194,192,190,187,185,182,180,178,175,
+    173,171,168,166,164,162,159,157,155,153,151,149,146,144,142,140,
+    138,136,134,132,130,128,126,123,121,119,117,115,114,112,110,108,
+    106,104,102,100,98,96,94,93,91,89,87,85,83,82,80,78,
+    76,74,73,71,69,67,66,64,62,61,59,57,55,54,52,50,
+    49,47,46,44,42,41,39,37,36,34,33,31,30,28,26,25,
+    23,22,20,19,17,16,14,13,11,10,8,7,5,4,2,1,
+};
+
+static const uint8_t kZxLL_Code[64] = {
+    0,1,2,3,4,5,6,7,8,9,10,11,12,13,14,15,
+    16,16,17,17,18,18,19,19,20,20,20,20,21,21,21,21,
+    22,22,22,22,22,22,22,22,23,23,23,23,23,23,23,23,
+    24,24,24,24,24,24,24,24,24,24,24,24,24,24,24,24,
+};
+static const uint8_t kZxML_Code[128] = {
+    0,1,2,3,4,5,6,7,8,9,10,11,12,13,14,15,
+    16,17,18,19,20,21,22,23,24,25,26,27,28,29,30,31,
+    32,32,33,33,34,34,35,35,36,36,36,36,37,37,37,37,
+    38,38,38,38,38,38,38,38,39,39,39,39,39,39,39,39,
+    40,40,40,40,40,40,40,40,40,40,40,40,40,40,40,40,
+    41,41,41,41,41,41,41,41,41,41,41,41,41,41,41,41,
+    42,42,42,42,42,42,42,42,42,42,42,42,42,42,42,42,
+    42,42,42,42,42,42,42,42,42,42,42,42,42,42,42,42,
+};
+
+static inline uint32_t zx_llcode(uint32_t v) {
+    return v > 63 ? (uint32_t)highbit32(v) + 19 : kZxLL_Code[v];
+}
+static inline uint32_t zx_mlcode(uint32_t v) {
+    return v > 127 ? (uint32_t)highbit32(v) + 36 : kZxML_Code[v];
+}
+
+// ZSTD_getCParams_internal + ZSTD_adjustCParams_internal (srcSize known).
+static ZxCP zx_get_cparams(int level, uint64_t srcSize) {
+    const uint64_t rSize = srcSize;  // dictSize 0, known srcSize
+    const int tableID = (rSize <= 256 * 1024) + (rSize <= 128 * 1024) +
+                        (rSize <= 16 * 1024);
+    int row = level == 0 ? 3 : level < 0 ? 0 : level > 22 ? 22 : level;
+    ZxCP cp = kZxCParams[tableID][row];
+    if (level < 0) {
+        const int clamped = level < -(1 << 17) ? -(1 << 17) : level;
+        cp.tlen = (uint32_t)(-clamped);
+    }
+    // adjust (ZstdCompress.cs:2023); maxWindowResize = 1<<30
+    if (srcSize < (1ULL << 30)) {
+        const uint32_t tSize = (uint32_t)srcSize;
+        const uint32_t srcLog =
+            tSize < 64 ? 6 : (uint32_t)highbit32(tSize - 1) + 1;
+        if (cp.wlog > srcLog) cp.wlog = srcLog;
+    }
+    {
+        const uint32_t dawLog = cp.wlog;  // dictSize 0
+        const uint32_t cycleLog = cp.clog - (cp.strat >= 6);  // ZSTD_cycleLog
+        if (cp.hlog > dawLog + 1) cp.hlog = dawLog + 1;
+        if (cycleLog > dawLog) cp.clog -= cycleLog - dawLog;
+    }
+    if (cp.wlog < 10) cp.wlog = 10;
+    return cp;
+}
+
+// Exact hash family (ZSTD_hashPtr, ZstdCompressInternal.cs:423).
+static inline size_t zx_hash(const uint8_t* p, uint32_t hBits, uint32_t mls) {
+    switch (mls) {
+        default:
+        case 4: return (size_t)((read32(p) * 2654435761U) >> (32 - hBits));
+        case 5: return (size_t)(((read64_fwd(p) << 24) * 889523592379ULL) >> (64 - hBits));
+        case 6: return (size_t)(((read64_fwd(p) << 16) * 227718039650203ULL) >> (64 - hBits));
+        case 7: return (size_t)(((read64_fwd(p) << 8) * 58295818150454627ULL) >> (64 - hBits));
+        case 8: return (size_t)((read64_fwd(p) * 0xCF1BBCDCB7A56463ULL) >> (64 - hBits));
+    }
+}
+
+// Longest common prefix (ZSTD_count semantics).
+static inline size_t zx_count(const uint8_t* pIn, const uint8_t* pMatch,
+                              const uint8_t* pInLimit) {
+    const uint8_t* const s = pIn;
+    while (pIn + 8 <= pInLimit) {
+        uint64_t a, b;
+        std::memcpy(&a, pIn, 8);
+        std::memcpy(&b, pMatch, 8);
+        const uint64_t d = a ^ b;
+        if (d) return (size_t)(pIn - s) + ((size_t)__builtin_ctzll(d) >> 3);
+        pIn += 8;
+        pMatch += 8;
+    }
+    while (pIn < pInLimit && *pIn == *pMatch) { pIn++; pMatch++; }
+    return (size_t)(pIn - s);
+}
+
+// seqStore with the reference's u16 truncation + long-length tracking
+// (ZSTD_storeSeq, ZstdCompressInternal.cs:204).
+struct ZxSeq { uint16_t ll, ml; uint32_t offBase; };
+struct ZxStore {
+    uint8_t* lit;
+    int64_t nlit;
+    ZxSeq* seq;
+    int64_t nseq;
+    int llt;        // 0 none, 1 literalLength, 2 matchLength
+    int64_t lltPos;
+};
+
+static inline void zx_store_seq(ZxStore* ss, const uint8_t* literals,
+                                size_t litLength, uint32_t offCode,
+                                size_t mlBase) {
+    std::memcpy(ss->lit + ss->nlit, literals, litLength);
+    ss->nlit += (int64_t)litLength;
+    if (litLength > 0xFFFF) { ss->llt = 1; ss->lltPos = ss->nseq; }
+    if (mlBase > 0xFFFF) { ss->llt = 2; ss->lltPos = ss->nseq; }
+    ss->seq[ss->nseq].ll = (uint16_t)litLength;
+    ss->seq[ss->nseq].ml = (uint16_t)mlBase;
+    ss->seq[ss->nseq].offBase = offCode + 1;
+    ss->nseq++;
+}
+
+// ZSTD_compressBlock_fast_noDict_generic (ZstdFast.cs:96) — verbatim.
+template <uint32_t kMls, int kHasStep>
+static int64_t zx_fast_block(const uint8_t* base, uint32_t* hashTable,
+                             uint32_t hlog, uint32_t dictLimit, uint32_t wlog,
+                             uint32_t tlen, const uint8_t* istart,
+                             int64_t srcSize, uint32_t* rep, ZxStore* ss) {
+    const size_t stepSize =
+        kHasStep ? (size_t)(tlen + (tlen == 0 ? 1 : 0) + 1) : 2;
+    const uint32_t endIndex = (uint32_t)((istart - base) + srcSize);
+    const uint32_t maxDistance = 1u << wlog;
+    const uint32_t prefixStartIndex =
+        (endIndex - dictLimit > maxDistance) ? endIndex - maxDistance
+                                             : dictLimit;
+    const uint8_t* const prefixStart = base + prefixStartIndex;
+    const uint8_t* const iend = istart + srcSize;
+    const uint8_t* const ilimit = iend - 8;
+    const uint8_t* anchor = istart;
+    const uint8_t* ip0 = istart;
+    const uint8_t *ip1, *ip2, *ip3;
+    uint32_t current0;
+    uint32_t rep_offset1 = rep[0];
+    uint32_t rep_offset2 = rep[1];
+    uint32_t offsetSaved = 0;
+    size_t hash0, hash1;
+    uint32_t idx, mval, offcode;
+    const uint8_t* match0;
+    size_t mLength, step;
+    const uint8_t* nextStep;
+    const size_t kStepIncr = 1 << 7;
+
+    ip0 += (ip0 == prefixStart) ? 1 : 0;
+    {
+        const uint32_t curr = (uint32_t)(ip0 - base);
+        const uint32_t windowLow =
+            (curr - dictLimit > maxDistance) ? curr - maxDistance : dictLimit;
+        const uint32_t maxRep = curr - windowLow;
+        if (rep_offset2 > maxRep) { offsetSaved = rep_offset2; rep_offset2 = 0; }
+        if (rep_offset1 > maxRep) { offsetSaved = rep_offset1; rep_offset1 = 0; }
+    }
+
+_start:
+    step = stepSize;
+    nextStep = ip0 + kStepIncr;
+    ip1 = ip0 + 1;
+    ip2 = ip0 + step;
+    ip3 = ip2 + 1;
+    if (ip3 >= ilimit) goto _cleanup;
+    hash0 = zx_hash(ip0, hlog, kMls);
+    hash1 = zx_hash(ip1, hlog, kMls);
+    idx = hashTable[hash0];
+    do {
+        const uint32_t rval = read32(ip2 - rep_offset1);
+        current0 = (uint32_t)(ip0 - base);
+        hashTable[hash0] = current0;
+        if (read32(ip2) == rval && rep_offset1 > 0) {
+            ip0 = ip2;
+            match0 = ip0 - rep_offset1;
+            mLength = (ip0[-1] == match0[-1]) ? 1 : 0;
+            ip0 -= mLength;
+            match0 -= mLength;
+            offcode = 0;
+            mLength += 4;
+            goto _match;
+        }
+        mval = (idx >= prefixStartIndex) ? read32(base + idx)
+                                         : read32(ip0) ^ 1;
+        if (read32(ip0) == mval) goto _offset;
+        idx = hashTable[hash1];
+        hash0 = hash1;
+        hash1 = zx_hash(ip2, hlog, kMls);
+        ip0 = ip1;
+        ip1 = ip2;
+        ip2 = ip3;
+        current0 = (uint32_t)(ip0 - base);
+        hashTable[hash0] = current0;
+        mval = (idx >= prefixStartIndex) ? read32(base + idx)
+                                         : read32(ip0) ^ 1;
+        if (read32(ip0) == mval) goto _offset;
+        idx = hashTable[hash1];
+        hash0 = hash1;
+        hash1 = zx_hash(ip2, hlog, kMls);
+        ip0 = ip1;
+        ip1 = ip2;
+        ip2 = ip0 + step;
+        ip3 = ip1 + step;
+        if (ip2 >= nextStep) {
+            step++;
+            nextStep += kStepIncr;
+        }
+    } while (ip3 < ilimit);
+
+_cleanup:
+    rep[0] = rep_offset1 ? rep_offset1 : offsetSaved;
+    rep[1] = rep_offset2 ? rep_offset2 : offsetSaved;
+    return iend - anchor;
+
+_offset:
+    match0 = base + idx;
+    rep_offset2 = rep_offset1;
+    rep_offset1 = (uint32_t)(ip0 - match0);
+    offcode = rep_offset1 + 2;
+    mLength = 4;
+    while (ip0 > anchor && match0 > prefixStart && ip0[-1] == match0[-1]) {
+        ip0--;
+        match0--;
+        mLength++;
+    }
+
+_match:
+    mLength += zx_count(ip0 + mLength, match0 + mLength, iend);
+    zx_store_seq(ss, anchor, (size_t)(ip0 - anchor), offcode, mLength - 3);
+    ip0 += mLength;
+    anchor = ip0;
+    if (ip1 < ip0) hashTable[hash1] = (uint32_t)(ip1 - base);
+    if (ip0 <= ilimit) {
+        hashTable[zx_hash(base + current0 + 2, hlog, kMls)] = current0 + 2;
+        hashTable[zx_hash(ip0 - 2, hlog, kMls)] = (uint32_t)(ip0 - 2 - base);
+        if (rep_offset2 > 0) {
+            while (ip0 <= ilimit && read32(ip0) == read32(ip0 - rep_offset2)) {
+                const size_t rLength =
+                    zx_count(ip0 + 4, ip0 + 4 - rep_offset2, iend) + 4;
+                const uint32_t t = rep_offset2;
+                rep_offset2 = rep_offset1;
+                rep_offset1 = t;
+                hashTable[zx_hash(ip0, hlog, kMls)] = (uint32_t)(ip0 - base);
+                ip0 += rLength;
+                zx_store_seq(ss, anchor, 0, 0, rLength - 3);
+                anchor = ip0;
+            }
+        }
+    }
+    goto _start;
+}
+
+// ZSTD_compressBlock_doubleFast_noDict_generic (ZstdDoubleFast.cs:51).
+// Note: byte-exact vs the reference's v1.5.1 semantics.  The live libzstd
+// oracle (1.5.7) rewrote this matcher's visit/insert schedule, so outputs
+// agree with 1.5.7 on most inputs but can differ by a sequence choice on
+// some (size impact measured < 0.3%); the fast strategy above matches the
+// oracle byte-for-byte.
+template <uint32_t kMls>
+static int64_t zx_dfast_block(const uint8_t* base, uint32_t* hashLong,
+                              uint32_t hBitsL, uint32_t* hashSmall,
+                              uint32_t hBitsS, uint32_t dictLimit,
+                              uint32_t wlog, const uint8_t* istart,
+                              int64_t srcSize, uint32_t* rep, ZxStore* ss) {
+    const uint32_t endIndex = (uint32_t)((istart - base) + srcSize);
+    const uint32_t maxDistance = 1u << wlog;
+    const uint32_t prefixLowestIndex =
+        (endIndex - dictLimit > maxDistance) ? endIndex - maxDistance
+                                             : dictLimit;
+    const uint8_t* const prefixLowest = base + prefixLowestIndex;
+    const uint8_t* const iend = istart + srcSize;
+    const uint8_t* const ilimit = iend - 8;
+    const uint8_t* anchor = istart;
+    uint32_t offset_1 = rep[0];
+    uint32_t offset_2 = rep[1];
+    uint32_t offsetSaved = 0;
+    size_t mLength;
+    uint32_t offset;
+    uint32_t curr = 0;
+    const size_t kStepIncr = 1 << 8;
+    const uint8_t* nextStep;
+    size_t step;
+    size_t hl0, hl1;
+    uint32_t idxl0, idxl1;
+    const uint8_t *matchl0, *matchs0, *matchl1;
+    const uint8_t* ip = istart;
+    const uint8_t* ip1;
+
+    ip += ((ip - prefixLowest) == 0) ? 1 : 0;
+    {
+        const uint32_t current = (uint32_t)(ip - base);
+        const uint32_t windowLow =
+            (current - dictLimit > maxDistance) ? current - maxDistance
+                                                : dictLimit;
+        const uint32_t maxRep = current - windowLow;
+        if (offset_2 > maxRep) { offsetSaved = offset_2; offset_2 = 0; }
+        if (offset_1 > maxRep) { offsetSaved = offset_1; offset_1 = 0; }
+    }
+
+    while (1) {
+        step = 1;
+        nextStep = ip + kStepIncr;
+        ip1 = ip + step;
+        if (ip1 > ilimit) goto _cleanup;
+        hl0 = zx_hash(ip, hBitsL, 8);
+        idxl0 = hashLong[hl0];
+        matchl0 = base + idxl0;
+        do {
+            const size_t hs0 = zx_hash(ip, hBitsS, kMls);
+            const uint32_t idxs0 = hashSmall[hs0];
+            curr = (uint32_t)(ip - base);
+            matchs0 = base + idxs0;
+            hashLong[hl0] = hashSmall[hs0] = curr;
+            if (offset_1 > 0 &&
+                read32(ip + 1 - offset_1) == read32(ip + 1)) {
+                mLength = zx_count(ip + 1 + 4, ip + 1 + 4 - offset_1, iend) + 4;
+                ip++;
+                zx_store_seq(ss, anchor, (size_t)(ip - anchor), 0, mLength - 3);
+                goto _match_stored;
+            }
+            hl1 = zx_hash(ip1, hBitsL, 8);
+            if (idxl0 > prefixLowestIndex) {
+                if (read64_fwd(matchl0) == read64_fwd(ip)) {
+                    mLength = zx_count(ip + 8, matchl0 + 8, iend) + 8;
+                    offset = (uint32_t)(ip - matchl0);
+                    while (ip > anchor && matchl0 > prefixLowest &&
+                           ip[-1] == matchl0[-1]) {
+                        ip--;
+                        matchl0--;
+                        mLength++;
+                    }
+                    goto _match_found;
+                }
+            }
+            idxl1 = hashLong[hl1];
+            matchl1 = base + idxl1;
+            if (idxs0 > prefixLowestIndex) {
+                if (read32(matchs0) == read32(ip)) goto _search_next_long;
+            }
+            if (ip1 >= nextStep) {
+                step++;
+                nextStep += kStepIncr;
+            }
+            ip = ip1;
+            ip1 += step;
+            hl0 = hl1;
+            idxl0 = idxl1;
+            matchl0 = matchl1;
+        } while (ip1 <= ilimit);
+
+    _cleanup:
+        rep[0] = offset_1 ? offset_1 : offsetSaved;
+        rep[1] = offset_2 ? offset_2 : offsetSaved;
+        return iend - anchor;
+
+    _search_next_long:
+        if (idxl1 > prefixLowestIndex) {
+            if (read64_fwd(matchl1) == read64_fwd(ip1)) {
+                ip = ip1;
+                mLength = zx_count(ip + 8, matchl1 + 8, iend) + 8;
+                offset = (uint32_t)(ip - matchl1);
+                while (ip > anchor && matchl1 > prefixLowest &&
+                       ip[-1] == matchl1[-1]) {
+                    ip--;
+                    matchl1--;
+                    mLength++;
+                }
+                goto _match_found;
+            }
+        }
+        mLength = zx_count(ip + 4, matchs0 + 4, iend) + 4;
+        offset = (uint32_t)(ip - matchs0);
+        while (ip > anchor && matchs0 > prefixLowest &&
+               ip[-1] == matchs0[-1]) {
+            ip--;
+            matchs0--;
+            mLength++;
+        }
+
+    _match_found:
+        offset_2 = offset_1;
+        offset_1 = offset;
+        if (step < 4) hashLong[hl1] = (uint32_t)(ip1 - base);
+        zx_store_seq(ss, anchor, (size_t)(ip - anchor), offset + 2,
+                     mLength - 3);
+
+    _match_stored:
+        ip += mLength;
+        anchor = ip;
+        if (ip <= ilimit) {
+            const uint32_t indexToInsert = curr + 2;
+            hashLong[zx_hash(base + indexToInsert, hBitsL, 8)] = indexToInsert;
+            hashLong[zx_hash(ip - 2, hBitsL, 8)] = (uint32_t)(ip - 2 - base);
+            hashSmall[zx_hash(base + indexToInsert, hBitsS, kMls)] =
+                indexToInsert;
+            hashSmall[zx_hash(ip - 1, hBitsS, kMls)] =
+                (uint32_t)(ip - 1 - base);
+            while (ip <= ilimit && offset_2 > 0 &&
+                   read32(ip) == read32(ip - offset_2)) {
+                const size_t rLength =
+                    zx_count(ip + 4, ip + 4 - offset_2, iend) + 4;
+                const uint32_t tmpOff = offset_2;
+                offset_2 = offset_1;
+                offset_1 = tmpOff;
+                hashSmall[zx_hash(ip, hBitsS, kMls)] = (uint32_t)(ip - base);
+                hashLong[zx_hash(ip, hBitsL, 8)] = (uint32_t)(ip - base);
+                zx_store_seq(ss, anchor, 0, 0, rLength - 3);
+                ip += rLength;
+                anchor = ip;
+            }
+        }
+    }
+}
+
+// --------------------------- exact Huffman build ---------------------------
+// nodeElt_s (HufCompress.cs): count/parent/byte/nbBits.
+struct ZxNode { uint32_t count; uint16_t parent; uint8_t byte_, nbBits; };
+
+static inline uint32_t zx_huf_index(uint32_t count) {
+    // HUF_getIndex:518 — RANK_POSITION cutoffs (192-1)-32-1 = 158
+    return (count < 158u + (uint32_t)highbit32(158))
+               ? count
+               : (uint32_t)highbit32(count) + 158u;
+}
+
+static void zx_huf_insertion_sort(ZxNode* a, int low, int high) {
+    const int size = high - low + 1;
+    a += low;
+    for (int i = 1; i < size; i++) {
+        const ZxNode key = a[i];
+        int j = i - 1;
+        while (j >= 0 && a[j].count < key.count) {
+            a[j + 1] = a[j];
+            j--;
+        }
+        a[j + 1] = key;
+    }
+}
+
+static int zx_huf_qs_partition(ZxNode* arr, int low, int high) {
+    const uint32_t pivot = arr[high].count;
+    int i = low - 1;
+    for (int j = low; j < high; j++) {
+        if (arr[j].count > pivot) {
+            i++;
+            ZxNode t = arr[i]; arr[i] = arr[j]; arr[j] = t;
+        }
+    }
+    ZxNode t = arr[i + 1]; arr[i + 1] = arr[high]; arr[high] = t;
+    return i + 1;
+}
+
+static void zx_huf_quicksort(ZxNode* arr, int low, int high) {
+    if (high - low < 8) {
+        zx_huf_insertion_sort(arr, low, high);
+        return;
+    }
+    while (low < high) {
+        const int idx = zx_huf_qs_partition(arr, low, high);
+        if (idx - low < high - idx) {
+            zx_huf_quicksort(arr, low, idx - 1);
+            low = idx + 1;
+        } else {
+            zx_huf_quicksort(arr, idx + 1, high);
+            high = idx - 1;
+        }
+    }
+}
+
+// HUF_sort:635 — bucket counting sort + per-log-bucket quicksort.
+static void zx_huf_sort(ZxNode* huffNode, const uint32_t* count,
+                        uint32_t maxSymbolValue) {
+    struct RankPos { uint32_t base, curr; };
+    RankPos rankPosition[192];
+    std::memset(rankPosition, 0, sizeof rankPosition);
+    const uint32_t maxSymbolValue1 = maxSymbolValue + 1;
+    for (uint32_t n = 0; n < maxSymbolValue1; n++)
+        rankPosition[zx_huf_index(count[n])].base++;
+    for (uint32_t n = 191; n > 0; n--) {
+        rankPosition[n - 1].base += rankPosition[n].base;
+        rankPosition[n - 1].curr = rankPosition[n - 1].base;
+    }
+    for (uint32_t n = 0; n < maxSymbolValue1; n++) {
+        const uint32_t c = count[n];
+        const uint32_t r = zx_huf_index(c) + 1;
+        const uint32_t pos = rankPosition[r].curr++;
+        huffNode[pos].count = c;
+        huffNode[pos].byte_ = (uint8_t)n;
+    }
+    for (uint32_t n = 158u + (uint32_t)highbit32(158); n < 191; n++) {
+        const uint32_t bucketSize =
+            rankPosition[n].curr - rankPosition[n].base;
+        if (bucketSize > 1)
+            zx_huf_quicksort(huffNode + rankPosition[n].base, 0,
+                             (int)bucketSize - 1);
+    }
+}
+
+// HUF_buildTree:689 — two-queue merge with sentinels.
+static int zx_huf_build_tree(ZxNode* huffNode, uint32_t maxSymbolValue) {
+    ZxNode* const huffNode0 = huffNode - 1;
+    int nodeNb = 256;
+    int nonNullRank = (int)maxSymbolValue;
+    while (huffNode[nonNullRank].count == 0) nonNullRank--;
+    int lowS = nonNullRank;
+    const int nodeRoot = nodeNb + lowS - 1;
+    int lowN = nodeNb;
+    huffNode[nodeNb].count =
+        huffNode[lowS].count + huffNode[lowS - 1].count;
+    huffNode[lowS].parent = huffNode[lowS - 1].parent = (uint16_t)nodeNb;
+    nodeNb++;
+    lowS -= 2;
+    for (int n = nodeNb; n <= nodeRoot; n++)
+        huffNode[n].count = 1u << 30;
+    huffNode0[0].count = 1u << 31;
+    while (nodeNb <= nodeRoot) {
+        const int n1 =
+            (huffNode[lowS].count < huffNode[lowN].count) ? lowS-- : lowN++;
+        const int n2 =
+            (huffNode[lowS].count < huffNode[lowN].count) ? lowS-- : lowN++;
+        huffNode[nodeNb].count = huffNode[n1].count + huffNode[n2].count;
+        huffNode[n1].parent = huffNode[n2].parent = (uint16_t)nodeNb;
+        nodeNb++;
+    }
+    huffNode[nodeRoot].nbBits = 0;
+    for (int n = nodeRoot - 1; n >= 256; n--)
+        huffNode[n].nbBits = (uint8_t)(huffNode[huffNode[n].parent].nbBits + 1);
+    for (int n = 0; n <= nonNullRank; n++)
+        huffNode[n].nbBits = (uint8_t)(huffNode[huffNode[n].parent].nbBits + 1);
+    return nonNullRank;
+}
+
+// HUF_setMaxHeight:377 — exact repay order.
+static uint32_t zx_huf_set_max_height(ZxNode* huffNode, uint32_t lastNonNull,
+                                      uint32_t maxNbBits) {
+    const uint32_t largestBits = huffNode[lastNonNull].nbBits;
+    if (largestBits <= maxNbBits) return largestBits;
+    {
+        int totalCost = 0;
+        const uint32_t baseCost = 1u << (largestBits - maxNbBits);
+        int n = (int)lastNonNull;
+        while (huffNode[n].nbBits > maxNbBits) {
+            totalCost +=
+                (int)(baseCost - (1u << (largestBits - huffNode[n].nbBits)));
+            huffNode[n].nbBits = (uint8_t)maxNbBits;
+            n--;
+        }
+        while (huffNode[n].nbBits == maxNbBits) --n;
+        totalCost >>= (largestBits - maxNbBits);
+        {
+            const uint32_t noSymbol = 0xF0F0F0F0;
+            uint32_t rankLast[14];
+            std::memset(rankLast, 0xF0, sizeof rankLast);
+            {
+                uint32_t currentNbBits = maxNbBits;
+                for (int pos = n; pos >= 0; pos--) {
+                    if (huffNode[pos].nbBits >= currentNbBits) continue;
+                    currentNbBits = huffNode[pos].nbBits;
+                    rankLast[maxNbBits - currentNbBits] = (uint32_t)pos;
+                }
+            }
+            while (totalCost > 0) {
+                uint32_t nBitsToDecrease =
+                    (uint32_t)highbit32((uint32_t)totalCost) + 1;
+                for (; nBitsToDecrease > 1; nBitsToDecrease--) {
+                    const uint32_t highPos = rankLast[nBitsToDecrease];
+                    const uint32_t lowPos = rankLast[nBitsToDecrease - 1];
+                    if (highPos == noSymbol) continue;
+                    if (lowPos == noSymbol) break;
+                    {
+                        const uint32_t highTotal = huffNode[highPos].count;
+                        const uint32_t lowTotal = 2 * huffNode[lowPos].count;
+                        if (highTotal <= lowTotal) break;
+                    }
+                }
+                while (nBitsToDecrease <= 12 &&
+                       rankLast[nBitsToDecrease] == noSymbol)
+                    nBitsToDecrease++;
+                totalCost -= 1 << (nBitsToDecrease - 1);
+                huffNode[rankLast[nBitsToDecrease]].nbBits++;
+                if (rankLast[nBitsToDecrease - 1] == noSymbol)
+                    rankLast[nBitsToDecrease - 1] = rankLast[nBitsToDecrease];
+                if (rankLast[nBitsToDecrease] == 0) {
+                    rankLast[nBitsToDecrease] = noSymbol;
+                } else {
+                    rankLast[nBitsToDecrease]--;
+                    if (huffNode[rankLast[nBitsToDecrease]].nbBits !=
+                        maxNbBits - nBitsToDecrease)
+                        rankLast[nBitsToDecrease] = noSymbol;
+                }
+            }
+            while (totalCost < 0) {
+                if (rankLast[1] == noSymbol) {
+                    while (huffNode[n].nbBits == maxNbBits) n--;
+                    huffNode[n + 1].nbBits--;
+                    rankLast[1] = (uint32_t)(n + 1);
+                    totalCost++;
+                    continue;
+                }
+                huffNode[rankLast[1] + 1].nbBits--;
+                rankLast[1]++;
+                totalCost++;
+            }
+        }
+    }
+    return maxNbBits;
+}
+
+// HUF_buildCTable_wksp:790 — full pipeline into HufCTableC.
+// Returns maxNbBits (huffLog) or -1.
+static int zx_huf_build_ctable(HufCTableC* ct, const uint32_t* count,
+                               uint32_t maxSymbolValue, uint32_t maxNbBits) {
+    ZxNode nodes[512 + 1];
+    std::memset(nodes, 0, sizeof nodes);
+    ZxNode* huffNode = nodes + 1;
+    if (maxNbBits == 0) maxNbBits = 11;
+    if (maxSymbolValue > 255) return -1;
+    zx_huf_sort(huffNode, count, maxSymbolValue);
+    const int nonNullRank = zx_huf_build_tree(huffNode, maxSymbolValue);
+    maxNbBits = zx_huf_set_max_height(huffNode, (uint32_t)nonNullRank,
+                                      maxNbBits);
+    if (maxNbBits > 12) return -1;
+    // HUF_buildCTableFromTree:560 — nbits via tree, values symbol-ascending.
+    uint8_t lengths[256];
+    std::memset(lengths, 0, sizeof lengths);
+    for (int n = 0; n <= nonNullRank; n++)
+        lengths[huffNode[n].byte_] = huffNode[n].nbBits;
+    huf_canonical(ct, lengths, (int)maxSymbolValue);
+    ct->tlog = (int)maxNbBits;  // exact maxNbBits, even if < observed max
+    return (int)maxNbBits;
+}
+
+// FSE_optimalTableLog_internal:397 (minus=2 for FSE, 1 for HUF).
+static uint32_t zx_optimal_table_log(uint32_t maxTableLog, uint64_t srcSize,
+                                     uint32_t maxSymbolValue, uint32_t minus) {
+    uint32_t maxBitsSrc = (uint32_t)highbit32((uint32_t)(srcSize - 1)) - minus;
+    uint32_t tableLog = maxTableLog;
+    const uint32_t minBitsSrc = (uint32_t)highbit32((uint32_t)srcSize) + 1;
+    const uint32_t minBitsSymbols = (uint32_t)highbit32(maxSymbolValue) + 2;
+    const uint32_t minBits =
+        minBitsSrc < minBitsSymbols ? minBitsSrc : minBitsSymbols;
+    if (tableLog == 0) tableLog = 11;
+    if (maxBitsSrc < tableLog) tableLog = maxBitsSrc;
+    if (minBits > tableLog) tableLog = minBits;
+    if (tableLog < 5) tableLog = 5;
+    if (tableLog > 12) tableLog = 12;
+    return tableLog;
+}
+
+// HUF_estimateCompressedSize:877 / HUF_validateCTable:889.
+static uint64_t zx_huf_estimate(const HufCTableC* ct, const uint32_t* count,
+                                uint32_t maxSymbolValue) {
+    uint64_t nbBits = 0;
+    for (uint32_t s = 0; s <= maxSymbolValue; s++)
+        nbBits += (uint64_t)ct->nbits[s] * count[s];
+    return nbBits >> 3;
+}
+static int zx_huf_validate(const HufCTableC* ct, const uint32_t* count,
+                           uint32_t maxSymbolValue) {
+    if ((uint32_t)ct->max_sym < maxSymbolValue) return 0;
+    for (uint32_t s = 0; s <= maxSymbolValue; s++)
+        if (count[s] != 0 && ct->nbits[s] == 0) return 0;
+    return 1;
+}
+
+// HUF_writeCTable_wksp:168 (exact flow, incl. HUF_compressWeights:40).
+static int64_t zx_huf_write_ctable(uint8_t* op, int64_t cap,
+                                   const HufCTableC* ct,
+                                   uint32_t maxSymbolValue, uint32_t huffLog) {
+    uint8_t huffWeight[256 + 1];
+    uint8_t bitsToWeight[13];
+    bitsToWeight[0] = 0;
+    for (uint32_t n = 1; n < huffLog + 1; n++)
+        bitsToWeight[n] = (uint8_t)(huffLog + 1 - n);
+    for (uint32_t n = 0; n < maxSymbolValue; n++)
+        huffWeight[n] = bitsToWeight[ct->nbits[n]];
+    if (cap < 1) return -1;
+    // HUF_compressWeights: FSE with maxSymbolValue<=12, tableLog start 6.
+    {
+        const int64_t wtSize = (int64_t)maxSymbolValue;
+        if (wtSize > 1) {
+            uint32_t wcount[13] = {0};
+            uint32_t wmax = 0, maxCount = 0;
+            for (int64_t i = 0; i < wtSize; i++) {
+                wcount[huffWeight[i]]++;
+                if (huffWeight[i] > wmax) wmax = huffWeight[i];
+            }
+            for (uint32_t w = 0; w <= wmax; w++)
+                if (wcount[w] > maxCount) maxCount = wcount[w];
+            if (maxCount != (uint32_t)wtSize && maxCount != 1) {
+                const uint32_t tableLog =
+                    zx_optimal_table_log(6, (uint64_t)wtSize, wmax, 2);
+                int16_t norm[13];
+                uint8_t buf[256];
+                if (fse_normalize(norm, (int)tableLog, wcount,
+                                  wtSize, (int)wmax, 0) == 0) {
+                    const int64_t nc = fse_write_ncount(
+                        buf, sizeof buf, norm, (int)wmax, (int)tableLog);
+                    if (nc > 0) {
+                        FseCTableC wct;
+                        fse_build_ctable_c(&wct, norm, (int)wmax,
+                                           (int)tableLog);
+                        const int64_t b = fse_compress_2state(
+                            huffWeight, wtSize, &wct, buf + nc,
+                            (int64_t)sizeof buf - nc);
+                        if (b > 0 && nc + b < wtSize) {
+                            const int64_t hSize = nc + b;
+                            if (hSize > 1 &&
+                                hSize < (int64_t)(maxSymbolValue / 2)) {
+                                if (hSize + 1 > cap) return -1;
+                                op[0] = (uint8_t)hSize;
+                                std::memcpy(op + 1, buf, (size_t)hSize);
+                                return hSize + 1;
+                            }
+                        }
+                    }
+                }
+            }
+        }
+    }
+    if (maxSymbolValue > 128) return -1;
+    const int64_t nb = ((int64_t)maxSymbolValue + 1) / 2 + 1;
+    if (nb > cap) return -1;
+    op[0] = (uint8_t)(128 + (maxSymbolValue - 1));
+    huffWeight[maxSymbolValue] = 0;
+    for (uint32_t n = 0; n < maxSymbolValue; n += 2)
+        op[n / 2 + 1] = (uint8_t)((huffWeight[n] << 4) + huffWeight[n + 1]);
+    return nb;
+}
+
+// HUF stream encode via the oracle-validated writers; applies the
+// per-segment <=65535 checks and the compressCTable_internal bail-outs.
+static int64_t zx_huf_streams(uint8_t* op, int64_t cap, const uint8_t* src,
+                              int64_t srcSize, int fourStreams,
+                              const HufCTableC* ct, int64_t tableHeaderSize) {
+    int64_t cSize;
+    if (!fourStreams) {
+        if (cap < 8) return 0;
+        cSize = huf_encode_stream(src, srcSize, ct->code, ct->nbits, op, cap);
+        if (cSize < 0) return 0;
+    } else {
+        if (cap < 6 + 1 + 1 + 1 + 8) return 0;
+        if (srcSize < 12) return 0;
+        cSize = huf_encode_4streams(src, srcSize, ct->code, ct->nbits, op, cap);
+        if (cSize < 0) return 0;
+    }
+    if (cSize == 0) return 0;
+    // HUF_compressCTable_internal:1332 — table bytes count toward the bound
+    if (tableHeaderSize + cSize >= srcSize - 1) return 0;
+    return cSize;
+}
+
+// HUF_compress_internal:1360 driver.  Returns the literal payload size
+// (0 = incompressible, 1 = RLE), updates *hufCT/*repeat like the reference
+// updates oldHufTable/repeat.  usedRepeat reports whether the emitted
+// stream used the previous table (hType = set_repeat).
+static int64_t zx_huf_compress(uint8_t* op, int64_t cap, const uint8_t* src,
+                               int64_t srcSize, int fourStreams,
+                               HufCTableC* hufCT, int* repeat,
+                               int preferRepeat, int suspectUncompressible,
+                               int* usedRepeat) {
+    *usedRepeat = 0;
+    if (srcSize == 0 || cap == 0) return 0;
+    if (preferRepeat && *repeat == 2) {
+        *usedRepeat = 1;
+        return zx_huf_streams(op, cap, src, srcSize, fourStreams, hufCT, 0);
+    }
+    if (suspectUncompressible && srcSize >= 4096 * 10) {
+        uint64_t largestTotal = 0;
+        for (int half = 0; half < 2; half++) {
+            const uint8_t* p = half ? src + srcSize - 4096 : src;
+            uint32_t cnt[256] = {0};
+            uint32_t largest = 0;
+            for (int i = 0; i < 4096; i++) cnt[p[i]]++;
+            for (int s = 0; s < 256; s++)
+                if (cnt[s] > largest) largest = cnt[s];
+            largestTotal += largest;
+        }
+        if (largestTotal <= ((2 * 4096) >> 7) + 4) return 0;
+    }
+    uint32_t cnt4[4][256] = {{0}};
+    {
+        int64_t i = 0;
+        for (; i + 4 <= srcSize; i += 4) {
+            cnt4[0][src[i]]++;
+            cnt4[1][src[i + 1]]++;
+            cnt4[2][src[i + 2]]++;
+            cnt4[3][src[i + 3]]++;
+        }
+        for (; i < srcSize; i++) cnt4[0][src[i]]++;
+    }
+    uint32_t count[256];
+    for (int s = 0; s < 256; s++)
+        count[s] = cnt4[0][s] + cnt4[1][s] + cnt4[2][s] + cnt4[3][s];
+    uint32_t maxSymbolValue = 255;
+    while (maxSymbolValue > 0 && count[maxSymbolValue] == 0) maxSymbolValue--;
+    uint32_t largest = 0;
+    for (uint32_t s = 0; s <= maxSymbolValue; s++)
+        if (count[s] > largest) largest = count[s];
+    if ((int64_t)largest == srcSize) {
+        op[0] = src[0];
+        return 1;
+    }
+    if ((int64_t)largest <= (srcSize >> 7) + 4) return 0;
+    if (*repeat == 1 && !zx_huf_validate(hufCT, count, maxSymbolValue))
+        *repeat = 0;
+    if (preferRepeat && *repeat != 0) {
+        *usedRepeat = 1;
+        return zx_huf_streams(op, cap, src, srcSize, fourStreams, hufCT, 0);
+    }
+    uint32_t huffLog =
+        zx_optimal_table_log(11, (uint64_t)srcSize, maxSymbolValue, 1);
+    HufCTableC newCT;
+    std::memset(&newCT, 0, sizeof newCT);
+    const int maxBits =
+        zx_huf_build_ctable(&newCT, count, maxSymbolValue, huffLog);
+    if (maxBits < 0) return -1;
+    huffLog = (uint32_t)maxBits;
+    const int64_t hSize =
+        zx_huf_write_ctable(op, cap, &newCT, maxSymbolValue, huffLog);
+    if (hSize < 0) return -1;
+    if (*repeat != 0) {
+        const uint64_t oldSize = zx_huf_estimate(hufCT, count, maxSymbolValue);
+        const uint64_t newSize = zx_huf_estimate(&newCT, count, maxSymbolValue);
+        if (oldSize <= (uint64_t)hSize + newSize ||
+            hSize + 12 >= srcSize) {
+            *usedRepeat = 1;
+            return zx_huf_streams(op, cap, src, srcSize, fourStreams, hufCT, 0);
+        }
+    }
+    if (hSize + 12 >= srcSize) return 0;
+    *repeat = 0;
+    *hufCT = newCT;
+    const int64_t c = zx_huf_streams(op + hSize, cap - hSize, src, srcSize,
+                                     fourStreams, &newCT, hSize);
+    if (c == 0) return 0;
+    return hSize + c;
+}
+
+// Per-channel FSE state carried across blocks.
+struct ZxFseCh {
+    FseCTableC ct;
+    int maxSym;   // max symbol the table supports (for fseBitCost)
+    int rep;      // 0 none, 1 check, 2 valid
+};
+struct ZxHufS {
+    HufCTableC ct;
+    int rep;
+};
+struct ZxEntropy {
+    ZxHufS huf;
+    ZxFseCh ll, of, ml;
+    uint32_t repcodes[3];
+};
+
+// ZSTD_entropyCost:314 / ZSTD_crossEntropyCost:379 / ZSTD_fseBitCost:340 /
+// ZSTD_NCountCost:291 — cost model for ZSTD_selectEncodingType.
+static const int64_t kZxErr = (int64_t)1 << 60;
+
+static int64_t zx_entropy_cost(const uint32_t* count, uint32_t max,
+                               uint64_t total) {
+    uint64_t cost = 0;
+    for (uint32_t s = 0; s <= max; s++) {
+        uint32_t norm = (uint32_t)((256 * (uint64_t)count[s]) / total);
+        if (count[s] != 0 && norm == 0) norm = 1;
+        cost += (uint64_t)count[s] * kZxInvProbLog256[norm];
+    }
+    return (int64_t)(cost >> 8);
+}
+
+static int64_t zx_cross_entropy_cost(const int16_t* norm, uint32_t accuracyLog,
+                                     const uint32_t* count, uint32_t max) {
+    const uint32_t shift = 8 - accuracyLog;
+    uint64_t cost = 0;
+    for (uint32_t s = 0; s <= max; s++) {
+        const uint32_t normAcc = norm[s] != -1 ? (uint32_t)norm[s] : 1;
+        const uint32_t norm256 = normAcc << shift;
+        cost += (uint64_t)count[s] * kZxInvProbLog256[norm256];
+    }
+    return (int64_t)(cost >> 8);
+}
+
+static int64_t zx_fse_bit_cost(const ZxFseCh* ch, const uint32_t* count,
+                               uint32_t max) {
+    const uint32_t kAccuracyLog = 8;
+    uint64_t cost = 0;
+    if ((uint32_t)ch->maxSym < max) return kZxErr;
+    const uint32_t tableLog = (uint32_t)ch->ct.tlog;
+    for (uint32_t s = 0; s <= max; s++) {
+        if (count[s] == 0) continue;
+        const uint32_t dnb = ch->ct.delta_nb[s];
+        const uint32_t minNbBits = dnb >> 16;
+        const uint32_t threshold = (minNbBits + 1) << 16;
+        const uint32_t tableSize = 1u << tableLog;
+        const uint32_t deltaFromThreshold = threshold - (dnb + tableSize);
+        const uint32_t normalizedDelta =
+            (deltaFromThreshold << kAccuracyLog) >> tableLog;
+        const uint32_t bitMultiplier = 1u << kAccuracyLog;
+        const uint32_t bitCost =
+            (minNbBits + 1) * bitMultiplier - normalizedDelta;
+        const uint32_t badCost = (tableLog + 1) << kAccuracyLog;
+        if (bitCost >= badCost) return kZxErr;
+        cost += (uint64_t)count[s] * bitCost;
+    }
+    return (int64_t)(cost >> kAccuracyLog);
+}
+
+static int64_t zx_ncount_cost(const uint32_t* count, uint32_t max,
+                              uint64_t nbSeq, uint32_t fseLog) {
+    const uint32_t tableLog = zx_optimal_table_log(fseLog, nbSeq, max, 2);
+    int16_t norm[53];
+    uint32_t cnt[53];
+    std::memcpy(cnt, count, sizeof(uint32_t) * (max + 1));
+    if (fse_normalize(norm, (int)tableLog, cnt, (int64_t)nbSeq, (int)max,
+                      nbSeq >= 2048 ? 1 : 0) != 0)
+        return kZxErr;
+    uint8_t wksp[512];
+    const int64_t sz =
+        fse_write_ncount(wksp, sizeof wksp, norm, (int)max, (int)tableLog);
+    return sz < 0 ? kZxErr : sz;
+}
+
+// ZSTD_selectEncodingType:400 — exact.
+// Returns 0 basic, 1 rle, 2 compressed, 3 repeat (symbolEncodingType order).
+static int zx_select_encoding(int* repeatMode, const uint32_t* count,
+                              uint32_t max, uint64_t mostFrequent,
+                              uint64_t nbSeq, uint32_t FSELog,
+                              const ZxFseCh* prevCh, const int16_t* defaultNorm,
+                              uint32_t defaultNormLog, int isDefaultAllowed,
+                              int strategy) {
+    if (mostFrequent == nbSeq) {
+        *repeatMode = 0;
+        if (isDefaultAllowed && nbSeq <= 2) return 0;  // set_basic
+        return 1;                                      // set_rle
+    }
+    if (strategy < 4 /* ZSTD_lazy */) {
+        if (isDefaultAllowed) {
+            const uint64_t staticFse_nbSeq_max = 1000;
+            const uint64_t mult = (uint64_t)(10 - strategy);
+            const uint64_t baseLog = 3;
+            const uint64_t dynamicFse_nbSeq_min =
+                ((1ULL << defaultNormLog) * mult) >> baseLog;
+            if (*repeatMode == 2 && nbSeq < staticFse_nbSeq_max)
+                return 3;  // set_repeat
+            if (nbSeq < dynamicFse_nbSeq_min ||
+                mostFrequent < (nbSeq >> (defaultNormLog - 1))) {
+                *repeatMode = 0;
+                return 0;  // set_basic
+            }
+        }
+    } else {
+        const int64_t basicCost =
+            isDefaultAllowed
+                ? zx_cross_entropy_cost(defaultNorm, defaultNormLog, count, max)
+                : kZxErr;
+        const int64_t repeatCost =
+            *repeatMode != 0 ? zx_fse_bit_cost(prevCh, count, max) : kZxErr;
+        const int64_t NCountCost = zx_ncount_cost(count, max, nbSeq, FSELog);
+        const int64_t compressedCost =
+            (NCountCost << 3) + zx_entropy_cost(count, max, nbSeq);
+        if (basicCost <= repeatCost && basicCost <= compressedCost) {
+            *repeatMode = 0;
+            return 0;
+        }
+        if (repeatCost <= compressedCost) return 3;
+    }
+    *repeatMode = 1;  // FSE_repeat_check
+    return 2;          // set_compressed
+}
+
+// FSE_buildCTable_rle role.
+static void zx_fse_rle_ctable(FseCTableC* ct, uint8_t symbol) {
+    std::memset(ct->state_table, 0, sizeof(uint16_t) * 2);
+    ct->delta_nb[symbol] = 0;
+    ct->delta_fs[symbol] = 0;
+    ct->tlog = 0;
+}
+
+// ZSTD_buildCTable:471 — writes the NCount header (if any) and fills the
+// channel's CTable.  Returns header bytes or -1.
+static int64_t zx_build_seq_ctable(uint8_t* op, int64_t cap, ZxFseCh* ch,
+                                   uint32_t FSELog, int type, uint32_t* count,
+                                   uint32_t max, const uint8_t* codeTable,
+                                   uint64_t nbSeq, const int16_t* defaultNorm,
+                                   uint32_t defaultNormLog,
+                                   uint32_t defaultMax) {
+    switch (type) {
+        case 1: {  // set_rle
+            if (cap == 0) return -1;
+            zx_fse_rle_ctable(&ch->ct, (uint8_t)max);
+            ch->maxSym = (int)max;
+            *op = codeTable[0];
+            return 1;
+        }
+        case 3:  // set_repeat: keep previous table (already in ch)
+            return 0;
+        case 0: {  // set_basic
+            fse_build_ctable_c(&ch->ct, defaultNorm, (int)defaultMax,
+                               (int)defaultNormLog);
+            ch->maxSym = (int)defaultMax;
+            return 0;
+        }
+        default: {  // set_compressed
+            uint64_t nbSeq_1 = nbSeq;
+            const uint32_t tableLog =
+                zx_optimal_table_log(FSELog, nbSeq, max, 2);
+            if (count[codeTable[nbSeq - 1]] > 1) {
+                count[codeTable[nbSeq - 1]]--;
+                nbSeq_1--;
+            }
+            int16_t norm[53];
+            if (fse_normalize(norm, (int)tableLog, count, (int64_t)nbSeq_1,
+                              (int)max, nbSeq_1 >= 2048 ? 1 : 0) != 0)
+                return -1;
+            const int64_t NCountSize =
+                fse_write_ncount(op, cap, norm, (int)max, (int)tableLog);
+            if (NCountSize < 0) return -1;
+            fse_build_ctable_c(&ch->ct, norm, (int)max, (int)tableLog);
+            ch->maxSym = (int)max;
+            return NCountSize;
+        }
+    }
+}
+
+// ZSTD_minGain:137.
+static inline int64_t zx_min_gain(int64_t srcSize, int strat) {
+    const int minlog = strat >= 8 /* btultra */ ? strat - 1 : 6;
+    return (srcSize >> minlog) + 2;
+}
+
+// ZSTD_compressLiterals (ZstdCompressLiterals.cs:86).  prev/next semantics:
+// nextHuf starts as a copy of prevHuf and is restored on raw/rle outcomes.
+static int64_t zx_compress_literals(const ZxHufS* prevHuf, ZxHufS* nextHuf,
+                                    int strategy, uint8_t* op, int64_t cap,
+                                    const uint8_t* lit, int64_t srcSize,
+                                    int suspectUncompressible) {
+    const int64_t minGain = zx_min_gain(srcSize, strategy);
+    const int64_t lhSize =
+        3 + (srcSize >= 1024 ? 1 : 0) + (srcSize >= 16 * 1024 ? 1 : 0);
+    int singleStream = srcSize < 256;
+    int hType = 2;  // set_compressed
+    int64_t cLitSize;
+    *nextHuf = *prevHuf;
+    {
+        const int64_t minLitSize = prevHuf->rep == 2 ? 6 : 63;
+        if (srcSize <= minLitSize)
+            goto _raw;
+    }
+    if (cap < lhSize + 1) return -1;
+    {
+        int repeat = prevHuf->rep;
+        const int preferRepeat =
+            strategy < 4 /* lazy */ ? (srcSize <= 1024) : 0;
+        if (repeat == 2 && lhSize == 3) singleStream = 1;
+        int usedRepeat = 0;
+        cLitSize = zx_huf_compress(op + lhSize, cap - lhSize, lit, srcSize,
+                                   singleStream ? 0 : 1, &nextHuf->ct, &repeat,
+                                   preferRepeat, suspectUncompressible,
+                                   &usedRepeat);
+        nextHuf->rep = repeat;
+        if (usedRepeat && repeat != 0) hType = 3;  // set_repeat
+    }
+    if (cLitSize <= 0 || cLitSize >= srcSize - minGain) {
+        *nextHuf = *prevHuf;
+        goto _raw;
+    }
+    if (cLitSize == 1) {
+        *nextHuf = *prevHuf;
+        // RLE literals block (ZSTD_compressRleLiteralsBlock:49)
+        const int64_t flSize =
+            1 + (srcSize > 31 ? 1 : 0) + (srcSize > 4095 ? 1 : 0);
+        if (flSize == 1)
+            op[0] = (uint8_t)(1 /*set_rle*/ + (srcSize << 3));
+        else if (flSize == 2) {
+            const uint16_t v = (uint16_t)(1 + (1 << 2) + (srcSize << 4));
+            std::memcpy(op, &v, 2);
+        } else {
+            const uint32_t v = (uint32_t)(1 + (3 << 2) + (srcSize << 4));
+            std::memcpy(op, &v, 4);
+        }
+        op[flSize] = lit[0];
+        return flSize + 1;
+    }
+    if (hType == 2) nextHuf->rep = 1;  // HUF_repeat_check
+    switch (lhSize) {
+        case 3: {
+            const uint32_t lhc = (uint32_t)(hType + ((singleStream ? 0 : 1) << 2)) +
+                                 ((uint32_t)srcSize << 4) +
+                                 ((uint32_t)cLitSize << 14);
+            op[0] = (uint8_t)lhc;
+            op[1] = (uint8_t)(lhc >> 8);
+            op[2] = (uint8_t)(lhc >> 16);
+            break;
+        }
+        case 4: {
+            const uint32_t lhc = (uint32_t)(hType + (2 << 2)) +
+                                 ((uint32_t)srcSize << 4) +
+                                 ((uint32_t)cLitSize << 18);
+            std::memcpy(op, &lhc, 4);
+            break;
+        }
+        default: {
+            const uint32_t lhc = (uint32_t)(hType + (3 << 2)) +
+                                 ((uint32_t)srcSize << 4) +
+                                 ((uint32_t)cLitSize << 22);
+            std::memcpy(op, &lhc, 4);
+            op[4] = (uint8_t)(cLitSize >> 10);
+            break;
+        }
+    }
+    return lhSize + cLitSize;
+
+_raw: {
+    // ZSTD_noCompressLiterals:8
+    const int64_t flSize =
+        1 + (srcSize > 31 ? 1 : 0) + (srcSize > 4095 ? 1 : 0);
+    if (srcSize + flSize > cap) return -1;
+    if (flSize == 1)
+        op[0] = (uint8_t)(0 /*set_basic*/ + (srcSize << 3));
+    else if (flSize == 2) {
+        const uint16_t v = (uint16_t)(0 + (1 << 2) + (srcSize << 4));
+        std::memcpy(op, &v, 2);
+    } else {
+        const uint32_t v = (uint32_t)(0 + (3 << 2) + (srcSize << 4));
+        std::memcpy(op, &v, 4);
+    }
+    std::memcpy(op + flSize, lit, (size_t)srcSize);
+    return srcSize + flSize;
+}
+}
+
+// ZSTD_entropyCompressSeqStore_internal:3236 + the :3357 wrapper.
+static int64_t zx_entropy_compress(const ZxStore* ss, const ZxEntropy* prev,
+                                   ZxEntropy* next, int strategy,
+                                   uint8_t* dst, int64_t cap,
+                                   int64_t srcSize) {
+    codec_init();
+    uint8_t* const ostart = dst;
+    uint8_t* op = dst;
+    const int64_t nbSeq = ss->nseq;
+    int64_t lastCountSize = 0;
+
+    // literals
+    {
+        const uint64_t numLiterals = (uint64_t)ss->nlit;
+        const int suspect =
+            (nbSeq == 0) ||
+            (numLiterals / (uint64_t)(nbSeq ? nbSeq : 1) >= 20);
+        const int64_t t0 = prof_on() ? prof_now() : 0;
+        const int64_t cSize = zx_compress_literals(
+            &prev->huf, &next->huf, strategy, op, cap, ss->lit, ss->nlit,
+            suspect);
+        if (prof_on()) g_prof[2] += prof_now() - t0;
+        if (cSize < 0) return -1;
+        op += cSize;
+    }
+    // nbSeq header
+    if (cap - (op - ostart) < 4) return -1;
+    if (nbSeq < 128) {
+        *op++ = (uint8_t)nbSeq;
+    } else if (nbSeq < 0x7F00) {
+        op[0] = (uint8_t)((nbSeq >> 8) + 0x80);
+        op[1] = (uint8_t)nbSeq;
+        op += 2;
+    } else {
+        op[0] = 0xFF;
+        const uint16_t v = (uint16_t)(nbSeq - 0x7F00);
+        std::memcpy(op + 1, &v, 2);
+        op += 3;
+    }
+    if (nbSeq == 0) {
+        next->ll = prev->ll;
+        next->of = prev->of;
+        next->ml = prev->ml;
+        return op - ostart;
+    }
+
+    // seqToCodes (ZstdCompress.cs:3069)
+    static thread_local uint8_t llc[(1 << 17) / 3 + 64];
+    static thread_local uint8_t ofc[(1 << 17) / 3 + 64];
+    static thread_local uint8_t mlc[(1 << 17) / 3 + 64];
+    static thread_local uint32_t llv[(1 << 17) / 3 + 64];
+    static thread_local uint32_t mlv[(1 << 17) / 3 + 64];
+    static thread_local uint32_t obv[(1 << 17) / 3 + 64];
+    uint32_t llcnt[36] = {0}, ofcnt[32] = {0}, mlcnt[53] = {0};
+    for (int64_t i = 0; i < nbSeq; i++) {
+        const uint32_t ll = ss->seq[i].ll;
+        const uint32_t ml = ss->seq[i].ml;
+        const uint32_t ob = ss->seq[i].offBase;
+        const uint8_t lc = (uint8_t)zx_llcode(ll);
+        const uint8_t oc = (uint8_t)highbit32(ob);
+        const uint8_t mc = (uint8_t)zx_mlcode(ml);
+        llc[i] = lc;
+        ofc[i] = oc;
+        mlc[i] = mc;
+        llv[i] = ll;
+        mlv[i] = ml;
+        obv[i] = ob;
+        llcnt[lc]++;
+        ofcnt[oc]++;
+        mlcnt[mc]++;
+    }
+    if (ss->llt == 1) {
+        llcnt[llc[ss->lltPos]]--;
+        llc[ss->lltPos] = 35;
+        llcnt[35]++;
+    }
+    if (ss->llt == 2) {
+        mlcnt[mlc[ss->lltPos]]--;
+        mlc[ss->lltPos] = 52;
+        mlcnt[52]++;
+    }
+
+    uint8_t* const seqHead = op++;
+    int LLtype, Offtype, MLtype;
+    // LL channel
+    {
+        uint32_t count[36];
+        std::memcpy(count, llcnt, sizeof count);
+        uint32_t max = 35;
+        while (max > 0 && count[max] == 0) max--;
+        uint32_t mostFrequent = 0;
+        for (uint32_t s = 0; s <= max; s++)
+            if (count[s] > mostFrequent) mostFrequent = count[s];
+        next->ll = prev->ll;
+        LLtype = zx_select_encoding(&next->ll.rep, count, max, mostFrequent,
+                                    (uint64_t)nbSeq, 9, &prev->ll, kLLNorm, 6,
+                                    1, strategy);
+        const int64_t countSize = zx_build_seq_ctable(
+            op, cap - (op - ostart), &next->ll, 9, LLtype, count, max, llc,
+            (uint64_t)nbSeq, kLLNorm, 6, 35);
+        if (countSize < 0) return -1;
+        if (LLtype == 2) lastCountSize = countSize;
+        op += countSize;
+    }
+    // OF channel
+    {
+        uint32_t count[32];
+        std::memcpy(count, ofcnt, sizeof count);
+        uint32_t max = 31;
+        while (max > 0 && count[max] == 0) max--;
+        uint32_t mostFrequent = 0;
+        for (uint32_t s = 0; s <= max; s++)
+            if (count[s] > mostFrequent) mostFrequent = count[s];
+        const int defaultAllowed = max <= 28;
+        next->of = prev->of;
+        Offtype = zx_select_encoding(&next->of.rep, count, max, mostFrequent,
+                                     (uint64_t)nbSeq, 8, &prev->of, kOFNorm, 5,
+                                     defaultAllowed, strategy);
+        const int64_t countSize = zx_build_seq_ctable(
+            op, cap - (op - ostart), &next->of, 8, Offtype, count, max, ofc,
+            (uint64_t)nbSeq, kOFNorm, 5, 28);
+        if (countSize < 0) return -1;
+        if (Offtype == 2) lastCountSize = countSize;
+        op += countSize;
+    }
+    // ML channel
+    {
+        uint32_t count[53];
+        std::memcpy(count, mlcnt, sizeof count);
+        uint32_t max = 52;
+        while (max > 0 && count[max] == 0) max--;
+        uint32_t mostFrequent = 0;
+        for (uint32_t s = 0; s <= max; s++)
+            if (count[s] > mostFrequent) mostFrequent = count[s];
+        next->ml = prev->ml;
+        MLtype = zx_select_encoding(&next->ml.rep, count, max, mostFrequent,
+                                    (uint64_t)nbSeq, 9, &prev->ml, kMLNorm, 6,
+                                    1, strategy);
+        const int64_t countSize = zx_build_seq_ctable(
+            op, cap - (op - ostart), &next->ml, 9, MLtype, count, max, mlc,
+            (uint64_t)nbSeq, kMLNorm, 6, 52);
+        if (countSize < 0) return -1;
+        if (MLtype == 2) lastCountSize = countSize;
+        op += countSize;
+    }
+    *seqHead = (uint8_t)((LLtype << 6) + (Offtype << 4) + (MLtype << 2));
+
+    // interleaved FSE bitstream via the oracle-validated writer
+    {
+        const int64_t t1 = prof_on() ? prof_now() : 0;
+        const int64_t bitstreamSize = encode_sequences(
+            llv, mlv, obv, llc, mlc, ofc, kLLBits, kMLBits, nbSeq,
+            next->ll.ct.state_table, next->ll.ct.delta_nb,
+            next->ll.ct.delta_fs, next->ll.ct.tlog,
+            next->of.ct.state_table, next->of.ct.delta_nb,
+            next->of.ct.delta_fs, next->of.ct.tlog,
+            next->ml.ct.state_table, next->ml.ct.delta_nb,
+            next->ml.ct.delta_fs, next->ml.ct.tlog, op,
+            cap - (op - ostart));
+        if (prof_on()) g_prof[3] += prof_now() - t1;
+        if (bitstreamSize < 0) return -1;
+        op += bitstreamSize;
+        if (lastCountSize != 0 && lastCountSize + bitstreamSize < 4)
+            return 0;
+    }
+    return op - ostart;
+}
+
+// ZSTD_isRLE:3671.
+static int zx_is_rle(const uint8_t* ip, int64_t length) {
+    const uint8_t value = ip[0];
+    for (int64_t i = 1; i < length; i++)
+        if (ip[i] != value) return 0;
+    return 1;
+}
+
+extern "C" {
+
+// Exact one-shot frame compression with zstd v1.5.1 semantics for the
+// fast/dfast strategies.  Returns the frame size, or
+//   -1 on internal error / capacity, -2 when the (level, srcSize) resolves
+//   to a strategy this path does not cover yet (caller falls back).
+int64_t zt_compress_exact_params(const uint8_t* src, int64_t n,
+                                 int wlog, int clog, int hlog, int slog,
+                                 int mml, int tlen, int strat,
+                                 int checksum_flag, uint8_t* out,
+                                 int64_t cap);
+
+int64_t zt_compress_exact(const uint8_t* src, int64_t n, int level,
+                          int checksum_flag, uint8_t* out, int64_t cap) {
+    codec_init();
+    const ZxCP cp = zx_get_cparams(level, (uint64_t)n);
+    return zt_compress_exact_params(src, n, (int)cp.wlog, (int)cp.clog,
+                                    (int)cp.hlog, (int)cp.slog, (int)cp.mml,
+                                    (int)cp.tlen, (int)cp.strat,
+                                    checksum_flag, out, cap);
+}
+
+// Same pipeline with explicit (already adjusted) compression parameters.
+int64_t zt_compress_exact_params(const uint8_t* src, int64_t n,
+                                 int wlog, int clog, int hlog, int slog,
+                                 int mml, int tlen, int strat,
+                                 int checksum_flag, uint8_t* out,
+                                 int64_t cap) {
+    codec_init();
+    if (prof_on()) { g_prof[0] = g_prof[1] = g_prof[2] = g_prof[3] = 0; }
+    ZxCP cp;
+    cp.wlog = (uint32_t)wlog; cp.clog = (uint32_t)clog;
+    cp.hlog = (uint32_t)hlog; cp.slog = (uint32_t)slog;
+    cp.mml = (uint32_t)mml; cp.tlen = (uint32_t)tlen;
+    cp.strat = (uint32_t)strat;
+    (void)slog;
+    if (cp.strat > 2) return -2;  // fast/dfast only (so far)
+
+    const uint64_t windowSize = 1ULL << cp.wlog;
+    const int64_t blockSizeMax =
+        (int64_t)(windowSize < (1u << 17) ? windowSize : (1u << 17));
+
+    // ---- frame header (ZSTD_writeFrameHeader:4817; contentSize known) ----
+    int64_t op = 0;
+    {
+        const uint32_t singleSegment = windowSize >= (uint64_t)n;
+        const uint32_t fcsCode = (n >= 256) + (n >= 65536 + 256) +
+                                 (n >= (int64_t)0xFFFFFFFFLL);
+        if (cap < 18) return -1;
+        const uint32_t magic = 0xFD2FB528u;
+        std::memcpy(out, &magic, 4);
+        op = 4;
+        out[op++] = (uint8_t)((fcsCode << 6) + (singleSegment << 5) +
+                              ((checksum_flag ? 1 : 0) << 2));
+        if (!singleSegment) out[op++] = (uint8_t)((cp.wlog - 10) << 3);
+        if (fcsCode == 0) {
+            if (singleSegment) out[op++] = (uint8_t)n;
+        } else if (fcsCode == 1) {
+            const uint16_t v = (uint16_t)(n - 256);
+            std::memcpy(out + op, &v, 2);
+            op += 2;
+        } else if (fcsCode == 2) {
+            const uint32_t v = (uint32_t)n;
+            std::memcpy(out + op, &v, 4);
+            op += 4;
+        } else {
+            const uint64_t v = (uint64_t)n;
+            std::memcpy(out + op, &v, 8);
+            op += 8;
+        }
+    }
+
+    if (n == 0) {
+        // empty frame: last raw empty block (ZSTD_writeEpilogue:5598)
+        if (cap < op + 3 + 4) return -1;
+        out[op++] = 1;
+        out[op++] = 0;
+        out[op++] = 0;
+        if (checksum_flag) {
+            const uint32_t c = (uint32_t)xxh64(src, 0, 0);
+            std::memcpy(out + op, &c, 4);
+            op += 4;
+        }
+        return op;
+    }
+
+    // ---- state ----
+    const uint8_t* const base = src - 2;  // ZSTD_WINDOW_START_INDEX == 2
+    uint32_t dictLimit = 2;
+    uint32_t* hashTable = (uint32_t*)calloc((size_t)1 << cp.hlog, 4);
+    uint32_t* chainTable =
+        cp.strat == 2 ? (uint32_t*)calloc((size_t)1 << cp.clog, 4) : nullptr;
+    if (!hashTable || (cp.strat == 2 && !chainTable)) {
+        free(hashTable);
+        free(chainTable);
+        return -1;
+    }
+    ZxEntropy ent[2];
+    std::memset(ent, 0, sizeof ent);
+    ent[0].repcodes[0] = 1; ent[0].repcodes[1] = 4; ent[0].repcodes[2] = 8;
+    int prevIdx = 0;
+    int isFirstBlock = 1;
+
+    ZxStore ss;
+    ss.lit = (uint8_t*)malloc((size_t)blockSizeMax + 32);
+    ss.seq = (ZxSeq*)malloc(((size_t)blockSizeMax / 3 + 64) * sizeof(ZxSeq));
+    if (!ss.lit || !ss.seq) {
+        free(hashTable); free(chainTable); free(ss.lit); free(ss.seq);
+        return -1;
+    }
+
+    int rc = 0;
+    int64_t remaining = n;
+    const uint8_t* ip = src;
+    while (remaining > 0 && rc == 0) {
+        const int64_t blockSize =
+            remaining < blockSizeMax ? remaining : blockSizeMax;
+        const int lastBlock = blockSize == remaining;
+        // ZSTD_window_enforceMaxDist with srcEnd = block start
+        {
+            const uint32_t blockStartIdx = (uint32_t)(ip - base);
+            if (blockStartIdx > (uint32_t)windowSize) {
+                const uint32_t newLow = blockStartIdx - (uint32_t)windowSize;
+                if (dictLimit < newLow) dictLimit = newLow;
+            }
+        }
+        ZxEntropy* const prev = &ent[prevIdx];
+        ZxEntropy* const next = &ent[prevIdx ^ 1];
+        int64_t cSize;
+        if (blockSize < 1 + 1 + 1 + 3 + 1) {
+            cSize = 0;  // ZSTDbss_noCompress
+        } else {
+            // buildSeqStore: copy reps prev->next, parse updates next's
+            next->repcodes[0] = prev->repcodes[0];
+            next->repcodes[1] = prev->repcodes[1];
+            next->repcodes[2] = prev->repcodes[2];
+            ss.nlit = 0;
+            ss.nseq = 0;
+            ss.llt = 0;
+            ss.lltPos = 0;
+            if (prof_on()) g_prof[0] -= prof_now();
+            int64_t lastLLSize;
+            if (cp.strat == 1) {
+                const int hasStep = cp.tlen > 1;
+                switch (cp.mml) {
+                    case 5:
+                        lastLLSize = hasStep
+                            ? zx_fast_block<5, 1>(base, hashTable, cp.hlog,
+                                                  dictLimit, cp.wlog, cp.tlen,
+                                                  ip, blockSize,
+                                                  next->repcodes, &ss)
+                            : zx_fast_block<5, 0>(base, hashTable, cp.hlog,
+                                                  dictLimit, cp.wlog, cp.tlen,
+                                                  ip, blockSize,
+                                                  next->repcodes, &ss);
+                        break;
+                    case 6:
+                        lastLLSize = hasStep
+                            ? zx_fast_block<6, 1>(base, hashTable, cp.hlog,
+                                                  dictLimit, cp.wlog, cp.tlen,
+                                                  ip, blockSize,
+                                                  next->repcodes, &ss)
+                            : zx_fast_block<6, 0>(base, hashTable, cp.hlog,
+                                                  dictLimit, cp.wlog, cp.tlen,
+                                                  ip, blockSize,
+                                                  next->repcodes, &ss);
+                        break;
+                    case 7:
+                        lastLLSize = hasStep
+                            ? zx_fast_block<7, 1>(base, hashTable, cp.hlog,
+                                                  dictLimit, cp.wlog, cp.tlen,
+                                                  ip, blockSize,
+                                                  next->repcodes, &ss)
+                            : zx_fast_block<7, 0>(base, hashTable, cp.hlog,
+                                                  dictLimit, cp.wlog, cp.tlen,
+                                                  ip, blockSize,
+                                                  next->repcodes, &ss);
+                        break;
+                    default:
+                        lastLLSize = hasStep
+                            ? zx_fast_block<4, 1>(base, hashTable, cp.hlog,
+                                                  dictLimit, cp.wlog, cp.tlen,
+                                                  ip, blockSize,
+                                                  next->repcodes, &ss)
+                            : zx_fast_block<4, 0>(base, hashTable, cp.hlog,
+                                                  dictLimit, cp.wlog, cp.tlen,
+                                                  ip, blockSize,
+                                                  next->repcodes, &ss);
+                        break;
+                }
+            } else {
+                switch (cp.mml) {
+                    case 5:
+                        lastLLSize = zx_dfast_block<5>(
+                            base, hashTable, cp.hlog, chainTable, cp.clog,
+                            dictLimit, cp.wlog, ip, blockSize, next->repcodes,
+                            &ss);
+                        break;
+                    case 6:
+                        lastLLSize = zx_dfast_block<6>(
+                            base, hashTable, cp.hlog, chainTable, cp.clog,
+                            dictLimit, cp.wlog, ip, blockSize, next->repcodes,
+                            &ss);
+                        break;
+                    case 7:
+                        lastLLSize = zx_dfast_block<7>(
+                            base, hashTable, cp.hlog, chainTable, cp.clog,
+                            dictLimit, cp.wlog, ip, blockSize, next->repcodes,
+                            &ss);
+                        break;
+                    default:
+                        lastLLSize = zx_dfast_block<4>(
+                            base, hashTable, cp.hlog, chainTable, cp.clog,
+                            dictLimit, cp.wlog, ip, blockSize, next->repcodes,
+                            &ss);
+                        break;
+                }
+            }
+            // last literals
+            std::memcpy(ss.lit + ss.nlit, ip + blockSize - lastLLSize,
+                        (size_t)lastLLSize);
+            ss.nlit += lastLLSize;
+            if (prof_on()) g_prof[0] += prof_now();
+
+            // entropy stage (into op+3, leaving room for the block header)
+            if (cap - op < blockSize + 32) { rc = -1; break; }
+            const int64_t t_ent = prof_on() ? prof_now() : 0;
+            cSize = zx_entropy_compress(&ss, prev, next, (int)cp.strat,
+                                        out + op + 3, cap - op - 3 - 8,
+                                        blockSize);
+            if (prof_on()) g_prof[1] += prof_now() - t_ent;
+            if (cSize < 0) { rc = -1; break; }
+            if (cSize != 0) {
+                // ZSTD_entropyCompressSeqStore:3357 bail-out
+                const int64_t maxCSize =
+                    blockSize - zx_min_gain(blockSize, (int)cp.strat);
+                if (cSize >= maxCSize) cSize = 0;
+            }
+            // frameChunk RLE check (compressBlock_internal:4564)
+            if (!isFirstBlock && cSize != 0 && cSize < 25 &&
+                zx_is_rle(ip, blockSize)) {
+                cSize = 1;
+                out[op + 3] = ip[0];
+            }
+            if (cSize > 1) prevIdx ^= 1;  // confirm repcodes+entropy
+        }
+        // offcode repeat valid -> check on the (possibly swapped) prev
+        if (ent[prevIdx].of.rep == 2) ent[prevIdx].of.rep = 1;
+
+        // emit block
+        if (cSize == 0) {
+            // raw block
+            if (cap - op < 3 + blockSize) { rc = -1; break; }
+            const uint32_t bh =
+                (uint32_t)(lastBlock + (0 << 1) + ((uint32_t)blockSize << 3));
+            out[op] = (uint8_t)bh;
+            out[op + 1] = (uint8_t)(bh >> 8);
+            out[op + 2] = (uint8_t)(bh >> 16);
+            std::memcpy(out + op + 3, ip, (size_t)blockSize);
+            op += 3 + blockSize;
+        } else {
+            const uint32_t bh =
+                cSize == 1
+                    ? (uint32_t)(lastBlock + (1u << 1) +
+                                 ((uint32_t)blockSize << 3))
+                    : (uint32_t)(lastBlock + (2u << 1) +
+                                 ((uint32_t)cSize << 3));
+            out[op] = (uint8_t)bh;
+            out[op + 1] = (uint8_t)(bh >> 8);
+            out[op + 2] = (uint8_t)(bh >> 16);
+            op += 3 + cSize;
+        }
+        ip += blockSize;
+        remaining -= blockSize;
+        isFirstBlock = 0;
+    }
+
+    if (rc == 0 && checksum_flag) {
+        if (cap - op < 4) {
+            rc = -1;
+        } else {
+            const uint32_t c = (uint32_t)xxh64(src, n, 0);
+            std::memcpy(out + op, &c, 4);
+            op += 4;
+        }
+    }
+
+    free(hashTable);
+    free(chainTable);
+    free(ss.lit);
+    free(ss.seq);
+    if (prof_on())
+        fprintf(stderr,
+                "zt_exact prof: parse %.1fms entropy %.1fms "
+                "(lit %.1fms fsebits %.1fms)\n",
+                g_prof[0] / 1e6, g_prof[1] / 1e6, g_prof[2] / 1e6,
+                g_prof[3] / 1e6);
+    return rc == 0 ? op : -1;
+}
+
 }  // extern "C"
+

@@ -315,13 +315,39 @@ def compress(data: bytes, level: int = 3, checksum: bool = False,
     from ..utils import trace
 
     with trace.span("compress", src_size=len(data), level=params.compression_level) as sp:
+        out = None
         if params.n_workers > 0 and len(data) > C.ZSTD_BLOCKSIZE_MAX:
             out = _compress_multiframe(data, params)
         else:
-            resolved = params.resolve(src_size_hint=len(data))
-            out = compress_frame(data, resolved)
+            if _exact_eligible(params):
+                # Byte-exact reference pipeline (matches libzstd output for
+                # the fast/dfast strategies; returns None for levels/sizes it
+                # does not cover, ZstdFast.cs:96 / ZstdDoubleFast.cs:51).
+                from .. import native
+
+                out = native.compress_exact(bytes(data),
+                                            params.compression_level,
+                                            params.checksum_flag)
+            if out is None:
+                resolved = params.resolve(src_size_hint=len(data))
+                out = compress_frame(data, resolved)
         sp.dst_size = len(out)
         return out
+
+
+def _exact_eligible(params: CCtxParams) -> bool:
+    """The exact encoder covers the reference's default parameter shape:
+    positive level, no cParam overrides, auto/off LDM + splitter, no
+    targetCBlockSize, content size written (negative levels differ from the
+    current libzstd oracle and stay on the legacy pipeline)."""
+    return (params.compression_level >= 1
+            and not (params.window_log or params.hash_log or params.chain_log
+                     or params.search_log or params.min_match
+                     or params.target_length or params.strategy)
+            and params.ldm in (None, False)
+            and params.block_splitter in (None, False)
+            and params.target_cblock_size == 0
+            and params.content_size_flag)
 
 
 def _compress_multiframe(data: bytes, params: CCtxParams) -> bytes:

@@ -121,6 +121,8 @@ def _load():
         lib.zt_decompress_many_ddict.argtypes = [vp, u8p, i64p, i64,
                                                  ctypes.c_uint32, u8p, i64,
                                                  i64p]
+        lib.zt_compress_exact.restype = i64
+        lib.zt_compress_exact.argtypes = [u8p, i64, i32, i32, u8p, i64]
 
         _lib = lib
         AVAILABLE = True
@@ -529,3 +531,22 @@ class NativeDDict:
         if getattr(self, "_h", None) and self._lib is not None:
             self._lib.zt_ddict_free(self._h)
             self._h = None
+
+
+def compress_exact(data: bytes, level: int, checksum: bool = False) -> bytes | None:
+    """Byte-exact zstd frame via the native exact encoder
+    (ZSTD_compress2 semantics for fast/dfast strategies).
+    Returns None when unavailable or the level/size routes to an
+    unsupported strategy (caller falls back to the generic pipeline)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    src = np.frombuffer(data, dtype=np.uint8)
+    cap = len(src) + (len(src) >> 2) + 4096
+    out = np.empty(cap, dtype=np.uint8)
+    size = lib.zt_compress_exact(
+        _ptr(src, ctypes.c_uint8), len(src), level, 1 if checksum else 0,
+        _ptr(out, ctypes.c_uint8), cap)
+    if size < 0:
+        return None
+    return out[:size].tobytes()
