@@ -76,12 +76,23 @@ def shard_blocks(data: bytes | np.ndarray, n_devices: int,
 def compress_data_parallel(data: bytes, mesh: Mesh | None = None,
                            level: int = 1, checksum: bool = False,
                            block_size: int = BLOCK) -> bytes:
-    """End-to-end DP compression: device parse across the mesh, host entropy
-    assembly in frame order (BASELINE configs 2/5).
+    """End-to-end DP compression across the mesh (BASELINE configs 2/5).
 
-    Emits one frame per block-run with window-independent blocks, so decode
-    is equally parallel.
+    Level routing:
+      level <= 2 (fast strategy): single frame of window-independent
+        blocks; the sharded device candidate stage feeds the host selector
+        per block (candidates computed on-mesh, psum'd match density).
+      level >= 3: the search state of the greedy/lazy/optimal strategies is
+        sequential per position and lives in the host engine, so
+        parallelism moves to frame granularity — one job per device shard,
+        each compressed at the requested level concurrently; the device
+        stage's psum'd match density gates incompressible jobs straight to
+        raw frames (no search wasted on them).  The output is a valid
+        RFC 8878 stream either way (frame concatenation, §3).
     """
+    mesh = mesh if mesh is not None else make_mesh()
+    if level >= 3:
+        return _compress_framewise_parallel(data, mesh, level, checksum)
     from ..encode.block import EncoderEntropy, encode_block_body
     from ..encode.frame import _block_header, _write_frame_header
     from ..encode.seqstore import SeqStore
@@ -89,7 +100,6 @@ def compress_data_parallel(data: bytes, mesh: Mesh | None = None,
 
     from .. import native
 
-    mesh = mesh if mesh is not None else make_mesh()
     ndev = mesh.devices.size
     blocks, n_valid, n_blocks = shard_blocks(data, ndev, block_size)
     parse = make_sharded_parse(mesh, block_size=block_size)
@@ -106,9 +116,9 @@ def compress_data_parallel(data: bytes, mesh: Mesh | None = None,
     cand_by_pos = np.empty(block_size, dtype=np.int32)
     # Repcodes persist across blocks in the DECODER, so the selector must
     # carry them too, and a raw fallback must not advance them
-    # (confirmRepcodesAndEntropyTables role).
+    # (confirmRepcodesAndEntropyTables role).  Entropy state fields are
+    # replaced, never mutated, so a shallow tuple snapshot suffices.
     rep = [1, 4]
-    import copy as _copy
 
     for b in range(n_blocks):
         last = b == n_blocks - 1
@@ -121,7 +131,7 @@ def compress_data_parallel(data: bytes, mesh: Mesh | None = None,
         # Unsort the device candidates (one O(n) scatter).
         cand_by_pos[ps_all[b]] = cand_all[b]
         rep_snap = list(rep)
-        ent_snap = _copy.deepcopy(entropy)
+        ent_snap = (entropy.huf, entropy.ll, entropy.ml, entropy.of)
         res = native.hybrid_select(blocks[b], nv, cand_by_pos, rep)
         if res is not None:
             lls, mls, obs, last_lit = res
@@ -131,7 +141,7 @@ def compress_data_parallel(data: bytes, mesh: Mesh | None = None,
         body = encode_block_body(block, seqs, entropy) if nv else None
         if body is None:
             rep = rep_snap
-            entropy = ent_snap
+            entropy.huf, entropy.ll, entropy.ml, entropy.of = ent_snap
             out += _block_header(last, C.BlockType.RAW, nv)
             out += block.tobytes()
         else:
@@ -140,6 +150,86 @@ def compress_data_parallel(data: bytes, mesh: Mesh | None = None,
     if checksum:
         out += content_checksum(src).to_bytes(4, "little")
     return bytes(out)
+
+
+def _compress_framewise_parallel(data: bytes, mesh: Mesh, level: int,
+                                 checksum: bool) -> bytes:
+    """Frame-granular DP for levels >= 3: one job per device shard, each
+    compressed at the requested level; the sharded device stage's candidate
+    density routes incompressible jobs to raw frames."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..encode.frame import compress, _block_header, _write_frame_header
+
+    ndev = int(mesh.devices.size)
+    n = len(data)
+    if n == 0:
+        return compress(data, level, checksum=checksum)
+    job = max(-(-n // ndev), 1 << 16)
+    chunks = [data[i : i + job] for i in range(0, n, job)]
+
+    # Device stage: match-candidate density per job (sharded, psum'd).
+    probe = min(job, 1 << 16)
+    blocks = np.zeros((max(-(-len(chunks) // ndev) * ndev, ndev), probe),
+                      np.uint8)
+    n_valid = np.zeros(len(blocks), np.int32)
+    for i, c in enumerate(chunks):
+        p = np.frombuffer(c[:probe], np.uint8)
+        blocks[i, : len(p)] = p
+        n_valid[i] = len(p)
+    parse = make_sharded_parse(mesh, block_size=probe)
+    shards = parse(jnp.asarray(blocks), jnp.asarray(n_valid))
+    cand = np.asarray(shards["cand"])
+    density = (cand[: len(chunks)] >= 0).mean(axis=1)
+
+    def raw_frame(chunk: bytes) -> bytes:
+        from ..utils.xxhash import content_checksum
+
+        out = bytearray(_write_frame_header(len(chunk),
+                                            C.ZSTD_BLOCKSIZELOG_MAX,
+                                            checksum, True))
+        for off in range(0, len(chunk), BLOCK):
+            piece = chunk[off : off + BLOCK]
+            out += _block_header(off + BLOCK >= len(chunk),
+                                 C.BlockType.RAW, len(piece))
+            out += piece
+        if checksum:
+            out += content_checksum(
+                np.frombuffer(chunk, np.uint8)).to_bytes(4, "little")
+        return bytes(out)
+
+    def one(i: int) -> bytes:
+        if density[i] < 0.02 and len(chunks[i]) >= (1 << 16):
+            # incompressible by the device probe: raw frame, no search
+            return raw_frame(chunks[i])
+        return compress(chunks[i], level, checksum=checksum)
+
+    with ThreadPoolExecutor(max_workers=min(ndev, 16)) as pool:
+        return b"".join(pool.map(one, range(len(chunks))))
+
+
+def decompress_data_parallel(stream: bytes, mesh: Mesh | None = None) -> bytes:
+    """Sharded decode: the stream's frames are split across the mesh's
+    devices (frames are self-delimiting, ZSTD_findFrameCompressedSize:958
+    role) and decoded concurrently, one shard per device slot."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..decode.frame import decompress, find_frame_compressed_size
+
+    mesh = mesh if mesh is not None else make_mesh()
+    ndev = int(mesh.devices.size)
+    # frame scan (host, cheap): split the stream on frame boundaries
+    frames = []
+    pos = 0
+    buf = bytes(stream)
+    while pos < len(buf):
+        size = find_frame_compressed_size(buf[pos:])
+        frames.append(buf[pos : pos + size])
+        pos += size
+    if len(frames) <= 1:
+        return decompress(buf)
+    with ThreadPoolExecutor(max_workers=min(ndev, 16)) as pool:
+        return b"".join(pool.map(decompress, frames))
 
 
 def _select_greedy_py(block: np.ndarray, n_valid: int, cand: np.ndarray):
