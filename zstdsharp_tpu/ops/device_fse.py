@@ -504,3 +504,30 @@ def fse_decode_device(batch: FseSeqBatch, interpret=False):
         return fn(jnp.asarray(words), jnp.asarray(batch.ll_tab),
                   jnp.asarray(batch.of_tab), jnp.asarray(batch.ml_tab),
                   jnp.asarray(llp), jnp.asarray(mlp), jnp.asarray(st))
+
+
+def make_runner(batch):
+    """Upload the batch once and return a zero-upload callable (see
+    device_huf.make_runner)."""
+    jax, jnp, pl, pltpu = _jax()
+    W = batch.words.shape[0]
+    if W > MAX_W:
+        raise ValueError(f"stream too long for device tier: {W}")
+    W_pad = next(b for b in _W_BUCKETS if b >= W)
+    words = np.zeros((W_pad, SUB, LN), np.int32)
+    words[:W] = batch.words
+    T = next(b for b in _T_BUCKETS if b >= max(batch.t_max, 1))
+    interpret = jax.default_backend() != "tpu"
+    fn = _decode_fn(T, W_pad, interpret)
+    llp, mlp = _shared_tables()
+    st = initial_states(batch)
+    with jax.enable_x64(False):
+        ops = [jax.device_put(jnp.asarray(x)) for x in
+               (words, batch.ll_tab, batch.of_tab, batch.ml_tab, llp, mlp,
+                st)]
+
+    def run():
+        with jax.enable_x64(False):
+            return fn(*ops)
+
+    return run
