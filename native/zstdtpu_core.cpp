@@ -20,6 +20,7 @@
 #include <cstdlib>
 #include <ctime>
 #include <cstdio>
+#include <cmath>
 
 // Stage profiler (ZT_PROF=1): nanoseconds per codec stage, printed at
 // frame end.  Zero overhead when disabled (single branch per stage).
@@ -2995,1936 +2996,8 @@ static int64_t encode_block_body_c(const uint8_t* block, int64_t nv,
 }
 
 
-// ---------------------------------------------------------------------------
-// Long-distance matcher (ZstdLdm.cs role: gear rolling hash + bucket table)
-// ---------------------------------------------------------------------------
-//
-// A gear hash is fed byte-by-byte (ZSTD_ldm_gear_feed:84); positions where
-// (hash & mask) == 0 become anchors inserted into / probed against a bucket
-// table, yielding matches across windows far beyond the chain table reach.
-// Emitted candidates are merged with the short-range parser per block.
-
-static uint64_t kGear[256];
-static bool kGearInit = false;
-
-static void ldm_init() {
-    if (kGearInit) return;
-    // Arithmetic gear shared with the device scan (ops/ldm.py): anchor
-    // placement is encoder-internal, and a multiplicative-hash gear keeps
-    // the device path gather-free.  Values masked to rate_log+8 bits so
-    // the device's int32 arithmetic is exact (rate_log default 7).
-    for (int i = 0; i < 256; i++) {
-        const uint32_t v = ((uint32_t)(i + 1)) * 0x9E3779B1u;
-        kGear[i] = (v >> 12) & 0x7FFFu;
-    }
-    kGearInit = true;
-}
-
-struct LdmMatch { int64_t pos; int64_t len; int64_t dist; };
-
-// Scan [start, end) emitting non-overlapping long matches (>= min_len).
-// bucket table: hash_log buckets x 4 entries of positions (-1 empty).
-static int64_t ldm_scan(const uint8_t* src, int64_t start, int64_t end,
-                        int64_t window_start, int64_t* buckets, int hash_log,
-                        int rate_log, int64_t min_len,
-                        LdmMatch* out, int64_t cap) {
-    ldm_init();
-    const uint64_t mask = (1ULL << rate_log) - 1;
-    const int64_t nbuck = 1LL << hash_log;
-    uint64_t h = 0;
-    int64_t n_out = 0;
-    int64_t next_free = start;
-    for (int64_t i = start; i + 8 < end; i++) {
-        h = (h << 1) + kGear[src[i]];
-        if ((h & mask) != 0) continue;
-        const int64_t b = (int64_t)((h >> rate_log) & (uint64_t)(nbuck - 1)) * 4;
-        int64_t best_len = 0, best_dist = 0;
-        if (i >= next_free && n_out < cap) {
-            for (int e = 0; e < 4; e++) {
-                const int64_t cand = buckets[b + e];
-                if (cand < window_start || cand >= i) continue;
-                if (read64(src + cand) != read64(src + i)) continue;
-                int64_t len = 8 + count_match(src, i + 8, cand + 8, end);
-                // backward extension up to next_free
-                int64_t s = i, cs = cand;
-                while (s > next_free && cs > window_start &&
-                       src[s - 1] == src[cs - 1]) { s--; cs--; len++; }
-                if (len > best_len) { best_len = len; best_dist = s - cs;
-                                      out[n_out].pos = s; }
-            }
-        }
-        // insert (rotate bucket)
-        buckets[b + 3] = buckets[b + 2];
-        buckets[b + 2] = buckets[b + 1];
-        buckets[b + 1] = buckets[b + 0];
-        buckets[b + 0] = i;
-        if (best_len >= min_len) {
-            out[n_out].len = best_len;
-            out[n_out].dist = best_dist;
-            next_free = out[n_out].pos + best_len;
-            n_out++;
-        }
-    }
-    return n_out;
-}
-
-// ---------------------------------------------------------------------------
-// Optimal parser (btopt/btultra role, levels 13+; ZstdOpt.cs:1046 shape)
-// ---------------------------------------------------------------------------
-//
-// Forward DP over the block with fixed-point prices (1/32 bit units):
-// literal prices from the block histogram, match prices from the predefined
-// OF/ML code distributions + extra bits + a flat per-sequence overhead.
-// Candidates come from the hash chain (all attempts, not first-best) plus
-// the three repcodes; lengths are relaxed at ml-code boundaries only, which
-// preserves optimality of the step-function price model at O(codes) cost.
-
-static const uint32_t kInfPrice = 0x3FFFFFFF;
-
-struct OptCell {
-    uint32_t price;
-    int32_t from;       // previous position
-    uint32_t ml;        // 0 = literal step
-    uint32_t off_base;  // offBase when ml > 0
-    uint32_t lits;      // literal-run length ending at this cell
-    uint32_t rep[3];
-};
-
-// Adaptive symbol statistics for the optimal parser (ZSTD_rescaleFreqs /
-// ZSTD_initStats_ultra role).  Counts carry across blocks with decay; price
-// tables are 1/32-bit fixed point code costs (extra bits added separately).
-struct OptStats {
-    uint32_t llc[36], mlc[53], ofc[32];
-    uint32_t ll_price[36], ml_price[53], of_price[32];
-    bool inited;
-};
-
-static void opt_build_prices(OptStats* st) {
-    auto build = [](const uint32_t* cnt, uint32_t* price, int n) {
-        uint64_t total = 0;
-        for (int i = 0; i < n; i++) total += cnt[i];
-        const float lt = __builtin_log2f((float)(total + (uint64_t)n));
-        for (int i = 0; i < n; i++) {
-            float bits = lt - __builtin_log2f((float)(cnt[i] + 1));
-            if (bits > 20.f) bits = 20.f;
-            if (bits < 0.125f) bits = 0.125f;
-            price[i] = (uint32_t)(bits * 256.f + 0.5f);  // 1/256-bit units
-        }
-    };
-    build(st->llc, st->ll_price, 36);
-    build(st->mlc, st->ml_price, 53);
-    build(st->ofc, st->of_price, 32);
-}
-
-// Seed from the predefined FSE distributions (first block, first pass).
-static void opt_seed_default(OptStats* st) {
-    for (int i = 0; i < 36; i++) st->llc[i] = (uint32_t)(kLLNorm[i] < 1 ? 1 : kLLNorm[i]) * 8;
-    for (int i = 0; i < 53; i++) st->mlc[i] = (uint32_t)(kMLNorm[i] < 1 ? 1 : kMLNorm[i]) * 8;
-    for (int i = 0; i < 32; i++)
-        st->ofc[i] = i <= kDefaultMaxOFF && kOFNorm[i] >= 1 ? (uint32_t)kOFNorm[i] * 8 : 1;
-    st->inited = false;
-    opt_build_prices(st);
-}
-
-// Fold a block's emitted sequences into the running stats.
-static void opt_update_stats(OptStats* st, const uint32_t* ll,
-                             const uint32_t* mlv, const uint32_t* ob,
-                             int64_t n_seq, bool decay) {
-    if (decay) {
-        static const int kShift =
-            getenv("ZT_OPT_DECAY") ? atoi(getenv("ZT_OPT_DECAY")) : 2;
-        for (int i = 0; i < 36; i++) st->llc[i] -= st->llc[i] >> kShift;
-        for (int i = 0; i < 53; i++) st->mlc[i] -= st->mlc[i] >> kShift;
-        for (int i = 0; i < 32; i++) st->ofc[i] -= st->ofc[i] >> kShift;
-    }
-    const uint32_t vmax = (1u << 17) - 1;
-    for (int64_t i = 0; i < n_seq; i++) {
-        st->llc[kLLCodeLut[ll[i] < vmax ? ll[i] : vmax]]++;
-        st->mlc[kMLCodeLut[mlv[i] < vmax ? mlv[i] : vmax]]++;
-        st->ofc[highbit32(ob[i])]++;
-    }
-    st->inited = true;
-    opt_build_prices(st);
-}
-
-static inline uint32_t of_code_price32(int of_code) {
-    // -log2(norm/32) for the predefined OF distribution, in 1/32 bits,
-    // plus the extra bits the offset consumes.
-    static const int16_t norm[29] = {1,1,1,1,1,1,2,2,2,1,1,1,1,1,1,1,1,1,
-                                     1,1,1,1,1,1,1,1,1,1,1};
-    const int code_bits = of_code <= 28 && norm[of_code] == 2 ? 4 : 5;
-    return (uint32_t)(code_bits + of_code) * 32;
-}
-
-static inline uint32_t ml_price32(uint32_t mlv) {
-    // ml code cost ~6 bits (predefined log) + extra bits
-    const uint32_t base = mlv - 3;
-    int extra = 0;
-    if (base >= 32) {
-        uint32_t c = kMLCodeLut[mlv < (1u << 17) ? mlv : (1u << 17) - 1];
-        extra = kMLBits[c];
-    }
-    return (uint32_t)(6 + extra) * 32;
-}
-
-static inline uint32_t ll_price32(uint32_t llv) {
-    int extra = 0;
-    if (llv >= 16) {
-        uint32_t c = kLLCodeLut[llv < (1u << 17) ? llv : (1u << 17) - 1];
-        extra = kLLBits[c];
-    }
-    return (uint32_t)(6 + extra) * 32;
-}
-
-// Returns nb_seq or -1.  Uses the shared hash/chain tables like lazy.
-// Prices come from OptStats (adaptive, carried across blocks); literal-run
-// LL-code cost is added incrementally per literal step (ZSTD_litLengthPrice
-// role), match steps add ML/OF code prices + extra bits.
-int64_t opt_find_matches(const uint8_t* src, int64_t src_len,
-                         int64_t start, int64_t end, int64_t window_start,
-                         int64_t window_size,
-                         int64_t* table, int hlog,
-                         int32_t* bt, int64_t bt_size, int64_t attempts,
-                         int64_t* h3, int h3log, int min_match,
-                         int64_t* insert_from_io, uint32_t* rep_io,
-                         OptStats* st,
-                         uint32_t* out_ll, uint32_t* out_ml, uint32_t* out_ob,
-                         int64_t max_seq, int64_t* out_last_lit) {
-    const int64_t bn = end - start;
-    if (bn < 32) { *out_last_lit = bn; return 0; }
-    codec_init();
-    if (min_match < 3) min_match = 3;
-    const int bt_mls = min_match > 4 ? (min_match > 8 ? 8 : min_match) : 4;
-    BtCtx c{src, table, bt, bt_size - 1, min_match == 3 ? h3 : nullptr, h3log,
-            hlog, bt_mls, window_start, window_size, attempts,
-            *insert_from_io, end - 8, end};
-
-    // Literal prices from block histogram (floor 1/8 bit, cap 14 bits).
-    uint32_t counts[256];
-    std::memset(counts, 0, sizeof counts);
-    for (int64_t i = start; i < end; i++) counts[src[i]]++;
-    uint32_t lit_price[256];
-    for (int s = 0; s < 256; s++) {
-        if (!counts[s]) { lit_price[s] = 14 * 256; continue; }
-        const double bits = -__builtin_log2((double)counts[s] / (double)bn);
-        uint32_t p = (uint32_t)(bits * 256.0 + 0.5);
-        if (p < 32) p = 32;
-        if (p > 14 * 256) p = 14 * 256;
-        lit_price[s] = p;
-    }
-    const uint32_t vmax = (1u << 17) - 1;
-    auto LLP = [&](int64_t l) -> int64_t {
-        const uint32_t code = kLLCodeLut[(uint64_t)l < vmax ? l : vmax];
-        return (int64_t)st->ll_price[code] + (int64_t)kLLBits[code] * 256;
-    };
-    auto MLP = [&](int64_t m) -> int64_t {
-        const uint32_t code = kMLCodeLut[(uint64_t)m < vmax ? m : vmax];
-        return (int64_t)st->ml_price[code] + (int64_t)kMLBits[code] * 256;
-    };
-    auto OFP = [&](int oc) -> int64_t {
-        return (int64_t)st->of_price[oc & 31] + (int64_t)(oc & 31) * 256;
-    };
-
-    OptCell* opt = (OptCell*)malloc(sizeof(OptCell) * (size_t)(bn + 1));
-    if (!opt) return -1;
-    for (int64_t i = 0; i <= bn; i++) opt[i].price = kInfPrice;
-    opt[0].price = 0;
-    opt[0].from = -1;
-    opt[0].ml = 0;
-    opt[0].lits = 0;
-    opt[0].rep[0] = rep_io[0]; opt[0].rep[1] = rep_io[1]; opt[0].rep[2] = rep_io[2];
-
-    // `dist` is always the true match distance; repcode values are
-    // re-resolved against the real encoder state during emission, so the
-    // per-cell rep triple only steers pricing/candidate generation.
-    auto relax = [&](int64_t to, int64_t price64, int64_t from, uint32_t ml,
-                     uint32_t dist, uint32_t lits, const uint32_t* rep) {
-        const uint32_t price = price64 < 0 ? 0
-                               : price64 >= kInfPrice ? kInfPrice - 1
-                               : (uint32_t)price64;
-        if (price < opt[to].price) {
-            opt[to].price = price;
-            opt[to].from = (int32_t)from;
-            opt[to].ml = ml;
-            opt[to].off_base = dist;
-            opt[to].lits = lits;
-            if (ml == 0 || dist == rep[0]) {
-                opt[to].rep[0] = rep[0]; opt[to].rep[1] = rep[1]; opt[to].rep[2] = rep[2];
-            } else {
-                opt[to].rep[0] = dist; opt[to].rep[1] = rep[0]; opt[to].rep[2] = rep[1];
-            }
-        }
-    };
-
-    static const int64_t kSufficientLen =
-        getenv("ZT_SUFLEN") ? atoi(getenv("ZT_SUFLEN")) : 192;
-    // immediate-take shortcut (zstd btopt targetLength role): avoids
-    // O(run^2) rep scanning inside runs.
-    const int64_t dp_limit = bn - 8;
-    for (int64_t i = 0; i < dp_limit; i++) {
-        if (opt[i].price >= kInfPrice) continue;
-        const int64_t p = start + i;
-        const int64_t base_price = opt[i].price;
-        const uint32_t* rep = opt[i].rep;
-        const int64_t lits = opt[i].lits;
-        // literal step (incremental LL-code price)
-        relax(i + 1, base_price + lit_price[src[p]] +
-                     LLP(lits + 1) - (lits > 0 ? LLP(lits) : 0),
-              i, 0, 0, (uint32_t)(lits + 1), rep);
-        const int64_t seq_base = base_price + (lits == 0 ? LLP(0) : 0);
-        // sufficient-length shortcut: take a very long rep immediately
-        {
-            int64_t big = 0, big_dist = 0, big_vcode = 0;
-            for (int r = 0; r < 3; r++) {
-                const int64_t rl = rep_length(src, p, (int64_t)rep[r], window_start, end);
-                if (rl > big) { big = rl; big_dist = rep[r]; big_vcode = r; }
-            }
-            if (big >= kSufficientLen) {
-                const int64_t L = big < (int64_t)(bn - i) ? big : bn - i;
-                relax(i + L, seq_base + MLP(L) + OFP(big_vcode == 0 ? 0 : 1),
-                      i, (uint32_t)L, (uint32_t)big_dist, 0, rep);
-                i += L - 1;
-                continue;
-            }
-        }
-        // rep matches (values 1..3 with ll>=1 semantics approximated)
-        for (int r = 0; r < 3; r++) {
-            const int64_t rl = rep_length(src, p, (int64_t)rep[r], window_start, end);
-            if (rl >= 4) {
-                const int64_t cap_len = rl < (int64_t)(bn - i) ? rl : bn - i;
-                const int64_t op = OFP(r == 0 ? 0 : 1);
-                // relax at ml-code boundaries + max
-                for (int64_t L = cap_len; L >= 4; ) {
-                    const uint32_t code = kMLCodeLut[L];
-                    relax(i + L, seq_base + MLP(L) + op,
-                          i, (uint32_t)L, rep[r], 0, rep);
-                    if (code == 0) break;
-                    const int64_t next_top = (int64_t)kMLBase[code] - 1;
-                    if (next_top >= L) break;
-                    L = next_top >= 4 ? next_top : 0;
-                }
-            }
-        }
-        // tree matches: all-candidates enumeration with increasing length
-        if (p + 4 <= end - 4) {
-            BtMatch mt[64];
-            const int nm = bt_get_all_matches(&c, p, min_match, mt, 64);
-            int64_t best_so_far = 0;
-            int64_t lb = min_match;
-            static const int kFullRelax =
-                getenv("ZT_FULLRELAX") ? atoi(getenv("ZT_FULLRELAX")) : 0;
-            for (int q = 0; q < nm; q++) {
-                const int64_t len = mt[q].len;
-                const int64_t off = mt[q].off;
-                best_so_far = len;
-                const int oc = highbit32((uint32_t)(off + 3));
-                const int64_t op = OFP(oc);
-                const int64_t cap_len = len < (int64_t)(bn - i) ? len : bn - i;
-                if (kFullRelax && cap_len - lb <= kFullRelax) {
-                    for (int64_t L = cap_len; L >= lb; L--)
-                        relax(i + L, seq_base + MLP(L) + op, i, (uint32_t)L,
-                              (uint32_t)off, 0, rep);
-                } else {
-                    for (int64_t L = cap_len; L >= lb; ) {
-                        const uint32_t code = kMLCodeLut[L];
-                        relax(i + L, seq_base + MLP(L) + op, i, (uint32_t)L,
-                              (uint32_t)off, 0, rep);
-                        if (code == 0) break;
-                        const int64_t next_top = (int64_t)kMLBase[code] - 1;
-                        if (next_top >= L) break;
-                        L = next_top >= lb ? next_top : lb - 1;
-                    }
-                }
-                lb = len + 1;  // shorter lengths already priced (closer offsets)
-            }
-            // sufficient-length shortcut for tree matches
-            if (best_so_far >= kSufficientLen) {
-                i += (best_so_far < (int64_t)(bn - i) ? best_so_far : bn - i) - 1;
-                continue;
-            }
-        } else {
-            bt_insert_upto(&c, p);
-        }
-    }
-    // Find the furthest reachable cell; the remainder becomes last literals.
-    int64_t cut = -1;
-    for (int64_t i = bn; i >= 0; i--) {
-        if (opt[i].price < kInfPrice) { cut = i; break; }
-    }
-    if (cut < 0) { free(opt); return -1; }
-
-    // Backtrack: collect (ml, ob) steps.
-    int64_t n_steps = 0;
-    for (int64_t i = cut; i > 0; i = opt[i].from) n_steps++;
-    // First pass gave steps in reverse; rebuild forward emitting sequences.
-    int64_t* stack = (int64_t*)malloc(sizeof(int64_t) * (size_t)(n_steps + 1));
-    if (!stack) { free(opt); return -1; }
-    int64_t sp = 0;
-    for (int64_t i = cut; i > 0; i = opt[i].from) stack[sp++] = i;
-    int64_t n_seq = 0;
-    int64_t anchor = 0;
-    uint32_t rep[3] = {rep_io[0], rep_io[1], rep_io[2]};
-    for (int64_t k = sp - 1; k >= 0; k--) {
-        const int64_t i = stack[k];
-        const OptCell* cell = &opt[i];
-        if (cell->ml == 0) continue;  // literal step
-        const int64_t pos = i - cell->ml;
-        const uint32_t ll = (uint32_t)(pos - anchor);
-        const uint32_t dist = cell->off_base;  // true distance
-        // Map distance -> offset_value against the REAL emit-time rep state
-        // (RFC 8878 §3.1.1.5), then update reps exactly like the decoder.
-        const bool ll0 = ll == 0;
-        uint32_t value;
-        if (!ll0) {
-            value = dist == rep[0] ? 1 : dist == rep[1] ? 2
-                    : dist == rep[2] ? 3 : dist + 3;
-        } else {
-            value = dist == rep[1] ? 1 : dist == rep[2] ? 2
-                    : (rep[0] > 1 && dist == rep[0] - 1) ? 3 : dist + 3;
-        }
-        if (value > 3) {
-            rep[2] = rep[1]; rep[1] = rep[0]; rep[0] = dist;
-        } else if (value == 1) {
-            if (ll0) { uint32_t t = rep[0]; rep[0] = rep[1]; rep[1] = t; }
-        } else {
-            const uint32_t idx = value - 1 + (ll0 ? 1 : 0);  // 1..3
-            if (idx != 1) rep[2] = rep[1];
-            rep[1] = rep[0];
-            rep[0] = dist;
-        }
-        if (n_seq >= max_seq) { free(stack); free(opt); return -1; }
-        out_ll[n_seq] = ll;
-        out_ml[n_seq] = cell->ml;
-        out_ob[n_seq] = value;
-        n_seq++;
-        anchor = i;
-    }
-    *out_last_lit = bn - anchor;
-    free(stack);
-    free(opt);
-    bt_insert_upto(&c, end - 8);
-    *insert_from_io = c.insert_from;
-    rep_io[0] = rep[0]; rep_io[1] = rep[1]; rep_io[2] = rep[2];
-    return n_seq;
-}
-
-
-int64_t ldm_scan_debug(const uint8_t* src, int64_t n, int64_t* out_pos,
-                       int64_t* out_len, int64_t* out_dist, int64_t cap) {
-    const int hash_log = 20;
-    const int64_t nb = (1LL << hash_log) * 4;
-    int64_t* buckets = (int64_t*)malloc((size_t)nb * 8);
-    for (int64_t i = 0; i < nb; i++) buckets[i] = -1;
-    LdmMatch* m = (LdmMatch*)malloc(sizeof(LdmMatch) * (size_t)cap);
-    int64_t k = ldm_scan(src, 0, n, 0, buckets, hash_log, 7, 64, m, cap);
-    for (int64_t i = 0; i < k; i++) {
-        out_pos[i] = m[i].pos; out_len[i] = m[i].len; out_dist[i] = m[i].dist;
-    }
-    free(buckets); free(m);
-    return k;
-}
-
-// Whole-frame encode: all blocks incl. headers, NOT the frame header.
-// strategy: 1-2 fast+dfast, 3-6 lazy, 7+ optimal.  use_ldm adds the gear
-// long-distance pre-pass (matches merged as forced sequences; the
-// short-range matcher parses the gaps).  Returns size or -1.
-int64_t compress_frame_body_ldm_c(const uint8_t* src, int64_t n, int strategy,
-                                  int hash_log, int chain_log, int search_log,
-                                  int window_log, int accel, int use_ldm,
-                                  int min_match, int split_mode,
-                                  int target_cblock, uint8_t* out, int64_t cap);
-
-int64_t compress_frame_body_c(const uint8_t* src, int64_t n, int strategy,
-                              int hash_log, int chain_log, int search_log,
-                              int window_log, int accel, uint8_t* out,
-                              int64_t cap) {
-    return compress_frame_body_ldm_c(src, n, strategy, hash_log, chain_log,
-                                     search_log, window_log, accel, 0, 4,
-                                     strategy >= 7, 0, out, cap);
-}
-
-// ---------------------------------------------------------------------------
-// Block splitter (ZSTD_deriveBlockSplitsHelper:4328 role)
-// ---------------------------------------------------------------------------
-//
-// Recursively split a block's sequence range at the midpoint whenever the
-// estimated cost of the halves beats the whole.  Estimates are Shannon
-// entropy of the literal bytes and LL/ML/OF code histograms plus fixed
-// header charges.  Repcode semantics survive splitting because offset
-// values are resolved against the decoder's cross-block rep state.
-
-struct SplitView {
-    const uint8_t* block;
-    const uint32_t *ll, *ml, *ob;
-    int64_t n_seq, last_lit, bn;
-    const int64_t* seq_start;  // byte offset of each sequence's literals
-};
-
-static double split_entropy(const uint32_t* cnt, int n) {
-    int64_t total = 0;
-    for (int i = 0; i < n; i++) total += cnt[i];
-    if (total == 0) return 0.0;
-    const double lt = __builtin_log2((double)total);
-    double bits = 0.0;
-    for (int i = 0; i < n; i++)
-        if (cnt[i]) bits += (double)cnt[i] * (lt - __builtin_log2((double)cnt[i]));
-    return bits;
-}
-
-// Estimated compressed bytes of sequences [a, b) (+ trailing literals if
-// b == n_seq).
-static double split_cost(const SplitView* v, int64_t a, int64_t b) {
-    uint32_t lit[256] = {0}, llc[36] = {0}, mlc[53] = {0}, ofc[32] = {0};
-    const uint32_t vmax = (1u << 17) - 1;
-    const int64_t byte_a = v->seq_start[a];
-    const int64_t byte_b = b < v->n_seq ? v->seq_start[b] : v->bn;
-    int64_t cursor = byte_a;
-    for (int64_t i = a; i < b; i++) {
-        for (int64_t k = 0; k < v->ll[i]; k++) lit[v->block[cursor + k]]++;
-        cursor += v->ll[i] + v->ml[i];
-        llc[kLLCodeLut[v->ll[i] < vmax ? v->ll[i] : vmax]]++;
-        mlc[kMLCodeLut[v->ml[i] < vmax ? v->ml[i] : vmax]]++;
-        ofc[highbit32(v->ob[i])]++;
-    }
-    if (b == v->n_seq)
-        for (int64_t k = byte_b - v->last_lit; k < byte_b; k++) lit[v->block[k]]++;
-    double bits = split_entropy(lit, 256) + split_entropy(llc, 36) +
-                  split_entropy(mlc, 53) + split_entropy(ofc, 32);
-    // extra bits of ll/ml/of values
-    for (int64_t i = a; i < b; i++) {
-        bits += kLLBits[kLLCodeLut[v->ll[i] < vmax ? v->ll[i] : vmax]];
-        bits += kMLBits[kMLCodeLut[v->ml[i] < vmax ? v->ml[i] : vmax]];
-        bits += highbit32(v->ob[i]);
-    }
-    return bits / 8.0 + 80.0 + 3.0;  // entropy headers + block header charge
-}
-
-// Subdivide until each partition's estimated compressed size is near the
-// requested targetCBlockSize (ZSTD_compressSuperBlock:584 role).
-static void split_derive_target(const SplitView* v, int64_t a, int64_t b,
-                                double target, int64_t* bounds, int* nb,
-                                int depth) {
-    if (*nb >= 195 || depth >= 10 || b - a < 16 ||
-        split_cost(v, a, b) <= target * 1.25) {
-        bounds[(*nb)++] = b;
-        return;
-    }
-    const int64_t mid = (a + b) / 2;
-    split_derive_target(v, a, mid, target, bounds, nb, depth + 1);
-    split_derive_target(v, mid, b, target, bounds, nb, depth + 1);
-}
-
-static void split_derive(const SplitView* v, int64_t a, int64_t b,
-                         int64_t* bounds, int* nb, int depth) {
-    if (b - a < 300 || *nb >= 195 || depth >= 8) {
-        bounds[(*nb)++] = b;
-        return;
-    }
-    const int64_t mid = (a + b) / 2;
-    if (split_cost(v, a, mid) + split_cost(v, mid, b) < split_cost(v, a, b)) {
-        split_derive(v, a, mid, bounds, nb, depth + 1);
-        split_derive(v, mid, b, bounds, nb, depth + 1);
-    } else {
-        bounds[(*nb)++] = b;
-    }
-}
-
-int64_t compress_frame_body_ldm_c(const uint8_t* src, int64_t n, int strategy,
-                                  int hash_log, int chain_log, int search_log,
-                                  int window_log, int accel, int use_ldm,
-                                  int min_match, int split_mode,
-                                  int target_cblock, uint8_t* out, int64_t cap) {
-    if (prof_on()) { g_prof[0] = g_prof[1] = g_prof[2] = g_prof[3] = 0; }
-    const int mls = min_match < 4 ? 4 : (min_match > 8 ? 8 : min_match);
-    codec_init();
-    const int64_t block_size = (1 << 17) < (1LL << window_log)
-                                   ? (1 << 17) : (1LL << window_log);
-    const int64_t tbl_n = 1LL << hash_log;
-    int64_t* table = (int64_t*)malloc((size_t)tbl_n * 8);
-    if (!table) return -1;
-    for (int64_t i = 0; i < tbl_n; i++) table[i] = -1;
-    // level-1 fast path: compact u32 table (positions stored +1), hashed
-    // into 2^16 entries regardless of the level-table hashLog — real-data
-    // ratio improves ~2.5% at equal speed (the level tables tuned hashLog
-    // for 2008-era cache sizes).
-    const int fast_hlog = strategy <= 1 && hash_log < 16 ? 16 : hash_log;
-    uint32_t* table32 = nullptr;
-    if (strategy <= 1 && !use_ldm && n < (1LL << 31) &&
-        !(strategy == 1 && hash_log >= 15 && accel <= 1) &&
-        !(getenv("ZT_FAST64"))) {
-        table32 = (uint32_t*)calloc((size_t)1 << fast_hlog, 4);
-        if (!table32) { free(table); return -1; }
-    }
-    int64_t* chain = nullptr;
-    if ((strategy >= 2 && strategy < 6) || (use_ldm && strategy < 6)) {
-        chain = (int64_t*)malloc((size_t)(1LL << chain_log) * 8);
-        if (!chain) { free(table); return -1; }
-        for (int64_t i = 0; i < (1LL << chain_log); i++) chain[i] = -1;
-    }
-    // row-matcher tables (levels 5-12 role; ZSTD_RowFindBestMatch)
-    uint32_t* row_pos = nullptr;
-    uint8_t* row_tags = nullptr;
-    uint8_t* row_heads = nullptr;
-    int row_log = hash_log - 4;
-    if (row_log < 8) row_log = 8;
-    if (row_log > 21) row_log = 21;
-    // 16-entry rows cover up to ~32 attempts; deeper searches keep chains.
-    // The dfast levels (strategy 2) also route here: row-greedy with 4
-    // attempts beats libzstd's ratio at levels 3-4 (dfast stays the
-    // fallback for small windows / LDM).
-    // Level 2 (fast with hashLog 16) also routes here: its speed contract
-    // is looser than level 1's, and the row's ratio wins (level 1 keeps
-    // the greedy fast loop: hashLog 14 + accel identify it).
-    const bool l2_shape = strategy == 1 && hash_log >= 15 && accel <= 1;
-    const bool use_row = (l2_shape || (strategy >= 2 && strategy <= 5)) &&
-                         window_log >= 14 && search_log <= 5 && !use_ldm &&
-                         !(getenv("ZT_ROW") && atoi(getenv("ZT_ROW")) == 0);
-    if (use_row) {
-        const int64_t n_rows = 1LL << row_log;
-        row_pos = (uint32_t*)calloc((size_t)n_rows * 16, 4);
-        row_tags = (uint8_t*)calloc((size_t)n_rows * 16, 1);
-        row_heads = (uint8_t*)calloc((size_t)n_rows, 1);
-        if (!row_pos || !row_tags || !row_heads) {
-            free(row_pos); free(row_tags); free(row_heads);
-            row_pos = nullptr; row_tags = nullptr; row_heads = nullptr;
-        }
-    }
-    // binary-tree links + hash3 heads for the optimal parser
-    int32_t* bt = nullptr;
-    int64_t* h3 = nullptr;
-    const int h3log = 16;
-    const int64_t bt_size = 1LL << chain_log;
-    if (strategy >= 6) {
-        bt = (int32_t*)malloc((size_t)(2 * bt_size) * 4);
-        h3 = (int64_t*)malloc((size_t)(1LL << h3log) * 8);
-        if (!bt || !h3) { free(table); free(chain); free(bt); free(h3); return -1; }
-        std::memset(bt, 0xFF, (size_t)(2 * bt_size) * 4);
-        for (int64_t i = 0; i < (1LL << h3log); i++) h3[i] = -1;
-    }
-    const int64_t max_seq_cap = block_size / 3 + 16;
-    uint32_t* s_ll = (uint32_t*)malloc((size_t)max_seq_cap * 12);
-    uint32_t* s_ml = s_ll + max_seq_cap;
-    uint32_t* s_ob = s_ml + max_seq_cap;
-    if (!s_ll) { free(table); free(chain); return -1; }
-
-    uint32_t rep[3] = {1, 4, 8};
-    int64_t insert_from = 0;
-    int64_t size = 0;
-    int64_t pos = 0;
-    int rc = 0;
-
-    OptStats* ost = nullptr;
-    if (strategy >= 7) {
-        ost = (OptStats*)malloc(sizeof(OptStats));
-        if (!ost) { free(table); free(chain); free(s_ll); return -1; }
-        opt_seed_default(ost);
-    }
-    EncEntropyC enc_state;
-    enc_entropy_reset(&enc_state);
-
-    // LDM state: bucket table + per-frame candidate list.
-    const int ldm_hash_log = 20;
-    int64_t* ldm_buckets = nullptr;
-    LdmMatch* ldm = nullptr;
-    int64_t n_ldm = 0, ldm_cursor = 0;
-    if (use_ldm) {
-        const int64_t nb = (1LL << ldm_hash_log) * 4;
-        ldm_buckets = (int64_t*)malloc((size_t)nb * 8);
-        ldm = (LdmMatch*)malloc(sizeof(LdmMatch) * (size_t)(n / 512 + 64));
-        if (!ldm_buckets || !ldm) { free(table); free(chain); free(s_ll);
-                                    free(ldm_buckets); free(ldm); return -1; }
-        for (int64_t i = 0; i < nb; i++) ldm_buckets[i] = -1;
-        n_ldm = ldm_scan(src, 0, n, 0, ldm_buckets, ldm_hash_log, 7, 64,
-                         ldm, n / 512 + 64);
-    }
-
-    // Gap parser for the LDM merge: same strategy family as the block
-    // parser so long-window mode keeps optimal/btlazy parse quality
-    // (ZSTD_ldm_blockCompress:761 hands gaps to the selected compressor).
-    auto parse_gap = [&](int64_t from, int64_t to, uint32_t* gll,
-                         uint32_t* gml, uint32_t* gob, int64_t budget,
-                         int64_t* gl) -> int64_t {
-        if (strategy >= 7)
-            return opt_find_matches(src, n, from, to, 0, 1LL << window_log,
-                                    table, hash_log, bt, bt_size,
-                                    1LL << search_log, h3, h3log, min_match,
-                                    &insert_from, rep, ost, gll, gml, gob,
-                                    budget, gl);
-        if (strategy == 6)
-            return btlazy_find_matches(src, n, from, to, 0, 1LL << window_log,
-                                       table, hash_log, bt, bt_size,
-                                       1LL << search_log, 2, &insert_from,
-                                       rep, gll, gml, gob, budget, gl);
-        return lazy_find_matches(src, n, from, to, 0, 1LL << window_log,
-                                 table, hash_log, chain, 1LL << chain_log,
-                                 1LL << search_log, strategy >= 5 ? 2 : 1,
-                                 &insert_from, rep, gll, gml, gob, budget, gl,
-                                 min_match);
-    };
-
-    if (n == 0) {
-        if (cap < 3) rc = -1;
-        else { out[0] = 1; out[1] = 0; out[2] = 0; size = 3; }
-    }
-    EncEntropyC est_snap;
-    uint32_t rep_snap[3];
-    while (pos < n && rc == 0) {
-        const int64_t end = pos + block_size < n ? pos + block_size : n;
-        const int last = end == n;
-        const int64_t bn = end - pos;
-        if (size + 3 + bn + 32 > cap) { rc = -1; break; }
-        // Snapshot decoder-visible state: a raw-block fallback must not
-        // advance repcodes or repeat-mode entropy tables, or every later
-        // block's rep/repeat references desync from the decoder
-        // (ZSTD_confirmRepcodesAndEntropyTables role).
-        rep_snap[0] = rep[0]; rep_snap[1] = rep[1]; rep_snap[2] = rep[2];
-        est_snap = enc_state;
-        // RLE block?
-        bool all_same = bn > 1;
-        for (int64_t i = pos + 1; i < end && all_same; i++)
-            if (src[i] != src[pos]) all_same = false;
-        if (all_same) {
-            const uint32_t bh = (uint32_t)(last | (1 << 1) | (bn << 3));
-            out[size] = (uint8_t)bh; out[size + 1] = (uint8_t)(bh >> 8);
-            out[size + 2] = (uint8_t)(bh >> 16);
-            out[size + 3] = src[pos];
-            size += 4;
-            insert_from = end;
-            pos = end;
-            continue;
-        }
-        int64_t last_lit;
-        int64_t n_seq;
-        if (use_ldm) {
-            // Merge: [gap parse][ldm seq] ... within this block; long LDM
-            // matches are split at block boundaries (a sequence cannot
-            // produce past its block's regenerated size).
-            n_seq = 0;
-            int64_t cursor = pos;
-            while (ldm_cursor < n_ldm && n_seq + 4 < max_seq_cap) {
-                LdmMatch m = ldm[ldm_cursor];
-                if (m.pos + m.len <= cursor || m.dist >= (1LL << window_log)) {
-                    ldm_cursor++;
-                    continue;
-                }
-                if (m.pos < cursor) {  // trim the already-consumed front
-                    const int64_t trim = cursor - m.pos;
-                    m.pos += trim;
-                    m.len -= trim;
-                }
-                if (m.pos >= end) break;
-                const int64_t take = m.len < end - m.pos ? m.len : end - m.pos;
-                if (take < 4) break;  // tail continues in the next block
-                // parse the gap [cursor, m.pos)
-                int64_t gl = 0;
-                if (m.pos > cursor) {
-                    int64_t k = parse_gap(cursor, m.pos, s_ll + n_seq,
-                                          s_ml + n_seq, s_ob + n_seq,
-                                          max_seq_cap - n_seq - 2, &gl);
-                    if (k < 0) { n_seq = -1; break; }
-                    n_seq += k;
-                }
-                s_ll[n_seq] = (uint32_t)gl;
-                s_ml[n_seq] = (uint32_t)take;
-                s_ob[n_seq] = (uint32_t)(m.dist + 3);
-                rep[2] = rep[1]; rep[1] = rep[0]; rep[0] = (uint32_t)m.dist;
-                n_seq++;
-                cursor = m.pos + take;
-                insert_from = insert_from > cursor ? insert_from : cursor;
-                if (take < m.len) {  // remainder goes to the next block
-                    ldm[ldm_cursor].pos = m.pos + take;
-                    ldm[ldm_cursor].len = m.len - take;
-                    break;
-                }
-                ldm_cursor++;
-            }
-            if (n_seq >= 0) {
-                int64_t gl = end - cursor;
-                if (cursor < end - 16) {
-                    int64_t k = parse_gap(cursor, end, s_ll + n_seq,
-                                          s_ml + n_seq, s_ob + n_seq,
-                                          max_seq_cap - n_seq, &gl);
-                    if (k < 0) n_seq = -1;
-                    else n_seq += k;
-                }
-                last_lit = gl;
-            }
-            if (n_seq > 0 && ost)
-                opt_update_stats(ost, s_ll, s_ml, s_ob, n_seq, true);
-                } else if (strategy == 2 && chain && !row_pos) {
-            n_seq = dfast_find_matches(src, n, pos, end, 0, 1LL << window_log,
-                                       table, hash_log, chain, chain_log, mls,
-                                       rep, s_ll, s_ml, s_ob, max_seq_cap,
-                                       &last_lit);
-        } else if (strategy <= 1 && table32 && !row_pos) {
-            n_seq = fast_find_matches32(src, n, pos, end, 0, 1LL << window_log,
-                                        table32, fast_hlog, mls, rep, s_ll,
-                                        s_ml, s_ob, max_seq_cap, &last_lit,
-                                        accel);
-        } else if (strategy <= 2 && !row_pos) {
-            n_seq = fast_find_matches(src, n, pos, end, 0, 1LL << window_log,
-                                      table, hash_log, mls, rep, s_ll, s_ml,
-                                      s_ob, max_seq_cap, &last_lit, accel);
-        } else if (strategy >= 7) {
-            const uint32_t rep_in[3] = {rep[0], rep[1], rep[2]};
-            n_seq = opt_find_matches(src, n, pos, end, 0, 1LL << window_log,
-                                     table, hash_log, bt, bt_size,
-                                     1LL << search_log, h3, h3log, min_match,
-                                     &insert_from, rep, ost,
-                                     s_ll, s_ml, s_ob, max_seq_cap, &last_lit);
-            if (n_seq > 0 && !ost->inited) {
-                // btultra2 seeding (ZSTD_initStats_ultra role): fold the
-                // first parse's choices into the prices and re-parse.
-                opt_update_stats(ost, s_ll, s_ml, s_ob, n_seq, false);
-                rep[0] = rep_in[0]; rep[1] = rep_in[1]; rep[2] = rep_in[2];
-                // Rewind matcher state so the re-parse replays the same
-                // inserts (tree roots otherwise point past the parse
-                // position).
-                for (int64_t t = 0; t < tbl_n; t++) table[t] = -1;
-                std::memset(bt, 0xFF, (size_t)(2 * bt_size) * 4);
-                for (int64_t t = 0; t < (1LL << h3log); t++) h3[t] = -1;
-                insert_from = pos;
-                n_seq = opt_find_matches(src, n, pos, end, 0,
-                                         1LL << window_log, table, hash_log,
-                                         bt, bt_size, 1LL << search_log,
-                                         h3, h3log, min_match,
-                                         &insert_from, rep,
-                                         ost, s_ll, s_ml, s_ob, max_seq_cap,
-                                         &last_lit);
-            }
-            if (n_seq >= 0)
-                opt_update_stats(ost, s_ll, s_ml, s_ob, n_seq, true);
-        } else if (strategy == 6) {
-            // double the attempt budget: the DUBT candidate cut costs the
-            // lazy parse more than zstd's eager tree, and 2x still beats
-            // the reference's btlazy2 on both ratio and speed here
-            n_seq = btlazy_find_matches(src, n, pos, end, 0, 1LL << window_log,
-                                        table, hash_log, bt, bt_size,
-                                        2LL << search_log, 2, &insert_from,
-                                        rep, s_ll, s_ml, s_ob, max_seq_cap,
-                                        &last_lit);
-        } else if (row_pos) {
-            const int depth = strategy >= 5 ? 2 : strategy >= 3 ? strategy - 3 : 0;
-            const int64_t att = strategy <= 2 ? 4 : 1LL << search_log;
-            n_seq = row_lazy_find_matches(src, n, pos, end, 0,
-                                          1LL << window_log, row_pos,
-                                          row_tags, row_heads, row_log,
-                                          min_match, att, depth,
-                                          &insert_from, rep, s_ll, s_ml, s_ob,
-                                          max_seq_cap, &last_lit);
-        } else {
-            const int depth = strategy >= 5 ? 2 : strategy - 3;
-            n_seq = lazy_find_matches(src, n, pos, end, 0, 1LL << window_log,
-                                      table, hash_log, chain, 1LL << chain_log,
-                                      1LL << search_log, depth, &insert_from,
-                                      rep, s_ll, s_ml, s_ob, max_seq_cap,
-                                      &last_lit, min_match);
-        }
-        if (n_seq < 0) { rc = -1; break; }
-        // Optional block split (btopt+): partitions with homogeneous
-        // statistics compress better than one mixed block.
-        int64_t bounds[200];
-        int nb = 1;
-        bounds[0] = n_seq;
-        if ((split_mode && n_seq >= 600) || (target_cblock > 0 && n_seq >= 32)) {
-            int64_t* seq_start = (int64_t*)malloc((size_t)(n_seq + 1) * 8);
-            if (seq_start) {
-                int64_t cur = 0;
-                for (int64_t i2 = 0; i2 < n_seq; i2++) {
-                    seq_start[i2] = cur;
-                    cur += s_ll[i2] + s_ml[i2];
-                }
-                seq_start[n_seq] = cur;
-                SplitView v{src + pos, s_ll, s_ml, s_ob, n_seq, last_lit, bn,
-                            seq_start};
-                nb = 0;
-                if (target_cblock > 0)
-                    split_derive_target(&v, 0, n_seq, (double)target_cblock,
-                                        bounds, &nb, 0);
-                else
-                    split_derive(&v, 0, n_seq, bounds, &nb, 0);
-                // emit partitions
-                int64_t a = 0;
-                bool fail = false;
-                int64_t size0 = size;
-                for (int k = 0; k < nb && !fail; k++) {
-                    const int64_t b2 = bounds[k];
-                    const int64_t pa = seq_start[a];
-                    const int64_t pb = k == nb - 1 ? bn : seq_start[b2];
-                    const int64_t pbn = pb - pa;
-                    const int64_t plast = k == nb - 1 ? last_lit : 0;
-                    const int plast_flag = last && k == nb - 1;
-                    if (size + 3 + pbn + 32 > cap) { fail = true; break; }
-                    int64_t pbody = encode_block_body_c(
-                        src + pos + pa, pbn, s_ll + a, s_ml + a, s_ob + a,
-                        b2 - a, plast, out + size + 3, cap - size - 3 - 8,
-                        &enc_state);
-                    if (pbody < 0) {
-                        // a raw partition would desync later partitions'
-                        // repcodes; abandon the split entirely
-                        fail = true;
-                        break;
-                    }
-                    const uint32_t bh = (uint32_t)(plast_flag | (2 << 1) | (pbody << 3));
-                    out[size] = (uint8_t)bh; out[size + 1] = (uint8_t)(bh >> 8);
-                    out[size + 2] = (uint8_t)(bh >> 16);
-                    size += 3 + pbody;
-                    a = b2;
-                }
-                free(seq_start);
-                if (!fail) { pos = end; continue; }
-                size = size0;  // fall through to single-block emission
-                enc_state = est_snap;
-            }
-        }
-        int64_t body = encode_block_body_c(src + pos, bn, s_ll, s_ml, s_ob,
-                                           n_seq, last_lit, out + size + 3,
-                                           cap - size - 3 - 8, &enc_state);
-        if (body < 0) {
-            rep[0] = rep_snap[0]; rep[1] = rep_snap[1]; rep[2] = rep_snap[2];
-            enc_state = est_snap;
-            const uint32_t bh = (uint32_t)(last | (0 << 1) | (bn << 3));
-            out[size] = (uint8_t)bh; out[size + 1] = (uint8_t)(bh >> 8);
-            out[size + 2] = (uint8_t)(bh >> 16);
-            std::memcpy(out + size + 3, src + pos, (size_t)bn);
-            size += 3 + bn;
-        } else {
-            const uint32_t bh = (uint32_t)(last | (2 << 1) | (body << 3));
-            out[size] = (uint8_t)bh; out[size + 1] = (uint8_t)(bh >> 8);
-            out[size + 2] = (uint8_t)(bh >> 16);
-            size += 3 + body;
-        }
-        pos = end;
-    }
-    if (prof_on())
-        fprintf(stderr, "ZT_PROF encode ns: gather=%lld literals=%lld "
-                "codes+tables=%lld fse=%lld\n", (long long)g_prof[0],
-                (long long)g_prof[1], (long long)g_prof[2],
-                (long long)g_prof[3]);
-    free(table);
-    free(table32);
-    free(chain);
-    free(bt);
-    free(h3);
-    free(row_pos);
-    free(row_tags);
-    free(row_heads);
-    free(s_ll);
-    free(ldm_buckets);
-    free(ldm);
-    free(ost);
-    return rc == 0 ? size : -1;
-}
-
-// ----------------------------- block decode -------------------------------
-
-struct EntropyStateC {
-    HufDTableC huf;
-    FseDTableC ll, of, ml;
-    bool ll_valid, of_valid, ml_valid;
-    uint32_t rep[3];
-};
-
-// Decode literals section.  Writes into lit (cap >= 1<<17 + 32).
-// Returns bytes consumed, sets *lit_size; -1 on error.
-// 4-stream interleaved Huffman decode (HUF_decompress4X1 role).  One padded
-// buffer holds the whole payload; each stream's reader may touch up to 16
-// bytes before its own start (the previous stream's bytes / the zero prefix)
-// — those bits are don't-care by canonical-table construction, so only
-// memory validity matters.  Streams advance in lockstep for ILP.
-static int huf_decode_4x(const uint8_t* pad, const int64_t* offs,
-                         const int64_t* sizes, const uint16_t* D, int tlog,
-                         uint8_t* out, const int64_t* osz) {
-    int64_t pos[4], rem[4];
-    const uint8_t* sb[4];
-    uint8_t* op[4];
-    int64_t ooff = 0;
-    for (int k = 0; k < 4; k++) {
-        pos[k] = br_init(pad + 16 + offs[k], sizes[k]);
-        if (pos[k] < 0) return -1;
-        sb[k] = pad + offs[k];
-        op[k] = out + ooff;
-        rem[k] = osz[k];
-        ooff += osz[k];
-    }
-    const int per = tlog <= 11 ? 5 : 4;
-    const uint64_t mask = (1ULL << tlog) - 1;
-    {
-        // register-resident stream state (the array form spills)
-        int64_t p0 = pos[0], p1 = pos[1], p2 = pos[2], p3 = pos[3];
-        int64_t r0 = rem[0], r1 = rem[1], r2 = rem[2], r3 = rem[3];
-        uint8_t *q0 = op[0], *q1 = op[1], *q2 = op[2], *q3 = op[3];
-        const uint8_t *b0 = sb[0], *b1 = sb[1], *b2 = sb[2], *b3 = sb[3];
-        while (p0 >= 56 && p1 >= 56 && p2 >= 56 && p3 >= 56 &&
-               r0 >= per && r1 >= per && r2 >= per && r3 >= per) {
-            const int64_t a0 = p0 - 56 + 128, a1 = p1 - 56 + 128;
-            const int64_t a2 = p2 - 56 + 128, a3 = p3 - 56 + 128;
-            uint64_t W0 = read_window(b0 + (a0 >> 3)) >> (a0 & 7);
-            uint64_t W1 = read_window(b1 + (a1 >> 3)) >> (a1 & 7);
-            uint64_t W2 = read_window(b2 + (a2 >> 3)) >> (a2 & 7);
-            uint64_t W3 = read_window(b3 + (a3 >> 3)) >> (a3 & 7);
-            int s0 = 56, s1 = 56, s2 = 56, s3 = 56;
-            for (int j = 0; j < per; j++) {
-                const uint16_t e0 = D[(W0 >> (s0 - tlog)) & mask];
-                const uint16_t e1 = D[(W1 >> (s1 - tlog)) & mask];
-                const uint16_t e2 = D[(W2 >> (s2 - tlog)) & mask];
-                const uint16_t e3 = D[(W3 >> (s3 - tlog)) & mask];
-                q0[j] = (uint8_t)(e0 >> 8); s0 -= (int)(e0 & 0xFF);
-                q1[j] = (uint8_t)(e1 >> 8); s1 -= (int)(e1 & 0xFF);
-                q2[j] = (uint8_t)(e2 >> 8); s2 -= (int)(e2 & 0xFF);
-                q3[j] = (uint8_t)(e3 >> 8); s3 -= (int)(e3 & 0xFF);
-            }
-            q0 += per; q1 += per; q2 += per; q3 += per;
-            p0 -= 56 - s0; p1 -= 56 - s1; p2 -= 56 - s2; p3 -= 56 - s3;
-            r0 -= per; r1 -= per; r2 -= per; r3 -= per;
-        }
-        pos[0] = p0; pos[1] = p1; pos[2] = p2; pos[3] = p3;
-        rem[0] = r0; rem[1] = r1; rem[2] = r2; rem[3] = r3;
-        op[0] = q0; op[1] = q1; op[2] = q2; op[3] = q3;
-    }
-    for (int k = 0; k < 4; k++) {
-        while (rem[k] > 0) {
-            if (pos[k] <= 0) return -1;  // over-consumed: corrupt
-            const int64_t p = pos[k] - tlog + 16 * 8;
-            const uint64_t idx = (read_window(sb[k] + (p >> 3)) >> (p & 7)) & mask;
-            const uint16_t e = D[idx];
-            *op[k]++ = (uint8_t)(e >> 8);
-            pos[k] -= (int)(e & 0xFF);
-            rem[k]--;
-        }
-        if (pos[k] != 0) return -1;
-    }
-    return 0;
-}
-
-static int64_t decode_literals_c(const uint8_t* src, int64_t size,
-                                 EntropyStateC* ent, uint8_t* lit,
-                                 int64_t* lit_size) {
-    if (size < 1) return -1;
-    const int b0 = src[0];
-    const int lit_type = b0 & 3;
-    const int sf = (b0 >> 2) & 3;
-    if (lit_type <= 1) {  // raw / rle
-        int64_t n, h;
-        if (sf == 0 || sf == 2) { n = b0 >> 3; h = 1; }
-        else if (sf == 1) {
-            if (size < 2) return -1;
-            n = (b0 >> 4) + ((int64_t)src[1] << 4); h = 2;
-        } else {
-            if (size < 3) return -1;
-            n = (b0 >> 4) + ((int64_t)src[1] << 4) + ((int64_t)src[2] << 12); h = 3;
-        }
-        if (n > (1 << 17)) return -1;
-        *lit_size = n;
-        if (lit_type == 0) {
-            if (size < h + n) return -1;
-            std::memcpy(lit, src + h, (size_t)n);
-            return h + n;
-        }
-        if (size < h + 1) return -1;
-        std::memset(lit, src[h], (size_t)n);
-        return h + 1;
-    }
-    // compressed / repeat
-    int64_t regen, comp, h;
-    int streams;
-    if (size < 5) return -1;
-    if (sf == 0 || sf == 1) {
-        uint32_t v = (uint32_t)src[0] | ((uint32_t)src[1] << 8) | ((uint32_t)src[2] << 16);
-        regen = (v >> 4) & 0x3FF;
-        comp = (v >> 14) & 0x3FF;
-        h = 3;
-        streams = sf == 0 ? 1 : 4;
-    } else if (sf == 2) {
-        uint32_t v;
-        std::memcpy(&v, src, 4);
-        regen = (v >> 4) & 0x3FFF;
-        comp = (v >> 18) & 0x3FFF;
-        h = 4;
-        streams = 4;
-    } else {
-        uint64_t v = 0;
-        std::memcpy(&v, src, 5);
-        regen = (v >> 4) & 0x3FFFF;
-        comp = (v >> 22) & 0x3FFFF;
-        h = 5;
-        streams = 4;
-    }
-    if (size < h + comp || regen > (1 << 17)) return -1;
-    const uint8_t* payload = src + h;
-    int64_t psize = comp;
-    if (lit_type == 2) {
-        int64_t whdr = huf_read_and_build_dtable(payload, psize, &ent->huf);
-        if (whdr < 0) return -1;
-        payload += whdr;
-        psize -= whdr;
-    } else if (!ent->huf.valid) {
-        return -1;
-    }
-    *lit_size = regen;
-    // Backward readers may touch up to 16 bytes before a stream's start;
-    // the frame loop guarantees those bytes are readable (frame-level
-    // padded copy), and canonical-table don't-care bits make their values
-    // irrelevant for valid streams — so streams decode in place.
-    int rc = 0;
-    if (streams == 1) {
-        rc = (int)huf_decode_stream(payload - 16, psize, ent->huf.sym,
-                                    ent->huf.nb, ent->huf.tlog, lit, regen);
-    } else {
-        if (psize < 6 + 3) return -1;
-        const int64_t l1 = payload[0] | (payload[1] << 8);
-        const int64_t l2 = payload[2] | (payload[3] << 8);
-        const int64_t l3 = payload[4] | (payload[5] << 8);
-        const int64_t l4 = psize - 6 - l1 - l2 - l3;
-        if (l4 <= 0) return -1;
-        const int64_t seg = (regen + 3) / 4;
-        const int64_t osz[4] = {seg, seg, seg, regen - 3 * seg};
-        const int64_t isz[4] = {l1, l2, l3, l4};
-        if (osz[3] < 0) return -1;
-        const uint8_t* pad = payload + 6 - 16;
-        const int64_t offs[4] = {0, l1, l1 + l2, l1 + l2 + l3};
-        // Decoder selection (HUF_selectDecoder role): double-symbol X2 wins
-        // when two typical codes fit in one tableLog window:
-        // 2 * avgBits = 2 * 8*comp/regen <= tlog.
-        const int x2_env = getenv("ZT_HUF_X2") ? atoi(getenv("ZT_HUF_X2")) : -1;
-        const bool use_x2 = x2_env >= 0 ? x2_env != 0
-            : (regen >= 1024 && comp * 16 <= regen * (int64_t)ent->huf.tlog);
-        if (use_x2) {
-            if (!ent->huf.x2_valid) huf_build_x2(&ent->huf);
-            rc = huf_decode_4x2(pad, offs, isz, ent->huf.fused2,
-                                ent->huf.tlog, lit, osz);
-        } else {
-            rc = huf_decode_4x(pad, offs, isz, ent->huf.fused, ent->huf.tlog,
-                               lit, osz);
-        }
-    }
-    if (rc != 0) return -1;
-    return h + comp;
-}
-
-// Builds one channel's decode table per its mode.  Returns consumed or -1.
-static int64_t build_seq_table_c(int mode, const uint8_t* src, int64_t size,
-                                 FseDTableC* dt, bool* valid,
-                                 const FseDTableC* def, const uint32_t* base,
-                                 const uint8_t* bits, int max_sym, int max_log) {
-    codec_init();
-    if (mode == 0) { *dt = *def; *valid = true; return 0; }
-    if (mode == 1) {
-        if (size < 1 || src[0] > max_sym) return -1;
-        fse_rle_dtable_c(dt, src[0], base, bits);
-        fse_fuse_dtable(dt);
-        *valid = true;
-        return 1;
-    }
-    if (mode == 2) {
-        int16_t norm[64];
-        int ms, tl;
-        int64_t h = fse_read_ncount(norm, &ms, &tl, src, size, max_sym, max_log);
-        if (h < 0) return -1;
-        fse_build_dtable_c(dt, norm, ms, tl, base, bits);
-        fse_fuse_dtable(dt);
-        *valid = true;
-        return 0 + h;
-    }
-    // repeat
-    if (!*valid) return -1;
-    return 0;
-}
-
-// Decode one compressed block into out at out_pos.  Returns new out_pos, -1.
-// dirty (nullable): bit0 huf, bit1 ll, bit2 of, bit3 ml set when the block
-// overwrites that table (dictionary scratch restoration).
-static int64_t decode_block_c(const uint8_t* src, int64_t size,
-                              EntropyStateC* ent, uint8_t* out,
-                              int64_t out_pos, int64_t out_cap,
-                              int64_t prefix_start, uint8_t* lit_buf,
-                              uint32_t* seq_buf, int64_t max_seq,
-                              int* dirty = nullptr) {
-    int64_t lit_size;
-    const bool prof = prof_on();
-    int64_t t0 = prof ? prof_now() : 0;
-    if (dirty && size >= 1 && (src[0] & 3) == 2) *dirty |= 1;  // fresh huf
-    int64_t consumed = decode_literals_c(src, size, ent, lit_buf, &lit_size);
-    if (prof) { int64_t t = prof_now(); g_prof[0] += t - t0; t0 = t; }
-    if (consumed < 0) return -1;
-    src += consumed;
-    size -= consumed;
-    // nbSeq
-    if (size < 1) return -1;
-    int64_t nb_seq;
-    if (src[0] < 128) { nb_seq = src[0]; src += 1; size -= 1; }
-    else if (src[0] < 255) {
-        if (size < 2) return -1;
-        nb_seq = ((int64_t)(src[0] - 128) << 8) + src[1];
-        src += 2; size -= 2;
-    } else {
-        if (size < 3) return -1;
-        nb_seq = src[1] + ((int64_t)src[2] << 8) + 0x7F00;
-        src += 3; size -= 3;
-    }
-    if (nb_seq == 0) {
-        if (out_pos + lit_size > out_cap) return -1;
-        std::memcpy(out + out_pos, lit_buf, (size_t)lit_size);
-        return out_pos + lit_size;
-    }
-    if (nb_seq > max_seq) return -1;
-    if (size < 1) return -1;
-    const int mode_byte = src[0];
-    if (mode_byte & 3) return -1;
-    if (dirty) {
-        if ((mode_byte >> 6) != 3) *dirty |= 2;          // ll overwritten
-        if (((mode_byte >> 4) & 3) != 3) *dirty |= 4;    // of
-        if (((mode_byte >> 2) & 3) != 3) *dirty |= 8;    // ml
-    }
-    src += 1; size -= 1;
-    int64_t h;
-    h = build_seq_table_c(mode_byte >> 6, src, size, &ent->ll, &ent->ll_valid,
-                          &kLLDefaultDT, kLLBase, kLLBits, kMaxLL, kLLFseLog);
-    if (h < 0) return -1;
-    src += h; size -= h;
-    h = build_seq_table_c((mode_byte >> 4) & 3, src, size, &ent->of, &ent->of_valid,
-                          &kOFDefaultDT, kOFBase, kOFBits, kMaxOFF, kOFFseLog);
-    if (h < 0) return -1;
-    src += h; size -= h;
-    h = build_seq_table_c((mode_byte >> 2) & 3, src, size, &ent->ml, &ent->ml_valid,
-                          &kMLDefaultDT, kMLBase, kMLBits, kMaxML, kMLFseLog);
-    if (h < 0) return -1;
-    src += h; size -= h;
-    if (prof) { int64_t t = prof_now(); g_prof[1] += t - t0; t0 = t; }
-
-    (void)seq_buf; (void)max_seq;
-    int64_t r2 = decode_execute_sequences(
-        src - 16, size, nb_seq,
-        ent->ll.fused, ent->ll.tlog,
-        ent->of.fused, ent->of.tlog,
-        ent->ml.fused, ent->ml.tlog,
-        ent->rep, out, out_pos, out_cap, prefix_start, lit_buf, lit_size);
-    if (prof) { int64_t t = prof_now(); g_prof[2] += t - t0; t0 = t; }
-    return r2 < 0 ? -1 : r2;
-}
-
-// Whole-frame block loop: src points after the frame header.  Returns
-// produced bytes; sets *consumed (excl. checksum).  -1/-2.. on error.
-// Block loop shared by the plain and dictionary paths: `ent` is the
-// (possibly dictionary-preloaded) entropy state, `out_start` is where
-// frame content begins in `out` (bytes below it are match history).
-static int64_t decode_frame_blocks(const uint8_t* src, int64_t size,
-                                   EntropyStateC* ent, uint8_t* out,
-                                   int64_t out_start, int64_t out_cap,
-                                   int64_t* consumed_out, int* dirty = nullptr);
-
-int64_t decode_frame_body_c(const uint8_t* src, int64_t size, uint8_t* out,
-                            int64_t out_cap, int64_t* consumed_out) {
-    codec_init();
-    if (prof_on()) { g_prof[0] = g_prof[1] = g_prof[2] = g_prof[3] = 0; }
-    EntropyStateC* ent = (EntropyStateC*)malloc(sizeof(EntropyStateC));
-    if (!ent) return -1;
-    ent->huf.valid = false;
-    ent->ll_valid = ent->of_valid = ent->ml_valid = false;
-    ent->rep[0] = 1; ent->rep[1] = 4; ent->rep[2] = 8;
-    // One padded copy for the whole frame: backward bit-readers may touch
-    // up to 16 bytes before any payload, so blocks decode in place here.
-    uint8_t* fpad = (uint8_t*)malloc((size_t)size + 24);
-    if (!fpad) { free(ent); return -1; }
-    std::memset(fpad, 0, 16);
-    std::memcpy(fpad + 16, src, (size_t)size);
-    int64_t r = decode_frame_blocks(fpad + 16, size, ent, out, 0, out_cap,
-                                    consumed_out);
-    free(fpad);
-    free(ent);
-    return r;
-}
-
-static int64_t decode_frame_blocks(const uint8_t* src, int64_t size,
-                                   EntropyStateC* ent, uint8_t* out,
-                                   int64_t out_start, int64_t out_cap,
-                                   int64_t* consumed_out, int* dirty) {
-    const int64_t max_seq = (1 << 17) / 3 + 16;
-    uint8_t* lit_buf = (uint8_t*)malloc((1 << 17) + 64);
-    uint32_t* seq_buf = (uint32_t*)malloc((size_t)max_seq * 12);
-    int64_t pos = 0, out_pos = out_start;
-    int64_t rc = 0;
-    if (!lit_buf || !seq_buf) rc = -1;
-    while (rc == 0) {
-        if (size - pos < 3) { rc = -2; break; }
-        const uint32_t bh = (uint32_t)src[pos] | ((uint32_t)src[pos + 1] << 8)
-                            | ((uint32_t)src[pos + 2] << 16);
-        pos += 3;
-        const int last = bh & 1;
-        const int btype = (bh >> 1) & 3;
-        const int64_t bsize = bh >> 3;
-        if (btype == 0) {
-            if (size - pos < bsize || out_pos + bsize > out_cap) { rc = -3; break; }
-            std::memcpy(out + out_pos, src + pos, (size_t)bsize);
-            out_pos += bsize;
-            pos += bsize;
-        } else if (btype == 1) {
-            if (size - pos < 1 || out_pos + bsize > out_cap) { rc = -4; break; }
-            std::memset(out + out_pos, src[pos], (size_t)bsize);
-            out_pos += bsize;
-            pos += 1;
-        } else if (btype == 2) {
-            if (size - pos < bsize || bsize > (1 << 17) + 32) { rc = -5; break; }
-            int64_t np = decode_block_c(src + pos, bsize, ent, out, out_pos,
-                                        out_cap, 0, lit_buf, seq_buf, max_seq,
-                                        dirty);
-            if (np < 0) { rc = -6; break; }
-            out_pos = np;
-            pos += bsize;
-        } else {
-            rc = -7;
-            break;
-        }
-        if (last) break;
-    }
-    if (prof_on())
-        fprintf(stderr, "ZT_PROF decode ns: literals=%lld tables=%lld "
-                "seqdec=%lld execute=%lld\n", (long long)g_prof[0],
-                (long long)g_prof[1], (long long)g_prof[2],
-                (long long)g_prof[3]);
-    free(lit_buf);
-    free(seq_buf);
-    if (rc != 0) return rc;
-    *consumed_out = pos;
-    return out_pos - out_start;
-}
-
-
-// ===========================================================================
-// Native dictionary contexts (ZSTD_CDict / ZSTD_DDict roles).
-// Wire format (ZSTD_loadDEntropy, ZstdDecompress.cs:1770):
-// [magic EC30A437][dictID u32][HUF weights][OF NCount][ML NCount][LL NCount]
-// [rep0..2 u32][content].  Raw-content dictionaries (no magic) carry only
-// history bytes.
-// ===========================================================================
-
-// Read a Huffman weights header (direct 4-bit or FSE-compressed) into
-// weights[]; returns bytes consumed and sets *n_weights, or -1.
-static int64_t huf_read_weights_c(const uint8_t* src, int64_t size,
-                                  uint8_t* weights, int* n_weights) {
-    if (size < 1) return -1;
-    const int i_size = src[0];
-    if (i_size >= 128) {
-        const int nw = i_size - 127;
-        const int64_t consumed = ((nw + 1) / 2) + 1;
-        if (size < consumed) return -1;
-        for (int i = 0; i < nw; i++) {
-            uint8_t b = src[1 + i / 2];
-            weights[i] = (i & 1) ? (b & 15) : (b >> 4);
-        }
-        *n_weights = nw;
-        return consumed;
-    }
-    const int64_t consumed = i_size + 1;
-    if (size < consumed) return -1;
-    int16_t norm[13];
-    int wmax, wlog;
-    int64_t h = fse_read_ncount(norm, &wmax, &wlog, src + 1, i_size, 12, 6);
-    if (h < 0) return -1;
-    FseDTableC* wdt = (FseDTableC*)malloc(sizeof(FseDTableC));
-    if (!wdt) return -1;
-    static const uint32_t zb[13] = {0};
-    static const uint8_t zbits[13] = {0};
-    fse_build_dtable_c(wdt, norm, wmax, wlog, zb, zbits);
-    uint8_t tsym[64];
-    fse_spread(norm, wmax, wlog, tsym);
-    int64_t nw = fse_decompress_2state(src + 1 + h, i_size - h, tsym,
-                                       wdt->state_bits, wdt->next_state, wlog,
-                                       weights, 255);
-    free(wdt);
-    if (nw < 1) return -1;
-    *n_weights = (int)nw;
-    return consumed;
-}
-
-// Canonical compress table from weights (incl. implied last weight).
-static int huf_ctable_from_weights(const uint8_t* weights_in, int n_weights,
-                                   HufCTableC* ct) {
-    uint8_t weights[257];
-    std::memcpy(weights, weights_in, (size_t)n_weights);
-    uint64_t total = 0;
-    for (int i = 0; i < n_weights; i++) {
-        if (weights[i] > 12) return -1;
-        if (weights[i]) total += 1ULL << (weights[i] - 1);
-    }
-    if (total == 0) return -1;
-    const int tlog = highbit32((uint32_t)total) + 1;
-    if (tlog > 12) return -1;
-    const uint64_t rest = (1ULL << tlog) - total;
-    if (rest & (rest - 1)) return -1;
-    weights[n_weights] = (uint8_t)(highbit32((uint32_t)rest) + 1);
-    const int nsym = n_weights + 1;
-    uint8_t lengths[257];
-    for (int i = 0; i < nsym; i++)
-        lengths[i] = weights[i] ? (uint8_t)(tlog + 1 - weights[i]) : 0;
-    huf_canonical(ct, lengths, nsym - 1);
-    return 0;
-}
-
-// Attach-mode matchers (ZSTD_dictMatchState role): the dictionary's
-// prefilled tables are read-only; frame-local inserts go to a small local
-// table sized for the input, so per-frame setup is O(local table) instead
-// of copying the dictionary state.  Candidates probe local first (more
-// recent), then the dictionary.
-
-static int64_t fast_attach_find(const uint8_t* all, int64_t clen,
-                                int64_t end_all, int64_t wsize,
-                                const uint32_t* dict_tbl, int dict_hlog,
-                                uint32_t* loc_tbl, int loc_hlog, int mls,
-                                uint32_t* rep_io,
-                                uint32_t* out_ll, uint32_t* out_ml,
-                                uint32_t* out_ob, int64_t max_seq,
-                                int64_t* out_last_lit) {
-    const int64_t start = clen, end = end_all;
-    if (end - start < 16) { *out_last_lit = end - start; return 0; }
-    const int64_t limit = end - 8;
-    int64_t rep0 = rep_io[0], rep1 = rep_io[1];
-    int64_t pos = start, anchor = start, n_seq = 0;
-
-    auto probe = [&](int64_t p) -> int64_t {
-        const uint32_t hl = hash_mls(all + p, loc_hlog, mls);
-        const int64_t lc = (int64_t)loc_tbl[hl] - 1;
-        loc_tbl[hl] = (uint32_t)(p + 1);
-        if (lc >= 0 && p - lc < wsize && read32(all + lc) == read32(all + p))
-            return lc;
-        const int64_t dc =
-            (int64_t)dict_tbl[hash_mls(all + p, dict_hlog, mls)] - 1;
-        if (dc >= 0 && dc < clen && p - dc < wsize &&
-            read32(all + dc) == read32(all + p)) return dc;
-        return -1;
-    };
-
-    while (n_seq + 4 < max_seq) {
-        int64_t step = 2, next_step = pos + 128;
-        int64_t mp = -1, mc = -1, ml = 0;
-        uint32_t ob = 0;
-        while (pos + 1 <= limit) {
-            const int64_t p2 = pos + step;
-            if (p2 <= limit && p2 - rep0 >= 0 && rep0 <= wsize &&
-                read32(all + p2) == read32(all + p2 - rep0)) {
-                mp = p2; mc = p2 - rep0;
-                if (mp > anchor && mc > 0 && all[mp - 1] == all[mc - 1]) {
-                    mp--; mc--;
-                }
-                ml = (p2 - mp) + 4 + count_match(all, p2 + 4, p2 + 4 - rep0, end);
-                ob = 1;
-                break;
-            }
-            int64_t cand = probe(pos);
-            if (cand >= 0) { mp = pos; mc = cand; break; }
-            if (pos + 1 <= limit) {
-                cand = probe(pos + 1);
-                if (cand >= 0) { mp = pos + 1; mc = cand; break; }
-            }
-            pos += step;
-            if (pos >= next_step) { step++; next_step += 128; }
-        }
-        if (mp < 0) break;
-        if (ob == 0) {
-            ml = 4 + count_match(all, mp + 4, mc + 4, end);
-            while (mp > anchor && mc > 0 && all[mp - 1] == all[mc - 1]) {
-                mp--; mc--; ml++;
-            }
-            const int64_t off = mp - mc;
-            ob = (uint32_t)(off + 3);
-            rep1 = rep0; rep0 = off;
-        }
-        out_ll[n_seq] = (uint32_t)(mp - anchor);
-        out_ml[n_seq] = (uint32_t)ml;
-        out_ob[n_seq] = ob;
-        n_seq++;
-        pos = mp + ml; anchor = pos;
-        while (pos <= limit && n_seq < max_seq && pos - rep1 >= 0 &&
-               rep1 <= wsize &&
-               read32(all + pos) == read32(all + pos - rep1)) {
-            const int64_t ml2 = 4 + count_match(all, pos + 4, pos + 4 - rep1, end);
-            const int64_t t = rep0; rep0 = rep1; rep1 = t;
-            out_ll[n_seq] = 0; out_ml[n_seq] = (uint32_t)ml2; out_ob[n_seq] = 1;
-            n_seq++;
-            pos += ml2; anchor = pos;
-        }
-        if (pos + 1 > limit) break;
-    }
-    rep_io[0] = (uint32_t)rep0; rep_io[1] = (uint32_t)rep1;
-    *out_last_lit = end - anchor;
-    return n_seq;
-}
-
-struct CDictC {
-    uint8_t* buf;          // [content | src...] working buffer
-    int64_t buf_cap;
-    int64_t clen;
-    uint32_t rep[3];
-    EncEntropyC entropy;
-    int strategy, hlog, clog, slog, wlog, mls;
-    uint32_t* fast32;      // strategy 1-2: read-only attach table (pos+1)
-    int64_t* tbl;          // lazy heads (copied per frame)
-    int64_t* chain;        // lazy chain (copied per frame)
-    uint32_t* loc;         // frame-local attach table scratch
-    int loc_hlog;
-};
-
-// Parse entropy tables into (enc, dec) states; returns content offset or -1.
-static int64_t dict_parse_common(const uint8_t* d, int64_t n,
-                                 EncEntropyC* enc, EntropyStateC* dec,
-                                 uint32_t* rep) {
-    codec_init();
-    if (n < 8 || read32(d) != 0xEC30A437u) return 0;  // raw content dict
-    int64_t pos = 8;
-    uint8_t weights[256];
-    int nw;
-    int64_t h = huf_read_weights_c(d + pos, n - pos, weights, &nw);
-    if (h < 0) return -1;
-    if (enc && huf_ctable_from_weights(weights, nw, &enc->huf) != 0) return -1;
-    if (dec && huf_read_and_build_dtable(d + pos, n - pos, &dec->huf) < 0)
-        return -1;
-    pos += h;
-    // OF, ML, LL NCounts
-    struct Chan { int max_sym, max_log; };
-    const Chan chans[3] = {{kMaxOFF, kOFFseLog}, {kMaxML, kMLFseLog},
-                           {kMaxLL, kLLFseLog}};
-    int16_t norms[3][64];
-    int maxs[3], logs[3];
-    for (int c = 0; c < 3; c++) {
-        std::memset(norms[c], 0, sizeof norms[c]);
-        int64_t hh = fse_read_ncount(norms[c], &maxs[c], &logs[c], d + pos,
-                                     n - pos, chans[c].max_sym,
-                                     chans[c].max_log);
-        if (hh < 0) return -1;
-        pos += hh;
-    }
-    if (enc) {
-        fse_build_ctable_c(&enc->of_ct, norms[0], maxs[0], logs[0]);
-        std::memcpy(enc->of_norm, norms[0], sizeof norms[0]);
-        enc->of_max = maxs[0]; enc->of_log = logs[0]; enc->of_valid = true;
-        fse_build_ctable_c(&enc->ml_ct, norms[1], maxs[1], logs[1]);
-        std::memcpy(enc->ml_norm, norms[1], sizeof norms[1]);
-        enc->ml_max = maxs[1]; enc->ml_log = logs[1]; enc->ml_valid = true;
-        fse_build_ctable_c(&enc->ll_ct, norms[2], maxs[2], logs[2]);
-        std::memcpy(enc->ll_norm, norms[2], sizeof norms[2]);
-        enc->ll_max = maxs[2]; enc->ll_log = logs[2]; enc->ll_valid = true;
-        enc->huf_valid = true;
-    }
-    if (dec) {
-        fse_build_dtable_c(&dec->of, norms[0], maxs[0], logs[0], kOFBase, kOFBits);
-        fse_build_dtable_c(&dec->ml, norms[1], maxs[1], logs[1], kMLBase, kMLBits);
-        fse_build_dtable_c(&dec->ll, norms[2], maxs[2], logs[2], kLLBase, kLLBits);
-        fse_fuse_dtable(&dec->of);
-        fse_fuse_dtable(&dec->ml);
-        fse_fuse_dtable(&dec->ll);
-        dec->of_valid = dec->ml_valid = dec->ll_valid = true;
-    }
-    if (n < pos + 12) return -1;
-    for (int i = 0; i < 3; i++) {
-        uint32_t r;
-        std::memcpy(&r, d + pos + 4 * i, 4);
-        rep[i] = r;
-    }
-    pos += 12;
-    return pos;
-}
-
-void* zt_cdict_create(const uint8_t* dict, int64_t dlen, int strategy,
-                      int hlog, int clog, int slog, int wlog, int min_match) {
-    if (strategy > 5) return nullptr;  // btlazy2+ stay on the generic path
-    CDictC* c = (CDictC*)calloc(1, sizeof(CDictC));
-    if (!c) return nullptr;
-    enc_entropy_reset(&c->entropy);
-    c->rep[0] = 1; c->rep[1] = 4; c->rep[2] = 8;
-    int64_t coff = dict_parse_common(dict, dlen, &c->entropy, nullptr, c->rep);
-    if (coff < 0) { free(c); return nullptr; }
-    if (coff == 0) {  // raw dict: no entropy
-        enc_entropy_reset(&c->entropy);
-        c->rep[0] = 1; c->rep[1] = 4; c->rep[2] = 8;
-    }
-    c->clen = dlen - coff;
-    c->strategy = strategy; c->hlog = hlog; c->clog = clog; c->slog = slog;
-    c->wlog = wlog;
-    c->mls = min_match < 4 ? 4 : (min_match > 8 ? 8 : min_match);
-    c->buf_cap = c->clen + (1 << 18);
-    c->buf = (uint8_t*)malloc((size_t)c->buf_cap);
-    if (!c->buf) { free(c); return nullptr; }
-    std::memcpy(c->buf, dict + coff, (size_t)c->clen);
-    const uint8_t* src = c->buf;
-    const int64_t lim = c->clen - 8;
-    if (strategy <= 2) {
-        // fast/dfast share the attach-mode path: one read-only table over
-        // the dictionary, tiny local table per frame
-        c->fast32 = (uint32_t*)calloc((size_t)1 << hlog, 4);
-        if (!c->fast32) { free(c->buf); free(c); return nullptr; }
-        for (int64_t i = 0; i < lim; i++)
-            c->fast32[hash_mls(src + i, hlog, c->mls)] = (uint32_t)(i + 1);
-        c->loc_hlog = 12;
-        c->loc = (uint32_t*)malloc(((size_t)1 << c->loc_hlog) * 4);
-        if (!c->loc) { free(c->fast32); free(c->buf); free(c); return nullptr; }
-    } else {
-        c->tbl = (int64_t*)malloc(((size_t)1 << hlog) * 8);
-        c->chain = (int64_t*)malloc(((size_t)1 << clog) * 8);
-        if (!c->tbl || !c->chain) {
-            free(c->tbl); free(c->chain); free(c->buf); free(c);
-            return nullptr;
-        }
-        for (int64_t i = 0; i < (1LL << hlog); i++) c->tbl[i] = -1;
-        const int64_t cmask = (1LL << clog) - 1;
-        for (int64_t i = 0; i < (1LL << clog); i++) c->chain[i] = -1;
-        for (int64_t i = 0; i < lim; i++) {
-            const uint32_t hv = hash_mls(src + i, hlog, c->mls);
-            c->chain[i & cmask] = c->tbl[hv];
-            c->tbl[hv] = i;
-        }
-    }
-    return c;
-}
-
-void zt_cdict_free(void* h) {
-    if (!h) return;
-    CDictC* c = (CDictC*)h;
-    free(c->fast32); free(c->tbl); free(c->chain); free(c->loc); free(c->buf);
-    free(c);
-}
-
-// Compress one frame body against the dictionary.  Scratch tables are
-// copies of the prefilled ones, so calls are independent.
-int64_t zt_compress_frame_body_cdict(void* h, const uint8_t* src, int64_t n,
-                                     uint8_t* out, int64_t cap) {
-    CDictC* c = (CDictC*)h;
-    if (!c || n == 0) return -1;
-    if (c->clen + n > c->buf_cap) {
-        const int64_t need = c->clen + n;
-        uint8_t* nb = (uint8_t*)realloc(c->buf, (size_t)need);
-        if (!nb) return -1;
-        c->buf = nb;
-        c->buf_cap = need;
-    }
-    std::memcpy(c->buf + c->clen, src, (size_t)n);
-    const uint8_t* all = c->buf;
-    const int64_t end_all = c->clen + n;
-    const int64_t wsize = 1LL << c->wlog;
-
-    const int64_t block_size = (1 << 17) < wsize ? (1 << 17) : wsize;
-    int64_t max_seq_cap = (block_size < n ? block_size : n) / 3 + 16;
-    uint32_t* s_ll = (uint32_t*)malloc((size_t)max_seq_cap * 12);
-    if (!s_ll) return -1;
-    uint32_t* s_ml = s_ll + max_seq_cap;
-    uint32_t* s_ob = s_ml + max_seq_cap;
-
-    // attach mode: wipe only the small local table
-    if (c->loc)
-        std::memset(c->loc, 0, ((size_t)1 << c->loc_hlog) * 4);
-    int64_t* tbl = nullptr;
-    int64_t* chain = nullptr;
-    if (c->tbl) {
-        tbl = (int64_t*)malloc(((size_t)1 << c->hlog) * 8);
-        chain = (int64_t*)malloc(((size_t)1 << c->clog) * 8);
-        if (!tbl || !chain) { free(tbl); free(chain); free(s_ll); return -1; }
-        std::memcpy(tbl, c->tbl, ((size_t)1 << c->hlog) * 8);
-        std::memcpy(chain, c->chain, ((size_t)1 << c->clog) * 8);
-    }
-    EncEntropyC est = c->entropy;
-    uint32_t rep[3] = {c->rep[0], c->rep[1], c->rep[2]};
-    // fast32 path carries only rep0/rep1 in its io array
-    int64_t insert_from = c->clen;
-    int64_t size = 0;
-    int64_t pos = c->clen;
-    int rc = 0;
-    EncEntropyC est_snap2;
-    uint32_t rep_in[3];
-    while (pos < end_all && rc == 0) {
-        const int64_t end = pos + block_size < end_all ? pos + block_size
-                                                       : end_all;
-        const int last = end == end_all;
-        const int64_t bn = end - pos;
-        if (size + 3 + bn + 32 > cap) { rc = -1; break; }
-        rep_in[0] = rep[0]; rep_in[1] = rep[1]; rep_in[2] = rep[2];
-        est_snap2 = est;
-        int64_t last_lit = 0;
-        int64_t n_seq = 0;
-        if (c->strategy <= 2) {
-            n_seq = fast_attach_find(all, pos, end, wsize, c->fast32,
-                                     c->hlog, c->loc, c->loc_hlog, c->mls,
-                                     rep, s_ll, s_ml, s_ob, max_seq_cap,
-                                     &last_lit);
-        } else {
-            const int depth = c->strategy >= 5 ? 2 : c->strategy - 3;
-            n_seq = lazy_find_matches(all, end_all, pos, end, 0, wsize, tbl,
-                                      c->hlog, chain, 1LL << c->clog,
-                                      1LL << c->slog, depth, &insert_from,
-                                      rep, s_ll, s_ml, s_ob, max_seq_cap,
-                                      &last_lit, c->mls);
-        }
-        if (n_seq < 0) { rc = -1; break; }
-        int64_t body = encode_block_body_c(all + pos, bn, s_ll, s_ml, s_ob,
-                                           n_seq, last_lit, out + size + 3,
-                                           cap - size - 3 - 8, &est);
-        if (body < 0) {
-            rep[0] = rep_in[0]; rep[1] = rep_in[1]; rep[2] = rep_in[2];
-            est = est_snap2;
-            const uint32_t bh = (uint32_t)(last | (0 << 1) | (bn << 3));
-            out[size] = (uint8_t)bh; out[size + 1] = (uint8_t)(bh >> 8);
-            out[size + 2] = (uint8_t)(bh >> 16);
-            std::memcpy(out + size + 3, all + pos, (size_t)bn);
-            size += 3 + bn;
-        } else {
-            const uint32_t bh = (uint32_t)(last | (2 << 1) | (body << 3));
-            out[size] = (uint8_t)bh; out[size + 1] = (uint8_t)(bh >> 8);
-            out[size + 2] = (uint8_t)(bh >> 16);
-            size += 3 + body;
-        }
-        pos = end;
-    }
-    free(tbl); free(chain); free(s_ll);
-    return rc == 0 ? size : -1;
-}
-
-struct DDictC {
-    uint8_t* content;
-    int64_t clen;
-    EntropyStateC ent;        // pristine (as loaded)
-    EntropyStateC scratch;    // per-call working copy, dirty-restored
-    int scratch_dirty;        // bit0 huf, 1 ll, 2 of, 3 ml; -1 = all
-    bool has_entropy;
-};
-
-void* zt_ddict_create(const uint8_t* dict, int64_t dlen) {
-    DDictC* d = (DDictC*)calloc(1, sizeof(DDictC));
-    if (!d) return nullptr;
-    d->ent.huf.valid = false;
-    d->ent.ll_valid = d->ent.of_valid = d->ent.ml_valid = false;
-    d->ent.rep[0] = 1; d->ent.rep[1] = 4; d->ent.rep[2] = 8;
-    int64_t coff = dict_parse_common(dict, dlen, nullptr, &d->ent, d->ent.rep);
-    if (coff < 0) { free(d); return nullptr; }
-    d->has_entropy = coff > 0;
-    d->clen = dlen - coff;
-    d->content = (uint8_t*)malloc((size_t)(d->clen > 0 ? d->clen : 1));
-    if (!d->content) { free(d); return nullptr; }
-    std::memcpy(d->content, dict + coff, (size_t)d->clen);
-    d->scratch = d->ent;
-    d->scratch_dirty = 0;
-    return d;
-}
-
-void zt_ddict_free(void* h) {
-    if (!h) return;
-    DDictC* d = (DDictC*)h;
-    free(d->content);
-    free(d);
-}
-
-// Decode one frame body with dictionary history + entropy.  `out` must have
-// room for clen + content; returns content bytes (excluding the prefix,
-// which occupies out[0..clen)), sets *consumed.
-int64_t zt_decode_frame_body_ddict(const uint8_t* src, int64_t size, void* h,
-                                   uint8_t* out, int64_t out_cap,
-                                   int64_t* consumed_out) {
-    DDictC* d = (DDictC*)h;
-    if (!d || out_cap < d->clen) return -1;
-    std::memcpy(out, d->content, (size_t)d->clen);
-    // Restore only what the previous frame overwrote (tables are large).
-    if (d->scratch_dirty & 1) d->scratch.huf = d->ent.huf;
-    if (d->scratch_dirty & 2) d->scratch.ll = d->ent.ll;
-    if (d->scratch_dirty & 4) d->scratch.of = d->ent.of;
-    if (d->scratch_dirty & 8) d->scratch.ml = d->ent.ml;
-    d->scratch.ll_valid = d->ent.ll_valid;
-    d->scratch.of_valid = d->ent.of_valid;
-    d->scratch.ml_valid = d->ent.ml_valid;
-    d->scratch.huf.valid = d->ent.huf.valid;
-    std::memcpy(d->scratch.rep, d->ent.rep, sizeof d->scratch.rep);
-    d->scratch_dirty = 0;
-    uint8_t* fpad = (uint8_t*)malloc((size_t)size + 24);
-    if (!fpad) return -1;
-    std::memset(fpad, 0, 16);
-    std::memcpy(fpad + 16, src, (size_t)size);
-    int64_t r = decode_frame_blocks(fpad + 16, size, &d->scratch, out, d->clen,
-                                    out_cap, consumed_out, &d->scratch_dirty);
-    free(fpad);
-    return r;
-}
-
-
-// ---------------------------------------------------------------------------
-// Batch dictionary codec (the 10K-small-records shape): one call per batch,
-// frame headers written/parsed natively.
-// ---------------------------------------------------------------------------
-
-static int64_t write_frame_header_c(uint8_t* out, int64_t src_size, int wlog,
-                                    uint32_t dict_id, int checksum) {
-    const uint32_t magic = 0xFD2FB528u;
-    std::memcpy(out, &magic, 4);
-    int64_t p = 5;
-    const int64_t wsize = 1LL << wlog;
-    const int single = src_size <= wsize;
-    int fcs_code = (src_size >= 256) + (src_size >= 65536 + 256) +
-                   (src_size > 0xFFFFFFFFLL);
-    const int did = dict_id == 0 ? 0 : (dict_id < 256 ? 1 : dict_id < 65536 ? 2 : 3);
-    out[4] = (uint8_t)((fcs_code << 6) | (single << 5) | (checksum << 2) | did);
-    if (!single) out[p++] = (uint8_t)((wlog - 10) << 3);
-    if (did == 1) { out[p++] = (uint8_t)dict_id; }
-    else if (did == 2) { std::memcpy(out + p, &dict_id, 2); p += 2; }
-    else if (did == 3) { std::memcpy(out + p, &dict_id, 4); p += 4; }
-    if (fcs_code == 0) {
-        if (single) out[p++] = (uint8_t)src_size;
-    } else if (fcs_code == 1) {
-        const uint16_t v = (uint16_t)(src_size - 256);
-        std::memcpy(out + p, &v, 2); p += 2;
-    } else if (fcs_code == 2) {
-        const uint32_t v = (uint32_t)src_size;
-        std::memcpy(out + p, &v, 4); p += 4;
-    } else {
-        const uint64_t v = (uint64_t)src_size;
-        std::memcpy(out + p, &v, 8); p += 8;
-    }
-    return p;
-}
-
-// Compress n_items records (concatenated) into framed outputs.  out_lens[i]
-// receives each frame's size; returns total bytes or -1.
-int64_t zt_compress_many_cdict(void* h, const uint8_t* concat,
-                               const int64_t* lens, int64_t n_items,
-                               uint32_t dict_id, uint8_t* out, int64_t cap,
-                               int64_t* out_lens) {
-    CDictC* c = (CDictC*)h;
-    if (!c) return -1;
-    int64_t ip = 0, op = 0;
-    for (int64_t i = 0; i < n_items; i++) {
-        const int64_t n = lens[i];
-        if (op + n + 64 > cap) return -1;
-        const int64_t h0 = write_frame_header_c(out + op, n, c->wlog, dict_id, 0);
-        int64_t body;
-        if (n == 0) {
-            out[op + h0] = 1; out[op + h0 + 1] = 0; out[op + h0 + 2] = 0;
-            body = 3;
-        } else {
-            body = zt_compress_frame_body_cdict(h, concat + ip, n,
-                                                out + op + h0,
-                                                cap - op - h0);
-            if (body < 0) return -1;
-        }
-        out_lens[i] = h0 + body;
-        op += h0 + body;
-        ip += n;
-    }
-    return op;
-}
-
-// Parse a frame header: returns header size, sets *fcs (-1 unknown),
-// *has_cksum, and *dict_id (0 when absent).  -1 on error.
-static int64_t parse_frame_header_c(const uint8_t* src, int64_t size,
-                                    int64_t* fcs, int* has_cksum,
-                                    uint32_t* dict_id) {
-    if (size < 5) return -1;
-    uint32_t magic;
-    std::memcpy(&magic, src, 4);
-    if (magic != 0xFD2FB528u) return -1;
-    const uint8_t fhd = src[4];
-    const int fcs_code = fhd >> 6;
-    const int single = (fhd >> 5) & 1;
-    *has_cksum = (fhd >> 2) & 1;
-    const int did = fhd & 3;
-    int64_t p = 5;
-    if (!single) p += 1;
-    const int did_bytes = did == 0 ? 0 : did == 1 ? 1 : did == 2 ? 2 : 4;
-    if (size < p + did_bytes) return -1;
-    *dict_id = 0;
-    if (did_bytes) std::memcpy(dict_id, src + p, (size_t)did_bytes);
-    p += did_bytes;
-    if (fcs_code == 0) {
-        if (single) { if (size < p + 1) return -1; *fcs = src[p]; p += 1; }
-        else *fcs = -1;
-    } else if (fcs_code == 1) {
-        uint16_t v; if (size < p + 2) return -1;
-        std::memcpy(&v, src + p, 2); *fcs = v + 256; p += 2;
-    } else if (fcs_code == 2) {
-        uint32_t v; if (size < p + 4) return -1;
-        std::memcpy(&v, src + p, 4); *fcs = v; p += 4;
-    } else {
-        int64_t v; if (size < p + 8) return -1;
-        std::memcpy(&v, src + p, 8); *fcs = v; p += 8;
-    }
-    return p;
-}
-
-// Decompress n_items frames (concatenated, sizes in flens) into concatenated
-// outputs; out_lens[i] receives each content size.  Returns total or -1.
-int64_t zt_decompress_many_ddict(void* h, const uint8_t* concat_in,
-                                 const int64_t* flens, int64_t n_items,
-                                 uint32_t expect_dict_id,
-                                 uint8_t* out, int64_t out_cap,
-                                 int64_t* out_lens) {
-    DDictC* d = (DDictC*)h;
-    if (!d) return -1;
-    int64_t total_in = 0;
-    for (int64_t i = 0; i < n_items; i++) total_in += flens[i];
-    uint8_t* cpad = (uint8_t*)malloc((size_t)total_in + 24);
-    if (!cpad) return -1;
-    std::memset(cpad, 0, 16);
-    std::memcpy(cpad + 16, concat_in, (size_t)total_in);
-    const uint8_t* concat = cpad + 16;
-    const int64_t clen = d->clen;
-    uint8_t* work = nullptr;
-    int64_t work_cap = 0;
-    int64_t ip = 0, op = 0;
-    for (int64_t i = 0; i < n_items; i++) {
-        const int64_t fl = flens[i];
-        int64_t fcs;
-        int cksum;
-        uint32_t frame_did;
-        const int64_t h0 = parse_frame_header_c(concat + ip, fl, &fcs, &cksum,
-                                                &frame_did);
-        if (h0 < 0 || fcs < 0) { free(work); free(cpad); return -1; }
-        // A frame that names a different dictionary must not silently decode
-        // against this one (ZSTD_decodeFrameHeader dictionary_wrong role);
-        // bail to the element-wise path, which raises the proper error.
-        if (frame_did != 0 && frame_did != expect_dict_id) {
-            free(work); free(cpad); return -1;
-        }
-        const int64_t need = clen + fcs + 64;
-        if (need > work_cap) {
-            free(work);
-            work_cap = need * 2;
-            work = (uint8_t*)malloc((size_t)work_cap);
-            if (!work) { free(cpad); return -1; }
-        }
-        // restore scratch (dirty-tracked) and decode
-        if (d->scratch_dirty & 1) d->scratch.huf = d->ent.huf;
-        if (d->scratch_dirty & 2) d->scratch.ll = d->ent.ll;
-        if (d->scratch_dirty & 4) d->scratch.of = d->ent.of;
-        if (d->scratch_dirty & 8) d->scratch.ml = d->ent.ml;
-        d->scratch.ll_valid = d->ent.ll_valid;
-        d->scratch.of_valid = d->ent.of_valid;
-        d->scratch.ml_valid = d->ent.ml_valid;
-        d->scratch.huf.valid = d->ent.huf.valid;
-        std::memcpy(d->scratch.rep, d->ent.rep, sizeof d->scratch.rep);
-        d->scratch_dirty = 0;
-        std::memcpy(work, d->content, (size_t)clen);
-        int64_t consumed = 0;
-        const int64_t r = decode_frame_blocks(concat + ip + h0, fl - h0,
-                                              &d->scratch, work, clen,
-                                              clen + fcs, &consumed,
-                                              &d->scratch_dirty);
-        if (r != fcs) { free(work); free(cpad); return -1; }
-        // Verify the XXH64 content checksum when the frame carries one
-        // (ZSTD_decompressFrame checksum verify role); the epilogue must
-        // also account for the frame length.
-        if (cksum) {
-            if (h0 + consumed + 4 > fl) { free(work); free(cpad); return -1; }
-            uint32_t stored;
-            std::memcpy(&stored, concat + ip + h0 + consumed, 4);
-            const uint32_t calc =
-                (uint32_t)xxh64(work + clen, r, 0);
-            if (stored != calc) { free(work); free(cpad); return -1; }
-        }
-        if (op + r > out_cap) { free(work); free(cpad); return -1; }
-        std::memcpy(out + op, work + clen, (size_t)r);
-        out_lens[i] = r;
-        op += r;
-        ip += fl;
-    }
-    free(work);
-    free(cpad);
-    return op;
-}
-
 }  // pause extern "C": exact-encoder templates below
+
 // ===========================================================================
 // EXACT ENCODER — reproduces the reference encoder's output byte-for-byte
 // for the fast/dfast strategies (levels <=4 and negative levels).
@@ -6259,6 +4332,57 @@ static int64_t zx_entropy_compress(const ZxStore* ss, const ZxEntropy* prev,
     return op - ostart;
 }
 
+// Content-adaptive block pre-split (role of libzstd >=1.5.7's
+// zstd_preSplit, re-designed: the reference v1.5.1 has no analog).  A
+// 128KB block mixing regimes (text | random | runs) compresses worse than
+// its parts: entropy tables average over both and incompressible spans
+// drag the whole block to raw.  Scan 16KB segments' order-0 entropy and
+// cut the block at the first sharp shift.  Homogeneous inputs see no
+// splits, preserving byte-identity with the fixed 128KB layout there.
+static double g_zx_seg_th = 1.0;
+static int64_t g_zx_seg = 16 << 10;
+extern "C" void zx_set_split(double th, int64_t seg) {
+    g_zx_seg_th = th; g_zx_seg = seg;
+}
+static int64_t zx_pick_block_size(const uint8_t* ip, int64_t remaining,
+                                  int64_t block_max) {
+    const int64_t SEG = g_zx_seg;
+    if (remaining <= 2 * SEG || block_max <= SEG) {
+        return remaining < block_max ? remaining : block_max;
+    }
+    const int64_t lim = remaining < block_max ? remaining : block_max;
+    double h_prev = -1;
+    for (int64_t off = 0; off + SEG <= lim; off += SEG) {
+        uint32_t cnt[256] = {0};
+        const uint8_t* p = ip + off;
+        for (int64_t i = 0; i < SEG; i++) {
+            cnt[p[i]]++;
+        }
+        const double total = (double)SEG;
+        double h = 0;
+        for (int sdx = 0; sdx < 256; sdx++) {
+            if (!cnt[sdx]) continue;
+            const double q = cnt[sdx] / total;
+            h -= q * std::log2(q);
+        }
+        if (h_prev >= 0) {
+            const double d = h > h_prev ? h - h_prev : h_prev - h;
+            // Split on a large shift, or a moderate one crossing into or
+            // out of the extreme regimes (incompressible / run-like) where
+            // mixing poisons the whole block.  Moderate same-regime drift
+            // (e.g. prose vs JSON) stays unsplit, preserving byte-identity
+            // with the fixed 128KB layout on ordinary content.
+            const int extreme = h > 7.2 || h_prev > 7.2 || h < 2.0
+                                || h_prev < 2.0;
+            if (d > 1.0 || (extreme && d > 0.35)) {
+                return off;  // cut at the regime boundary
+            }
+        }
+        h_prev = h;
+    }
+    return lim;
+}
+
 // ZSTD_isRLE:3671.
 static int zx_is_rle(const uint8_t* ip, int64_t length) {
     const uint8_t value = ip[0];
@@ -6267,7 +4391,1978 @@ static int zx_is_rle(const uint8_t* ip, int64_t length) {
     return 1;
 }
 
+// Bridge: run the exact entropy pipeline over a seqstore produced by any
+// of the match finders (ll/ml = raw lengths, ob = offBase).  Returns the
+// body size, or -1 when a raw block wins (maxCSize bail included); the
+// caller swaps prev/next on success.
+static int64_t zx_block_from_arrays(const uint8_t* block, int64_t bn,
+                                    const uint32_t* ll, const uint32_t* mlv,
+                                    const uint32_t* ob, int64_t n_seq,
+                                    int64_t last_lit, ZxEntropy* prev,
+                                    ZxEntropy* next, int strategy,
+                                    uint8_t* out, int64_t cap) {
+    static thread_local uint8_t* litbuf = nullptr;
+    static thread_local ZxSeq* seqbuf = nullptr;
+    if (!litbuf) {
+        litbuf = (uint8_t*)malloc((1 << 17) + 64);
+        seqbuf = (ZxSeq*)malloc(((1 << 17) / 3 + 64) * sizeof(ZxSeq));
+        if (!litbuf || !seqbuf) return -1;
+    }
+    ZxStore ss{litbuf, 0, seqbuf, 0, 0, 0};
+    int64_t p = 0;
+    for (int64_t i = 0; i < n_seq; i++) {
+        zx_store_seq(&ss, block + p, ll[i], ob[i] - 1,
+                     (int64_t)mlv[i] - 3);
+        p += (int64_t)ll[i] + mlv[i];
+    }
+    std::memcpy(ss.lit + ss.nlit, block + bn - last_lit, (size_t)last_lit);
+    ss.nlit += last_lit;
+    const int64_t c =
+        zx_entropy_compress(&ss, prev, next, strategy, out, cap, bn);
+    if (c <= 0) return -1;
+    if (c >= bn - zx_min_gain(bn, strategy)) return -1;
+    return c;
+}
+
 extern "C" {
+
+// ---------------------------------------------------------------------------
+// Long-distance matcher (ZstdLdm.cs role: gear rolling hash + bucket table)
+// ---------------------------------------------------------------------------
+//
+// A gear hash is fed byte-by-byte (ZSTD_ldm_gear_feed:84); positions where
+// (hash & mask) == 0 become anchors inserted into / probed against a bucket
+// table, yielding matches across windows far beyond the chain table reach.
+// Emitted candidates are merged with the short-range parser per block.
+
+static uint64_t kGear[256];
+static bool kGearInit = false;
+
+static void ldm_init() {
+    if (kGearInit) return;
+    // Arithmetic gear shared with the device scan (ops/ldm.py): anchor
+    // placement is encoder-internal, and a multiplicative-hash gear keeps
+    // the device path gather-free.  Values masked to rate_log+8 bits so
+    // the device's int32 arithmetic is exact (rate_log default 7).
+    for (int i = 0; i < 256; i++) {
+        const uint32_t v = ((uint32_t)(i + 1)) * 0x9E3779B1u;
+        kGear[i] = (v >> 12) & 0x7FFFu;
+    }
+    kGearInit = true;
+}
+
+struct LdmMatch { int64_t pos; int64_t len; int64_t dist; };
+
+// Scan [start, end) emitting non-overlapping long matches (>= min_len).
+// bucket table: hash_log buckets x 4 entries of positions (-1 empty).
+static int64_t ldm_scan(const uint8_t* src, int64_t start, int64_t end,
+                        int64_t window_start, int64_t* buckets, int hash_log,
+                        int rate_log, int64_t min_len,
+                        LdmMatch* out, int64_t cap) {
+    ldm_init();
+    const uint64_t mask = (1ULL << rate_log) - 1;
+    const int64_t nbuck = 1LL << hash_log;
+    uint64_t h = 0;
+    int64_t n_out = 0;
+    int64_t next_free = start;
+    for (int64_t i = start; i + 8 < end; i++) {
+        h = (h << 1) + kGear[src[i]];
+        if ((h & mask) != 0) continue;
+        const int64_t b = (int64_t)((h >> rate_log) & (uint64_t)(nbuck - 1)) * 4;
+        int64_t best_len = 0, best_dist = 0;
+        if (i >= next_free && n_out < cap) {
+            for (int e = 0; e < 4; e++) {
+                const int64_t cand = buckets[b + e];
+                if (cand < window_start || cand >= i) continue;
+                if (read64(src + cand) != read64(src + i)) continue;
+                int64_t len = 8 + count_match(src, i + 8, cand + 8, end);
+                // backward extension up to next_free
+                int64_t s = i, cs = cand;
+                while (s > next_free && cs > window_start &&
+                       src[s - 1] == src[cs - 1]) { s--; cs--; len++; }
+                if (len > best_len) { best_len = len; best_dist = s - cs;
+                                      out[n_out].pos = s; }
+            }
+        }
+        // insert (rotate bucket)
+        buckets[b + 3] = buckets[b + 2];
+        buckets[b + 2] = buckets[b + 1];
+        buckets[b + 1] = buckets[b + 0];
+        buckets[b + 0] = i;
+        if (best_len >= min_len) {
+            out[n_out].len = best_len;
+            out[n_out].dist = best_dist;
+            next_free = out[n_out].pos + best_len;
+            n_out++;
+        }
+    }
+    return n_out;
+}
+
+// ---------------------------------------------------------------------------
+// Optimal parser (btopt/btultra role, levels 13+; ZstdOpt.cs:1046 shape)
+// ---------------------------------------------------------------------------
+//
+// Forward DP over the block with fixed-point prices (1/32 bit units):
+// literal prices from the block histogram, match prices from the predefined
+// OF/ML code distributions + extra bits + a flat per-sequence overhead.
+// Candidates come from the hash chain (all attempts, not first-best) plus
+// the three repcodes; lengths are relaxed at ml-code boundaries only, which
+// preserves optimality of the step-function price model at O(codes) cost.
+
+static const uint32_t kInfPrice = 0x3FFFFFFF;
+
+struct OptCell {
+    uint32_t price;
+    int32_t from;       // previous position
+    uint32_t ml;        // 0 = literal step
+    uint32_t off_base;  // offBase when ml > 0
+    uint32_t lits;      // literal-run length ending at this cell
+    uint32_t rep[3];
+};
+
+// Adaptive symbol statistics for the optimal parser (ZSTD_rescaleFreqs /
+// ZSTD_initStats_ultra role).  Counts carry across blocks with decay; price
+// tables are 1/32-bit fixed point code costs (extra bits added separately).
+struct OptStats {
+    uint32_t llc[36], mlc[53], ofc[32];
+    uint32_t ll_price[36], ml_price[53], of_price[32];
+    bool inited;
+};
+
+static void opt_build_prices(OptStats* st) {
+    auto build = [](const uint32_t* cnt, uint32_t* price, int n) {
+        uint64_t total = 0;
+        for (int i = 0; i < n; i++) total += cnt[i];
+        const float lt = __builtin_log2f((float)(total + (uint64_t)n));
+        for (int i = 0; i < n; i++) {
+            float bits = lt - __builtin_log2f((float)(cnt[i] + 1));
+            if (bits > 20.f) bits = 20.f;
+            if (bits < 0.125f) bits = 0.125f;
+            price[i] = (uint32_t)(bits * 256.f + 0.5f);  // 1/256-bit units
+        }
+    };
+    build(st->llc, st->ll_price, 36);
+    build(st->mlc, st->ml_price, 53);
+    build(st->ofc, st->of_price, 32);
+}
+
+// Seed from the predefined FSE distributions (first block, first pass).
+static void opt_seed_default(OptStats* st) {
+    for (int i = 0; i < 36; i++) st->llc[i] = (uint32_t)(kLLNorm[i] < 1 ? 1 : kLLNorm[i]) * 8;
+    for (int i = 0; i < 53; i++) st->mlc[i] = (uint32_t)(kMLNorm[i] < 1 ? 1 : kMLNorm[i]) * 8;
+    for (int i = 0; i < 32; i++)
+        st->ofc[i] = i <= kDefaultMaxOFF && kOFNorm[i] >= 1 ? (uint32_t)kOFNorm[i] * 8 : 1;
+    st->inited = false;
+    opt_build_prices(st);
+}
+
+// Fold a block's emitted sequences into the running stats.
+static void opt_update_stats(OptStats* st, const uint32_t* ll,
+                             const uint32_t* mlv, const uint32_t* ob,
+                             int64_t n_seq, bool decay) {
+    if (decay) {
+        static const int kShift =
+            getenv("ZT_OPT_DECAY") ? atoi(getenv("ZT_OPT_DECAY")) : 2;
+        for (int i = 0; i < 36; i++) st->llc[i] -= st->llc[i] >> kShift;
+        for (int i = 0; i < 53; i++) st->mlc[i] -= st->mlc[i] >> kShift;
+        for (int i = 0; i < 32; i++) st->ofc[i] -= st->ofc[i] >> kShift;
+    }
+    const uint32_t vmax = (1u << 17) - 1;
+    for (int64_t i = 0; i < n_seq; i++) {
+        st->llc[kLLCodeLut[ll[i] < vmax ? ll[i] : vmax]]++;
+        st->mlc[kMLCodeLut[mlv[i] < vmax ? mlv[i] : vmax]]++;
+        st->ofc[highbit32(ob[i])]++;
+    }
+    st->inited = true;
+    opt_build_prices(st);
+}
+
+static inline uint32_t of_code_price32(int of_code) {
+    // -log2(norm/32) for the predefined OF distribution, in 1/32 bits,
+    // plus the extra bits the offset consumes.
+    static const int16_t norm[29] = {1,1,1,1,1,1,2,2,2,1,1,1,1,1,1,1,1,1,
+                                     1,1,1,1,1,1,1,1,1,1,1};
+    const int code_bits = of_code <= 28 && norm[of_code] == 2 ? 4 : 5;
+    return (uint32_t)(code_bits + of_code) * 32;
+}
+
+static inline uint32_t ml_price32(uint32_t mlv) {
+    // ml code cost ~6 bits (predefined log) + extra bits
+    const uint32_t base = mlv - 3;
+    int extra = 0;
+    if (base >= 32) {
+        uint32_t c = kMLCodeLut[mlv < (1u << 17) ? mlv : (1u << 17) - 1];
+        extra = kMLBits[c];
+    }
+    return (uint32_t)(6 + extra) * 32;
+}
+
+static inline uint32_t ll_price32(uint32_t llv) {
+    int extra = 0;
+    if (llv >= 16) {
+        uint32_t c = kLLCodeLut[llv < (1u << 17) ? llv : (1u << 17) - 1];
+        extra = kLLBits[c];
+    }
+    return (uint32_t)(6 + extra) * 32;
+}
+
+// Returns nb_seq or -1.  Uses the shared hash/chain tables like lazy.
+// Prices come from OptStats (adaptive, carried across blocks); literal-run
+// LL-code cost is added incrementally per literal step (ZSTD_litLengthPrice
+// role), match steps add ML/OF code prices + extra bits.
+int64_t opt_find_matches(const uint8_t* src, int64_t src_len,
+                         int64_t start, int64_t end, int64_t window_start,
+                         int64_t window_size,
+                         int64_t* table, int hlog,
+                         int32_t* bt, int64_t bt_size, int64_t attempts,
+                         int64_t* h3, int h3log, int min_match,
+                         int64_t* insert_from_io, uint32_t* rep_io,
+                         OptStats* st,
+                         uint32_t* out_ll, uint32_t* out_ml, uint32_t* out_ob,
+                         int64_t max_seq, int64_t* out_last_lit) {
+    const int64_t bn = end - start;
+    if (bn < 32) { *out_last_lit = bn; return 0; }
+    codec_init();
+    if (min_match < 3) min_match = 3;
+    const int bt_mls = min_match > 4 ? (min_match > 8 ? 8 : min_match) : 4;
+    BtCtx c{src, table, bt, bt_size - 1, min_match == 3 ? h3 : nullptr, h3log,
+            hlog, bt_mls, window_start, window_size, attempts,
+            *insert_from_io, end - 8, end};
+
+    // Literal prices from block histogram (floor 1/8 bit, cap 14 bits).
+    uint32_t counts[256];
+    std::memset(counts, 0, sizeof counts);
+    for (int64_t i = start; i < end; i++) counts[src[i]]++;
+    uint32_t lit_price[256];
+    for (int s = 0; s < 256; s++) {
+        if (!counts[s]) { lit_price[s] = 14 * 256; continue; }
+        const double bits = -__builtin_log2((double)counts[s] / (double)bn);
+        uint32_t p = (uint32_t)(bits * 256.0 + 0.5);
+        if (p < 32) p = 32;
+        if (p > 14 * 256) p = 14 * 256;
+        lit_price[s] = p;
+    }
+    const uint32_t vmax = (1u << 17) - 1;
+    auto LLP = [&](int64_t l) -> int64_t {
+        const uint32_t code = kLLCodeLut[(uint64_t)l < vmax ? l : vmax];
+        return (int64_t)st->ll_price[code] + (int64_t)kLLBits[code] * 256;
+    };
+    auto MLP = [&](int64_t m) -> int64_t {
+        const uint32_t code = kMLCodeLut[(uint64_t)m < vmax ? m : vmax];
+        return (int64_t)st->ml_price[code] + (int64_t)kMLBits[code] * 256;
+    };
+    auto OFP = [&](int oc) -> int64_t {
+        return (int64_t)st->of_price[oc & 31] + (int64_t)(oc & 31) * 256;
+    };
+
+    OptCell* opt = (OptCell*)malloc(sizeof(OptCell) * (size_t)(bn + 1));
+    if (!opt) return -1;
+    for (int64_t i = 0; i <= bn; i++) opt[i].price = kInfPrice;
+    opt[0].price = 0;
+    opt[0].from = -1;
+    opt[0].ml = 0;
+    opt[0].lits = 0;
+    opt[0].rep[0] = rep_io[0]; opt[0].rep[1] = rep_io[1]; opt[0].rep[2] = rep_io[2];
+
+    // `dist` is always the true match distance; repcode values are
+    // re-resolved against the real encoder state during emission, so the
+    // per-cell rep triple only steers pricing/candidate generation.
+    auto relax = [&](int64_t to, int64_t price64, int64_t from, uint32_t ml,
+                     uint32_t dist, uint32_t lits, const uint32_t* rep) {
+        const uint32_t price = price64 < 0 ? 0
+                               : price64 >= kInfPrice ? kInfPrice - 1
+                               : (uint32_t)price64;
+        if (price < opt[to].price) {
+            opt[to].price = price;
+            opt[to].from = (int32_t)from;
+            opt[to].ml = ml;
+            opt[to].off_base = dist;
+            opt[to].lits = lits;
+            if (ml == 0 || dist == rep[0]) {
+                opt[to].rep[0] = rep[0]; opt[to].rep[1] = rep[1]; opt[to].rep[2] = rep[2];
+            } else {
+                opt[to].rep[0] = dist; opt[to].rep[1] = rep[0]; opt[to].rep[2] = rep[1];
+            }
+        }
+    };
+
+    static const int64_t kSufficientLen =
+        getenv("ZT_SUFLEN") ? atoi(getenv("ZT_SUFLEN")) : 192;
+    // immediate-take shortcut (zstd btopt targetLength role): avoids
+    // O(run^2) rep scanning inside runs.
+    const int64_t dp_limit = bn - 8;
+    for (int64_t i = 0; i < dp_limit; i++) {
+        if (opt[i].price >= kInfPrice) continue;
+        const int64_t p = start + i;
+        const int64_t base_price = opt[i].price;
+        const uint32_t* rep = opt[i].rep;
+        const int64_t lits = opt[i].lits;
+        // literal step (incremental LL-code price)
+        relax(i + 1, base_price + lit_price[src[p]] +
+                     LLP(lits + 1) - (lits > 0 ? LLP(lits) : 0),
+              i, 0, 0, (uint32_t)(lits + 1), rep);
+        const int64_t seq_base = base_price + (lits == 0 ? LLP(0) : 0);
+        // sufficient-length shortcut: take a very long rep immediately
+        {
+            int64_t big = 0, big_dist = 0, big_vcode = 0;
+            for (int r = 0; r < 3; r++) {
+                const int64_t rl = rep_length(src, p, (int64_t)rep[r], window_start, end);
+                if (rl > big) { big = rl; big_dist = rep[r]; big_vcode = r; }
+            }
+            if (big >= kSufficientLen) {
+                const int64_t L = big < (int64_t)(bn - i) ? big : bn - i;
+                relax(i + L, seq_base + MLP(L) + OFP(big_vcode == 0 ? 0 : 1),
+                      i, (uint32_t)L, (uint32_t)big_dist, 0, rep);
+                i += L - 1;
+                continue;
+            }
+        }
+        // rep matches (values 1..3 with ll>=1 semantics approximated)
+        for (int r = 0; r < 3; r++) {
+            const int64_t rl = rep_length(src, p, (int64_t)rep[r], window_start, end);
+            if (rl >= 4) {
+                const int64_t cap_len = rl < (int64_t)(bn - i) ? rl : bn - i;
+                const int64_t op = OFP(r == 0 ? 0 : 1);
+                // relax at ml-code boundaries + max
+                for (int64_t L = cap_len; L >= 4; ) {
+                    const uint32_t code = kMLCodeLut[L];
+                    relax(i + L, seq_base + MLP(L) + op,
+                          i, (uint32_t)L, rep[r], 0, rep);
+                    if (code == 0) break;
+                    const int64_t next_top = (int64_t)kMLBase[code] - 1;
+                    if (next_top >= L) break;
+                    L = next_top >= 4 ? next_top : 0;
+                }
+            }
+        }
+        // tree matches: all-candidates enumeration with increasing length
+        if (p + 4 <= end - 4) {
+            BtMatch mt[64];
+            const int nm = bt_get_all_matches(&c, p, min_match, mt, 64);
+            int64_t best_so_far = 0;
+            int64_t lb = min_match;
+            static const int kFullRelax =
+                getenv("ZT_FULLRELAX") ? atoi(getenv("ZT_FULLRELAX")) : 0;
+            for (int q = 0; q < nm; q++) {
+                const int64_t len = mt[q].len;
+                const int64_t off = mt[q].off;
+                best_so_far = len;
+                const int oc = highbit32((uint32_t)(off + 3));
+                const int64_t op = OFP(oc);
+                const int64_t cap_len = len < (int64_t)(bn - i) ? len : bn - i;
+                if (kFullRelax && cap_len - lb <= kFullRelax) {
+                    for (int64_t L = cap_len; L >= lb; L--)
+                        relax(i + L, seq_base + MLP(L) + op, i, (uint32_t)L,
+                              (uint32_t)off, 0, rep);
+                } else {
+                    for (int64_t L = cap_len; L >= lb; ) {
+                        const uint32_t code = kMLCodeLut[L];
+                        relax(i + L, seq_base + MLP(L) + op, i, (uint32_t)L,
+                              (uint32_t)off, 0, rep);
+                        if (code == 0) break;
+                        const int64_t next_top = (int64_t)kMLBase[code] - 1;
+                        if (next_top >= L) break;
+                        L = next_top >= lb ? next_top : lb - 1;
+                    }
+                }
+                lb = len + 1;  // shorter lengths already priced (closer offsets)
+            }
+            // sufficient-length shortcut for tree matches
+            if (best_so_far >= kSufficientLen) {
+                i += (best_so_far < (int64_t)(bn - i) ? best_so_far : bn - i) - 1;
+                continue;
+            }
+        } else {
+            bt_insert_upto(&c, p);
+        }
+    }
+    // Find the furthest reachable cell; the remainder becomes last literals.
+    int64_t cut = -1;
+    for (int64_t i = bn; i >= 0; i--) {
+        if (opt[i].price < kInfPrice) { cut = i; break; }
+    }
+    if (cut < 0) { free(opt); return -1; }
+
+    // Backtrack: collect (ml, ob) steps.
+    int64_t n_steps = 0;
+    for (int64_t i = cut; i > 0; i = opt[i].from) n_steps++;
+    // First pass gave steps in reverse; rebuild forward emitting sequences.
+    int64_t* stack = (int64_t*)malloc(sizeof(int64_t) * (size_t)(n_steps + 1));
+    if (!stack) { free(opt); return -1; }
+    int64_t sp = 0;
+    for (int64_t i = cut; i > 0; i = opt[i].from) stack[sp++] = i;
+    int64_t n_seq = 0;
+    int64_t anchor = 0;
+    uint32_t rep[3] = {rep_io[0], rep_io[1], rep_io[2]};
+    for (int64_t k = sp - 1; k >= 0; k--) {
+        const int64_t i = stack[k];
+        const OptCell* cell = &opt[i];
+        if (cell->ml == 0) continue;  // literal step
+        const int64_t pos = i - cell->ml;
+        const uint32_t ll = (uint32_t)(pos - anchor);
+        const uint32_t dist = cell->off_base;  // true distance
+        // Map distance -> offset_value against the REAL emit-time rep state
+        // (RFC 8878 §3.1.1.5), then update reps exactly like the decoder.
+        const bool ll0 = ll == 0;
+        uint32_t value;
+        if (!ll0) {
+            value = dist == rep[0] ? 1 : dist == rep[1] ? 2
+                    : dist == rep[2] ? 3 : dist + 3;
+        } else {
+            value = dist == rep[1] ? 1 : dist == rep[2] ? 2
+                    : (rep[0] > 1 && dist == rep[0] - 1) ? 3 : dist + 3;
+        }
+        if (value > 3) {
+            rep[2] = rep[1]; rep[1] = rep[0]; rep[0] = dist;
+        } else if (value == 1) {
+            if (ll0) { uint32_t t = rep[0]; rep[0] = rep[1]; rep[1] = t; }
+        } else {
+            const uint32_t idx = value - 1 + (ll0 ? 1 : 0);  // 1..3
+            if (idx != 1) rep[2] = rep[1];
+            rep[1] = rep[0];
+            rep[0] = dist;
+        }
+        if (n_seq >= max_seq) { free(stack); free(opt); return -1; }
+        out_ll[n_seq] = ll;
+        out_ml[n_seq] = cell->ml;
+        out_ob[n_seq] = value;
+        n_seq++;
+        anchor = i;
+    }
+    *out_last_lit = bn - anchor;
+    free(stack);
+    free(opt);
+    bt_insert_upto(&c, end - 8);
+    *insert_from_io = c.insert_from;
+    rep_io[0] = rep[0]; rep_io[1] = rep[1]; rep_io[2] = rep[2];
+    return n_seq;
+}
+
+
+int64_t ldm_scan_debug(const uint8_t* src, int64_t n, int64_t* out_pos,
+                       int64_t* out_len, int64_t* out_dist, int64_t cap) {
+    const int hash_log = 20;
+    const int64_t nb = (1LL << hash_log) * 4;
+    int64_t* buckets = (int64_t*)malloc((size_t)nb * 8);
+    for (int64_t i = 0; i < nb; i++) buckets[i] = -1;
+    LdmMatch* m = (LdmMatch*)malloc(sizeof(LdmMatch) * (size_t)cap);
+    int64_t k = ldm_scan(src, 0, n, 0, buckets, hash_log, 7, 64, m, cap);
+    for (int64_t i = 0; i < k; i++) {
+        out_pos[i] = m[i].pos; out_len[i] = m[i].len; out_dist[i] = m[i].dist;
+    }
+    free(buckets); free(m);
+    return k;
+}
+
+// Whole-frame encode: all blocks incl. headers, NOT the frame header.
+// strategy: 1-2 fast+dfast, 3-6 lazy, 7+ optimal.  use_ldm adds the gear
+// long-distance pre-pass (matches merged as forced sequences; the
+// short-range matcher parses the gaps).  Returns size or -1.
+int64_t compress_frame_body_ldm_c(const uint8_t* src, int64_t n, int strategy,
+                                  int hash_log, int chain_log, int search_log,
+                                  int window_log, int accel, int use_ldm,
+                                  int min_match, int split_mode,
+                                  int target_cblock, uint8_t* out, int64_t cap);
+
+int64_t compress_frame_body_c(const uint8_t* src, int64_t n, int strategy,
+                              int hash_log, int chain_log, int search_log,
+                              int window_log, int accel, uint8_t* out,
+                              int64_t cap) {
+    return compress_frame_body_ldm_c(src, n, strategy, hash_log, chain_log,
+                                     search_log, window_log, accel, 0, 4,
+                                     strategy >= 7, 0, out, cap);
+}
+
+// ---------------------------------------------------------------------------
+// Block splitter (ZSTD_deriveBlockSplitsHelper:4328 role)
+// ---------------------------------------------------------------------------
+//
+// Recursively split a block's sequence range at the midpoint whenever the
+// estimated cost of the halves beats the whole.  Estimates are Shannon
+// entropy of the literal bytes and LL/ML/OF code histograms plus fixed
+// header charges.  Repcode semantics survive splitting because offset
+// values are resolved against the decoder's cross-block rep state.
+
+struct SplitView {
+    const uint8_t* block;
+    const uint32_t *ll, *ml, *ob;
+    int64_t n_seq, last_lit, bn;
+    const int64_t* seq_start;  // byte offset of each sequence's literals
+};
+
+static double split_entropy(const uint32_t* cnt, int n) {
+    int64_t total = 0;
+    for (int i = 0; i < n; i++) total += cnt[i];
+    if (total == 0) return 0.0;
+    const double lt = __builtin_log2((double)total);
+    double bits = 0.0;
+    for (int i = 0; i < n; i++)
+        if (cnt[i]) bits += (double)cnt[i] * (lt - __builtin_log2((double)cnt[i]));
+    return bits;
+}
+
+// Estimated compressed bytes of sequences [a, b) (+ trailing literals if
+// b == n_seq).
+static double split_cost(const SplitView* v, int64_t a, int64_t b) {
+    uint32_t lit[256] = {0}, llc[36] = {0}, mlc[53] = {0}, ofc[32] = {0};
+    const uint32_t vmax = (1u << 17) - 1;
+    const int64_t byte_a = v->seq_start[a];
+    const int64_t byte_b = b < v->n_seq ? v->seq_start[b] : v->bn;
+    int64_t cursor = byte_a;
+    for (int64_t i = a; i < b; i++) {
+        for (int64_t k = 0; k < v->ll[i]; k++) lit[v->block[cursor + k]]++;
+        cursor += v->ll[i] + v->ml[i];
+        llc[kLLCodeLut[v->ll[i] < vmax ? v->ll[i] : vmax]]++;
+        mlc[kMLCodeLut[v->ml[i] < vmax ? v->ml[i] : vmax]]++;
+        ofc[highbit32(v->ob[i])]++;
+    }
+    if (b == v->n_seq)
+        for (int64_t k = byte_b - v->last_lit; k < byte_b; k++) lit[v->block[k]]++;
+    double bits = split_entropy(lit, 256) + split_entropy(llc, 36) +
+                  split_entropy(mlc, 53) + split_entropy(ofc, 32);
+    // extra bits of ll/ml/of values
+    for (int64_t i = a; i < b; i++) {
+        bits += kLLBits[kLLCodeLut[v->ll[i] < vmax ? v->ll[i] : vmax]];
+        bits += kMLBits[kMLCodeLut[v->ml[i] < vmax ? v->ml[i] : vmax]];
+        bits += highbit32(v->ob[i]);
+    }
+    return bits / 8.0 + 80.0 + 3.0;  // entropy headers + block header charge
+}
+
+// Subdivide until each partition's estimated compressed size is near the
+// requested targetCBlockSize (ZSTD_compressSuperBlock:584 role).
+static void split_derive_target(const SplitView* v, int64_t a, int64_t b,
+                                double target, int64_t* bounds, int* nb,
+                                int depth) {
+    if (*nb >= 195 || depth >= 10 || b - a < 16 ||
+        split_cost(v, a, b) <= target * 1.25) {
+        bounds[(*nb)++] = b;
+        return;
+    }
+    const int64_t mid = (a + b) / 2;
+    split_derive_target(v, a, mid, target, bounds, nb, depth + 1);
+    split_derive_target(v, mid, b, target, bounds, nb, depth + 1);
+}
+
+static void split_derive(const SplitView* v, int64_t a, int64_t b,
+                         int64_t* bounds, int* nb, int depth) {
+    if (b - a < 300 || *nb >= 195 || depth >= 8) {
+        bounds[(*nb)++] = b;
+        return;
+    }
+    const int64_t mid = (a + b) / 2;
+    if (split_cost(v, a, mid) + split_cost(v, mid, b) < split_cost(v, a, b)) {
+        split_derive(v, a, mid, bounds, nb, depth + 1);
+        split_derive(v, mid, b, bounds, nb, depth + 1);
+    } else {
+        bounds[(*nb)++] = b;
+    }
+}
+
+int64_t compress_frame_body_ldm_c(const uint8_t* src, int64_t n, int strategy,
+                                  int hash_log, int chain_log, int search_log,
+                                  int window_log, int accel, int use_ldm,
+                                  int min_match, int split_mode,
+                                  int target_cblock, uint8_t* out, int64_t cap) {
+    if (prof_on()) { g_prof[0] = g_prof[1] = g_prof[2] = g_prof[3] = 0; }
+    const int mls = min_match < 4 ? 4 : (min_match > 8 ? 8 : min_match);
+    codec_init();
+    const int64_t block_size = (1 << 17) < (1LL << window_log)
+                                   ? (1 << 17) : (1LL << window_log);
+    const int64_t tbl_n = 1LL << hash_log;
+    int64_t* table = (int64_t*)malloc((size_t)tbl_n * 8);
+    if (!table) return -1;
+    for (int64_t i = 0; i < tbl_n; i++) table[i] = -1;
+    // level-1 fast path: compact u32 table (positions stored +1), hashed
+    // into 2^16 entries regardless of the level-table hashLog — real-data
+    // ratio improves ~2.5% at equal speed (the level tables tuned hashLog
+    // for 2008-era cache sizes).
+    const int fast_hlog = strategy <= 1 && hash_log < 16 ? 16 : hash_log;
+    uint32_t* table32 = nullptr;
+    if (strategy <= 1 && !use_ldm && n < (1LL << 31) &&
+        !(strategy == 1 && hash_log >= 15 && accel <= 1) &&
+        !(getenv("ZT_FAST64"))) {
+        table32 = (uint32_t*)calloc((size_t)1 << fast_hlog, 4);
+        if (!table32) { free(table); return -1; }
+    }
+    int64_t* chain = nullptr;
+    if ((strategy >= 2 && strategy < 6) || (use_ldm && strategy < 6)) {
+        chain = (int64_t*)malloc((size_t)(1LL << chain_log) * 8);
+        if (!chain) { free(table); return -1; }
+        for (int64_t i = 0; i < (1LL << chain_log); i++) chain[i] = -1;
+    }
+    // row-matcher tables (levels 5-12 role; ZSTD_RowFindBestMatch)
+    uint32_t* row_pos = nullptr;
+    uint8_t* row_tags = nullptr;
+    uint8_t* row_heads = nullptr;
+    int row_log = hash_log - 4;
+    if (row_log < 8) row_log = 8;
+    if (row_log > 21) row_log = 21;
+    // 16-entry rows cover up to ~32 attempts; deeper searches keep chains.
+    // The dfast levels (strategy 2) also route here: row-greedy with 4
+    // attempts beats libzstd's ratio at levels 3-4 (dfast stays the
+    // fallback for small windows / LDM).
+    // Level 2 (fast with hashLog 16) also routes here: its speed contract
+    // is looser than level 1's, and the row's ratio wins (level 1 keeps
+    // the greedy fast loop: hashLog 14 + accel identify it).
+    const bool l2_shape = strategy == 1 && hash_log >= 15 && accel <= 1;
+    const bool use_row = (l2_shape || (strategy >= 2 && strategy <= 5)) &&
+                         window_log >= 14 && search_log <= 5 && !use_ldm &&
+                         !(getenv("ZT_ROW") && atoi(getenv("ZT_ROW")) == 0);
+    if (use_row) {
+        const int64_t n_rows = 1LL << row_log;
+        row_pos = (uint32_t*)calloc((size_t)n_rows * 16, 4);
+        row_tags = (uint8_t*)calloc((size_t)n_rows * 16, 1);
+        row_heads = (uint8_t*)calloc((size_t)n_rows, 1);
+        if (!row_pos || !row_tags || !row_heads) {
+            free(row_pos); free(row_tags); free(row_heads);
+            row_pos = nullptr; row_tags = nullptr; row_heads = nullptr;
+        }
+    }
+    // binary-tree links + hash3 heads for the optimal parser
+    int32_t* bt = nullptr;
+    int64_t* h3 = nullptr;
+    const int h3log = 16;
+    const int64_t bt_size = 1LL << chain_log;
+    if (strategy >= 6) {
+        bt = (int32_t*)malloc((size_t)(2 * bt_size) * 4);
+        h3 = (int64_t*)malloc((size_t)(1LL << h3log) * 8);
+        if (!bt || !h3) { free(table); free(chain); free(bt); free(h3); return -1; }
+        std::memset(bt, 0xFF, (size_t)(2 * bt_size) * 4);
+        for (int64_t i = 0; i < (1LL << h3log); i++) h3[i] = -1;
+    }
+    const int64_t max_seq_cap = block_size / 3 + 16;
+    uint32_t* s_ll = (uint32_t*)malloc((size_t)max_seq_cap * 12);
+    uint32_t* s_ml = s_ll + max_seq_cap;
+    uint32_t* s_ob = s_ml + max_seq_cap;
+    if (!s_ll) { free(table); free(chain); return -1; }
+
+    uint32_t rep[3] = {1, 4, 8};
+    int64_t insert_from = 0;
+    int64_t size = 0;
+    int64_t pos = 0;
+    int rc = 0;
+
+    OptStats* ost = nullptr;
+    if (strategy >= 7) {
+        ost = (OptStats*)malloc(sizeof(OptStats));
+        if (!ost) { free(table); free(chain); free(s_ll); return -1; }
+        opt_seed_default(ost);
+    }
+    static thread_local ZxEntropy zx_ents[2];
+    std::memset(zx_ents, 0, sizeof zx_ents);
+    int zx_prev = 0;
+
+    // LDM state: bucket table + per-frame candidate list.
+    const int ldm_hash_log = 20;
+    int64_t* ldm_buckets = nullptr;
+    LdmMatch* ldm = nullptr;
+    int64_t n_ldm = 0, ldm_cursor = 0;
+    if (use_ldm) {
+        const int64_t nb = (1LL << ldm_hash_log) * 4;
+        ldm_buckets = (int64_t*)malloc((size_t)nb * 8);
+        ldm = (LdmMatch*)malloc(sizeof(LdmMatch) * (size_t)(n / 512 + 64));
+        if (!ldm_buckets || !ldm) { free(table); free(chain); free(s_ll);
+                                    free(ldm_buckets); free(ldm); return -1; }
+        for (int64_t i = 0; i < nb; i++) ldm_buckets[i] = -1;
+        n_ldm = ldm_scan(src, 0, n, 0, ldm_buckets, ldm_hash_log, 7, 64,
+                         ldm, n / 512 + 64);
+    }
+
+    // Gap parser for the LDM merge: same strategy family as the block
+    // parser so long-window mode keeps optimal/btlazy parse quality
+    // (ZSTD_ldm_blockCompress:761 hands gaps to the selected compressor).
+    auto parse_gap = [&](int64_t from, int64_t to, uint32_t* gll,
+                         uint32_t* gml, uint32_t* gob, int64_t budget,
+                         int64_t* gl) -> int64_t {
+        if (strategy >= 7)
+            return opt_find_matches(src, n, from, to, 0, 1LL << window_log,
+                                    table, hash_log, bt, bt_size,
+                                    1LL << search_log, h3, h3log, min_match,
+                                    &insert_from, rep, ost, gll, gml, gob,
+                                    budget, gl);
+        if (strategy == 6)
+            return btlazy_find_matches(src, n, from, to, 0, 1LL << window_log,
+                                       table, hash_log, bt, bt_size,
+                                       1LL << search_log, 2, &insert_from,
+                                       rep, gll, gml, gob, budget, gl);
+        return lazy_find_matches(src, n, from, to, 0, 1LL << window_log,
+                                 table, hash_log, chain, 1LL << chain_log,
+                                 1LL << search_log, strategy >= 5 ? 2 : 1,
+                                 &insert_from, rep, gll, gml, gob, budget, gl,
+                                 min_match);
+    };
+
+    if (n == 0) {
+        if (cap < 3) rc = -1;
+        else { out[0] = 1; out[1] = 0; out[2] = 0; size = 3; }
+    }
+    static thread_local ZxEntropy zx_snap;
+    uint32_t rep_snap[3];
+    while (pos < n && rc == 0) {
+        const int64_t end = pos + block_size < n ? pos + block_size : n;
+        const int last = end == n;
+        const int64_t bn = end - pos;
+        if (size + 3 + bn + 32 > cap) { rc = -1; break; }
+        // Snapshot decoder-visible state: a raw-block fallback must not
+        // advance repcodes or repeat-mode entropy tables, or every later
+        // block's rep/repeat references desync from the decoder
+        // (ZSTD_confirmRepcodesAndEntropyTables role).
+        rep_snap[0] = rep[0]; rep_snap[1] = rep[1]; rep_snap[2] = rep[2];
+        zx_snap = zx_ents[zx_prev];
+        // RLE block?
+        bool all_same = bn > 1;
+        for (int64_t i = pos + 1; i < end && all_same; i++)
+            if (src[i] != src[pos]) all_same = false;
+        if (all_same) {
+            const uint32_t bh = (uint32_t)(last | (1 << 1) | (bn << 3));
+            out[size] = (uint8_t)bh; out[size + 1] = (uint8_t)(bh >> 8);
+            out[size + 2] = (uint8_t)(bh >> 16);
+            out[size + 3] = src[pos];
+            size += 4;
+            insert_from = end;
+            pos = end;
+            continue;
+        }
+        int64_t last_lit;
+        int64_t n_seq;
+        if (use_ldm) {
+            // Merge: [gap parse][ldm seq] ... within this block; long LDM
+            // matches are split at block boundaries (a sequence cannot
+            // produce past its block's regenerated size).
+            n_seq = 0;
+            int64_t cursor = pos;
+            while (ldm_cursor < n_ldm && n_seq + 4 < max_seq_cap) {
+                LdmMatch m = ldm[ldm_cursor];
+                if (m.pos + m.len <= cursor || m.dist >= (1LL << window_log)) {
+                    ldm_cursor++;
+                    continue;
+                }
+                if (m.pos < cursor) {  // trim the already-consumed front
+                    const int64_t trim = cursor - m.pos;
+                    m.pos += trim;
+                    m.len -= trim;
+                }
+                if (m.pos >= end) break;
+                const int64_t take = m.len < end - m.pos ? m.len : end - m.pos;
+                if (take < 4) break;  // tail continues in the next block
+                // parse the gap [cursor, m.pos)
+                int64_t gl = 0;
+                if (m.pos > cursor) {
+                    int64_t k = parse_gap(cursor, m.pos, s_ll + n_seq,
+                                          s_ml + n_seq, s_ob + n_seq,
+                                          max_seq_cap - n_seq - 2, &gl);
+                    if (k < 0) { n_seq = -1; break; }
+                    n_seq += k;
+                }
+                s_ll[n_seq] = (uint32_t)gl;
+                s_ml[n_seq] = (uint32_t)take;
+                s_ob[n_seq] = (uint32_t)(m.dist + 3);
+                rep[2] = rep[1]; rep[1] = rep[0]; rep[0] = (uint32_t)m.dist;
+                n_seq++;
+                cursor = m.pos + take;
+                insert_from = insert_from > cursor ? insert_from : cursor;
+                if (take < m.len) {  // remainder goes to the next block
+                    ldm[ldm_cursor].pos = m.pos + take;
+                    ldm[ldm_cursor].len = m.len - take;
+                    break;
+                }
+                ldm_cursor++;
+            }
+            if (n_seq >= 0) {
+                int64_t gl = end - cursor;
+                if (cursor < end - 16) {
+                    int64_t k = parse_gap(cursor, end, s_ll + n_seq,
+                                          s_ml + n_seq, s_ob + n_seq,
+                                          max_seq_cap - n_seq, &gl);
+                    if (k < 0) n_seq = -1;
+                    else n_seq += k;
+                }
+                last_lit = gl;
+            }
+            if (n_seq > 0 && ost)
+                opt_update_stats(ost, s_ll, s_ml, s_ob, n_seq, true);
+                } else if (strategy == 2 && chain && !row_pos) {
+            n_seq = dfast_find_matches(src, n, pos, end, 0, 1LL << window_log,
+                                       table, hash_log, chain, chain_log, mls,
+                                       rep, s_ll, s_ml, s_ob, max_seq_cap,
+                                       &last_lit);
+        } else if (strategy <= 1 && table32 && !row_pos) {
+            n_seq = fast_find_matches32(src, n, pos, end, 0, 1LL << window_log,
+                                        table32, fast_hlog, mls, rep, s_ll,
+                                        s_ml, s_ob, max_seq_cap, &last_lit,
+                                        accel);
+        } else if (strategy <= 2 && !row_pos) {
+            n_seq = fast_find_matches(src, n, pos, end, 0, 1LL << window_log,
+                                      table, hash_log, mls, rep, s_ll, s_ml,
+                                      s_ob, max_seq_cap, &last_lit, accel);
+        } else if (strategy >= 7) {
+            const uint32_t rep_in[3] = {rep[0], rep[1], rep[2]};
+            n_seq = opt_find_matches(src, n, pos, end, 0, 1LL << window_log,
+                                     table, hash_log, bt, bt_size,
+                                     1LL << search_log, h3, h3log, min_match,
+                                     &insert_from, rep, ost,
+                                     s_ll, s_ml, s_ob, max_seq_cap, &last_lit);
+            if (n_seq > 0 && !ost->inited) {
+                // btultra2 seeding (ZSTD_initStats_ultra role): fold the
+                // first parse's choices into the prices and re-parse.
+                opt_update_stats(ost, s_ll, s_ml, s_ob, n_seq, false);
+                rep[0] = rep_in[0]; rep[1] = rep_in[1]; rep[2] = rep_in[2];
+                // Rewind matcher state so the re-parse replays the same
+                // inserts (tree roots otherwise point past the parse
+                // position).
+                for (int64_t t = 0; t < tbl_n; t++) table[t] = -1;
+                std::memset(bt, 0xFF, (size_t)(2 * bt_size) * 4);
+                for (int64_t t = 0; t < (1LL << h3log); t++) h3[t] = -1;
+                insert_from = pos;
+                n_seq = opt_find_matches(src, n, pos, end, 0,
+                                         1LL << window_log, table, hash_log,
+                                         bt, bt_size, 1LL << search_log,
+                                         h3, h3log, min_match,
+                                         &insert_from, rep,
+                                         ost, s_ll, s_ml, s_ob, max_seq_cap,
+                                         &last_lit);
+            }
+            if (n_seq >= 0)
+                opt_update_stats(ost, s_ll, s_ml, s_ob, n_seq, true);
+        } else if (strategy == 6) {
+            // double the attempt budget: the DUBT candidate cut costs the
+            // lazy parse more than zstd's eager tree, and 2x still beats
+            // the reference's btlazy2 on both ratio and speed here
+            n_seq = btlazy_find_matches(src, n, pos, end, 0, 1LL << window_log,
+                                        table, hash_log, bt, bt_size,
+                                        2LL << search_log, 2, &insert_from,
+                                        rep, s_ll, s_ml, s_ob, max_seq_cap,
+                                        &last_lit);
+        } else if (row_pos) {
+            const int depth = strategy >= 5 ? 2 : strategy >= 3 ? strategy - 3 : 0;
+            const int64_t att = strategy <= 2 ? 4 : 1LL << search_log;
+            n_seq = row_lazy_find_matches(src, n, pos, end, 0,
+                                          1LL << window_log, row_pos,
+                                          row_tags, row_heads, row_log,
+                                          min_match, att, depth,
+                                          &insert_from, rep, s_ll, s_ml, s_ob,
+                                          max_seq_cap, &last_lit);
+        } else {
+            const int depth = strategy >= 5 ? 2 : strategy - 3;
+            n_seq = lazy_find_matches(src, n, pos, end, 0, 1LL << window_log,
+                                      table, hash_log, chain, 1LL << chain_log,
+                                      1LL << search_log, depth, &insert_from,
+                                      rep, s_ll, s_ml, s_ob, max_seq_cap,
+                                      &last_lit, min_match);
+        }
+        if (n_seq < 0) { rc = -1; break; }
+        // Optional block split (btopt+): partitions with homogeneous
+        // statistics compress better than one mixed block.
+        int64_t bounds[200];
+        int nb = 1;
+        bounds[0] = n_seq;
+        if ((split_mode && n_seq >= 600) || (target_cblock > 0 && n_seq >= 32)) {
+            int64_t* seq_start = (int64_t*)malloc((size_t)(n_seq + 1) * 8);
+            if (seq_start) {
+                int64_t cur = 0;
+                for (int64_t i2 = 0; i2 < n_seq; i2++) {
+                    seq_start[i2] = cur;
+                    cur += s_ll[i2] + s_ml[i2];
+                }
+                seq_start[n_seq] = cur;
+                SplitView v{src + pos, s_ll, s_ml, s_ob, n_seq, last_lit, bn,
+                            seq_start};
+                nb = 0;
+                if (target_cblock > 0)
+                    split_derive_target(&v, 0, n_seq, (double)target_cblock,
+                                        bounds, &nb, 0);
+                else
+                    split_derive(&v, 0, n_seq, bounds, &nb, 0);
+                // emit partitions
+                int64_t a = 0;
+                bool fail = false;
+                int64_t size0 = size;
+                for (int k = 0; k < nb && !fail; k++) {
+                    const int64_t b2 = bounds[k];
+                    const int64_t pa = seq_start[a];
+                    const int64_t pb = k == nb - 1 ? bn : seq_start[b2];
+                    const int64_t pbn = pb - pa;
+                    const int64_t plast = k == nb - 1 ? last_lit : 0;
+                    const int plast_flag = last && k == nb - 1;
+                    if (size + 3 + pbn + 32 > cap) { fail = true; break; }
+                    int64_t pbody = zx_block_from_arrays(
+                        src + pos + pa, pbn, s_ll + a, s_ml + a, s_ob + a,
+                        b2 - a, plast, &zx_ents[zx_prev],
+                        &zx_ents[zx_prev ^ 1], strategy, out + size + 3,
+                        cap - size - 3 - 8);
+                    if (pbody >= 0) zx_prev ^= 1;
+                    if (pbody < 0) {
+                        // a raw partition would desync later partitions'
+                        // repcodes; abandon the split entirely
+                        fail = true;
+                        break;
+                    }
+                    const uint32_t bh = (uint32_t)(plast_flag | (2 << 1) | (pbody << 3));
+                    out[size] = (uint8_t)bh; out[size + 1] = (uint8_t)(bh >> 8);
+                    out[size + 2] = (uint8_t)(bh >> 16);
+                    size += 3 + pbody;
+                    a = b2;
+                }
+                free(seq_start);
+                if (!fail) { pos = end; continue; }
+                size = size0;  // fall through to single-block emission
+                zx_ents[zx_prev] = zx_snap;
+            }
+        }
+        int64_t body = zx_block_from_arrays(src + pos, bn, s_ll, s_ml, s_ob,
+                                            n_seq, last_lit,
+                                            &zx_ents[zx_prev],
+                                            &zx_ents[zx_prev ^ 1], strategy,
+                                            out + size + 3,
+                                            cap - size - 3 - 8);
+        if (body >= 0) zx_prev ^= 1;
+        if (body < 0) {
+            rep[0] = rep_snap[0]; rep[1] = rep_snap[1]; rep[2] = rep_snap[2];
+            zx_ents[zx_prev] = zx_snap;
+            const uint32_t bh = (uint32_t)(last | (0 << 1) | (bn << 3));
+            out[size] = (uint8_t)bh; out[size + 1] = (uint8_t)(bh >> 8);
+            out[size + 2] = (uint8_t)(bh >> 16);
+            std::memcpy(out + size + 3, src + pos, (size_t)bn);
+            size += 3 + bn;
+        } else {
+            const uint32_t bh = (uint32_t)(last | (2 << 1) | (body << 3));
+            out[size] = (uint8_t)bh; out[size + 1] = (uint8_t)(bh >> 8);
+            out[size + 2] = (uint8_t)(bh >> 16);
+            size += 3 + body;
+        }
+        pos = end;
+    }
+    if (prof_on())
+        fprintf(stderr, "ZT_PROF encode ns: gather=%lld literals=%lld "
+                "codes+tables=%lld fse=%lld\n", (long long)g_prof[0],
+                (long long)g_prof[1], (long long)g_prof[2],
+                (long long)g_prof[3]);
+    free(table);
+    free(table32);
+    free(chain);
+    free(bt);
+    free(h3);
+    free(row_pos);
+    free(row_tags);
+    free(row_heads);
+    free(s_ll);
+    free(ldm_buckets);
+    free(ldm);
+    free(ost);
+    return rc == 0 ? size : -1;
+}
+
+// ----------------------------- block decode -------------------------------
+
+struct EntropyStateC {
+    HufDTableC huf;
+    FseDTableC ll, of, ml;
+    bool ll_valid, of_valid, ml_valid;
+    uint32_t rep[3];
+};
+
+// Decode literals section.  Writes into lit (cap >= 1<<17 + 32).
+// Returns bytes consumed, sets *lit_size; -1 on error.
+// 4-stream interleaved Huffman decode (HUF_decompress4X1 role).  One padded
+// buffer holds the whole payload; each stream's reader may touch up to 16
+// bytes before its own start (the previous stream's bytes / the zero prefix)
+// — those bits are don't-care by canonical-table construction, so only
+// memory validity matters.  Streams advance in lockstep for ILP.
+static int huf_decode_4x(const uint8_t* pad, const int64_t* offs,
+                         const int64_t* sizes, const uint16_t* D, int tlog,
+                         uint8_t* out, const int64_t* osz) {
+    int64_t pos[4], rem[4];
+    const uint8_t* sb[4];
+    uint8_t* op[4];
+    int64_t ooff = 0;
+    for (int k = 0; k < 4; k++) {
+        pos[k] = br_init(pad + 16 + offs[k], sizes[k]);
+        if (pos[k] < 0) return -1;
+        sb[k] = pad + offs[k];
+        op[k] = out + ooff;
+        rem[k] = osz[k];
+        ooff += osz[k];
+    }
+    const int per = tlog <= 11 ? 5 : 4;
+    const uint64_t mask = (1ULL << tlog) - 1;
+    {
+        // register-resident stream state (the array form spills)
+        int64_t p0 = pos[0], p1 = pos[1], p2 = pos[2], p3 = pos[3];
+        int64_t r0 = rem[0], r1 = rem[1], r2 = rem[2], r3 = rem[3];
+        uint8_t *q0 = op[0], *q1 = op[1], *q2 = op[2], *q3 = op[3];
+        const uint8_t *b0 = sb[0], *b1 = sb[1], *b2 = sb[2], *b3 = sb[3];
+        while (p0 >= 56 && p1 >= 56 && p2 >= 56 && p3 >= 56 &&
+               r0 >= per && r1 >= per && r2 >= per && r3 >= per) {
+            const int64_t a0 = p0 - 56 + 128, a1 = p1 - 56 + 128;
+            const int64_t a2 = p2 - 56 + 128, a3 = p3 - 56 + 128;
+            uint64_t W0 = read_window(b0 + (a0 >> 3)) >> (a0 & 7);
+            uint64_t W1 = read_window(b1 + (a1 >> 3)) >> (a1 & 7);
+            uint64_t W2 = read_window(b2 + (a2 >> 3)) >> (a2 & 7);
+            uint64_t W3 = read_window(b3 + (a3 >> 3)) >> (a3 & 7);
+            int s0 = 56, s1 = 56, s2 = 56, s3 = 56;
+            for (int j = 0; j < per; j++) {
+                const uint16_t e0 = D[(W0 >> (s0 - tlog)) & mask];
+                const uint16_t e1 = D[(W1 >> (s1 - tlog)) & mask];
+                const uint16_t e2 = D[(W2 >> (s2 - tlog)) & mask];
+                const uint16_t e3 = D[(W3 >> (s3 - tlog)) & mask];
+                q0[j] = (uint8_t)(e0 >> 8); s0 -= (int)(e0 & 0xFF);
+                q1[j] = (uint8_t)(e1 >> 8); s1 -= (int)(e1 & 0xFF);
+                q2[j] = (uint8_t)(e2 >> 8); s2 -= (int)(e2 & 0xFF);
+                q3[j] = (uint8_t)(e3 >> 8); s3 -= (int)(e3 & 0xFF);
+            }
+            q0 += per; q1 += per; q2 += per; q3 += per;
+            p0 -= 56 - s0; p1 -= 56 - s1; p2 -= 56 - s2; p3 -= 56 - s3;
+            r0 -= per; r1 -= per; r2 -= per; r3 -= per;
+        }
+        pos[0] = p0; pos[1] = p1; pos[2] = p2; pos[3] = p3;
+        rem[0] = r0; rem[1] = r1; rem[2] = r2; rem[3] = r3;
+        op[0] = q0; op[1] = q1; op[2] = q2; op[3] = q3;
+    }
+    for (int k = 0; k < 4; k++) {
+        while (rem[k] > 0) {
+            if (pos[k] <= 0) return -1;  // over-consumed: corrupt
+            const int64_t p = pos[k] - tlog + 16 * 8;
+            const uint64_t idx = (read_window(sb[k] + (p >> 3)) >> (p & 7)) & mask;
+            const uint16_t e = D[idx];
+            *op[k]++ = (uint8_t)(e >> 8);
+            pos[k] -= (int)(e & 0xFF);
+            rem[k]--;
+        }
+        if (pos[k] != 0) return -1;
+    }
+    return 0;
+}
+
+static int64_t decode_literals_c(const uint8_t* src, int64_t size,
+                                 EntropyStateC* ent, uint8_t* lit,
+                                 int64_t* lit_size) {
+    if (size < 1) return -1;
+    const int b0 = src[0];
+    const int lit_type = b0 & 3;
+    const int sf = (b0 >> 2) & 3;
+    if (lit_type <= 1) {  // raw / rle
+        int64_t n, h;
+        if (sf == 0 || sf == 2) { n = b0 >> 3; h = 1; }
+        else if (sf == 1) {
+            if (size < 2) return -1;
+            n = (b0 >> 4) + ((int64_t)src[1] << 4); h = 2;
+        } else {
+            if (size < 3) return -1;
+            n = (b0 >> 4) + ((int64_t)src[1] << 4) + ((int64_t)src[2] << 12); h = 3;
+        }
+        if (n > (1 << 17)) return -1;
+        *lit_size = n;
+        if (lit_type == 0) {
+            if (size < h + n) return -1;
+            std::memcpy(lit, src + h, (size_t)n);
+            return h + n;
+        }
+        if (size < h + 1) return -1;
+        std::memset(lit, src[h], (size_t)n);
+        return h + 1;
+    }
+    // compressed / repeat
+    int64_t regen, comp, h;
+    int streams;
+    if (size < 5) return -1;
+    if (sf == 0 || sf == 1) {
+        uint32_t v = (uint32_t)src[0] | ((uint32_t)src[1] << 8) | ((uint32_t)src[2] << 16);
+        regen = (v >> 4) & 0x3FF;
+        comp = (v >> 14) & 0x3FF;
+        h = 3;
+        streams = sf == 0 ? 1 : 4;
+    } else if (sf == 2) {
+        uint32_t v;
+        std::memcpy(&v, src, 4);
+        regen = (v >> 4) & 0x3FFF;
+        comp = (v >> 18) & 0x3FFF;
+        h = 4;
+        streams = 4;
+    } else {
+        uint64_t v = 0;
+        std::memcpy(&v, src, 5);
+        regen = (v >> 4) & 0x3FFFF;
+        comp = (v >> 22) & 0x3FFFF;
+        h = 5;
+        streams = 4;
+    }
+    if (size < h + comp || regen > (1 << 17)) return -1;
+    const uint8_t* payload = src + h;
+    int64_t psize = comp;
+    if (lit_type == 2) {
+        int64_t whdr = huf_read_and_build_dtable(payload, psize, &ent->huf);
+        if (whdr < 0) return -1;
+        payload += whdr;
+        psize -= whdr;
+    } else if (!ent->huf.valid) {
+        return -1;
+    }
+    *lit_size = regen;
+    // Backward readers may touch up to 16 bytes before a stream's start;
+    // the frame loop guarantees those bytes are readable (frame-level
+    // padded copy), and canonical-table don't-care bits make their values
+    // irrelevant for valid streams — so streams decode in place.
+    int rc = 0;
+    if (streams == 1) {
+        rc = (int)huf_decode_stream(payload - 16, psize, ent->huf.sym,
+                                    ent->huf.nb, ent->huf.tlog, lit, regen);
+    } else {
+        if (psize < 6 + 3) return -1;
+        const int64_t l1 = payload[0] | (payload[1] << 8);
+        const int64_t l2 = payload[2] | (payload[3] << 8);
+        const int64_t l3 = payload[4] | (payload[5] << 8);
+        const int64_t l4 = psize - 6 - l1 - l2 - l3;
+        if (l4 <= 0) return -1;
+        const int64_t seg = (regen + 3) / 4;
+        const int64_t osz[4] = {seg, seg, seg, regen - 3 * seg};
+        const int64_t isz[4] = {l1, l2, l3, l4};
+        if (osz[3] < 0) return -1;
+        const uint8_t* pad = payload + 6 - 16;
+        const int64_t offs[4] = {0, l1, l1 + l2, l1 + l2 + l3};
+        // Decoder selection (HUF_selectDecoder role): double-symbol X2 wins
+        // when two typical codes fit in one tableLog window:
+        // 2 * avgBits = 2 * 8*comp/regen <= tlog.
+        const int x2_env = getenv("ZT_HUF_X2") ? atoi(getenv("ZT_HUF_X2")) : -1;
+        const bool use_x2 = x2_env >= 0 ? x2_env != 0
+            : (regen >= 1024 && comp * 16 <= regen * (int64_t)ent->huf.tlog);
+        if (use_x2) {
+            if (!ent->huf.x2_valid) huf_build_x2(&ent->huf);
+            rc = huf_decode_4x2(pad, offs, isz, ent->huf.fused2,
+                                ent->huf.tlog, lit, osz);
+        } else {
+            rc = huf_decode_4x(pad, offs, isz, ent->huf.fused, ent->huf.tlog,
+                               lit, osz);
+        }
+    }
+    if (rc != 0) return -1;
+    return h + comp;
+}
+
+// Builds one channel's decode table per its mode.  Returns consumed or -1.
+static int64_t build_seq_table_c(int mode, const uint8_t* src, int64_t size,
+                                 FseDTableC* dt, bool* valid,
+                                 const FseDTableC* def, const uint32_t* base,
+                                 const uint8_t* bits, int max_sym, int max_log) {
+    codec_init();
+    if (mode == 0) { *dt = *def; *valid = true; return 0; }
+    if (mode == 1) {
+        if (size < 1 || src[0] > max_sym) return -1;
+        fse_rle_dtable_c(dt, src[0], base, bits);
+        fse_fuse_dtable(dt);
+        *valid = true;
+        return 1;
+    }
+    if (mode == 2) {
+        int16_t norm[64];
+        int ms, tl;
+        int64_t h = fse_read_ncount(norm, &ms, &tl, src, size, max_sym, max_log);
+        if (h < 0) return -1;
+        fse_build_dtable_c(dt, norm, ms, tl, base, bits);
+        fse_fuse_dtable(dt);
+        *valid = true;
+        return 0 + h;
+    }
+    // repeat
+    if (!*valid) return -1;
+    return 0;
+}
+
+// Decode one compressed block into out at out_pos.  Returns new out_pos, -1.
+// dirty (nullable): bit0 huf, bit1 ll, bit2 of, bit3 ml set when the block
+// overwrites that table (dictionary scratch restoration).
+static int64_t decode_block_c(const uint8_t* src, int64_t size,
+                              EntropyStateC* ent, uint8_t* out,
+                              int64_t out_pos, int64_t out_cap,
+                              int64_t prefix_start, uint8_t* lit_buf,
+                              uint32_t* seq_buf, int64_t max_seq,
+                              int* dirty = nullptr) {
+    int64_t lit_size;
+    const bool prof = prof_on();
+    int64_t t0 = prof ? prof_now() : 0;
+    if (dirty && size >= 1 && (src[0] & 3) == 2) *dirty |= 1;  // fresh huf
+    int64_t consumed = decode_literals_c(src, size, ent, lit_buf, &lit_size);
+    if (prof) { int64_t t = prof_now(); g_prof[0] += t - t0; t0 = t; }
+    if (consumed < 0) return -1;
+    src += consumed;
+    size -= consumed;
+    // nbSeq
+    if (size < 1) return -1;
+    int64_t nb_seq;
+    if (src[0] < 128) { nb_seq = src[0]; src += 1; size -= 1; }
+    else if (src[0] < 255) {
+        if (size < 2) return -1;
+        nb_seq = ((int64_t)(src[0] - 128) << 8) + src[1];
+        src += 2; size -= 2;
+    } else {
+        if (size < 3) return -1;
+        nb_seq = src[1] + ((int64_t)src[2] << 8) + 0x7F00;
+        src += 3; size -= 3;
+    }
+    if (nb_seq == 0) {
+        if (out_pos + lit_size > out_cap) return -1;
+        std::memcpy(out + out_pos, lit_buf, (size_t)lit_size);
+        return out_pos + lit_size;
+    }
+    if (nb_seq > max_seq) return -1;
+    if (size < 1) return -1;
+    const int mode_byte = src[0];
+    if (mode_byte & 3) return -1;
+    if (dirty) {
+        if ((mode_byte >> 6) != 3) *dirty |= 2;          // ll overwritten
+        if (((mode_byte >> 4) & 3) != 3) *dirty |= 4;    // of
+        if (((mode_byte >> 2) & 3) != 3) *dirty |= 8;    // ml
+    }
+    src += 1; size -= 1;
+    int64_t h;
+    h = build_seq_table_c(mode_byte >> 6, src, size, &ent->ll, &ent->ll_valid,
+                          &kLLDefaultDT, kLLBase, kLLBits, kMaxLL, kLLFseLog);
+    if (h < 0) return -1;
+    src += h; size -= h;
+    h = build_seq_table_c((mode_byte >> 4) & 3, src, size, &ent->of, &ent->of_valid,
+                          &kOFDefaultDT, kOFBase, kOFBits, kMaxOFF, kOFFseLog);
+    if (h < 0) return -1;
+    src += h; size -= h;
+    h = build_seq_table_c((mode_byte >> 2) & 3, src, size, &ent->ml, &ent->ml_valid,
+                          &kMLDefaultDT, kMLBase, kMLBits, kMaxML, kMLFseLog);
+    if (h < 0) return -1;
+    src += h; size -= h;
+    if (prof) { int64_t t = prof_now(); g_prof[1] += t - t0; t0 = t; }
+
+    (void)seq_buf; (void)max_seq;
+    int64_t r2 = decode_execute_sequences(
+        src - 16, size, nb_seq,
+        ent->ll.fused, ent->ll.tlog,
+        ent->of.fused, ent->of.tlog,
+        ent->ml.fused, ent->ml.tlog,
+        ent->rep, out, out_pos, out_cap, prefix_start, lit_buf, lit_size);
+    if (prof) { int64_t t = prof_now(); g_prof[2] += t - t0; t0 = t; }
+    return r2 < 0 ? -1 : r2;
+}
+
+// Whole-frame block loop: src points after the frame header.  Returns
+// produced bytes; sets *consumed (excl. checksum).  -1/-2.. on error.
+// Block loop shared by the plain and dictionary paths: `ent` is the
+// (possibly dictionary-preloaded) entropy state, `out_start` is where
+// frame content begins in `out` (bytes below it are match history).
+static int64_t decode_frame_blocks(const uint8_t* src, int64_t size,
+                                   EntropyStateC* ent, uint8_t* out,
+                                   int64_t out_start, int64_t out_cap,
+                                   int64_t* consumed_out, int* dirty = nullptr);
+
+int64_t decode_frame_body_c(const uint8_t* src, int64_t size, uint8_t* out,
+                            int64_t out_cap, int64_t* consumed_out) {
+    codec_init();
+    if (prof_on()) { g_prof[0] = g_prof[1] = g_prof[2] = g_prof[3] = 0; }
+    EntropyStateC* ent = (EntropyStateC*)malloc(sizeof(EntropyStateC));
+    if (!ent) return -1;
+    ent->huf.valid = false;
+    ent->ll_valid = ent->of_valid = ent->ml_valid = false;
+    ent->rep[0] = 1; ent->rep[1] = 4; ent->rep[2] = 8;
+    // One padded copy for the whole frame: backward bit-readers may touch
+    // up to 16 bytes before any payload, so blocks decode in place here.
+    uint8_t* fpad = (uint8_t*)malloc((size_t)size + 24);
+    if (!fpad) { free(ent); return -1; }
+    std::memset(fpad, 0, 16);
+    std::memcpy(fpad + 16, src, (size_t)size);
+    int64_t r = decode_frame_blocks(fpad + 16, size, ent, out, 0, out_cap,
+                                    consumed_out);
+    free(fpad);
+    free(ent);
+    return r;
+}
+
+static int64_t decode_frame_blocks(const uint8_t* src, int64_t size,
+                                   EntropyStateC* ent, uint8_t* out,
+                                   int64_t out_start, int64_t out_cap,
+                                   int64_t* consumed_out, int* dirty) {
+    const int64_t max_seq = (1 << 17) / 3 + 16;
+    uint8_t* lit_buf = (uint8_t*)malloc((1 << 17) + 64);
+    uint32_t* seq_buf = (uint32_t*)malloc((size_t)max_seq * 12);
+    int64_t pos = 0, out_pos = out_start;
+    int64_t rc = 0;
+    if (!lit_buf || !seq_buf) rc = -1;
+    while (rc == 0) {
+        if (size - pos < 3) { rc = -2; break; }
+        const uint32_t bh = (uint32_t)src[pos] | ((uint32_t)src[pos + 1] << 8)
+                            | ((uint32_t)src[pos + 2] << 16);
+        pos += 3;
+        const int last = bh & 1;
+        const int btype = (bh >> 1) & 3;
+        const int64_t bsize = bh >> 3;
+        if (btype == 0) {
+            if (size - pos < bsize || out_pos + bsize > out_cap) { rc = -3; break; }
+            std::memcpy(out + out_pos, src + pos, (size_t)bsize);
+            out_pos += bsize;
+            pos += bsize;
+        } else if (btype == 1) {
+            if (size - pos < 1 || out_pos + bsize > out_cap) { rc = -4; break; }
+            std::memset(out + out_pos, src[pos], (size_t)bsize);
+            out_pos += bsize;
+            pos += 1;
+        } else if (btype == 2) {
+            if (size - pos < bsize || bsize > (1 << 17) + 32) { rc = -5; break; }
+            int64_t np = decode_block_c(src + pos, bsize, ent, out, out_pos,
+                                        out_cap, 0, lit_buf, seq_buf, max_seq,
+                                        dirty);
+            if (np < 0) { rc = -6; break; }
+            out_pos = np;
+            pos += bsize;
+        } else {
+            rc = -7;
+            break;
+        }
+        if (last) break;
+    }
+    if (prof_on())
+        fprintf(stderr, "ZT_PROF decode ns: literals=%lld tables=%lld "
+                "seqdec=%lld execute=%lld\n", (long long)g_prof[0],
+                (long long)g_prof[1], (long long)g_prof[2],
+                (long long)g_prof[3]);
+    free(lit_buf);
+    free(seq_buf);
+    if (rc != 0) return rc;
+    *consumed_out = pos;
+    return out_pos - out_start;
+}
+
+
+// ===========================================================================
+// Native dictionary contexts (ZSTD_CDict / ZSTD_DDict roles).
+// Wire format (ZSTD_loadDEntropy, ZstdDecompress.cs:1770):
+// [magic EC30A437][dictID u32][HUF weights][OF NCount][ML NCount][LL NCount]
+// [rep0..2 u32][content].  Raw-content dictionaries (no magic) carry only
+// history bytes.
+// ===========================================================================
+
+// Read a Huffman weights header (direct 4-bit or FSE-compressed) into
+// weights[]; returns bytes consumed and sets *n_weights, or -1.
+static int64_t huf_read_weights_c(const uint8_t* src, int64_t size,
+                                  uint8_t* weights, int* n_weights) {
+    if (size < 1) return -1;
+    const int i_size = src[0];
+    if (i_size >= 128) {
+        const int nw = i_size - 127;
+        const int64_t consumed = ((nw + 1) / 2) + 1;
+        if (size < consumed) return -1;
+        for (int i = 0; i < nw; i++) {
+            uint8_t b = src[1 + i / 2];
+            weights[i] = (i & 1) ? (b & 15) : (b >> 4);
+        }
+        *n_weights = nw;
+        return consumed;
+    }
+    const int64_t consumed = i_size + 1;
+    if (size < consumed) return -1;
+    int16_t norm[13];
+    int wmax, wlog;
+    int64_t h = fse_read_ncount(norm, &wmax, &wlog, src + 1, i_size, 12, 6);
+    if (h < 0) return -1;
+    FseDTableC* wdt = (FseDTableC*)malloc(sizeof(FseDTableC));
+    if (!wdt) return -1;
+    static const uint32_t zb[13] = {0};
+    static const uint8_t zbits[13] = {0};
+    fse_build_dtable_c(wdt, norm, wmax, wlog, zb, zbits);
+    uint8_t tsym[64];
+    fse_spread(norm, wmax, wlog, tsym);
+    int64_t nw = fse_decompress_2state(src + 1 + h, i_size - h, tsym,
+                                       wdt->state_bits, wdt->next_state, wlog,
+                                       weights, 255);
+    free(wdt);
+    if (nw < 1) return -1;
+    *n_weights = (int)nw;
+    return consumed;
+}
+
+// Canonical compress table from weights (incl. implied last weight).
+static int huf_ctable_from_weights(const uint8_t* weights_in, int n_weights,
+                                   HufCTableC* ct) {
+    uint8_t weights[257];
+    std::memcpy(weights, weights_in, (size_t)n_weights);
+    uint64_t total = 0;
+    for (int i = 0; i < n_weights; i++) {
+        if (weights[i] > 12) return -1;
+        if (weights[i]) total += 1ULL << (weights[i] - 1);
+    }
+    if (total == 0) return -1;
+    const int tlog = highbit32((uint32_t)total) + 1;
+    if (tlog > 12) return -1;
+    const uint64_t rest = (1ULL << tlog) - total;
+    if (rest & (rest - 1)) return -1;
+    weights[n_weights] = (uint8_t)(highbit32((uint32_t)rest) + 1);
+    const int nsym = n_weights + 1;
+    uint8_t lengths[257];
+    for (int i = 0; i < nsym; i++)
+        lengths[i] = weights[i] ? (uint8_t)(tlog + 1 - weights[i]) : 0;
+    huf_canonical(ct, lengths, nsym - 1);
+    return 0;
+}
+
+// Attach-mode matchers (ZSTD_dictMatchState role): the dictionary's
+// prefilled tables are read-only; frame-local inserts go to a small local
+// table sized for the input, so per-frame setup is O(local table) instead
+// of copying the dictionary state.  Candidates probe local first (more
+// recent), then the dictionary.
+
+static int64_t fast_attach_find(const uint8_t* all, int64_t clen,
+                                int64_t end_all, int64_t wsize,
+                                const uint32_t* dict_tbl, int dict_hlog,
+                                uint32_t* loc_tbl, int loc_hlog, int mls,
+                                uint32_t* rep_io,
+                                uint32_t* out_ll, uint32_t* out_ml,
+                                uint32_t* out_ob, int64_t max_seq,
+                                int64_t* out_last_lit) {
+    const int64_t start = clen, end = end_all;
+    if (end - start < 16) { *out_last_lit = end - start; return 0; }
+    const int64_t limit = end - 8;
+    int64_t rep0 = rep_io[0], rep1 = rep_io[1];
+    int64_t pos = start, anchor = start, n_seq = 0;
+
+    auto probe = [&](int64_t p) -> int64_t {
+        const uint32_t hl = hash_mls(all + p, loc_hlog, mls);
+        const int64_t lc = (int64_t)loc_tbl[hl] - 1;
+        loc_tbl[hl] = (uint32_t)(p + 1);
+        if (lc >= 0 && p - lc < wsize && read32(all + lc) == read32(all + p))
+            return lc;
+        const int64_t dc =
+            (int64_t)dict_tbl[hash_mls(all + p, dict_hlog, mls)] - 1;
+        if (dc >= 0 && dc < clen && p - dc < wsize &&
+            read32(all + dc) == read32(all + p)) return dc;
+        return -1;
+    };
+
+    while (n_seq + 4 < max_seq) {
+        int64_t step = 2, next_step = pos + 128;
+        int64_t mp = -1, mc = -1, ml = 0;
+        uint32_t ob = 0;
+        while (pos + 1 <= limit) {
+            const int64_t p2 = pos + step;
+            if (p2 <= limit && p2 - rep0 >= 0 && rep0 <= wsize &&
+                read32(all + p2) == read32(all + p2 - rep0)) {
+                mp = p2; mc = p2 - rep0;
+                if (mp > anchor && mc > 0 && all[mp - 1] == all[mc - 1]) {
+                    mp--; mc--;
+                }
+                ml = (p2 - mp) + 4 + count_match(all, p2 + 4, p2 + 4 - rep0, end);
+                ob = 1;
+                break;
+            }
+            int64_t cand = probe(pos);
+            if (cand >= 0) { mp = pos; mc = cand; break; }
+            if (pos + 1 <= limit) {
+                cand = probe(pos + 1);
+                if (cand >= 0) { mp = pos + 1; mc = cand; break; }
+            }
+            pos += step;
+            if (pos >= next_step) { step++; next_step += 128; }
+        }
+        if (mp < 0) break;
+        if (ob == 0) {
+            ml = 4 + count_match(all, mp + 4, mc + 4, end);
+            while (mp > anchor && mc > 0 && all[mp - 1] == all[mc - 1]) {
+                mp--; mc--; ml++;
+            }
+            const int64_t off = mp - mc;
+            ob = (uint32_t)(off + 3);
+            rep1 = rep0; rep0 = off;
+        }
+        out_ll[n_seq] = (uint32_t)(mp - anchor);
+        out_ml[n_seq] = (uint32_t)ml;
+        out_ob[n_seq] = ob;
+        n_seq++;
+        pos = mp + ml; anchor = pos;
+        while (pos <= limit && n_seq < max_seq && pos - rep1 >= 0 &&
+               rep1 <= wsize &&
+               read32(all + pos) == read32(all + pos - rep1)) {
+            const int64_t ml2 = 4 + count_match(all, pos + 4, pos + 4 - rep1, end);
+            const int64_t t = rep0; rep0 = rep1; rep1 = t;
+            out_ll[n_seq] = 0; out_ml[n_seq] = (uint32_t)ml2; out_ob[n_seq] = 1;
+            n_seq++;
+            pos += ml2; anchor = pos;
+        }
+        if (pos + 1 > limit) break;
+    }
+    rep_io[0] = (uint32_t)rep0; rep_io[1] = (uint32_t)rep1;
+    *out_last_lit = end - anchor;
+    return n_seq;
+}
+
+struct CDictC {
+    uint8_t* buf;          // [content | src...] working buffer
+    int64_t buf_cap;
+    int64_t clen;
+    uint32_t rep[3];
+    EncEntropyC entropy;
+    int strategy, hlog, clog, slog, wlog, mls;
+    uint32_t* fast32;      // strategy 1-2: read-only attach table (pos+1)
+    int64_t* tbl;          // lazy heads (copied per frame)
+    int64_t* chain;        // lazy chain (copied per frame)
+    uint32_t* loc;         // frame-local attach table scratch
+    int loc_hlog;
+};
+
+// Parse entropy tables into (enc, dec) states; returns content offset or -1.
+static int64_t dict_parse_common(const uint8_t* d, int64_t n,
+                                 EncEntropyC* enc, EntropyStateC* dec,
+                                 uint32_t* rep) {
+    codec_init();
+    if (n < 8 || read32(d) != 0xEC30A437u) return 0;  // raw content dict
+    int64_t pos = 8;
+    uint8_t weights[256];
+    int nw;
+    int64_t h = huf_read_weights_c(d + pos, n - pos, weights, &nw);
+    if (h < 0) return -1;
+    if (enc && huf_ctable_from_weights(weights, nw, &enc->huf) != 0) return -1;
+    if (dec && huf_read_and_build_dtable(d + pos, n - pos, &dec->huf) < 0)
+        return -1;
+    pos += h;
+    // OF, ML, LL NCounts
+    struct Chan { int max_sym, max_log; };
+    const Chan chans[3] = {{kMaxOFF, kOFFseLog}, {kMaxML, kMLFseLog},
+                           {kMaxLL, kLLFseLog}};
+    int16_t norms[3][64];
+    int maxs[3], logs[3];
+    for (int c = 0; c < 3; c++) {
+        std::memset(norms[c], 0, sizeof norms[c]);
+        int64_t hh = fse_read_ncount(norms[c], &maxs[c], &logs[c], d + pos,
+                                     n - pos, chans[c].max_sym,
+                                     chans[c].max_log);
+        if (hh < 0) return -1;
+        pos += hh;
+    }
+    if (enc) {
+        fse_build_ctable_c(&enc->of_ct, norms[0], maxs[0], logs[0]);
+        std::memcpy(enc->of_norm, norms[0], sizeof norms[0]);
+        enc->of_max = maxs[0]; enc->of_log = logs[0]; enc->of_valid = true;
+        fse_build_ctable_c(&enc->ml_ct, norms[1], maxs[1], logs[1]);
+        std::memcpy(enc->ml_norm, norms[1], sizeof norms[1]);
+        enc->ml_max = maxs[1]; enc->ml_log = logs[1]; enc->ml_valid = true;
+        fse_build_ctable_c(&enc->ll_ct, norms[2], maxs[2], logs[2]);
+        std::memcpy(enc->ll_norm, norms[2], sizeof norms[2]);
+        enc->ll_max = maxs[2]; enc->ll_log = logs[2]; enc->ll_valid = true;
+        enc->huf_valid = true;
+    }
+    if (dec) {
+        fse_build_dtable_c(&dec->of, norms[0], maxs[0], logs[0], kOFBase, kOFBits);
+        fse_build_dtable_c(&dec->ml, norms[1], maxs[1], logs[1], kMLBase, kMLBits);
+        fse_build_dtable_c(&dec->ll, norms[2], maxs[2], logs[2], kLLBase, kLLBits);
+        fse_fuse_dtable(&dec->of);
+        fse_fuse_dtable(&dec->ml);
+        fse_fuse_dtable(&dec->ll);
+        dec->of_valid = dec->ml_valid = dec->ll_valid = true;
+    }
+    if (n < pos + 12) return -1;
+    for (int i = 0; i < 3; i++) {
+        uint32_t r;
+        std::memcpy(&r, d + pos + 4 * i, 4);
+        rep[i] = r;
+    }
+    pos += 12;
+    return pos;
+}
+
+void* zt_cdict_create(const uint8_t* dict, int64_t dlen, int strategy,
+                      int hlog, int clog, int slog, int wlog, int min_match) {
+    if (strategy > 5) return nullptr;  // btlazy2+ stay on the generic path
+    CDictC* c = (CDictC*)calloc(1, sizeof(CDictC));
+    if (!c) return nullptr;
+    enc_entropy_reset(&c->entropy);
+    c->rep[0] = 1; c->rep[1] = 4; c->rep[2] = 8;
+    int64_t coff = dict_parse_common(dict, dlen, &c->entropy, nullptr, c->rep);
+    if (coff < 0) { free(c); return nullptr; }
+    if (coff == 0) {  // raw dict: no entropy
+        enc_entropy_reset(&c->entropy);
+        c->rep[0] = 1; c->rep[1] = 4; c->rep[2] = 8;
+    }
+    c->clen = dlen - coff;
+    c->strategy = strategy; c->hlog = hlog; c->clog = clog; c->slog = slog;
+    c->wlog = wlog;
+    c->mls = min_match < 4 ? 4 : (min_match > 8 ? 8 : min_match);
+    c->buf_cap = c->clen + (1 << 18);
+    c->buf = (uint8_t*)malloc((size_t)c->buf_cap);
+    if (!c->buf) { free(c); return nullptr; }
+    std::memcpy(c->buf, dict + coff, (size_t)c->clen);
+    const uint8_t* src = c->buf;
+    const int64_t lim = c->clen - 8;
+    if (strategy <= 2) {
+        // fast/dfast share the attach-mode path: one read-only table over
+        // the dictionary, tiny local table per frame
+        c->fast32 = (uint32_t*)calloc((size_t)1 << hlog, 4);
+        if (!c->fast32) { free(c->buf); free(c); return nullptr; }
+        for (int64_t i = 0; i < lim; i++)
+            c->fast32[hash_mls(src + i, hlog, c->mls)] = (uint32_t)(i + 1);
+        c->loc_hlog = 12;
+        c->loc = (uint32_t*)malloc(((size_t)1 << c->loc_hlog) * 4);
+        if (!c->loc) { free(c->fast32); free(c->buf); free(c); return nullptr; }
+    } else {
+        c->tbl = (int64_t*)malloc(((size_t)1 << hlog) * 8);
+        c->chain = (int64_t*)malloc(((size_t)1 << clog) * 8);
+        if (!c->tbl || !c->chain) {
+            free(c->tbl); free(c->chain); free(c->buf); free(c);
+            return nullptr;
+        }
+        for (int64_t i = 0; i < (1LL << hlog); i++) c->tbl[i] = -1;
+        const int64_t cmask = (1LL << clog) - 1;
+        for (int64_t i = 0; i < (1LL << clog); i++) c->chain[i] = -1;
+        for (int64_t i = 0; i < lim; i++) {
+            const uint32_t hv = hash_mls(src + i, hlog, c->mls);
+            c->chain[i & cmask] = c->tbl[hv];
+            c->tbl[hv] = i;
+        }
+    }
+    return c;
+}
+
+void zt_cdict_free(void* h) {
+    if (!h) return;
+    CDictC* c = (CDictC*)h;
+    free(c->fast32); free(c->tbl); free(c->chain); free(c->loc); free(c->buf);
+    free(c);
+}
+
+// Compress one frame body against the dictionary.  Scratch tables are
+// copies of the prefilled ones, so calls are independent.
+int64_t zt_compress_frame_body_cdict(void* h, const uint8_t* src, int64_t n,
+                                     uint8_t* out, int64_t cap) {
+    CDictC* c = (CDictC*)h;
+    if (!c || n == 0) return -1;
+    if (c->clen + n > c->buf_cap) {
+        const int64_t need = c->clen + n;
+        uint8_t* nb = (uint8_t*)realloc(c->buf, (size_t)need);
+        if (!nb) return -1;
+        c->buf = nb;
+        c->buf_cap = need;
+    }
+    std::memcpy(c->buf + c->clen, src, (size_t)n);
+    const uint8_t* all = c->buf;
+    const int64_t end_all = c->clen + n;
+    const int64_t wsize = 1LL << c->wlog;
+
+    const int64_t block_size = (1 << 17) < wsize ? (1 << 17) : wsize;
+    int64_t max_seq_cap = (block_size < n ? block_size : n) / 3 + 16;
+    uint32_t* s_ll = (uint32_t*)malloc((size_t)max_seq_cap * 12);
+    if (!s_ll) return -1;
+    uint32_t* s_ml = s_ll + max_seq_cap;
+    uint32_t* s_ob = s_ml + max_seq_cap;
+
+    // attach mode: wipe only the small local table
+    if (c->loc)
+        std::memset(c->loc, 0, ((size_t)1 << c->loc_hlog) * 4);
+    int64_t* tbl = nullptr;
+    int64_t* chain = nullptr;
+    if (c->tbl) {
+        tbl = (int64_t*)malloc(((size_t)1 << c->hlog) * 8);
+        chain = (int64_t*)malloc(((size_t)1 << c->clog) * 8);
+        if (!tbl || !chain) { free(tbl); free(chain); free(s_ll); return -1; }
+        std::memcpy(tbl, c->tbl, ((size_t)1 << c->hlog) * 8);
+        std::memcpy(chain, c->chain, ((size_t)1 << c->clog) * 8);
+    }
+    EncEntropyC est = c->entropy;
+    uint32_t rep[3] = {c->rep[0], c->rep[1], c->rep[2]};
+    // fast32 path carries only rep0/rep1 in its io array
+    int64_t insert_from = c->clen;
+    int64_t size = 0;
+    int64_t pos = c->clen;
+    int rc = 0;
+    EncEntropyC est_snap2;
+    uint32_t rep_in[3];
+    while (pos < end_all && rc == 0) {
+        const int64_t end = pos + block_size < end_all ? pos + block_size
+                                                       : end_all;
+        const int last = end == end_all;
+        const int64_t bn = end - pos;
+        if (size + 3 + bn + 32 > cap) { rc = -1; break; }
+        rep_in[0] = rep[0]; rep_in[1] = rep[1]; rep_in[2] = rep[2];
+        est_snap2 = est;
+        int64_t last_lit = 0;
+        int64_t n_seq = 0;
+        if (c->strategy <= 2) {
+            n_seq = fast_attach_find(all, pos, end, wsize, c->fast32,
+                                     c->hlog, c->loc, c->loc_hlog, c->mls,
+                                     rep, s_ll, s_ml, s_ob, max_seq_cap,
+                                     &last_lit);
+        } else {
+            const int depth = c->strategy >= 5 ? 2 : c->strategy - 3;
+            n_seq = lazy_find_matches(all, end_all, pos, end, 0, wsize, tbl,
+                                      c->hlog, chain, 1LL << c->clog,
+                                      1LL << c->slog, depth, &insert_from,
+                                      rep, s_ll, s_ml, s_ob, max_seq_cap,
+                                      &last_lit, c->mls);
+        }
+        if (n_seq < 0) { rc = -1; break; }
+        int64_t body = encode_block_body_c(all + pos, bn, s_ll, s_ml, s_ob,
+                                           n_seq, last_lit, out + size + 3,
+                                           cap - size - 3 - 8, &est);
+        if (body < 0) {
+            rep[0] = rep_in[0]; rep[1] = rep_in[1]; rep[2] = rep_in[2];
+            est = est_snap2;
+            const uint32_t bh = (uint32_t)(last | (0 << 1) | (bn << 3));
+            out[size] = (uint8_t)bh; out[size + 1] = (uint8_t)(bh >> 8);
+            out[size + 2] = (uint8_t)(bh >> 16);
+            std::memcpy(out + size + 3, all + pos, (size_t)bn);
+            size += 3 + bn;
+        } else {
+            const uint32_t bh = (uint32_t)(last | (2 << 1) | (body << 3));
+            out[size] = (uint8_t)bh; out[size + 1] = (uint8_t)(bh >> 8);
+            out[size + 2] = (uint8_t)(bh >> 16);
+            size += 3 + body;
+        }
+        pos = end;
+    }
+    free(tbl); free(chain); free(s_ll);
+    return rc == 0 ? size : -1;
+}
+
+struct DDictC {
+    uint8_t* content;
+    int64_t clen;
+    EntropyStateC ent;        // pristine (as loaded)
+    EntropyStateC scratch;    // per-call working copy, dirty-restored
+    int scratch_dirty;        // bit0 huf, 1 ll, 2 of, 3 ml; -1 = all
+    bool has_entropy;
+};
+
+void* zt_ddict_create(const uint8_t* dict, int64_t dlen) {
+    DDictC* d = (DDictC*)calloc(1, sizeof(DDictC));
+    if (!d) return nullptr;
+    d->ent.huf.valid = false;
+    d->ent.ll_valid = d->ent.of_valid = d->ent.ml_valid = false;
+    d->ent.rep[0] = 1; d->ent.rep[1] = 4; d->ent.rep[2] = 8;
+    int64_t coff = dict_parse_common(dict, dlen, nullptr, &d->ent, d->ent.rep);
+    if (coff < 0) { free(d); return nullptr; }
+    d->has_entropy = coff > 0;
+    d->clen = dlen - coff;
+    d->content = (uint8_t*)malloc((size_t)(d->clen > 0 ? d->clen : 1));
+    if (!d->content) { free(d); return nullptr; }
+    std::memcpy(d->content, dict + coff, (size_t)d->clen);
+    d->scratch = d->ent;
+    d->scratch_dirty = 0;
+    return d;
+}
+
+void zt_ddict_free(void* h) {
+    if (!h) return;
+    DDictC* d = (DDictC*)h;
+    free(d->content);
+    free(d);
+}
+
+// Decode one frame body with dictionary history + entropy.  `out` must have
+// room for clen + content; returns content bytes (excluding the prefix,
+// which occupies out[0..clen)), sets *consumed.
+int64_t zt_decode_frame_body_ddict(const uint8_t* src, int64_t size, void* h,
+                                   uint8_t* out, int64_t out_cap,
+                                   int64_t* consumed_out) {
+    DDictC* d = (DDictC*)h;
+    if (!d || out_cap < d->clen) return -1;
+    std::memcpy(out, d->content, (size_t)d->clen);
+    // Restore only what the previous frame overwrote (tables are large).
+    if (d->scratch_dirty & 1) d->scratch.huf = d->ent.huf;
+    if (d->scratch_dirty & 2) d->scratch.ll = d->ent.ll;
+    if (d->scratch_dirty & 4) d->scratch.of = d->ent.of;
+    if (d->scratch_dirty & 8) d->scratch.ml = d->ent.ml;
+    d->scratch.ll_valid = d->ent.ll_valid;
+    d->scratch.of_valid = d->ent.of_valid;
+    d->scratch.ml_valid = d->ent.ml_valid;
+    d->scratch.huf.valid = d->ent.huf.valid;
+    std::memcpy(d->scratch.rep, d->ent.rep, sizeof d->scratch.rep);
+    d->scratch_dirty = 0;
+    uint8_t* fpad = (uint8_t*)malloc((size_t)size + 24);
+    if (!fpad) return -1;
+    std::memset(fpad, 0, 16);
+    std::memcpy(fpad + 16, src, (size_t)size);
+    int64_t r = decode_frame_blocks(fpad + 16, size, &d->scratch, out, d->clen,
+                                    out_cap, consumed_out, &d->scratch_dirty);
+    free(fpad);
+    return r;
+}
+
+
+// ---------------------------------------------------------------------------
+// Batch dictionary codec (the 10K-small-records shape): one call per batch,
+// frame headers written/parsed natively.
+// ---------------------------------------------------------------------------
+
+static int64_t write_frame_header_c(uint8_t* out, int64_t src_size, int wlog,
+                                    uint32_t dict_id, int checksum) {
+    const uint32_t magic = 0xFD2FB528u;
+    std::memcpy(out, &magic, 4);
+    int64_t p = 5;
+    const int64_t wsize = 1LL << wlog;
+    const int single = src_size <= wsize;
+    int fcs_code = (src_size >= 256) + (src_size >= 65536 + 256) +
+                   (src_size > 0xFFFFFFFFLL);
+    const int did = dict_id == 0 ? 0 : (dict_id < 256 ? 1 : dict_id < 65536 ? 2 : 3);
+    out[4] = (uint8_t)((fcs_code << 6) | (single << 5) | (checksum << 2) | did);
+    if (!single) out[p++] = (uint8_t)((wlog - 10) << 3);
+    if (did == 1) { out[p++] = (uint8_t)dict_id; }
+    else if (did == 2) { std::memcpy(out + p, &dict_id, 2); p += 2; }
+    else if (did == 3) { std::memcpy(out + p, &dict_id, 4); p += 4; }
+    if (fcs_code == 0) {
+        if (single) out[p++] = (uint8_t)src_size;
+    } else if (fcs_code == 1) {
+        const uint16_t v = (uint16_t)(src_size - 256);
+        std::memcpy(out + p, &v, 2); p += 2;
+    } else if (fcs_code == 2) {
+        const uint32_t v = (uint32_t)src_size;
+        std::memcpy(out + p, &v, 4); p += 4;
+    } else {
+        const uint64_t v = (uint64_t)src_size;
+        std::memcpy(out + p, &v, 8); p += 8;
+    }
+    return p;
+}
+
+// Compress n_items records (concatenated) into framed outputs.  out_lens[i]
+// receives each frame's size; returns total bytes or -1.
+int64_t zt_compress_many_cdict(void* h, const uint8_t* concat,
+                               const int64_t* lens, int64_t n_items,
+                               uint32_t dict_id, uint8_t* out, int64_t cap,
+                               int64_t* out_lens) {
+    CDictC* c = (CDictC*)h;
+    if (!c) return -1;
+    int64_t ip = 0, op = 0;
+    for (int64_t i = 0; i < n_items; i++) {
+        const int64_t n = lens[i];
+        if (op + n + 64 > cap) return -1;
+        const int64_t h0 = write_frame_header_c(out + op, n, c->wlog, dict_id, 0);
+        int64_t body;
+        if (n == 0) {
+            out[op + h0] = 1; out[op + h0 + 1] = 0; out[op + h0 + 2] = 0;
+            body = 3;
+        } else {
+            body = zt_compress_frame_body_cdict(h, concat + ip, n,
+                                                out + op + h0,
+                                                cap - op - h0);
+            if (body < 0) return -1;
+        }
+        out_lens[i] = h0 + body;
+        op += h0 + body;
+        ip += n;
+    }
+    return op;
+}
+
+// Parse a frame header: returns header size, sets *fcs (-1 unknown),
+// *has_cksum, and *dict_id (0 when absent).  -1 on error.
+static int64_t parse_frame_header_c(const uint8_t* src, int64_t size,
+                                    int64_t* fcs, int* has_cksum,
+                                    uint32_t* dict_id) {
+    if (size < 5) return -1;
+    uint32_t magic;
+    std::memcpy(&magic, src, 4);
+    if (magic != 0xFD2FB528u) return -1;
+    const uint8_t fhd = src[4];
+    const int fcs_code = fhd >> 6;
+    const int single = (fhd >> 5) & 1;
+    *has_cksum = (fhd >> 2) & 1;
+    const int did = fhd & 3;
+    int64_t p = 5;
+    if (!single) p += 1;
+    const int did_bytes = did == 0 ? 0 : did == 1 ? 1 : did == 2 ? 2 : 4;
+    if (size < p + did_bytes) return -1;
+    *dict_id = 0;
+    if (did_bytes) std::memcpy(dict_id, src + p, (size_t)did_bytes);
+    p += did_bytes;
+    if (fcs_code == 0) {
+        if (single) { if (size < p + 1) return -1; *fcs = src[p]; p += 1; }
+        else *fcs = -1;
+    } else if (fcs_code == 1) {
+        uint16_t v; if (size < p + 2) return -1;
+        std::memcpy(&v, src + p, 2); *fcs = v + 256; p += 2;
+    } else if (fcs_code == 2) {
+        uint32_t v; if (size < p + 4) return -1;
+        std::memcpy(&v, src + p, 4); *fcs = v; p += 4;
+    } else {
+        int64_t v; if (size < p + 8) return -1;
+        std::memcpy(&v, src + p, 8); *fcs = v; p += 8;
+    }
+    return p;
+}
+
+// Decompress n_items frames (concatenated, sizes in flens) into concatenated
+// outputs; out_lens[i] receives each content size.  Returns total or -1.
+int64_t zt_decompress_many_ddict(void* h, const uint8_t* concat_in,
+                                 const int64_t* flens, int64_t n_items,
+                                 uint32_t expect_dict_id,
+                                 uint8_t* out, int64_t out_cap,
+                                 int64_t* out_lens) {
+    DDictC* d = (DDictC*)h;
+    if (!d) return -1;
+    int64_t total_in = 0;
+    for (int64_t i = 0; i < n_items; i++) total_in += flens[i];
+    uint8_t* cpad = (uint8_t*)malloc((size_t)total_in + 24);
+    if (!cpad) return -1;
+    std::memset(cpad, 0, 16);
+    std::memcpy(cpad + 16, concat_in, (size_t)total_in);
+    const uint8_t* concat = cpad + 16;
+    const int64_t clen = d->clen;
+    uint8_t* work = nullptr;
+    int64_t work_cap = 0;
+    int64_t ip = 0, op = 0;
+    for (int64_t i = 0; i < n_items; i++) {
+        const int64_t fl = flens[i];
+        int64_t fcs;
+        int cksum;
+        uint32_t frame_did;
+        const int64_t h0 = parse_frame_header_c(concat + ip, fl, &fcs, &cksum,
+                                                &frame_did);
+        if (h0 < 0 || fcs < 0) { free(work); free(cpad); return -1; }
+        // A frame that names a different dictionary must not silently decode
+        // against this one (ZSTD_decodeFrameHeader dictionary_wrong role);
+        // bail to the element-wise path, which raises the proper error.
+        if (frame_did != 0 && frame_did != expect_dict_id) {
+            free(work); free(cpad); return -1;
+        }
+        const int64_t need = clen + fcs + 64;
+        if (need > work_cap) {
+            free(work);
+            work_cap = need * 2;
+            work = (uint8_t*)malloc((size_t)work_cap);
+            if (!work) { free(cpad); return -1; }
+        }
+        // restore scratch (dirty-tracked) and decode
+        if (d->scratch_dirty & 1) d->scratch.huf = d->ent.huf;
+        if (d->scratch_dirty & 2) d->scratch.ll = d->ent.ll;
+        if (d->scratch_dirty & 4) d->scratch.of = d->ent.of;
+        if (d->scratch_dirty & 8) d->scratch.ml = d->ent.ml;
+        d->scratch.ll_valid = d->ent.ll_valid;
+        d->scratch.of_valid = d->ent.of_valid;
+        d->scratch.ml_valid = d->ent.ml_valid;
+        d->scratch.huf.valid = d->ent.huf.valid;
+        std::memcpy(d->scratch.rep, d->ent.rep, sizeof d->scratch.rep);
+        d->scratch_dirty = 0;
+        std::memcpy(work, d->content, (size_t)clen);
+        int64_t consumed = 0;
+        const int64_t r = decode_frame_blocks(concat + ip + h0, fl - h0,
+                                              &d->scratch, work, clen,
+                                              clen + fcs, &consumed,
+                                              &d->scratch_dirty);
+        if (r != fcs) { free(work); free(cpad); return -1; }
+        // Verify the XXH64 content checksum when the frame carries one
+        // (ZSTD_decompressFrame checksum verify role); the epilogue must
+        // also account for the frame length.
+        if (cksum) {
+            if (h0 + consumed + 4 > fl) { free(work); free(cpad); return -1; }
+            uint32_t stored;
+            std::memcpy(&stored, concat + ip + h0 + consumed, 4);
+            const uint32_t calc =
+                (uint32_t)xxh64(work + clen, r, 0);
+            if (stored != calc) { free(work); free(cpad); return -1; }
+        }
+        if (op + r > out_cap) { free(work); free(cpad); return -1; }
+        std::memcpy(out + op, work + clen, (size_t)r);
+        out_lens[i] = r;
+        op += r;
+        ip += fl;
+    }
+    free(work);
+    free(cpad);
+    return op;
+}
+
+
 
 // Exact one-shot frame compression with zstd v1.5.1 semantics for the
 // fast/dfast strategies.  Returns the frame size, or
@@ -6382,8 +6477,8 @@ int64_t zt_compress_exact_params(const uint8_t* src, int64_t n,
     int64_t remaining = n;
     const uint8_t* ip = src;
     while (remaining > 0 && rc == 0) {
-        const int64_t blockSize =
-            remaining < blockSizeMax ? remaining : blockSizeMax;
+        const int64_t blockSize = zx_pick_block_size(ip, remaining,
+                                                     blockSizeMax);
         const int lastBlock = blockSize == remaining;
         // ZSTD_window_enforceMaxDist with srcEnd = block start
         {
