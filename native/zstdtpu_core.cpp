@@ -4339,48 +4339,761 @@ static int64_t zx_entropy_compress(const ZxStore* ss, const ZxEntropy* prev,
 // drag the whole block to raw.  Scan 16KB segments' order-0 entropy and
 // cut the block at the first sharp shift.  Homogeneous inputs see no
 // splits, preserving byte-identity with the fixed 128KB layout there.
-static double g_zx_seg_th = 1.0;
-static int64_t g_zx_seg = 16 << 10;
+static double g_zx_seg_th = 11.0;
+static int64_t g_zx_seg = 8 << 10;
 extern "C" void zx_set_split(double th, int64_t seg) {
     g_zx_seg_th = th; g_zx_seg = seg;
 }
 static int64_t zx_pick_block_size(const uint8_t* ip, int64_t remaining,
                                   int64_t block_max) {
+    // Content-adaptive block boundaries (the 1.5.7 oracle's zstd_preSplit
+    // role, reconstructed): a cumulative byte-histogram fingerprint of the
+    // past is compared against each next chunk with a cross-normalized L1
+    // distance; a large distribution shift cuts the block there.  This
+    // catches same-entropy regime changes (prose vs structured records)
+    // that a scalar entropy delta cannot.  The penalty makes the first
+    // comparisons stricter, so short blocks are only created for sharp
+    // transitions.
     const int64_t SEG = g_zx_seg;
-    if (remaining <= 2 * SEG || block_max <= SEG) {
-        return remaining < block_max ? remaining : block_max;
-    }
     const int64_t lim = remaining < block_max ? remaining : block_max;
-    double h_prev = -1;
+    if (remaining <= 2 * SEG || block_max <= SEG) return lim;
+    uint32_t past[256] = {0};
+    uint64_t n_past = 0;
+    int penalty = 3;
     for (int64_t off = 0; off + SEG <= lim; off += SEG) {
-        uint32_t cnt[256] = {0};
+        uint32_t cur[256] = {0};
         const uint8_t* p = ip + off;
-        for (int64_t i = 0; i < SEG; i++) {
-            cnt[p[i]]++;
-        }
-        const double total = (double)SEG;
-        double h = 0;
-        for (int sdx = 0; sdx < 256; sdx++) {
-            if (!cnt[sdx]) continue;
-            const double q = cnt[sdx] / total;
-            h -= q * std::log2(q);
-        }
-        if (h_prev >= 0) {
-            const double d = h > h_prev ? h - h_prev : h_prev - h;
-            // Split on a large shift, or a moderate one crossing into or
-            // out of the extreme regimes (incompressible / run-like) where
-            // mixing poisons the whole block.  Moderate same-regime drift
-            // (e.g. prose vs JSON) stays unsplit, preserving byte-identity
-            // with the fixed 128KB layout on ordinary content.
-            const int extreme = h > 7.2 || h_prev > 7.2 || h < 2.0
-                                || h_prev < 2.0;
-            if (d > 1.0 || (extreme && d > 0.35)) {
-                return off;  // cut at the regime boundary
+        for (int64_t i = 0; i < SEG; i++) cur[p[i]]++;
+        if (n_past) {
+            uint64_t dist = 0;
+            const uint64_t nc = (uint64_t)SEG;
+            for (int sdx = 0; sdx < 256; sdx++) {
+                const int64_t d = (int64_t)((uint64_t)past[sdx] * nc) -
+                                  (int64_t)((uint64_t)cur[sdx] * n_past);
+                dist += (uint64_t)(d < 0 ? -d : d);
             }
+            const uint64_t p50 = n_past * nc;
+            const double thr =
+                (double)p50 * (g_zx_seg_th + (double)penalty) / 16.0;
+            if ((double)dist >= thr) return off;
+            penalty = penalty > 0 ? penalty - 1 : 0;
         }
-        h_prev = h;
+        for (int sdx = 0; sdx < 256; sdx++) past[sdx] += cur[sdx];
+        n_past += (uint64_t)SEG;
     }
     return lim;
+}
+
+
+// ===========================================================================
+// EXACT OPTIMAL PARSER — btopt / btultra / btultra2 (ZstdOpt.cs, verbatim
+// semantics: fracWeight price model ZSTD_rescaleFreqs:96, BT match
+// enumeration ZSTD_insertBtAndGetAllMatches:560, DP parse
+// ZSTD_compressBlock_opt_generic:1046, btultra2 two-pass seeding
+// ZSTD_initStats_ultra:1362).  noDict, no-LDM path.
+// ===========================================================================
+
+static const uint32_t kZx_baseLLfreqs[36] = {
+    4,2,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1};
+static const uint32_t kZx_baseOFCfreqs[32] = {
+    6,2,1,1,2,3,4,4,4,3,2,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1};
+
+struct ZxOptMatch { uint32_t off, len; };
+struct ZxOptimal { int32_t price; uint32_t off, mlen, litlen; uint32_t rep[3]; };
+
+struct ZxOptCtx {
+    const uint8_t* base;   // window base (src - 2 at frame start)
+    const uint8_t* src0;   // frame start (fixed; base shifts on initStats)
+    const uint8_t* frame_end;  // true input end: block-local limits stop
+                               // match reporting, but suffix ORDERING may
+                               // read on, so early breaks need not chop
+    uint32_t dictLimit;    // == lowLimit (noDict)
+    uint32_t nextToUpdate;
+    uint32_t wlog, clog, hlog, slog, tlen, mml;
+    int optLevel;          // 0 btopt, 2 btultra(2)
+    int is_ultra2;
+    uint32_t hashLog3;
+    uint32_t* hashTable;
+    uint32_t* bt;          // 2^clog u32 (pairs at 2*(idx & btMask))
+    uint32_t* hash3;
+    // optState_t freqs
+    uint32_t litFreq[256], llFreq[36], mlFreq[53], ofFreq[32];
+    uint32_t litSum, llSum, mlSum, ofSum;
+    uint32_t litSumBase, llSumBase, mlSumBase, ofSumBase;
+    int priceType;         // 0 dynamic, 1 predef
+    ZxOptimal* opt;        // [4097]
+    ZxOptMatch* matches;   // [4098]
+};
+
+static inline uint32_t zx_bitWeight(uint32_t stat) {
+    return (uint32_t)highbit32(stat + 1) << 8;
+}
+static inline uint32_t zx_fracWeight(uint32_t rawStat) {
+    const uint32_t stat = rawStat + 1;
+    const uint32_t hb = (uint32_t)highbit32(stat);
+    const uint32_t BWeight = hb << 8;
+    const uint32_t FWeight = (stat << 8) >> hb;
+    return BWeight + FWeight;
+}
+static inline uint32_t zx_weight(const ZxOptCtx* c, uint32_t s) {
+    return c->optLevel ? zx_fracWeight(s) : zx_bitWeight(s);
+}
+
+static void zx_opt_setBasePrices(ZxOptCtx* c) {
+    c->litSumBase = zx_weight(c, c->litSum);
+    c->llSumBase = zx_weight(c, c->llSum);
+    c->mlSumBase = zx_weight(c, c->mlSum);
+    c->ofSumBase = zx_weight(c, c->ofSum);
+}
+
+static uint32_t zx_downscaleStats(uint32_t* t, uint32_t last, uint32_t shift) {
+    uint32_t sum = 0;
+    for (uint32_t s = 0; s <= last; s++) {
+        t[s] = 1 + (t[s] >> shift);
+        sum += t[s];
+    }
+    return sum;
+}
+
+static uint32_t zx_scaleStats(uint32_t* t, uint32_t last, uint32_t logTarget) {
+    uint32_t prevsum = 0;
+    for (uint32_t s = 0; s <= last; s++) prevsum += t[s];
+    const uint32_t factor = prevsum >> logTarget;
+    if (factor <= 1) return prevsum;
+    return zx_downscaleStats(t, last, (uint32_t)highbit32(factor));
+}
+
+struct ZxOptTune { int litlog, lenlog, litshift, litadd; };
+static ZxOptTune zx_opt_tune() {
+    static ZxOptTune t = {-1, 0, 0, 0};
+    if (t.litlog < 0) {
+        const char* e = getenv("ZT_OPT_TUNE");  // "litlog,lenlog,litshift,litadd"
+        t = {12, 11, 8, 2};
+        if (e) sscanf(e, "%d,%d,%d,%d", &t.litlog, &t.lenlog, &t.litshift, &t.litadd);
+    }
+    return t;
+}
+
+static void zx_opt_rescaleFreqs(ZxOptCtx* c, const uint8_t* src,
+                                int64_t srcSize) {
+    c->priceType = 0;  // zop_dynamic
+    if (c->llSum == 0) {  // first block
+        if (srcSize <= 1024) c->priceType = 1;  // zop_predef
+        // noDict: no valid symbolCosts -> raw-count literal init
+        {
+            uint32_t cnt[256] = {0};
+            for (int64_t i = 0; i < srcSize; i++) cnt[src[i]]++;
+            std::memcpy(c->litFreq, cnt, sizeof cnt);
+            c->litSum = zx_downscaleStats(c->litFreq, 255,
+                                          (uint32_t)zx_opt_tune().litshift);
+        }
+        std::memcpy(c->llFreq, kZx_baseLLfreqs, sizeof c->llFreq);
+        c->llSum = 0;
+        for (int s = 0; s < 36; s++) c->llSum += kZx_baseLLfreqs[s];
+        for (int s = 0; s < 53; s++) c->mlFreq[s] = 1;
+        c->mlSum = 53;
+        std::memcpy(c->ofFreq, kZx_baseOFCfreqs, sizeof c->ofFreq);
+        c->ofSum = 0;
+        for (int s = 0; s < 32; s++) c->ofSum += kZx_baseOFCfreqs[s];
+    } else {
+        const ZxOptTune t = zx_opt_tune();
+        c->litSum = zx_scaleStats(c->litFreq, 255, (uint32_t)t.litlog);
+        c->llSum = zx_scaleStats(c->llFreq, 35, (uint32_t)t.lenlog);
+        c->mlSum = zx_scaleStats(c->mlFreq, 52, (uint32_t)t.lenlog);
+        c->ofSum = zx_scaleStats(c->ofFreq, 31, (uint32_t)t.lenlog);
+    }
+    zx_opt_setBasePrices(c);
+}
+
+static uint32_t zx_rawLiteralsCost(const uint8_t* lit, uint32_t litLength,
+                                   const ZxOptCtx* c) {
+    if (litLength == 0) return 0;
+    if (c->priceType == 1) return litLength * 6 * (1 << 8);
+    uint32_t price = litLength * c->litSumBase;
+    for (uint32_t u = 0; u < litLength; u++)
+        price -= zx_weight(c, c->litFreq[lit[u]]);
+    return price;
+}
+
+static uint32_t zx_litLengthPrice(uint32_t litLength, const ZxOptCtx* c) {
+    if (c->priceType == 1) return zx_weight(c, litLength);
+    const uint32_t llCode = zx_llcode(litLength);
+    return ((uint32_t)kLLBits[llCode] << 8) + c->llSumBase
+           - zx_weight(c, c->llFreq[llCode]);
+}
+
+static uint32_t zx_getMatchPrice(uint32_t offset, uint32_t matchLength,
+                                 const ZxOptCtx* c) {
+    uint32_t price;
+    const uint32_t offCode = (uint32_t)highbit32(offset + 1);
+    const uint32_t mlBase = matchLength - 3;
+    if (c->priceType == 1)
+        return zx_weight(c, mlBase) + ((16 + offCode) << 8);
+    price = (offCode << 8) + (c->ofSumBase - zx_weight(c, c->ofFreq[offCode]));
+    if (c->optLevel < 2 && offCode >= 20)
+        price += (offCode - 19) * 2 * (1 << 8);
+    {
+        const uint32_t mlCode = zx_mlcode(mlBase);
+        price += ((uint32_t)kMLBits[mlCode] << 8)
+                 + (c->mlSumBase - zx_weight(c, c->mlFreq[mlCode]));
+    }
+    price += (1 << 8) / 5;
+    return price;
+}
+
+static void zx_opt_updateStats(ZxOptCtx* c, uint32_t litLength,
+                               const uint8_t* literals, uint32_t offsetCode,
+                               uint32_t matchLength) {
+    const uint32_t add = (uint32_t)zx_opt_tune().litadd;
+    for (uint32_t u = 0; u < litLength; u++) c->litFreq[literals[u]] += add;
+    c->litSum += litLength * add;
+    {
+        const uint32_t llCode = zx_llcode(litLength);
+        c->llFreq[llCode]++;
+        c->llSum++;
+    }
+    {
+        const uint32_t offCode = (uint32_t)highbit32(offsetCode + 1);
+        c->ofFreq[offCode]++;
+        c->ofSum++;
+    }
+    {
+        const uint32_t mlCode = zx_mlcode(matchLength - 3);
+        c->mlFreq[mlCode]++;
+        c->mlSum++;
+    }
+}
+
+static inline uint32_t zx_readMINMATCH(const uint8_t* p, uint32_t length) {
+    if (length == 3) return read32(p) << 8;
+    return read32(p);
+}
+
+static inline uint32_t zx_hash3(const uint8_t* p, uint32_t h) {
+    return ((read32(p) << (32 - 24)) * 506832829U) >> (32 - h);
+}
+
+static uint32_t zx_insertAndFindFirstIndexHash3(ZxOptCtx* c,
+                                                uint32_t* nextToUpdate3,
+                                                const uint8_t* ip) {
+    uint32_t idx = *nextToUpdate3;
+    const uint32_t target = (uint32_t)(ip - c->base);
+    const uint32_t h3 = zx_hash3(ip, c->hashLog3);
+    while (idx < target) {
+        c->hash3[zx_hash3(c->base + idx, c->hashLog3)] = idx;
+        idx++;
+    }
+    *nextToUpdate3 = target;
+    return c->hash3[h3];
+}
+
+static inline uint32_t zx_getLowestMatchIndex(const ZxOptCtx* c,
+                                              uint32_t curr) {
+    const uint32_t maxDistance = 1u << c->wlog;
+    const uint32_t lowestValid = c->dictLimit;  // lowLimit == dictLimit
+    return (curr - lowestValid > maxDistance) ? curr - maxDistance
+                                              : lowestValid;
+}
+
+// ZSTD_insertBt1:423 (noDict).
+static uint32_t zx_insertBt1(ZxOptCtx* c, const uint8_t* ip,
+                             const uint8_t* iend, uint32_t target,
+                             uint32_t mls) {
+    const size_t h = zx_hash(ip, c->hlog, mls);
+    uint32_t* bt = c->bt;
+    const uint32_t btLog = c->clog - 1;
+    const uint32_t btMask = (1u << btLog) - 1;
+    uint32_t matchIndex = c->hashTable[h];
+    size_t commonLengthSmaller = 0, commonLengthLarger = 0;
+    const uint8_t* const base = c->base;
+    const uint8_t* match;
+    const uint32_t curr = (uint32_t)(ip - base);
+    const uint32_t btLow = btMask >= curr ? 0 : curr - btMask;
+    uint32_t* smallerPtr = bt + 2 * (curr & btMask);
+    uint32_t* largerPtr = smallerPtr + 1;
+    uint32_t dummy32;
+    const uint32_t windowLow =
+        (target - c->dictLimit > (1u << c->wlog)) ? target - (1u << c->wlog)
+                                                  : c->dictLimit;
+    uint32_t matchEndIdx = curr + 8 + 1;
+    size_t bestLength = 8;
+    uint32_t nbCompares = 1u << c->slog;
+
+    c->hashTable[h] = curr;
+    for (; nbCompares != 0 && matchIndex >= windowLow; --nbCompares) {
+        uint32_t* nextPtr = bt + 2 * (matchIndex & btMask);
+        size_t matchLength = commonLengthSmaller < commonLengthLarger
+                                 ? commonLengthSmaller
+                                 : commonLengthLarger;
+        match = base + matchIndex;
+        matchLength += zx_count(ip + matchLength, match + matchLength, iend);
+        if (matchLength > bestLength) {
+            bestLength = matchLength;
+            if (matchLength > matchEndIdx - matchIndex)
+                matchEndIdx = matchIndex + (uint32_t)matchLength;
+        }
+        size_t tl = matchLength;
+        if (ip + tl == iend) {
+            // The reference breaks here, chopping the remaining subtree
+            // (ZSTD_insertBt1:490) — near every block boundary.  The block
+            // limit only bounds match reporting; suffix order can use the
+            // frame's real continuation, preserving the tree.
+            if (c->frame_end == nullptr || iend >= c->frame_end) break;
+            tl += zx_count(ip + tl, match + tl, c->frame_end);
+            if (ip + tl >= c->frame_end) break;
+        }
+        if (match[tl] < ip[tl]) {
+            *smallerPtr = matchIndex;
+            commonLengthSmaller = matchLength;
+            if (matchIndex <= btLow) { smallerPtr = &dummy32; break; }
+            smallerPtr = nextPtr + 1;
+            matchIndex = nextPtr[1];
+        } else {
+            *largerPtr = matchIndex;
+            commonLengthLarger = matchLength;
+            if (matchIndex <= btLow) { largerPtr = &dummy32; break; }
+            largerPtr = nextPtr;
+            matchIndex = nextPtr[0];
+        }
+    }
+    *smallerPtr = *largerPtr = 0;
+    {
+        uint32_t positions = 0;
+        if (bestLength > 384)
+            positions = 192 < (uint32_t)(bestLength - 384)
+                            ? 192
+                            : (uint32_t)(bestLength - 384);
+        return positions > matchEndIdx - (curr + 8)
+                   ? positions
+                   : matchEndIdx - (curr + 8);
+    }
+}
+
+static void zx_updateTree(ZxOptCtx* c, const uint8_t* ip, const uint8_t* iend,
+                          uint32_t mls) {
+    const uint32_t target = (uint32_t)(ip - c->base);
+    uint32_t idx = c->nextToUpdate;
+    while (idx < target) {
+        idx += zx_insertBt1(c, c->base + idx, iend, target, mls);
+    }
+    c->nextToUpdate = target;
+}
+
+// ZSTD_insertBtAndGetAllMatches:560 (noDict).
+static uint32_t zx_getAllMatches(ZxOptMatch* matches, ZxOptCtx* c,
+                                 uint32_t* nextToUpdate3, const uint8_t* ip,
+                                 const uint8_t* iLimit, const uint32_t* rep,
+                                 uint32_t ll0, uint32_t lengthToBeat,
+                                 uint32_t mls) {
+    if (ip < c->base + c->nextToUpdate) return 0;
+    zx_updateTree(c, ip, iLimit, mls);
+
+    const uint32_t sufficient_len =
+        c->tlen < ((1u << 12) - 1) ? c->tlen : ((1u << 12) - 1);
+    const uint8_t* const base = c->base;
+    const uint32_t curr = (uint32_t)(ip - base);
+    const uint32_t minMatch = mls == 3 ? 3 : 4;
+    const size_t h = zx_hash(ip, c->hlog, mls);
+    uint32_t matchIndex = c->hashTable[h];
+    uint32_t* bt = c->bt;
+    const uint32_t btLog = c->clog - 1;
+    const uint32_t btMask = (1u << btLog) - 1;
+    size_t commonLengthSmaller = 0, commonLengthLarger = 0;
+    const uint32_t dictLimit = c->dictLimit;
+    const uint32_t btLow = btMask >= curr ? 0 : curr - btMask;
+    const uint32_t windowLow = zx_getLowestMatchIndex(c, curr);
+    const uint32_t matchLow = windowLow ? windowLow : 1;
+    uint32_t* smallerPtr = bt + 2 * (curr & btMask);
+    uint32_t* largerPtr = bt + 2 * (curr & btMask) + 1;
+    uint32_t matchEndIdx = curr + 8 + 1;
+    uint32_t dummy32;
+    uint32_t mnum = 0;
+    uint32_t nbCompares = 1u << c->slog;
+    size_t bestLength = lengthToBeat - 1;
+    int maintain = 0;
+
+    // repcode candidates
+    {
+        const uint32_t lastR = 3 + ll0;
+        for (uint32_t repCode = ll0; repCode < lastR; repCode++) {
+            const uint32_t repOffset =
+                repCode == 3 ? rep[0] - 1 : rep[repCode];
+            uint32_t repLen = 0;
+            const uint32_t repIndex = curr - repOffset;
+            if (repOffset - 1 < curr - dictLimit) {
+                if (repIndex >= windowLow &&
+                    zx_readMINMATCH(ip, minMatch)
+                        == zx_readMINMATCH(ip - repOffset, minMatch)) {
+                    repLen = (uint32_t)zx_count(ip + minMatch,
+                                                ip + minMatch - repOffset,
+                                                iLimit)
+                             + minMatch;
+                }
+            }
+            if (repLen > bestLength) {
+                bestLength = repLen;
+                matches[mnum].off = repCode - ll0;
+                matches[mnum].len = repLen;
+                mnum++;
+                if (repLen > sufficient_len || ip + repLen == iLimit)
+                    return mnum;
+            }
+        }
+    }
+
+    if (mls == 3 && bestLength < mls) {
+        const uint32_t matchIndex3 =
+            zx_insertAndFindFirstIndexHash3(c, nextToUpdate3, ip);
+        if (matchIndex3 >= matchLow && curr - matchIndex3 < (1u << 18)) {
+            const size_t mlen = zx_count(ip, base + matchIndex3, iLimit);
+            if (mlen >= mls) {
+                bestLength = mlen;
+                matches[0].off = (curr - matchIndex3) + 2;
+                matches[0].len = (uint32_t)mlen;
+                mnum = 1;
+                if (mlen > sufficient_len || ip + mlen == iLimit) {
+                    c->nextToUpdate = curr + 1;
+                    return 1;
+                }
+            }
+        }
+    }
+
+    c->hashTable[h] = curr;
+    for (; nbCompares != 0 && matchIndex >= matchLow; --nbCompares) {
+        uint32_t* nextPtr = bt + 2 * (matchIndex & btMask);
+        size_t matchLength = commonLengthSmaller < commonLengthLarger
+                                 ? commonLengthSmaller
+                                 : commonLengthLarger;
+        const uint8_t* match = base + matchIndex;
+        matchLength += zx_count(ip + matchLength, match + matchLength, iLimit);
+        if (!maintain && matchLength > bestLength) {
+            if (matchLength > matchEndIdx - matchIndex)
+                matchEndIdx = matchIndex + (uint32_t)matchLength;
+            bestLength = matchLength;
+            matches[mnum].off = (curr - matchIndex) + 2;
+            matches[mnum].len = (uint32_t)matchLength;
+            mnum++;
+            // The reference breaks here ("drop, to preserve bt
+            // consistency", ZSTD_insertBtAndGetAllMatches:750), zeroing the
+            // child slots and chopping the remaining subtree — on
+            // repetitive data the tree loses its long-reach nodes within a
+            // few blocks.  Keep walking in maintenance mode instead:
+            // re-thread the chain without reporting, preserving retention.
+            if (matchLength > (1u << 12)) maintain = 1;
+        }
+        size_t tl = matchLength;
+        if (ip + tl >= iLimit) {
+            if (c->frame_end == nullptr || iLimit >= c->frame_end) break;
+            tl += zx_count(ip + tl, match + tl, c->frame_end);
+            if (ip + tl >= c->frame_end) break;
+        }
+        if (match[tl] < ip[tl]) {
+            *smallerPtr = matchIndex;
+            commonLengthSmaller = matchLength;
+            if (matchIndex <= btLow) { smallerPtr = &dummy32; break; }
+            smallerPtr = nextPtr + 1;
+            matchIndex = nextPtr[1];
+        } else {
+            *largerPtr = matchIndex;
+            commonLengthLarger = matchLength;
+            if (matchIndex <= btLow) { largerPtr = &dummy32; break; }
+            largerPtr = nextPtr;
+            matchIndex = nextPtr[0];
+        }
+    }
+    *smallerPtr = *largerPtr = 0;
+    c->nextToUpdate = matchEndIdx - 8;
+    return mnum;
+}
+
+static inline void zx_updateRep3(const uint32_t* rep, uint32_t offset,
+                                 uint32_t ll0, uint32_t* out) {
+    if (offset >= 3) {
+        out[2] = rep[1];
+        out[1] = rep[0];
+        out[0] = offset - 2;
+    } else {
+        const uint32_t repCode = offset + ll0;
+        if (repCode > 0) {
+            const uint32_t currentOffset =
+                repCode == 3 ? rep[0] - 1 : rep[repCode];
+            out[2] = repCode >= 2 ? rep[1] : rep[2];
+            out[1] = rep[0];
+            out[0] = currentOffset;
+        } else {
+            out[0] = rep[0];
+            out[1] = rep[1];
+            out[2] = rep[2];
+        }
+    }
+}
+
+// ZSTD_compressBlock_opt_generic:1046, emitting into the driver's arrays.
+static int64_t zx_opt_block(ZxOptCtx* c, const uint8_t* istart,
+                            int64_t srcSize, uint32_t* rep, uint32_t* s_ll,
+                            uint32_t* s_ml, uint32_t* s_ob, int64_t seq_cap,
+                            int64_t* last_lit) {
+    const uint8_t* ip = istart;
+    const uint8_t* anchor = istart;
+    const uint8_t* const iend = istart + srcSize;
+    const uint8_t* const ilimit = iend - 8;
+    const uint8_t* const prefixStart = c->base + c->dictLimit;
+    const uint32_t sufficient_len =
+        c->tlen < ((1u << 12) - 1) ? c->tlen : ((1u << 12) - 1);
+    const uint32_t mls = 3 > (c->mml < 6 ? c->mml : 6)
+                             ? 3
+                             : (c->mml < 6 ? c->mml : 6);
+    const uint32_t minMatch = mls == 3 ? 3 : 4;
+    uint32_t nextToUpdate3 = c->nextToUpdate;
+    ZxOptimal* const opt = c->opt;
+    ZxOptMatch* const matches = c->matches;
+    ZxOptimal lastSequence;
+    int64_t n_seq = 0;
+
+    zx_opt_rescaleFreqs(c, istart, srcSize);
+    ip += (ip == prefixStart) ? 1 : 0;
+    while (ip < ilimit) {
+        uint32_t cur, last_pos = 0;
+        {
+            const uint32_t litlen = (uint32_t)(ip - anchor);
+            const uint32_t ll0 = litlen == 0;
+            uint32_t nbMatches = zx_getAllMatches(matches, c, &nextToUpdate3,
+                                                  ip, iend, rep, ll0,
+                                                  minMatch, mls);
+            if (nbMatches == 0) { ip++; continue; }
+            for (int i = 0; i < 3; i++) opt[0].rep[i] = rep[i];
+            opt[0].mlen = 0;
+            opt[0].litlen = litlen;
+            opt[0].price = (int32_t)zx_litLengthPrice(litlen, c);
+            {
+                const uint32_t maxML = matches[nbMatches - 1].len;
+                const uint32_t maxOffset = matches[nbMatches - 1].off;
+                if (maxML > sufficient_len) {
+                    lastSequence.litlen = litlen;
+                    lastSequence.mlen = maxML;
+                    lastSequence.off = maxOffset;
+                    cur = 0;
+                    last_pos = lastSequence.litlen + lastSequence.mlen;
+                    goto _shortestPath;
+                }
+            }
+            {
+                const uint32_t literalsPrice =
+                    (uint32_t)opt[0].price + zx_litLengthPrice(0, c);
+                uint32_t pos;
+                for (pos = 1; pos < minMatch; pos++)
+                    opt[pos].price = 1 << 30;
+                for (uint32_t matchNb = 0; matchNb < nbMatches; matchNb++) {
+                    const uint32_t offset = matches[matchNb].off;
+                    const uint32_t end = matches[matchNb].len;
+                    for (; pos <= end; pos++) {
+                        const uint32_t matchPrice =
+                            zx_getMatchPrice(offset, pos, c);
+                        opt[pos].mlen = pos;
+                        opt[pos].off = offset;
+                        opt[pos].litlen = litlen;
+                        opt[pos].price =
+                            (int32_t)(literalsPrice + matchPrice);
+                    }
+                }
+                last_pos = pos - 1;
+            }
+        }
+        for (cur = 1; cur <= last_pos; cur++) {
+            const uint8_t* const inr = ip + cur;
+            {
+                const uint32_t litlen = opt[cur - 1].mlen == 0
+                                            ? opt[cur - 1].litlen + 1
+                                            : 1;
+                const int32_t price =
+                    opt[cur - 1].price
+                    + (int32_t)zx_rawLiteralsCost(ip + cur - 1, 1, c)
+                    + (int32_t)zx_litLengthPrice(litlen, c)
+                    - (int32_t)zx_litLengthPrice(litlen - 1, c);
+                if (price <= opt[cur].price) {
+                    opt[cur].mlen = 0;
+                    opt[cur].off = 0;
+                    opt[cur].litlen = litlen;
+                    opt[cur].price = price;
+                }
+            }
+            if (opt[cur].mlen != 0) {
+                const uint32_t prev = cur - opt[cur].mlen;
+                uint32_t nr[3];
+                zx_updateRep3(opt[prev].rep, opt[cur].off,
+                              opt[cur].litlen == 0, nr);
+                opt[cur].rep[0] = nr[0];
+                opt[cur].rep[1] = nr[1];
+                opt[cur].rep[2] = nr[2];
+            } else {
+                opt[cur].rep[0] = opt[cur - 1].rep[0];
+                opt[cur].rep[1] = opt[cur - 1].rep[1];
+                opt[cur].rep[2] = opt[cur - 1].rep[2];
+            }
+            if (inr > ilimit) continue;
+            if (cur == last_pos) break;
+            if (c->optLevel == 0
+                && opt[cur + 1].price <= opt[cur].price + (1 << 8) / 2)
+                continue;
+            {
+                const uint32_t ll0 = opt[cur].mlen != 0;
+                const uint32_t litlen =
+                    opt[cur].mlen == 0 ? opt[cur].litlen : 0;
+                const uint32_t basePrice =
+                    (uint32_t)opt[cur].price + zx_litLengthPrice(0, c);
+                uint32_t nbMatches = zx_getAllMatches(
+                    matches, c, &nextToUpdate3, inr, iend, opt[cur].rep, ll0,
+                    minMatch, mls);
+                if (nbMatches == 0) continue;
+                {
+                    const uint32_t maxML = matches[nbMatches - 1].len;
+                    if (maxML > sufficient_len
+                        || cur + maxML >= (1u << 12)) {
+                        lastSequence.mlen = maxML;
+                        lastSequence.off = matches[nbMatches - 1].off;
+                        lastSequence.litlen = litlen;
+                        cur -= opt[cur].mlen == 0 ? opt[cur].litlen : 0;
+                        last_pos = cur + lastSequence.litlen
+                                   + lastSequence.mlen;
+                        if (cur > (1u << 12)) cur = 0;
+                        goto _shortestPath;
+                    }
+                }
+                for (uint32_t matchNb = 0; matchNb < nbMatches; matchNb++) {
+                    const uint32_t offset = matches[matchNb].off;
+                    const uint32_t lastML = matches[matchNb].len;
+                    const uint32_t startML =
+                        matchNb > 0 ? matches[matchNb - 1].len + 1 : minMatch;
+                    for (uint32_t mlen = lastML; mlen >= startML; mlen--) {
+                        const uint32_t pos = cur + mlen;
+                        const int32_t price =
+                            (int32_t)basePrice
+                            + (int32_t)zx_getMatchPrice(offset, mlen, c);
+                        if (pos > last_pos || price < opt[pos].price) {
+                            while (last_pos < pos) {
+                                opt[last_pos + 1].price = 1 << 30;
+                                last_pos++;
+                            }
+                            opt[pos].mlen = mlen;
+                            opt[pos].off = offset;
+                            opt[pos].litlen = litlen;
+                            opt[pos].price = price;
+                        } else {
+                            if (c->optLevel == 0) break;
+                        }
+                    }
+                }
+            }
+        }
+        lastSequence = opt[last_pos];
+        cur = last_pos > lastSequence.litlen + lastSequence.mlen
+                  ? last_pos - (lastSequence.litlen + lastSequence.mlen)
+                  : 0;
+    _shortestPath:
+        if (lastSequence.mlen != 0) {
+            uint32_t nr[3];
+            zx_updateRep3(opt[cur].rep, lastSequence.off,
+                          lastSequence.litlen == 0, nr);
+            rep[0] = nr[0]; rep[1] = nr[1]; rep[2] = nr[2];
+        } else {
+            rep[0] = opt[cur].rep[0];
+            rep[1] = opt[cur].rep[1];
+            rep[2] = opt[cur].rep[2];
+        }
+        {
+            const uint32_t storeEnd = cur + 1;
+            uint32_t storeStart = storeEnd;
+            uint32_t seqPos = cur;
+            opt[storeEnd] = lastSequence;
+            while (seqPos > 0) {
+                const uint32_t backDist =
+                    opt[seqPos].litlen + opt[seqPos].mlen;
+                storeStart--;
+                opt[storeStart] = opt[seqPos];
+                seqPos = seqPos > backDist ? seqPos - backDist : 0;
+            }
+            for (uint32_t storePos = storeStart; storePos <= storeEnd;
+                 storePos++) {
+                const uint32_t llen = opt[storePos].litlen;
+                const uint32_t mlen = opt[storePos].mlen;
+                const uint32_t offCode = opt[storePos].off;
+                if (mlen == 0) {
+                    ip = anchor + llen;
+                    continue;
+                }
+                zx_opt_updateStats(c, llen, anchor, offCode, mlen);
+                if (n_seq >= seq_cap) return -1;
+                s_ll[n_seq] = llen;
+                s_ml[n_seq] = mlen;
+                s_ob[n_seq] = offCode + 1;
+                n_seq++;
+                anchor += llen + mlen;
+                ip = anchor;
+            }
+            zx_opt_setBasePrices(c);
+        }
+    }
+    *last_lit = iend - anchor;
+    return n_seq;
+}
+
+// btultra2 two-pass (ZSTD_initStats_ultra:1362 + ZSTD_compressBlock_btultra2).
+static int64_t zx_opt_parse(ZxOptCtx* c, const uint8_t* block,
+                            int64_t srcSize, uint32_t* rep, uint32_t* s_ll,
+                            uint32_t* s_ml, uint32_t* s_ob, int64_t seq_cap,
+                            int64_t* last_lit) {
+    const uint32_t curr = (uint32_t)(block - c->base);
+    if (c->is_ultra2 && c->llSum == 0 && curr == c->dictLimit
+        && srcSize > 1024) {
+        uint32_t tmpRep[3] = {rep[0], rep[1], rep[2]};
+        int64_t ll_dummy;
+        if (zx_opt_block(c, block, srcSize, tmpRep, s_ll, s_ml, s_ob,
+                         seq_cap, &ll_dummy) < 0)
+            return -1;
+        c->base -= srcSize;
+        c->dictLimit += (uint32_t)srcSize;
+        c->nextToUpdate = c->dictLimit;
+    }
+    return zx_opt_block(c, block, srcSize, rep, s_ll, s_ml, s_ob, seq_cap,
+                        last_lit);
+}
+
+static ZxOptCtx* zx_opt_create(const uint8_t* src, uint32_t wlog,
+                               uint32_t clog, uint32_t hlog, uint32_t slog,
+                               uint32_t tlen, uint32_t mml, int strat) {
+    ZxOptCtx* c = (ZxOptCtx*)calloc(1, sizeof(ZxOptCtx));
+    if (!c) return nullptr;
+    c->base = src - 2;
+    c->src0 = src;
+    c->dictLimit = 2;
+    c->nextToUpdate = 2;
+    c->wlog = wlog; c->clog = clog; c->hlog = hlog; c->slog = slog;
+    c->tlen = tlen; c->mml = mml;
+    c->optLevel = strat >= 8 ? 2 : 0;
+    c->is_ultra2 = strat >= 9;
+    const uint32_t mls = 3 > (mml < 6 ? mml : 6) ? 3 : (mml < 6 ? mml : 6);
+    c->hashLog3 = mls == 3 ? (17 < wlog ? 17 : wlog) : 0;
+    c->hashTable = (uint32_t*)calloc((size_t)1 << hlog, 4);
+    c->bt = (uint32_t*)calloc((size_t)1 << clog, 4);
+    c->hash3 = c->hashLog3
+                   ? (uint32_t*)calloc((size_t)1 << c->hashLog3, 4)
+                   : nullptr;
+    c->opt = (ZxOptimal*)malloc(sizeof(ZxOptimal) * 4099);
+    c->matches = (ZxOptMatch*)malloc(sizeof(ZxOptMatch) * 4099);
+    if (!c->hashTable || !c->bt || (c->hashLog3 && !c->hash3) || !c->opt
+        || !c->matches) {
+        free(c->hashTable); free(c->bt); free(c->hash3); free(c->opt);
+        free(c->matches); free(c);
+        return nullptr;
+    }
+    return c;
+}
+
+static void zx_opt_free(ZxOptCtx* c) {
+    if (!c) return;
+    free(c->hashTable); free(c->bt); free(c->hash3); free(c->opt);
+    free(c->matches); free(c);
 }
 
 // ZSTD_isRLE:3671.
@@ -4422,6 +5135,188 @@ static int64_t zx_block_from_arrays(const uint8_t* block, int64_t bn,
     if (c <= 0) return -1;
     if (c >= bn - zx_min_gain(bn, strategy)) return -1;
     return c;
+}
+
+// ---------------------------------------------------------------------------
+// EXACT BLOCK SPLITTER (ZSTD_compressBlock_splitBlock_internal:4390,
+// ZSTD_seqStore_resolveOffCodes:4197, ZSTD_deriveBlockSplitsHelper:4328).
+// Partitions a parsed block at sequence boundaries; partitions that do not
+// compress are emitted raw/RLE, with the decoder-visible repcode history
+// (dRep) tracked separately from the parse history (cRep) and divergent
+// repcode references materialised to literal offsets.
+// ---------------------------------------------------------------------------
+
+// ZSTD_resolveRepcodeToRawOffset:4173.
+static inline uint32_t zx_rep_to_raw(const uint32_t* rep, uint32_t offCode,
+                                     uint32_t ll0) {
+    const uint32_t adjusted = offCode + ll0;
+    if (adjusted == 3) return rep[0] - 1;
+    return rep[adjusted];
+}
+
+// Mutates ob[] (offBase form) in place.
+static void zx_resolve_offcodes(uint32_t* dRep, uint32_t* cRep,
+                                const uint32_t* ll_arr, uint32_t* ob,
+                                int64_t nbSeq) {
+    for (int64_t i = 0; i < nbSeq; i++) {
+        const uint32_t ll0 = ll_arr[i] == 0;
+        const uint32_t offCode = ob[i] - 1;
+        if (offCode <= 2) {
+            const uint32_t dRaw = zx_rep_to_raw(dRep, offCode, ll0);
+            const uint32_t cRaw = zx_rep_to_raw(cRep, offCode, ll0);
+            if (dRaw != cRaw) ob[i] = cRaw + 3;
+        }
+        uint32_t nd[3], nc[3];
+        zx_updateRep3(dRep, ob[i] - 1, ll0, nd);
+        zx_updateRep3(cRep, offCode, ll0, nc);
+        std::memcpy(dRep, nd, 12);
+        std::memcpy(cRep, nc, 12);
+    }
+}
+
+// Chunk cost for the split search: a trial entropy encode (the reference
+// estimates via ZSTD_buildEntropyStatisticsAndEstimateSubBlockSize; a trial
+// encode with the same exact encoder is the same decision signal, measured
+// rather than estimated).  +3 charges the block header.
+static int64_t zx_chunk_cost(const uint8_t* block, int64_t blockSize,
+                             const uint32_t* ll, const uint32_t* mlv,
+                             const uint32_t* ob, const int64_t* seq_start,
+                             int64_t nseq, int64_t last_lit, int64_t a,
+                             int64_t b, const ZxEntropy* prev, int strategy) {
+    static thread_local uint8_t* buf = nullptr;
+    static thread_local ZxEntropy* scratch = nullptr;
+    if (!buf) {
+        buf = (uint8_t*)malloc((1 << 17) + (1 << 12));
+        scratch = (ZxEntropy*)malloc(sizeof(ZxEntropy));
+        if (!buf || !scratch) return -1;
+    }
+    const int64_t pa = seq_start[a];
+    const int64_t pb = b == nseq ? blockSize : seq_start[b];
+    const int64_t plast = b == nseq ? last_lit : 0;
+    ZxEntropy prevCopy = *prev;
+    const int64_t c = zx_block_from_arrays(block + pa, pb - pa, ll + a,
+                                           mlv + a, ob + a, b - a, plast,
+                                           &prevCopy, scratch, strategy, buf,
+                                           (1 << 17) + (1 << 12) - 8);
+    return (c < 0 ? pb - pa : c) + 3;
+}
+
+struct ZxSplits { int64_t loc[200]; int n; };
+
+static void zx_derive_splits(ZxSplits* sp, int64_t startIdx, int64_t endIdx,
+                             const uint8_t* block, int64_t blockSize,
+                             const uint32_t* ll, const uint32_t* mlv,
+                             const uint32_t* ob, const int64_t* seq_start,
+                             int64_t nseq, int64_t last_lit,
+                             const ZxEntropy* prev, int strategy) {
+    if (endIdx - startIdx < 300 || sp->n >= 196) return;
+    const int64_t mid = (startIdx + endIdx) / 2;
+    const int64_t full = zx_chunk_cost(block, blockSize, ll, mlv, ob,
+                                       seq_start, nseq, last_lit, startIdx,
+                                       endIdx, prev, strategy);
+    const int64_t lo = zx_chunk_cost(block, blockSize, ll, mlv, ob, seq_start,
+                                     nseq, last_lit, startIdx, mid, prev,
+                                     strategy);
+    const int64_t hi = zx_chunk_cost(block, blockSize, ll, mlv, ob, seq_start,
+                                     nseq, last_lit, mid, endIdx, prev,
+                                     strategy);
+    if (full < 0 || lo < 0 || hi < 0) return;
+    if (lo + hi < full) {
+        zx_derive_splits(sp, startIdx, mid, block, blockSize, ll, mlv, ob,
+                         seq_start, nseq, last_lit, prev, strategy);
+        sp->loc[sp->n++] = mid;
+        zx_derive_splits(sp, mid, endIdx, block, blockSize, ll, mlv, ob,
+                         seq_start, nseq, last_lit, prev, strategy);
+    }
+}
+
+// Emits one parsed block as 1..N partitions.  Returns emitted bytes or -1;
+// on success, ent2[*prevIdxP].repcodes hold the decoder-visible history.
+static int64_t zx_split_block_emit(const uint8_t* block, int64_t blockSize,
+                                   int lastBlock, int isFirstBlock,
+                                   uint32_t* ll, uint32_t* mlv, uint32_t* ob,
+                                   int64_t nseq, int64_t last_lit,
+                                   ZxEntropy* ent2, int* prevIdxP,
+                                   int strategy, uint8_t* out, int64_t cap) {
+    int64_t* seq_start = (int64_t*)malloc((size_t)(nseq + 1) * 8);
+    if (!seq_start) return -1;
+    {
+        int64_t curp = 0;
+        for (int64_t i = 0; i < nseq; i++) {
+            seq_start[i] = curp;
+            curp += (int64_t)ll[i] + mlv[i];
+        }
+        seq_start[nseq] = curp;
+    }
+    ZxSplits sp;
+    sp.n = 0;
+    if (nseq > 4)
+        zx_derive_splits(&sp, 0, nseq, block, blockSize, ll, mlv, ob,
+                         seq_start, nseq, last_lit, &ent2[*prevIdxP],
+                         strategy);
+    sp.loc[sp.n] = nseq;
+    uint32_t dRep[3], cRep[3];
+    std::memcpy(dRep, ent2[*prevIdxP].repcodes, 12);
+    std::memcpy(cRep, ent2[*prevIdxP].repcodes, 12);
+    int64_t op = 0;
+    int64_t a = 0;
+    for (int k = 0; k <= sp.n; k++) {
+        const int64_t b = sp.loc[k];
+        const int64_t pa = seq_start[a];
+        const int64_t pb = k == sp.n ? blockSize : seq_start[b];
+        const int64_t pbn = pb - pa;
+        const int64_t plast = k == sp.n ? last_lit : 0;
+        const int lastPart = (k == sp.n) && lastBlock;
+        uint32_t dRepOrig[3];
+        std::memcpy(dRepOrig, dRep, 12);
+        if (sp.n > 0)  // isPartition (ZSTD_compressSeqStore_singleBlock:4238)
+            zx_resolve_offcodes(dRep, cRep, ll + a, ob + a, b - a);
+        if (cap - op < 3 + pbn + 32) {
+            free(seq_start);
+            return -1;
+        }
+        const int64_t c = zx_block_from_arrays(
+            block + pa, pbn, ll + a, mlv + a, ob + a, b - a, plast,
+            &ent2[*prevIdxP], &ent2[*prevIdxP ^ 1], strategy, out + op + 3,
+            cap - op - 3 - 8);
+        if (c >= 0 && !isFirstBlock && c < 25 && zx_is_rle(block + pa, pbn)) {
+            // RLE partition: decoder executes no sequences -> revert dRep
+            const uint32_t bh =
+                (uint32_t)(lastPart + (1u << 1) + ((uint32_t)pbn << 3));
+            out[op] = (uint8_t)bh;
+            out[op + 1] = (uint8_t)(bh >> 8);
+            out[op + 2] = (uint8_t)(bh >> 16);
+            out[op + 3] = block[pa];
+            op += 4;
+            std::memcpy(dRep, dRepOrig, 12);
+        } else if (c < 0) {
+            // raw partition
+            const uint32_t bh =
+                (uint32_t)(lastPart + (0u << 1) + ((uint32_t)pbn << 3));
+            out[op] = (uint8_t)bh;
+            out[op + 1] = (uint8_t)(bh >> 8);
+            out[op + 2] = (uint8_t)(bh >> 16);
+            std::memcpy(out + op + 3, block + pa, (size_t)pbn);
+            op += 3 + pbn;
+            std::memcpy(dRep, dRepOrig, 12);
+        } else {
+            *prevIdxP ^= 1;  // confirm repcodes + entropy tables
+            const uint32_t bh =
+                (uint32_t)(lastPart + (2u << 1) + ((uint32_t)c << 3));
+            out[op] = (uint8_t)bh;
+            out[op + 1] = (uint8_t)(bh >> 8);
+            out[op + 2] = (uint8_t)(bh >> 16);
+            op += 3 + c;
+        }
+        a = b;
+    }
+    // Split case: the decoder-visible history replaces the parse's reps
+    // (ZSTD_compressBlock_splitBlock_internal:4460 memcpy of dRep).  The
+    // unsplit case returns early in the reference — reps flow through the
+    // confirm-swap from the parse — so they must not be overwritten here.
+    if (sp.n > 0) std::memcpy(ent2[*prevIdxP].repcodes, dRep, 12);
+    free(seq_start);
+    return op;
 }
 
 extern "C" {
@@ -6398,7 +7293,10 @@ int64_t zt_compress_exact_params(const uint8_t* src, int64_t n,
     cp.mml = (uint32_t)mml; cp.tlen = (uint32_t)tlen;
     cp.strat = (uint32_t)strat;
     (void)slog;
-    if (cp.strat > 2) return -2;  // fast/dfast only (so far)
+    // fast/dfast and the bt-optimal family; lazy strategies (3-6) route to
+    // the legacy pipeline.
+    if ((cp.strat > 2 && cp.strat < 7) || cp.strat > 9) return -2;
+    if (cp.strat >= 7 && n >= (1LL << 30)) return -2;  // u32 window indices
 
     const uint64_t windowSize = 1ULL << cp.wlog;
     const int64_t blockSizeMax =
@@ -6451,14 +7349,34 @@ int64_t zt_compress_exact_params(const uint8_t* src, int64_t n,
     // ---- state ----
     const uint8_t* const base = src - 2;  // ZSTD_WINDOW_START_INDEX == 2
     uint32_t dictLimit = 2;
-    uint32_t* hashTable = (uint32_t*)calloc((size_t)1 << cp.hlog, 4);
-    uint32_t* chainTable =
-        cp.strat == 2 ? (uint32_t*)calloc((size_t)1 << cp.clog, 4) : nullptr;
-    if (!hashTable || (cp.strat == 2 && !chainTable)) {
-        free(hashTable);
-        free(chainTable);
-        return -1;
+    uint32_t* hashTable = nullptr;
+    uint32_t* chainTable = nullptr;
+    ZxOptCtx* optc = nullptr;
+    uint32_t* os_ll = nullptr;  // opt scratch (llen, mlen, offBase) arrays
+    const int64_t opt_seq_cap = blockSizeMax / 3 + 64;
+    if (cp.strat >= 7) {
+        optc = zx_opt_create(src, cp.wlog, cp.clog, cp.hlog, cp.slog,
+                             cp.tlen, cp.mml, (int)cp.strat);
+        if (optc) optc->frame_end = src + n;
+        os_ll = (uint32_t*)malloc((size_t)opt_seq_cap * 12);
+        if (!optc || !os_ll) {
+            zx_opt_free(optc);
+            free(os_ll);
+            return -1;
+        }
+    } else {
+        hashTable = (uint32_t*)calloc((size_t)1 << cp.hlog, 4);
+        chainTable = cp.strat == 2
+                         ? (uint32_t*)calloc((size_t)1 << cp.clog, 4)
+                         : nullptr;
+        if (!hashTable || (cp.strat == 2 && !chainTable)) {
+            free(hashTable);
+            free(chainTable);
+            return -1;
+        }
     }
+    uint32_t* const os_ml = os_ll ? os_ll + opt_seq_cap : nullptr;
+    uint32_t* const os_ob = os_ml ? os_ml + opt_seq_cap : nullptr;
     ZxEntropy ent[2];
     std::memset(ent, 0, sizeof ent);
     ent[0].repcodes[0] = 1; ent[0].repcodes[1] = 4; ent[0].repcodes[2] = 8;
@@ -6481,7 +7399,15 @@ int64_t zt_compress_exact_params(const uint8_t* src, int64_t n,
                                                      blockSizeMax);
         const int lastBlock = blockSize == remaining;
         // ZSTD_window_enforceMaxDist with srcEnd = block start
-        {
+        if (optc) {
+            // the opt ctx owns the window (its base shifts on btultra2's
+            // initStats pass, ZSTD_initStats_ultra:1362)
+            const uint32_t blockStartIdx = (uint32_t)(ip - optc->base);
+            if (blockStartIdx > (uint32_t)windowSize) {
+                const uint32_t newLow = blockStartIdx - (uint32_t)windowSize;
+                if (optc->dictLimit < newLow) optc->dictLimit = newLow;
+            }
+        } else {
             const uint32_t blockStartIdx = (uint32_t)(ip - base);
             if (blockStartIdx > (uint32_t)windowSize) {
                 const uint32_t newLow = blockStartIdx - (uint32_t)windowSize;
@@ -6504,7 +7430,28 @@ int64_t zt_compress_exact_params(const uint8_t* src, int64_t n,
             ss.lltPos = 0;
             if (prof_on()) g_prof[0] -= prof_now();
             int64_t lastLLSize;
-            if (cp.strat == 1) {
+            if (cp.strat >= 7) {
+                const int64_t nseq =
+                    zx_opt_parse(optc, ip, blockSize, next->repcodes, os_ll,
+                                 os_ml, os_ob, opt_seq_cap, &lastLLSize);
+                if (nseq < 0) { rc = -1; break; }
+                if (prof_on()) g_prof[0] += prof_now();
+                // The 1.5.7 oracle enables the block splitter at the
+                // bt-optimal levels; emit through the exact splitter
+                // (raw/RLE partitions allowed, dRep/cRep tracked).
+                const int64_t t_ent2 = prof_on() ? prof_now() : 0;
+                const int64_t em = zx_split_block_emit(
+                    ip, blockSize, lastBlock, isFirstBlock, os_ll, os_ml,
+                    os_ob, nseq, lastLLSize, ent, &prevIdx, (int)cp.strat,
+                    out + op, cap - op);
+                if (prof_on()) g_prof[1] += prof_now() - t_ent2;
+                if (em < 0) { rc = -1; break; }
+                op += em;
+                ip += blockSize;
+                remaining -= blockSize;
+                isFirstBlock = 0;
+                continue;
+            } else if (cp.strat == 1) {
                 const int hasStep = cp.tlen > 1;
                 switch (cp.mml) {
                     case 5:
@@ -6651,6 +7598,8 @@ int64_t zt_compress_exact_params(const uint8_t* src, int64_t n,
 
     free(hashTable);
     free(chainTable);
+    zx_opt_free(optc);
+    free(os_ll);
     free(ss.lit);
     free(ss.seq);
     if (prof_on())

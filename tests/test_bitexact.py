@@ -144,3 +144,55 @@ class TestDfastNearIdentity:
         # dfast on this corpus is byte-identical with the 1.5.7 oracle
         data = _text(805_000)
         assert compress(data, 4) == oracle(data, 4)
+
+
+class TestOptExactStrategies:
+    """The bt-optimal exact path (btopt/btultra/btultra2; ZstdOpt.cs:1046
+    semantics with tree preservation across block limits + the exact block
+    splitter, ZstdCompress.cs:4390).  The tree-preservation improvement
+    means output is not byte-identical to the oracle; the contract is
+    ratio at-or-below it."""
+
+    @pytest.mark.parametrize("level", [16, 17, 18, 19, 22])
+    def test_roundtrip_all_content(self, level):
+        for gen in (_text, _jsonish, _binary, _periodic):
+            data = gen(200_000)
+            frame = compress(data, level)
+            assert decompress(frame) == data
+            assert zstandard.ZstdDecompressor().decompress(frame) == data
+
+    @pytest.mark.parametrize("level", [19, 22])
+    def test_ratio_beats_oracle_on_mixed(self, level):
+        r = np.random.default_rng(77)
+        data = (_text(400_000) + r.integers(0, 256, 150_000, np.uint8).tobytes()
+                + _jsonish(300_000) + _periodic(200_000) + _text(300_000, 1))
+        frame = compress(data, level)
+        orc = oracle(data, level)
+        assert decompress(frame) == data
+        assert len(frame) <= len(orc) * 1.001, (len(frame), len(orc))
+
+    @pytest.mark.parametrize("level", [16, 19])
+    def test_ratio_close_on_text(self, level):
+        data = _text(1_000_000)
+        frame = compress(data, level)
+        orc = oracle(data, level)
+        assert decompress(frame) == data
+        assert len(frame) <= len(orc) * 1.002, (len(frame), len(orc))
+
+    def test_checksum_and_tiny_inputs(self):
+        for data in (b"", b"a", b"abcabcabc" * 3, _text(900)):
+            for level in (16, 19):
+                frame = compress(data, level, checksum=True)
+                assert zstandard.ZstdDecompressor().decompress(frame) == data
+                assert decompress(frame) == data
+
+    def test_rle_and_raw_partitions(self):
+        # mixed block forcing raw sub-block emission (incompressible run)
+        r = np.random.default_rng(3)
+        data = (_text(120_000) + r.integers(0, 256, 120_000, np.uint8).tobytes()
+                + b"\x55" * 100_000 + _text(120_000, 8))
+        for level in (16, 19):
+            frame = compress(data, level)
+            assert decompress(frame) == data
+            assert zstandard.ZstdDecompressor().decompress(frame) == data
+            assert len(frame) <= len(oracle(data, level)) * 1.002

@@ -535,7 +535,8 @@ class NativeDDict:
 
 def compress_exact(data: bytes, level: int, checksum: bool = False) -> bytes | None:
     """Byte-exact zstd frame via the native exact encoder
-    (ZSTD_compress2 semantics for fast/dfast strategies).
+    (ZSTD_compress2 semantics for the fast/dfast and bt-optimal
+    strategies, ZstdFast.cs:96 / ZstdDoubleFast.cs:51 / ZstdOpt.cs:1046).
     Returns None when unavailable or the level/size routes to an
     unsupported strategy (caller falls back to the generic pipeline)."""
     lib = get_lib()
