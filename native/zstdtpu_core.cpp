@@ -4625,6 +4625,10 @@ static uint32_t zx_insertBt1(ZxOptCtx* c, const uint8_t* ip,
         size_t matchLength = commonLengthSmaller < commonLengthLarger
                                  ? commonLengthSmaller
                                  : commonLengthLarger;
+        // cover the next random bt-node and match-byte accesses with the
+        // count work
+        __builtin_prefetch(bt + 2 * (nextPtr[0] & btMask), 0, 1);
+        __builtin_prefetch(bt + 2 * (nextPtr[1] & btMask), 0, 1);
         match = base + matchIndex;
         matchLength += zx_count(ip + matchLength, match + matchLength, iend);
         if (matchLength > bestLength) {
@@ -4765,6 +4769,8 @@ static uint32_t zx_getAllMatches(ZxOptMatch* matches, ZxOptCtx* c,
         size_t matchLength = commonLengthSmaller < commonLengthLarger
                                  ? commonLengthSmaller
                                  : commonLengthLarger;
+        __builtin_prefetch(bt + 2 * (nextPtr[0] & btMask), 0, 1);
+        __builtin_prefetch(bt + 2 * (nextPtr[1] & btMask), 0, 1);
         const uint8_t* match = base + matchIndex;
         matchLength += zx_count(ip + matchLength, match + matchLength, iLimit);
         if (!maintain && matchLength > bestLength) {
