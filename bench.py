@@ -48,6 +48,38 @@ def make_corpus(n_bytes: int) -> bytes:
     return b"".join(parts)[:n_bytes]
 
 
+def make_real_corpus(n_bytes: int = 8 << 20) -> bytes:
+    """Real-file corpus assembled from data shipped in the image, mirroring
+    Silesia's mix (no network access to fetch Silesia itself): source code
+    (stdlib .py ~ samba), English prose (pydoc topics ~ dickens/webster),
+    ELF binary (numpy's umath .so ~ mozilla), and structured records
+    (dpkg status ~ nci).  Deterministic for a given image."""
+    import pathlib
+    import sysconfig
+
+    parts = []
+    std = pathlib.Path(sysconfig.get_paths()["stdlib"])
+    acc = 0
+    for p in sorted(std.glob("*.py")):
+        parts.append(p.read_bytes())
+        acc += len(parts[-1])
+        if acc >= (3 << 20):
+            break
+    topics = std / "pydoc_data" / "topics.py"
+    if topics.exists():
+        parts.append(topics.read_bytes())
+    status = pathlib.Path("/var/lib/dpkg/status")
+    if status.exists():
+        parts.append(status.read_bytes()[: 1 << 20])
+    import numpy as _np
+
+    so = sorted(pathlib.Path(_np.__file__).parent.rglob("*.so"),
+                key=lambda p: -p.stat().st_size)
+    if so:
+        parts.append(so[0].read_bytes()[: 3 << 20])
+    return b"".join(parts)[:n_bytes]
+
+
 def main() -> None:
     data = make_corpus(CORPUS_MB << 20)
     n = len(data)
@@ -76,6 +108,27 @@ def main() -> None:
 
     print(f"bench: encode {enc_gbs:.4f} GB/s, decode {dec_gbs:.4f} GB/s, "
           f"roundtrip {rt_gbs:.4f} GB/s, {ratio_note}", file=sys.stderr)
+
+    # Real-file corpus (Silesia-style mix from image-shipped files): ratio
+    # and speed vs libzstd at the fast and optimal ends.
+    try:
+        import zstandard
+
+        real = make_real_corpus()
+        for lvl in (1, 19):
+            f = compress(real, lvl)
+            te = min(_timed(lambda: compress(real, lvl)) for _ in range(3 if lvl == 1 else 1))
+            zc = zstandard.ZstdCompressor(level=lvl, write_content_size=True)
+            fz = zc.compress(real)
+            tz = min(_timed(lambda: zc.compress(real)) for _ in range(3 if lvl == 1 else 1))
+            assert decompress(f) == real
+            print(f"bench: real corpus ({len(real)>>20}MB) L{lvl}: "
+                  f"ours {len(f)} @ {len(real)/te/1e6:.1f} MB/s, "
+                  f"libzstd {len(fz)} @ {len(real)/tz/1e6:.1f} MB/s "
+                  f"(ratio x{len(f)/len(fz):.4f}, speed x{tz/te:.2f})",
+                  file=sys.stderr)
+    except Exception as e:  # pragma: no cover
+        print(f"bench: real corpus skipped ({e})", file=sys.stderr)
 
     # Dictionary batch path (the 10K-small-records headline config).
     try:

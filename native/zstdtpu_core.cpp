@@ -4360,13 +4360,23 @@ static int64_t zx_pick_block_size(const uint8_t* ip, int64_t remaining,
     uint32_t past[256] = {0};
     uint64_t n_past = 0;
     int penalty = 3;
+    // Sampled fingerprints (the oracle's preSplit also samples at the fast
+    // levels): stride keeps the scan off the critical path; the distance
+    // is cross-normalized so absolute event counts cancel.
+    static int stride = 0;
+    if (!stride) {
+        const char* e = getenv("ZT_SPLIT_STRIDE");
+        stride = e ? atoi(e) : 2;
+        if (stride < 1) stride = 1;
+    }
+    const int64_t n_ev = SEG / stride;
     for (int64_t off = 0; off + SEG <= lim; off += SEG) {
         uint32_t cur[256] = {0};
         const uint8_t* p = ip + off;
-        for (int64_t i = 0; i < SEG; i++) cur[p[i]]++;
+        for (int64_t i = 0; i < SEG; i += stride) cur[p[i]]++;
         if (n_past) {
             uint64_t dist = 0;
-            const uint64_t nc = (uint64_t)SEG;
+            const uint64_t nc = (uint64_t)n_ev;
             for (int sdx = 0; sdx < 256; sdx++) {
                 const int64_t d = (int64_t)((uint64_t)past[sdx] * nc) -
                                   (int64_t)((uint64_t)cur[sdx] * n_past);
@@ -4379,7 +4389,7 @@ static int64_t zx_pick_block_size(const uint8_t* ip, int64_t remaining,
             penalty = penalty > 0 ? penalty - 1 : 0;
         }
         for (int sdx = 0; sdx < 256; sdx++) past[sdx] += cur[sdx];
-        n_past += (uint64_t)SEG;
+        n_past += (uint64_t)n_ev;
     }
     return lim;
 }
