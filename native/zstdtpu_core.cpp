@@ -4428,6 +4428,567 @@ static int64_t zx_entropy_compress(const ZxStore* ss, const ZxEntropy* prev,
     return op - ostart;
 }
 
+
+// ---------------------------------------------------------------------------
+// TRUE SUPERBLOCK EMISSION (targetCBlockSize; ZstdCompressSuperblock.cs:
+// ZSTD_compressSuperBlock:584, ZSTD_compressSubBlock_multi:445,
+// ZSTD_compressSubBlock_literal:27, ZSTD_compressSubBlock_sequences:155,
+// ZSTD_buildBlockEntropyStats_literals role).  One entropy table set is
+// built for the whole block; sub-blocks around targetCBlockSize share it —
+// the first carries the serialized tables, the rest use repeat modes.
+// ---------------------------------------------------------------------------
+
+static inline void zx_updateRep3(const uint32_t* rep, uint32_t offset,
+                                 uint32_t ll0, uint32_t* out);
+
+struct ZxSbMeta {
+    int hType;               // 0 basic, 1 rle, 2 compressed, 3 repeat
+    uint8_t hufDes[200];
+    int64_t hufDesSize;
+    int llType, ofType, mlType;
+    uint8_t fseTables[256];
+    int64_t fseTablesSize;
+    int64_t lastCountSize;
+};
+
+// ZSTD_buildBlockEntropyStats_literals (ZstdCompress.cs).
+static int zx_sb_build_lit(const uint8_t* lit, int64_t litSize,
+                           const ZxHufS* prevHuf, ZxHufS* nextHuf,
+                           ZxSbMeta* m) {
+    *nextHuf = *prevHuf;
+    m->hufDesSize = 0;
+    const int64_t minLitSize = prevHuf->rep == 2 ? 6 : 63;
+    if (litSize <= minLitSize) { m->hType = 0; return 0; }
+    uint32_t count[256] = {0};
+    for (int64_t i = 0; i < litSize; i++) count[lit[i]]++;
+    uint32_t maxSym = 255;
+    while (maxSym > 0 && count[maxSym] == 0) maxSym--;
+    uint64_t largest = 0;
+    for (uint32_t s = 0; s <= maxSym; s++)
+        if (count[s] > largest) largest = count[s];
+    if ((int64_t)largest == litSize) { m->hType = 1; return 0; }
+    if ((int64_t)largest <= (litSize >> 7) + 4) { m->hType = 0; return 0; }
+    int repeat = prevHuf->rep;
+    if (repeat == 1 && !zx_huf_validate(&prevHuf->ct, count, maxSym))
+        repeat = 0;
+    uint32_t huffLog =
+        zx_optimal_table_log(11, (uint64_t)litSize, maxSym, 1);
+    HufCTableC newCT;
+    std::memset(&newCT, 0, sizeof newCT);
+    const int maxBits = zx_huf_build_ctable(&newCT, count, maxSym, huffLog);
+    if (maxBits < 0) return -1;
+    huffLog = (uint32_t)maxBits;
+    const uint64_t newCSize = zx_huf_estimate(&newCT, count, maxSym);
+    const int64_t hSize =
+        zx_huf_write_ctable(m->hufDes, sizeof m->hufDes, &newCT, maxSym,
+                            huffLog);
+    if (hSize < 0) return -1;
+    if (repeat != 0) {
+        const uint64_t oldCSize = zx_huf_estimate(&prevHuf->ct, count, maxSym);
+        if (oldCSize < (uint64_t)litSize &&
+            (oldCSize <= (uint64_t)hSize + newCSize ||
+             hSize + 12 >= litSize)) {
+            *nextHuf = *prevHuf;
+            m->hType = 3;
+            return 0;
+        }
+    }
+    if (newCSize + (uint64_t)hSize >= (uint64_t)litSize) {
+        *nextHuf = *prevHuf;
+        m->hType = 0;
+        return 0;
+    }
+    nextHuf->ct = newCT;
+    nextHuf->rep = 1;  // HUF_repeat_check
+    m->hType = 2;
+    m->hufDesSize = hSize;
+    return 0;
+}
+
+// ZSTD_compressSubBlock_literal:27.
+static int64_t zx_sb_emit_lit(const HufCTableC* ct, const ZxSbMeta* m,
+                              const uint8_t* lit, int64_t litSize,
+                              int writeEntropy, int* entropyWritten,
+                              uint8_t* op, int64_t cap) {
+    *entropyWritten = 0;
+    const int64_t header = writeEntropy ? 200 : 0;
+    const int64_t lhSize = 3 + (litSize >= 1024 - header ? 1 : 0) +
+                           (litSize >= 16 * 1024 - header ? 1 : 0);
+    const int singleStream = lhSize == 3;
+    const int hType = writeEntropy ? m->hType : 3 /*repeat*/;
+    int64_t cLitSize = 0;
+    if (litSize == 0 || m->hType == 0 /*basic*/) {
+        // ZSTD_noCompressLiterals
+        const int64_t flSize =
+            1 + (litSize > 31 ? 1 : 0) + (litSize > 4095 ? 1 : 0);
+        if (litSize + flSize > cap) return -1;
+        if (flSize == 1) op[0] = (uint8_t)(0 + (litSize << 3));
+        else if (flSize == 2) {
+            const uint16_t v = (uint16_t)(0 + (1 << 2) + (litSize << 4));
+            std::memcpy(op, &v, 2);
+        } else {
+            const uint32_t v = (uint32_t)(0 + (3 << 2) + (litSize << 4));
+            std::memcpy(op, &v, 4);
+        }
+        std::memcpy(op + flSize, lit, (size_t)litSize);
+        return flSize + litSize;
+    }
+    if (m->hType == 1 /*rle*/) {
+        const int64_t flSize =
+            1 + (litSize > 31 ? 1 : 0) + (litSize > 4095 ? 1 : 0);
+        if (cap < flSize + 1) return -1;
+        if (flSize == 1) op[0] = (uint8_t)(1 + (litSize << 3));
+        else if (flSize == 2) {
+            const uint16_t v = (uint16_t)(1 + (1 << 2) + (litSize << 4));
+            std::memcpy(op, &v, 2);
+        } else {
+            const uint32_t v = (uint32_t)(1 + (3 << 2) + (litSize << 4));
+            std::memcpy(op, &v, 4);
+        }
+        op[flSize] = lit[0];
+        return flSize + 1;
+    }
+    uint8_t* const ostart = op;
+    uint8_t* p = op + lhSize;
+    const int64_t oend = cap;
+    if (writeEntropy && m->hType == 2) {
+        if (lhSize + m->hufDesSize > cap) return -1;
+        std::memcpy(p, m->hufDes, (size_t)m->hufDesSize);
+        p += m->hufDesSize;
+        cLitSize += m->hufDesSize;
+    }
+    {
+        const int64_t c = zx_huf_streams(p, oend - (p - ostart), lit, litSize,
+                                         singleStream ? 0 : 1, ct, 0);
+        if (c == 0) return 0;  // not compressible under the shared table
+        p += c;
+        cLitSize += c;
+        if (!writeEntropy && cLitSize >= litSize) {
+            // no gain without the table: fall back to raw literals
+            const int64_t flSize =
+                1 + (litSize > 31 ? 1 : 0) + (litSize > 4095 ? 1 : 0);
+            if (litSize + flSize > cap) return -1;
+            if (flSize == 1) ostart[0] = (uint8_t)(0 + (litSize << 3));
+            else if (flSize == 2) {
+                const uint16_t v = (uint16_t)(0 + (1 << 2) + (litSize << 4));
+                std::memcpy(ostart, &v, 2);
+            } else {
+                const uint32_t v = (uint32_t)(0 + (3 << 2) + (litSize << 4));
+                std::memcpy(ostart, &v, 4);
+            }
+            std::memcpy(ostart + flSize, lit, (size_t)litSize);
+            return flSize + litSize;
+        }
+        if (lhSize < 3 + (cLitSize >= 1024 ? 1 : 0) +
+                         (cLitSize >= 16 * 1024 ? 1 : 0))
+            return 0;  // compressed larger than the header field allows
+    }
+    switch (lhSize) {
+        case 3: {
+            const uint32_t lhc =
+                (uint32_t)(hType + ((singleStream ? 0 : 1) << 2)) +
+                ((uint32_t)litSize << 4) + ((uint32_t)cLitSize << 14);
+            ostart[0] = (uint8_t)lhc;
+            ostart[1] = (uint8_t)(lhc >> 8);
+            ostart[2] = (uint8_t)(lhc >> 16);
+            break;
+        }
+        case 4: {
+            const uint32_t lhc = (uint32_t)(hType + (2 << 2)) +
+                                 ((uint32_t)litSize << 4) +
+                                 ((uint32_t)cLitSize << 18);
+            std::memcpy(ostart, &lhc, 4);
+            break;
+        }
+        default: {
+            const uint32_t lhc = (uint32_t)(hType + (3 << 2)) +
+                                 ((uint32_t)litSize << 4) +
+                                 ((uint32_t)cLitSize << 22);
+            std::memcpy(ostart, &lhc, 4);
+            ostart[4] = (uint8_t)(cLitSize >> 10);
+            break;
+        }
+    }
+    *entropyWritten = 1;
+    return p - ostart;
+}
+
+// ZSTD_compressSubBlock_sequences:155.
+static int64_t zx_sb_emit_seq(const ZxEntropy* ent, const ZxSbMeta* m,
+                              const uint32_t* llv, const uint32_t* mlv,
+                              const uint32_t* obv, const uint8_t* llc,
+                              const uint8_t* mlc, const uint8_t* ofc,
+                              int64_t nbSeq, int writeEntropy,
+                              int* entropyWritten, uint8_t* op, int64_t cap) {
+    *entropyWritten = 0;
+    uint8_t* const ostart = op;
+    if (cap < 4) return -1;
+    if (nbSeq < 0x7F) {
+        *op++ = (uint8_t)nbSeq;
+    } else if (nbSeq < 0x7F00) {
+        op[0] = (uint8_t)((nbSeq >> 8) + 0x80);
+        op[1] = (uint8_t)nbSeq;
+        op += 2;
+    } else {
+        op[0] = 0xFF;
+        const uint16_t v = (uint16_t)(nbSeq - 0x7F00);
+        std::memcpy(op + 1, &v, 2);
+        op += 3;
+    }
+    if (nbSeq == 0) return op - ostart;
+    uint8_t* const seqHead = op++;
+    if (writeEntropy) {
+        *seqHead = (uint8_t)((m->llType << 6) + (m->ofType << 4) +
+                             (m->mlType << 2));
+        if (cap - (op - ostart) < m->fseTablesSize) return -1;
+        std::memcpy(op, m->fseTables, (size_t)m->fseTablesSize);
+        op += m->fseTablesSize;
+    } else {
+        *seqHead = (uint8_t)((3u << 6) + (3u << 4) + (3u << 2));
+    }
+    {
+        const int64_t bitstreamSize = encode_sequences(
+            llv, mlv, obv, llc, mlc, ofc, kLLBits, kMLBits, nbSeq,
+            ent->ll.ct.state_table, ent->ll.ct.delta_nb, ent->ll.ct.delta_fs,
+            ent->ll.ct.tlog, ent->of.ct.state_table, ent->of.ct.delta_nb,
+            ent->of.ct.delta_fs, ent->of.ct.tlog, ent->ml.ct.state_table,
+            ent->ml.ct.delta_nb, ent->ml.ct.delta_fs, ent->ml.ct.tlog, op,
+            cap - (op - ostart));
+        if (bitstreamSize < 0) return -1;
+        op += bitstreamSize;
+        if (writeEntropy && m->lastCountSize != 0 &&
+            m->lastCountSize + bitstreamSize < 4)
+            return 0;
+    }
+    if (op - seqHead < 4) return 0;
+    *entropyWritten = 1;
+    return op - ostart;
+}
+
+// Sub-block cost model (ZSTD_estimateSubBlockSize role) over running
+// histograms — same signal, incrementally maintained.
+struct ZxSbEst {
+    uint32_t litCnt[256];
+    uint32_t llCnt[36], ofCnt[32], mlCnt[53];
+    uint64_t extraBits;    // accumulated ll/ml extra + of code bits
+    int64_t litSize;
+    int64_t nbSeq;
+};
+
+static int64_t zx_sb_estimate(const ZxSbEst* e, const ZxEntropy* ent,
+                              const ZxSbMeta* m, int writeLit, int writeSeq) {
+    int64_t est = 3;  // block header
+    // literals
+    if (m->hType == 0) est += e->litSize;
+    else if (m->hType == 1) est += 1;
+    else {
+        uint32_t maxSym = 255;
+        while (maxSym > 0 && e->litCnt[maxSym] == 0) maxSym--;
+        est += (int64_t)zx_huf_estimate(&ent->huf.ct, e->litCnt, maxSym) +
+               (writeLit ? m->hufDesSize : 0) + 3;
+    }
+    // sequences
+    est += 3;
+    if (e->nbSeq) {
+        int64_t bits = (int64_t)e->extraBits;
+        struct Ch {
+            int type;
+            const ZxFseCh* ch;
+            const uint32_t* cnt;
+            uint32_t maxCode;
+            const int16_t* defNorm;
+            uint32_t defLog;
+        };
+        const Ch chans[3] = {
+            {m->ofType, &ent->of, e->ofCnt, 31, kOFNorm, 5},
+            {m->llType, &ent->ll, e->llCnt, 35, kLLNorm, 6},
+            {m->mlType, &ent->ml, e->mlCnt, 52, kMLNorm, 6},
+        };
+        for (const Ch& c : chans) {
+            uint32_t max = c.maxCode;
+            while (max > 0 && c.cnt[max] == 0) max--;
+            int64_t b;
+            if (c.type == 1) b = 0;
+            else if (c.type == 0)
+                b = zx_cross_entropy_cost(c.defNorm, c.defLog, c.cnt, max);
+            else
+                b = zx_fse_bit_cost(c.ch, c.cnt, max);
+            if (b < 0 || b >= kZxErr) b = e->nbSeq * 10 * 8;
+            bits += b;
+        }
+        est += bits / 8;
+        if (writeSeq) est += m->fseTablesSize;
+    }
+    return est;
+}
+
+// ZSTD_compressSubBlock_multi:445 over the zx seqStore.  Returns total
+// emitted bytes, 0 if the superblock could not be formed (caller falls
+// back to a raw block), or -1 on error.  rep_start holds the block-start
+// repcodes; *next's repcodes are set to the decoder-visible history.
+static int64_t zx_superblock_emit(const ZxStore* ss, const uint8_t* block,
+                                  int64_t blockSize, const ZxEntropy* prev,
+                                  ZxEntropy* next, int strategy,
+                                  int64_t targetCBlockSize, int lastBlock,
+                                  const uint32_t* rep_start, uint8_t* out,
+                                  int64_t cap) {
+    (void)strategy;
+    ZxSbMeta m;
+    std::memset(&m, 0, sizeof m);
+    // --- literals stats ---
+    if (zx_sb_build_lit(ss->lit, ss->nlit, &prev->huf, &next->huf, &m) < 0)
+        return -1;
+    // --- sequence codes + stats (ZSTD_buildBlockEntropyStats_sequences) ---
+    const int64_t nbSeq = ss->nseq;
+    static thread_local uint8_t llc[(1 << 17) / 3 + 64];
+    static thread_local uint8_t ofc[(1 << 17) / 3 + 64];
+    static thread_local uint8_t mlc[(1 << 17) / 3 + 64];
+    static thread_local uint32_t llv[(1 << 17) / 3 + 64];
+    static thread_local uint32_t mlv[(1 << 17) / 3 + 64];
+    static thread_local uint32_t obv[(1 << 17) / 3 + 64];
+    uint32_t llcnt[36] = {0}, ofcnt[32] = {0}, mlcnt[53] = {0};
+    for (int64_t i = 0; i < nbSeq; i++) {
+        const uint32_t ll = ss->seq[i].ll;
+        const uint32_t ml = ss->seq[i].ml;
+        const uint32_t ob = ss->seq[i].offBase;
+        llc[i] = (uint8_t)zx_llcode(ll);
+        ofc[i] = (uint8_t)highbit32(ob);
+        mlc[i] = (uint8_t)zx_mlcode(ml);
+        llv[i] = ll;
+        mlv[i] = ml;
+        obv[i] = ob;
+        llcnt[llc[i]]++;
+        ofcnt[ofc[i]]++;
+        mlcnt[mlc[i]]++;
+    }
+    if (ss->llt == 1) {
+        llcnt[llc[ss->lltPos]]--;
+        llc[ss->lltPos] = 35;
+        llcnt[35]++;
+    }
+    if (ss->llt == 2) {
+        mlcnt[mlc[ss->lltPos]]--;
+        mlc[ss->lltPos] = 52;
+        mlcnt[52]++;
+    }
+    m.lastCountSize = 0;
+    m.fseTablesSize = 0;
+    if (nbSeq > 0) {
+        uint8_t* p = m.fseTables;
+        const int64_t pcap = (int64_t)sizeof m.fseTables;
+        // LL
+        {
+            uint32_t count[36];
+            std::memcpy(count, llcnt, sizeof count);
+            uint32_t max = 35;
+            while (max > 0 && count[max] == 0) max--;
+            uint32_t mostFrequent = 0;
+            for (uint32_t s = 0; s <= max; s++)
+                if (count[s] > mostFrequent) mostFrequent = count[s];
+            next->ll = prev->ll;
+            m.llType = zx_select_encoding(&next->ll.rep, count, max,
+                                          mostFrequent, (uint64_t)nbSeq, 9,
+                                          &prev->ll, kLLNorm, 6, 1, strategy);
+            const int64_t cs = zx_build_seq_ctable(
+                p, pcap - (p - m.fseTables), &next->ll, 9, m.llType, count,
+                max, llc, (uint64_t)nbSeq, kLLNorm, 6, 35);
+            if (cs < 0) return -1;
+            if (m.llType == 2) m.lastCountSize = cs;
+            p += cs;
+        }
+        // OF
+        {
+            uint32_t count[32];
+            std::memcpy(count, ofcnt, sizeof count);
+            uint32_t max = 31;
+            while (max > 0 && count[max] == 0) max--;
+            uint32_t mostFrequent = 0;
+            for (uint32_t s = 0; s <= max; s++)
+                if (count[s] > mostFrequent) mostFrequent = count[s];
+            const int defaultAllowed = max <= 28;
+            next->of = prev->of;
+            m.ofType = zx_select_encoding(&next->of.rep, count, max,
+                                          mostFrequent, (uint64_t)nbSeq, 8,
+                                          &prev->of, kOFNorm, 5,
+                                          defaultAllowed, strategy);
+            const int64_t cs = zx_build_seq_ctable(
+                p, pcap - (p - m.fseTables), &next->of, 8, m.ofType, count,
+                max, ofc, (uint64_t)nbSeq, kOFNorm, 5, 28);
+            if (cs < 0) return -1;
+            if (m.ofType == 2) m.lastCountSize = cs;
+            p += cs;
+        }
+        // ML
+        {
+            uint32_t count[53];
+            std::memcpy(count, mlcnt, sizeof count);
+            uint32_t max = 52;
+            while (max > 0 && count[max] == 0) max--;
+            uint32_t mostFrequent = 0;
+            for (uint32_t s = 0; s <= max; s++)
+                if (count[s] > mostFrequent) mostFrequent = count[s];
+            next->ml = prev->ml;
+            m.mlType = zx_select_encoding(&next->ml.rep, count, max,
+                                          mostFrequent, (uint64_t)nbSeq, 9,
+                                          &prev->ml, kMLNorm, 6, 1, strategy);
+            const int64_t cs = zx_build_seq_ctable(
+                p, pcap - (p - m.fseTables), &next->ml, 9, m.mlType, count,
+                max, mlc, (uint64_t)nbSeq, kMLNorm, 6, 52);
+            if (cs < 0) return -1;
+            if (m.mlType == 2) m.lastCountSize = cs;
+            p += cs;
+        }
+        m.fseTablesSize = p - m.fseTables;
+    } else {
+        m.llType = m.ofType = m.mlType = 0;
+        next->ll = prev->ll;
+        next->of = prev->of;
+        next->ml = prev->ml;
+    }
+
+    // --- partition + emit (ZSTD_compressSubBlock_multi) ---
+    int writeLitEntropy = m.hType == 2;
+    int writeSeqEntropy = 1;
+    int lastSequence = 0;
+    int64_t sp = 0;        // consumed sequences
+    int64_t lp = 0;        // consumed literal bytes
+    int64_t ip = 0;        // consumed source bytes
+    int64_t op = 0;
+    int64_t seqCount = 0;
+    ZxSbEst est;
+    std::memset(&est, 0, sizeof est);
+    // per-sequence source position for decompressedSize accounting
+    do {
+        if (sp + seqCount >= nbSeq) {
+            lastSequence = 1;
+        } else {
+            const int64_t i = sp + seqCount;
+            lastSequence = i == nbSeq - 1;
+            const uint32_t llRaw =
+                (ss->llt == 1 && ss->lltPos == i) ? llv[i] + 0x10000
+                                                  : ss->seq[i].ll;
+            est.litSize += llRaw;
+            for (uint32_t u = 0; u < llRaw; u++)
+                est.litCnt[ss->lit[lp + est.litSize - llRaw + u]]++;
+            est.llCnt[llc[i]]++;
+            est.ofCnt[ofc[i]]++;
+            est.mlCnt[mlc[i]]++;
+            est.extraBits += kLLBits[llc[i]] + kMLBits[mlc[i]] + ofc[i];
+            est.nbSeq++;
+            seqCount++;
+        }
+        if (lastSequence) {
+            // trailing literals join the final sub-block
+            const int64_t rest = ss->nlit - lp;
+            for (int64_t u = est.litSize; u < rest; u++)
+                est.litCnt[ss->lit[lp + u]]++;
+            est.litSize = rest;
+        }
+        const int64_t cEst =
+            zx_sb_estimate(&est, next, &m, writeLitEntropy, writeSeqEntropy);
+        if (cEst > targetCBlockSize || lastSequence) {
+            int litWritten = 0, seqWritten = 0;
+            // decompressed bytes covered by this sub-block
+            int64_t decompressedSize = est.litSize;
+            for (int64_t i = sp; i < sp + seqCount; i++)
+                decompressedSize += mlv[i] + 3;
+            if (ss->llt == 2 && ss->lltPos >= sp && ss->lltPos < sp + seqCount)
+                decompressedSize += 0x10000;  // u16-truncated long match
+            const int subLast = lastBlock && lastSequence;
+            // emit: [header][literals][sequences]
+            if (cap - op < 8) return -1;
+            int64_t sub = 3;
+            {
+                const int64_t c = zx_sb_emit_lit(
+                    &next->huf.ct, &m, ss->lit + lp, est.litSize,
+                    writeLitEntropy, &litWritten, out + op + sub,
+                    cap - op - sub);
+                if (c < 0) return -1;
+                if (c == 0) goto _advance_only;
+                sub += c;
+            }
+            {
+                const int64_t c = zx_sb_emit_seq(
+                    next, &m, llv + sp, mlv + sp, obv + sp, llc + sp,
+                    mlc + sp, ofc + sp, seqCount, writeSeqEntropy,
+                    &seqWritten, out + op + sub, cap - op - sub);
+                if (c < 0) return -1;
+                if (c == 0) goto _advance_only;
+                sub += c;
+            }
+            if (sub - 3 > 0 && sub - 3 < decompressedSize) {
+                const uint32_t bh = (uint32_t)(subLast + (2u << 1) +
+                                               ((uint32_t)(sub - 3) << 3));
+                out[op] = (uint8_t)bh;
+                out[op + 1] = (uint8_t)(bh >> 8);
+                out[op + 2] = (uint8_t)(bh >> 16);
+                op += sub;
+                ip += decompressedSize;
+                sp += seqCount;
+                lp += est.litSize;
+                seqCount = 0;
+                std::memset(&est, 0, sizeof est);
+                if (litWritten) writeLitEntropy = 0;
+                if (seqWritten) writeSeqEntropy = 0;
+            }
+        _advance_only:;
+        }
+    } while (!lastSequence);
+
+    if (writeLitEntropy) next->huf = prev->huf;  // table never reached stream
+    if (writeSeqEntropy &&
+        (m.llType == 1 || m.llType == 2 || m.ofType == 1 || m.ofType == 2 ||
+         m.mlType == 1 || m.mlType == 2))
+        return 0;  // sub-blocks need tables that were never written
+    if (ip < blockSize) {
+        // trailing raw sub-block; rewind reps over the consumed prefix only
+        if (cap - op < 3 + (blockSize - ip)) return -1;
+        const uint32_t bh = (uint32_t)(lastBlock + (0u << 1) +
+                                       ((uint32_t)(blockSize - ip) << 3));
+        out[op] = (uint8_t)bh;
+        out[op + 1] = (uint8_t)(bh >> 8);
+        out[op + 2] = (uint8_t)(bh >> 16);
+        std::memcpy(out + op + 3, block + ip, (size_t)(blockSize - ip));
+        op += 3 + (blockSize - ip);
+        if (sp < nbSeq) {
+            uint32_t rep[3] = {rep_start[0], rep_start[1], rep_start[2]};
+            for (int64_t i = 0; i < sp; i++) {
+                uint32_t nr[3];
+                zx_updateRep3(rep, obv[i] - 1, llv[i] == 0, nr);
+                std::memcpy(rep, nr, 12);
+            }
+            std::memcpy(next->repcodes, rep, 12);
+        }
+    }
+    return op;
+}
+
+// Array-interface wrapper for the superblock emitter (any finder's
+// (ll, ml, offBase) arrays + trailing literals).
+static int64_t zx_superblock_from_arrays(
+    const uint8_t* block, int64_t bn, const uint32_t* ll, const uint32_t* mlv,
+    const uint32_t* ob, int64_t n_seq, int64_t last_lit, const ZxEntropy* prev,
+    ZxEntropy* next, int strategy, int64_t tcbs, int lastBlock,
+    const uint32_t* rep_start, uint8_t* out, int64_t cap) {
+    static thread_local uint8_t* litbuf = nullptr;
+    static thread_local ZxSeq* seqbuf = nullptr;
+    if (!litbuf) {
+        litbuf = (uint8_t*)malloc((1 << 17) + 64);
+        seqbuf = (ZxSeq*)malloc(((1 << 17) / 3 + 64) * sizeof(ZxSeq));
+        if (!litbuf || !seqbuf) return -1;
+    }
+    ZxStore ss{litbuf, 0, seqbuf, 0, 0, 0};
+    int64_t p = 0;
+    for (int64_t i = 0; i < n_seq; i++) {
+        zx_store_seq(&ss, block + p, ll[i], ob[i] - 1, (int64_t)mlv[i] - 3);
+        p += (int64_t)ll[i] + mlv[i];
+    }
+    std::memcpy(ss.lit + ss.nlit, block + bn - last_lit, (size_t)last_lit);
+    ss.nlit += last_lit;
+    return zx_superblock_emit(&ss, block, bn, prev, next, strategy, tcbs,
+                              lastBlock, rep_start, out, cap);
+}
+
 // Content-adaptive block pre-split (role of libzstd >=1.5.7's
 // zstd_preSplit, re-designed: the reference v1.5.1 has no analog).  A
 // 128KB block mixing regimes (text | random | runs) compresses worse than
@@ -6260,12 +6821,45 @@ int64_t compress_frame_body_ldm_c(const uint8_t* src, int64_t n, int strategy,
                                       &last_lit, min_match);
         }
         if (n_seq < 0) { rc = -1; break; }
+        // targetCBlockSize: true superblock emission — sub-blocks sharing
+        // one entropy table set (ZSTD_compressSuperBlock role).
+        if (target_cblock > 0) {
+            ZxEntropy* const sb_prev = &zx_ents[zx_prev];
+            ZxEntropy* const sb_next = &zx_ents[zx_prev ^ 1];
+            std::memcpy(sb_next->repcodes, rep, 12);  // post-parse reps
+            const int64_t em = zx_superblock_from_arrays(
+                src + pos, bn, s_ll, s_ml, s_ob, n_seq, last_lit, sb_prev,
+                sb_next, strategy, target_cblock, last, rep_snap,
+                out + size, cap - size);
+            if (em < 0) { rc = -1; break; }
+            if (em > 0 && em < bn - zx_min_gain(bn, strategy) + 3) {
+                rep[0] = sb_next->repcodes[0];
+                rep[1] = sb_next->repcodes[1];
+                rep[2] = sb_next->repcodes[2];
+                zx_prev ^= 1;  // confirm entropy tables
+                size += em;
+                pos = end;
+                continue;
+            }
+            // superblock not formed: raw block (reference fallback)
+            rep[0] = rep_snap[0]; rep[1] = rep_snap[1]; rep[2] = rep_snap[2];
+            zx_ents[zx_prev] = zx_snap;
+            if (size + 3 + bn > cap) { rc = -1; break; }
+            const uint32_t bh = (uint32_t)(last | (0 << 1) | (bn << 3));
+            out[size] = (uint8_t)bh;
+            out[size + 1] = (uint8_t)(bh >> 8);
+            out[size + 2] = (uint8_t)(bh >> 16);
+            std::memcpy(out + size + 3, src + pos, (size_t)bn);
+            size += 3 + bn;
+            pos = end;
+            continue;
+        }
         // Optional block split (btopt+): partitions with homogeneous
         // statistics compress better than one mixed block.
         int64_t bounds[200];
         int nb = 1;
         bounds[0] = n_seq;
-        if ((split_mode && n_seq >= 600) || (target_cblock > 0 && n_seq >= 32)) {
+        if (split_mode && n_seq >= 600) {
             int64_t* seq_start = (int64_t*)malloc((size_t)(n_seq + 1) * 8);
             if (seq_start) {
                 int64_t cur = 0;

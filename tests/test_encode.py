@@ -172,3 +172,94 @@ def test_raw_fallback_keeps_rep_and_entropy_state(rng):
         assert zstandard.ZstdDecompressor(max_window_size=1 << 27).decompress(
             frame, max_output_size=len(data) + 64) == data
         assert dframe.decompress(frame, max_window_log=27) == data
+
+
+class TestSuperblockEmission:
+    """True superblock format (ZstdCompressSuperblock.cs:584 role):
+    sub-blocks around targetCBlockSize share one entropy table set — the
+    first sub-block carries the tables, the rest use repeat modes."""
+
+    def _blocks(self, frame):
+        from zstdsharp_tpu.decode.frame import parse_frame_header
+        hdr = parse_frame_header(np.frombuffer(frame, np.uint8))
+        p = hdr.header_size
+        out = []
+        while True:
+            bh = int.from_bytes(frame[p : p + 3], "little")
+            last, btype, bsize = bh & 1, (bh >> 1) & 3, bh >> 3
+            out.append((btype, bsize, bytes(frame[p + 3 : p + 3 + bsize])))
+            p += 3 + (1 if btype == 1 else bsize)
+            if last:
+                break
+        return out
+
+    @pytest.mark.parametrize("tcbs", [1024, 4096])
+    @pytest.mark.parametrize("level", [3, 9, 19])
+    def test_roundtrip_and_target(self, tcbs, level, text_corpus):
+        import statistics
+
+        data = text_corpus[:400_000]
+        p = CCtxParams(compression_level=level, target_cblock_size=tcbs)
+        frame = eframe.compress(data, params=p)
+        assert oracle_decompress(frame) == data
+        sizes = [s for t, s, _ in self._blocks(frame) if t == 2]
+        assert statistics.median(sizes) <= tcbs + 3
+
+    def test_repeat_mode_sub_blocks(self, text_corpus):
+        """Later sub-blocks of a block must use Repeat sequence modes
+        (shared tables), not re-send NCounts."""
+        data = text_corpus[:200_000]
+        p = CCtxParams(compression_level=9, target_cblock_size=2048)
+        frame = eframe.compress(data, params=p)
+        assert oracle_decompress(frame) == data
+        blocks = self._blocks(frame)
+        repeat_headers = 0
+        for t, s, payload in blocks[1:6]:
+            if t != 2 or len(payload) < 8:
+                continue
+            # literals section: parse its header to find the seq section
+            b0 = payload[0]
+            lit_type = b0 & 3
+            fmt = (b0 >> 2) & 3
+            if lit_type in (0, 1):
+                lh = 1 + (fmt & 1) + (fmt == 3)
+                regen = 0
+                n = lh + ((b0 >> 3) if fmt in (0, 2) else 0)
+                continue  # raw/rle literal header parsing: skip detail
+            # compressed literals (size_format 00/01 -> 3-byte header)
+            if fmt in (0, 1):
+                v = int.from_bytes(payload[0:3], "little")
+                comp, lh = (v >> 14) & 0x3FF, 3
+            elif fmt == 2:
+                v = int.from_bytes(payload[0:4], "little")
+                comp, lh = (v >> 18) & 0x3FFF, 4
+            else:
+                v = int.from_bytes(payload[0:5], "little")
+                comp, lh = (v >> 22) & 0x3FFFF, 5
+            seq = payload[lh + comp :]
+            if not seq:
+                continue
+            nb = seq[0]
+            off = 1
+            if nb >= 128:
+                off = 2 if nb < 0xFF else 3
+            if len(seq) <= off:
+                continue
+            mode = seq[off]
+            if mode == (3 << 6) + (3 << 4) + (3 << 2):
+                repeat_headers += 1
+            # treeless literals flag on later sub-blocks
+            if lit_type == 3:
+                repeat_headers += 1
+        assert repeat_headers > 0, "no repeat-mode sub-blocks found"
+
+    def test_mixed_content_trailing_raw(self, rng, text_corpus):
+        """Incompressible spans inside a superblock fall to raw sub-blocks
+        with repcode history kept consistent."""
+        data = (text_corpus[:100_000]
+                + rng.integers(0, 256, 200_000, np.uint8).tobytes()
+                + text_corpus[:100_000])
+        for tcbs in (1024, 4096):
+            p = CCtxParams(compression_level=9, target_cblock_size=tcbs)
+            frame = eframe.compress(data, params=p)
+            assert oracle_decompress(frame) == data
