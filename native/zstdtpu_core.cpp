@@ -219,7 +219,23 @@ int64_t execute_sequences(uint8_t* out, int64_t out_pos, int64_t out_cap,
                           const uint32_t* ll, const uint32_t* ml,
                           const uint32_t* of, int64_t nb_seq) {
     int64_t lit_pos = 0;
+    // lookahead prefetch of match sources (ZSTD_decompressSequencesLong
+    // role for the staged path): hides the window-read miss for long
+    // offsets by running K sequences ahead of the copy loop
+    const int64_t K = 4;
+    int64_t pf_pos = out_pos;
+    for (int64_t j = 0; j < K && j < nb_seq; j++) {
+        pf_pos += ll[j];
+        __builtin_prefetch(out + pf_pos - of[j]);
+        pf_pos += ml[j];
+    }
     for (int64_t i = 0; i < nb_seq; i++) {
+        if (i + K < nb_seq) {
+            pf_pos += ll[i + K];
+            __builtin_prefetch(out + pf_pos - of[i + K]);
+            __builtin_prefetch(out + pf_pos - of[i + K] + 64);
+            pf_pos += ml[i + K];
+        }
         const int64_t l = ll[i], m = ml[i], o = of[i];
         if (lit_pos + l > n_literals) return -1;
         if (out_pos + l + m > out_cap) return -2;
@@ -257,6 +273,39 @@ int64_t execute_sequences(uint8_t* out, int64_t out_pos, int64_t out_cap,
     return out_pos + rest;
 }
 
+// Execute one (litLength, matchLength, offset) against the output window.
+// Returns the new out_pos or -1.
+static inline int64_t zt_exec_one(uint8_t* out, int64_t out_pos,
+                                  int64_t out_cap, int64_t prefix_start,
+                                  const uint8_t* lit, int64_t* lit_pos,
+                                  int64_t n_literals, uint64_t l, uint64_t m,
+                                  int64_t o) {
+    if (*lit_pos + (int64_t)l > n_literals) return -1;
+    if (out_pos + (int64_t)(l + m) > out_cap) return -1;
+    const bool slack = out_pos + (int64_t)(l + m) + 31 <= out_cap;
+    if (l) {
+        if (slack) wildcopy16(out + out_pos, lit + *lit_pos, (int64_t)l);
+        else std::memcpy(out + out_pos, lit + *lit_pos, (size_t)l);
+        out_pos += l; *lit_pos += l;
+    }
+    if (o <= 0 || o > out_pos - prefix_start) return -1;
+    const uint8_t* cs = out + out_pos - o;
+    uint8_t* dst = out + out_pos;
+    if (o >= 16 && slack) {
+        wildcopy16(dst, cs, (int64_t)m);
+    } else if (o >= (int64_t)m) {
+        std::memcpy(dst, cs, (size_t)m);
+    } else if (slack) {
+        const int64_t O = o * ((16 + o - 1) / o);
+        const int64_t head = (int64_t)m < O ? (int64_t)m : O;
+        for (int64_t k = 0; k < head; k++) dst[k] = cs[k];
+        if ((int64_t)m > head) wildcopy16(dst + head, dst + head - O, m - head);
+    } else {
+        for (int64_t k = 0; k < (int64_t)m; k++) dst[k] = cs[k];
+    }
+    return out_pos + m;
+}
+
 // Fused sequence decode + execute: one pass, no intermediate (ll, ml, of)
 // arrays (ZSTD_decompressSequences_body role — decode a sequence, run it).
 // Tables are struct-of-arrays as in fse_decode_sequences; literals are
@@ -268,7 +317,7 @@ static int64_t decode_execute_sequences(
     const uint64_t* ml_f, int ml_log,
     uint32_t* rep,
     uint8_t* out, int64_t out_pos, int64_t out_cap, int64_t prefix_start,
-    const uint8_t* lit, int64_t n_literals) {
+    const uint8_t* lit, int64_t n_literals, int long_mode) {
 
     int64_t pos = br_init(padded + 16, payload_size);
     if (pos < 0) return -1;
@@ -289,6 +338,14 @@ static int64_t decode_execute_sequences(
         win = read_window(padded + (pb >> 3)) >> (pb & 7);
     };
     reload(pos);
+
+    // Long-offset prefetch pipeline (ZSTD_decompressSequencesLong_body
+    // role, ZstdDecompressBlock.cs:2796): decoded sequences stage through
+    // an 8-deep ring; the match source is prefetched at decode time and
+    // the copy runs 8 sequences behind, hiding the window-read miss.
+    uint64_t ring_l[8], ring_m[8];
+    int64_t ring_o[8];
+    int64_t dec_pos = out_pos;
 
     for (int64_t i = 0; i < nb_seq; i++) {
         const uint64_t eL = ll_f[s_ll], eM = ml_f[s_ml], eO = of_f[s_of];
@@ -349,31 +406,37 @@ static int64_t decode_execute_sequences(
         }
 
         // ---- execute (ll=l, ml=m, offset) ----
-        if (lit_pos + (int64_t)l > n_literals) return -3;
-        if (out_pos + (int64_t)(l + m) > out_cap) return -3;
-        const bool slack = out_pos + (int64_t)(l + m) + 31 <= out_cap;
-        if (l) {
-            if (slack) wildcopy16(out + out_pos, lit + lit_pos, (int64_t)l);
-            else std::memcpy(out + out_pos, lit + lit_pos, (size_t)l);
-            out_pos += l; lit_pos += l;
-        }
-        const int64_t o = (int64_t)offset;
-        if (o <= 0 || o > out_pos - prefix_start) return -3;
-        const uint8_t* cs = out + out_pos - o;
-        uint8_t* dst = out + out_pos;
-        if (o >= 16 && slack) {
-            wildcopy16(dst, cs, (int64_t)m);
-        } else if (o >= (int64_t)m) {
-            std::memcpy(dst, cs, (size_t)m);
-        } else if (slack) {
-            const int64_t O = o * ((16 + o - 1) / o);
-            const int64_t head = (int64_t)m < O ? (int64_t)m : O;
-            for (int64_t k = 0; k < head; k++) dst[k] = cs[k];
-            if ((int64_t)m > head) wildcopy16(dst + head, dst + head - O, m - head);
+        if (long_mode) {
+            const int64_t slot = i & 7;
+            if (i >= 8) {
+                out_pos = zt_exec_one(out, out_pos, out_cap, prefix_start,
+                                      lit, &lit_pos, n_literals, ring_l[slot],
+                                      ring_m[slot], ring_o[slot]);
+                if (out_pos < 0) return -3;
+            }
+            ring_l[slot] = l;
+            ring_m[slot] = m;
+            ring_o[slot] = (int64_t)offset;
+            dec_pos += (int64_t)l;
+            __builtin_prefetch(out + dec_pos - (int64_t)offset);
+            __builtin_prefetch(out + dec_pos - (int64_t)offset + 64);
+            dec_pos += (int64_t)m;
         } else {
-            for (int64_t k = 0; k < (int64_t)m; k++) dst[k] = cs[k];
+            out_pos = zt_exec_one(out, out_pos, out_cap, prefix_start, lit,
+                                  &lit_pos, n_literals, l, m,
+                                  (int64_t)offset);
+            if (out_pos < 0) return -3;
         }
-        out_pos += m;
+    }
+    if (long_mode) {
+        const int64_t from = nb_seq > 8 ? nb_seq - 8 : 0;
+        for (int64_t i = from; i < nb_seq; i++) {
+            const int64_t slot = i & 7;
+            out_pos = zt_exec_one(out, out_pos, out_cap, prefix_start, lit,
+                                  &lit_pos, n_literals, ring_l[slot],
+                                  ring_m[slot], ring_o[slot]);
+            if (out_pos < 0) return -3;
+        }
     }
     if (pos != 0) return -1;
     rep[0] = (uint32_t)r0; rep[1] = (uint32_t)r1; rep[2] = (uint32_t)r2;
@@ -7232,12 +7295,31 @@ static int64_t decode_block_c(const uint8_t* src, int64_t size,
     if (prof) { int64_t t = prof_now(); g_prof[1] += t - t0; t0 = t; }
 
     (void)seq_buf; (void)max_seq;
+    // Long-offset pipeline selection (ZSTD_getLongOffsetsShare role,
+    // ZstdDecompressBlock.cs:3062): with >16MB of history and >=7% of OF
+    // table states carrying >22 extra bits, matches likely miss cache and
+    // the prefetch decoder wins.
+    int long_mode = 0;
+    static int lm_force = -2;
+    if (lm_force == -2) {
+        const char* e = getenv("ZT_LONGMODE");
+        lm_force = e ? atoi(e) : -1;
+    }
+    if (lm_force >= 0) long_mode = lm_force;
+    else if (out_pos > (1 << 24) && nb_seq > 8) {
+        const int64_t tsize = 1LL << ent->of.tlog;
+        int64_t longs = 0;
+        for (int64_t t = 0; t < tsize; t++)
+            if (((ent->of.fused[t] >> 32) & 0xFF) > 22) longs++;
+        long_mode = longs * 100 >= tsize * 7;
+    }
     int64_t r2 = decode_execute_sequences(
         src - 16, size, nb_seq,
         ent->ll.fused, ent->ll.tlog,
         ent->of.fused, ent->of.tlog,
         ent->ml.fused, ent->ml.tlog,
-        ent->rep, out, out_pos, out_cap, prefix_start, lit_buf, lit_size);
+        ent->rep, out, out_pos, out_cap, prefix_start, lit_buf, lit_size,
+        long_mode);
     if (prof) { int64_t t = prof_now(); g_prof[2] += t - t0; t0 = t; }
     return r2 < 0 ? -1 : r2;
 }
