@@ -280,6 +280,19 @@ static inline int64_t zt_exec_one(uint8_t* out, int64_t out_pos,
                                   const uint8_t* lit, int64_t* lit_pos,
                                   int64_t n_literals, uint64_t l, uint64_t m,
                                   int64_t o) {
+    // Short-sequence fast path (ZSTD_execSequence's single-branch core):
+    // one 16-byte literal copy + one 16-byte match copy covers the common
+    // case; overshoot lands in slack that the general path would also
+    // write.  Lit buffer carries >=32B slack (decode_literals_c pads).
+    if ((l | m) <= 16 && o >= 16 && out_pos + 48 <= out_cap &&
+        *lit_pos + (int64_t)l <= n_literals &&
+        o <= out_pos + (int64_t)l - prefix_start) {
+        std::memcpy(out + out_pos, lit + *lit_pos, 16);
+        out_pos += l;
+        *lit_pos += l;
+        std::memcpy(out + out_pos, out + out_pos - o, 16);
+        return out_pos + m;
+    }
     if (*lit_pos + (int64_t)l > n_literals) return -1;
     if (out_pos + (int64_t)(l + m) > out_cap) return -1;
     const bool slack = out_pos + (int64_t)(l + m) + 31 <= out_cap;
@@ -310,14 +323,16 @@ static inline int64_t zt_exec_one(uint8_t* out, int64_t out_pos,
 // arrays (ZSTD_decompressSequences_body role — decode a sequence, run it).
 // Tables are struct-of-arrays as in fse_decode_sequences; literals are
 // consumed sequentially from lit; copies use the wildcopy discipline.
-static int64_t decode_execute_sequences(
+}  // pause extern "C" for the template
+template <int long_mode>
+static int64_t decode_execute_sequences_t(
     const uint8_t* padded, int64_t payload_size, int64_t nb_seq,
     const uint64_t* ll_f, int ll_log,
     const uint64_t* of_f, int of_log,
     const uint64_t* ml_f, int ml_log,
     uint32_t* rep,
     uint8_t* out, int64_t out_pos, int64_t out_cap, int64_t prefix_start,
-    const uint8_t* lit, int64_t n_literals, int long_mode) {
+    const uint8_t* lit, int64_t n_literals) {
 
     int64_t pos = br_init(padded + 16, payload_size);
     if (pos < 0) return -1;
@@ -445,6 +460,25 @@ static int64_t decode_execute_sequences(
     if (rest < 0 || out_pos + rest > out_cap) return -3;
     std::memcpy(out + out_pos, lit + lit_pos, (size_t)rest);
     return out_pos + rest;
+}
+
+extern "C" {
+static int64_t decode_execute_sequences(
+    const uint8_t* padded, int64_t payload_size, int64_t nb_seq,
+    const uint64_t* ll_f, int ll_log, const uint64_t* of_f, int of_log,
+    const uint64_t* ml_f, int ml_log, uint32_t* rep, uint8_t* out,
+    int64_t out_pos, int64_t out_cap, int64_t prefix_start,
+    const uint8_t* lit, int64_t n_literals, int long_mode) {
+    if (long_mode)
+        return decode_execute_sequences_t<1>(padded, payload_size, nb_seq,
+                                             ll_f, ll_log, of_f, of_log,
+                                             ml_f, ml_log, rep, out, out_pos,
+                                             out_cap, prefix_start, lit,
+                                             n_literals);
+    return decode_execute_sequences_t<0>(padded, payload_size, nb_seq, ll_f,
+                                         ll_log, of_f, of_log, ml_f, ml_log,
+                                         rep, out, out_pos, out_cap,
+                                         prefix_start, lit, n_literals);
 }
 
 // ---------------------------------------------------------------------------
