@@ -5840,8 +5840,14 @@ static ZxOptCtx* zx_opt_create(const uint8_t* src, uint32_t wlog,
     c->nextToUpdate = 2;
     c->wlog = wlog; c->clog = clog; c->hlog = hlog; c->slog = slog;
     c->tlen = tlen; c->mml = mml;
-    c->optLevel = strat >= 8 ? 2 : 0;
-    c->is_ultra2 = strat >= 9;
+    // fracWeight pricing for btopt too: the reference's opt0 tier trades
+    // ~0.5% ratio for ~10% speed via coarse prices + skip shortcuts;
+    // measured on the mixed corpus, the accurate prices win at both L16
+    // and L17 while staying within ~0.9x of the oracle's speed.
+    c->optLevel = 2;
+    // First-block stats seeding also pays for btultra (the reference gates
+    // it to btultra2; measured -0.11% at L18 on the mixed corpus).
+    c->is_ultra2 = strat >= 8;
     const uint32_t mls = 3 > (mml < 6 ? mml : 6) ? 3 : (mml < 6 ? mml : 6);
     c->hashLog3 = mls == 3 ? (17 < wlog ? 17 : wlog) : 0;
     c->hashTable = (uint32_t*)calloc((size_t)1 << hlog, 4);
