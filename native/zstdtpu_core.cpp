@@ -3484,7 +3484,11 @@ _match:
 // agree with 1.5.7 on most inputs but can differ by a sequence choice on
 // some (size impact measured < 0.3%); the fast strategy above matches the
 // oracle byte-for-byte.
-template <uint32_t kMls>
+// kTwoWay: keep two entries per short-hash slot (recent + previous) — a
+// cheap depth upgrade over the reference's single-slot table that claws
+// back the ratio its rewritten 1.5.7 dfast gains; layout [2*h]=recent,
+// [2*h+1]=previous (caller allocates 2<<hBitsS entries).
+template <uint32_t kMls, int kTwoWay = 0>
 static int64_t zx_dfast_block(const uint8_t* base, uint32_t* hashLong,
                               uint32_t hBitsL, uint32_t* hashSmall,
                               uint32_t hBitsS, uint32_t dictLimit,
@@ -3535,10 +3539,17 @@ static int64_t zx_dfast_block(const uint8_t* base, uint32_t* hashLong,
         matchl0 = base + idxl0;
         do {
             const size_t hs0 = zx_hash(ip, hBitsS, kMls);
-            const uint32_t idxs0 = hashSmall[hs0];
+            const uint32_t idxs0 = hashSmall[kTwoWay ? 2 * hs0 : hs0];
+            const uint32_t idxs0b = kTwoWay ? hashSmall[2 * hs0 + 1] : 0;
             curr = (uint32_t)(ip - base);
             matchs0 = base + idxs0;
-            hashLong[hl0] = hashSmall[hs0] = curr;
+            hashLong[hl0] = curr;
+            if (kTwoWay) {
+                hashSmall[2 * hs0 + 1] = idxs0;
+                hashSmall[2 * hs0] = curr;
+            } else {
+                hashSmall[hs0] = curr;
+            }
             if (offset_1 > 0 &&
                 read32(ip + 1 - offset_1) == read32(ip + 1)) {
                 mLength = zx_count(ip + 1 + 4, ip + 1 + 4 - offset_1, iend) + 4;
@@ -3564,6 +3575,11 @@ static int64_t zx_dfast_block(const uint8_t* base, uint32_t* hashLong,
             matchl1 = base + idxl1;
             if (idxs0 > prefixLowestIndex) {
                 if (read32(matchs0) == read32(ip)) goto _search_next_long;
+            }
+            if (kTwoWay && idxs0b > prefixLowestIndex &&
+                read32(base + idxs0b) == read32(ip)) {
+                matchs0 = base + idxs0b;
+                goto _search_next_long;
             }
             if (ip1 >= nextStep) {
                 step++;
@@ -3619,10 +3635,19 @@ static int64_t zx_dfast_block(const uint8_t* base, uint32_t* hashLong,
             const uint32_t indexToInsert = curr + 2;
             hashLong[zx_hash(base + indexToInsert, hBitsL, 8)] = indexToInsert;
             hashLong[zx_hash(ip - 2, hBitsL, 8)] = (uint32_t)(ip - 2 - base);
-            hashSmall[zx_hash(base + indexToInsert, hBitsS, kMls)] =
-                indexToInsert;
-            hashSmall[zx_hash(ip - 1, hBitsS, kMls)] =
-                (uint32_t)(ip - 1 - base);
+            {
+                const size_t h1 = zx_hash(base + indexToInsert, hBitsS, kMls);
+                const size_t h2 = zx_hash(ip - 1, hBitsS, kMls);
+                if (kTwoWay) {
+                    hashSmall[2 * h1 + 1] = hashSmall[2 * h1];
+                    hashSmall[2 * h1] = indexToInsert;
+                    hashSmall[2 * h2 + 1] = hashSmall[2 * h2];
+                    hashSmall[2 * h2] = (uint32_t)(ip - 1 - base);
+                } else {
+                    hashSmall[h1] = indexToInsert;
+                    hashSmall[h2] = (uint32_t)(ip - 1 - base);
+                }
+            }
             while (ip <= ilimit && offset_2 > 0 &&
                    read32(ip) == read32(ip - offset_2)) {
                 const size_t rLength =
@@ -3630,7 +3655,15 @@ static int64_t zx_dfast_block(const uint8_t* base, uint32_t* hashLong,
                 const uint32_t tmpOff = offset_2;
                 offset_2 = offset_1;
                 offset_1 = tmpOff;
-                hashSmall[zx_hash(ip, hBitsS, kMls)] = (uint32_t)(ip - base);
+                {
+                    const size_t hh = zx_hash(ip, hBitsS, kMls);
+                    if (kTwoWay) {
+                        hashSmall[2 * hh + 1] = hashSmall[2 * hh];
+                        hashSmall[2 * hh] = (uint32_t)(ip - base);
+                    } else {
+                        hashSmall[hh] = (uint32_t)(ip - base);
+                    }
+                }
                 hashLong[zx_hash(ip, hBitsL, 8)] = (uint32_t)(ip - base);
                 zx_store_seq(ss, anchor, 0, 0, rLength - 3);
                 ip += rLength;
@@ -5099,7 +5132,7 @@ extern "C" void zx_set_split(double th, int64_t seg) {
     g_zx_seg_th = th; g_zx_seg = seg;
 }
 static int64_t zx_pick_block_size(const uint8_t* ip, int64_t remaining,
-                                  int64_t block_max) {
+                                  int64_t block_max, double th_mult = 1.0) {
     // Content-adaptive block boundaries (the 1.5.7 oracle's zstd_preSplit
     // role, reconstructed): a cumulative byte-histogram fingerprint of the
     // past is compared against each next chunk with a cross-normalized L1
@@ -5137,8 +5170,8 @@ static int64_t zx_pick_block_size(const uint8_t* ip, int64_t remaining,
                 dist += (uint64_t)(d < 0 ? -d : d);
             }
             const uint64_t p50 = n_past * nc;
-            const double thr =
-                (double)p50 * (g_zx_seg_th + (double)penalty) / 16.0;
+            const double thr = (double)p50 * th_mult *
+                               (g_zx_seg_th + (double)penalty) / 16.0;
             if ((double)dist >= thr) return off;
             penalty = penalty > 0 ? penalty - 1 : 0;
         }
@@ -8224,7 +8257,7 @@ int64_t zt_compress_exact_params(const uint8_t* src, int64_t n,
     } else {
         hashTable = (uint32_t*)calloc((size_t)1 << cp.hlog, 4);
         chainTable = cp.strat == 2
-                         ? (uint32_t*)calloc((size_t)1 << cp.clog, 4)
+                         ? (uint32_t*)calloc((size_t)2 << cp.clog, 4)
                          : nullptr;
         if (!hashTable || (cp.strat == 2 && !chainTable)) {
             free(hashTable);
@@ -8252,8 +8285,17 @@ int64_t zt_compress_exact_params(const uint8_t* src, int64_t n,
     int64_t remaining = n;
     const uint8_t* ip = src;
     while (remaining > 0 && rc == 0) {
-        const int64_t blockSize = zx_pick_block_size(ip, remaining,
-                                                     blockSizeMax);
+        // The oracle's preSplit cuts far more aggressively at the dfast
+        // tier (~23KB average blocks on mixed content): fresh entropy
+        // tables per regime beat table amortization there.  ZT_DF_TH
+        // scales the fingerprint threshold for strategy 2.
+        static double df_th = -1.0;
+        if (df_th < 0) {
+            const char* e = getenv("ZT_DF_TH");
+            df_th = e ? atof(e) : 1.0;
+        }
+        const int64_t blockSize = zx_pick_block_size(
+            ip, remaining, blockSizeMax, cp.strat == 2 ? df_th : 1.0);
         const int lastBlock = blockSize == remaining;
         // ZSTD_window_enforceMaxDist with srcEnd = block start
         if (optc) {
@@ -8359,25 +8401,25 @@ int64_t zt_compress_exact_params(const uint8_t* src, int64_t n,
             } else {
                 switch (cp.mml) {
                     case 5:
-                        lastLLSize = zx_dfast_block<5>(
+                        lastLLSize = zx_dfast_block<5, 0>(
                             base, hashTable, cp.hlog, chainTable, cp.clog,
                             dictLimit, cp.wlog, ip, blockSize, next->repcodes,
                             &ss);
                         break;
                     case 6:
-                        lastLLSize = zx_dfast_block<6>(
+                        lastLLSize = zx_dfast_block<6, 0>(
                             base, hashTable, cp.hlog, chainTable, cp.clog,
                             dictLimit, cp.wlog, ip, blockSize, next->repcodes,
                             &ss);
                         break;
                     case 7:
-                        lastLLSize = zx_dfast_block<7>(
+                        lastLLSize = zx_dfast_block<7, 0>(
                             base, hashTable, cp.hlog, chainTable, cp.clog,
                             dictLimit, cp.wlog, ip, blockSize, next->repcodes,
                             &ss);
                         break;
                     default:
-                        lastLLSize = zx_dfast_block<4>(
+                        lastLLSize = zx_dfast_block<4, 0>(
                             base, hashTable, cp.hlog, chainTable, cp.clog,
                             dictLimit, cp.wlog, ip, blockSize, next->repcodes,
                             &ss);
