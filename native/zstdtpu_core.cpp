@@ -7899,6 +7899,89 @@ int64_t zt_compress_frame_body_cdict(void* h, const uint8_t* src, int64_t n,
     return rc == 0 ? size : -1;
 }
 
+// Entropy statistics for dictionary finalization (ZDICT_countEStats:21
+// role): parse each sample against the dictionary with the same attach
+// matcher the production path uses, and histogram the seqStore's
+// literals, ll/ml/of codes, and leading offsets.
+int64_t zt_cdict_stats(void* h, const uint8_t* concat, const int64_t* lens,
+                       int64_t n_samples, int64_t* lit_counts,
+                       int64_t* ll_counts, int64_t* ml_counts,
+                       int64_t* of_counts, int64_t* rep_off) {
+    CDictC* c = (CDictC*)h;
+    if (!c) return -1;
+    const int64_t wsize = 1LL << c->wlog;
+    int64_t max_seq_cap = (1 << 17) / 3 + 16;
+    uint32_t* s_ll = (uint32_t*)malloc((size_t)max_seq_cap * 12);
+    if (!s_ll) return -1;
+    uint32_t* s_ml = s_ll + max_seq_cap;
+    uint32_t* s_ob = s_ml + max_seq_cap;
+    int64_t ip = 0;
+    for (int64_t si = 0; si < n_samples; si++) {
+        int64_t n = lens[si];
+        const uint8_t* sample = concat + ip;
+        ip += n;
+        if (n < 8) continue;
+        if (n > (1 << 17)) n = 1 << 17;
+        if (c->clen + n > c->buf_cap) {
+            uint8_t* nb = (uint8_t*)realloc(c->buf, (size_t)(c->clen + n));
+            if (!nb) { free(s_ll); return -1; }
+            c->buf = nb;
+            c->buf_cap = c->clen + n;
+        }
+        std::memcpy(c->buf + c->clen, sample, (size_t)n);
+        uint32_t rep[3] = {1, 4, 8};
+        int64_t last_lit = 0;
+        int64_t n_seq;
+        if (c->strategy <= 2) {
+            std::memset(c->loc, 0, ((size_t)1 << c->loc_hlog) * 4);
+            n_seq = fast_attach_find(c->buf, c->clen, c->clen + n, wsize,
+                                     c->fast32, c->hlog, c->loc, c->loc_hlog,
+                                     c->mls, rep, s_ll, s_ml, s_ob,
+                                     max_seq_cap, &last_lit);
+        } else {
+            c->epoch++;
+            if (c->epoch == 0) {
+                std::memset(c->l_ep, 0, ((size_t)1 << c->hlog) * 4);
+                c->epoch = 1;
+            }
+            int64_t insert_from = c->clen;
+            const int depth = c->strategy >= 5 ? 2 : c->strategy - 3;
+            n_seq = lazy_attach_find(c->buf, c->clen, c->clen + n, c->clen,
+                                     wsize, c->tbl, c->chain, 1LL << c->clog,
+                                     c->l_pos, c->l_ep, c->epoch, c->l_chain,
+                                     1LL << c->clog, c->hlog, 1LL << c->slog,
+                                     depth, &insert_from, rep, s_ll, s_ml,
+                                     s_ob, max_seq_cap, &last_lit, c->mls);
+        }
+        if (n_seq < 0) continue;
+        int64_t pos = 0;
+        for (int64_t i = 0; i < n_seq; i++) {
+            for (uint32_t u = 0; u < s_ll[i]; u++)
+                lit_counts[sample[pos + u]]++;
+            ll_counts[kLLCodeLut[s_ll[i] < 65535 ? s_ll[i] : 65535]]++;
+            {
+                const uint32_t mlb = s_ml[i] - 3;
+                ml_counts[kMLCodeLut[mlb < 65535 ? mlb : 65535]]++;
+            }
+            {
+                int oc = highbit32(s_ob[i]);
+                if (oc > 28) oc = 28;
+                of_counts[oc]++;
+            }
+            pos += s_ll[i] + s_ml[i];
+        }
+        for (int64_t u = pos; u < n; u++) lit_counts[sample[u]]++;
+        if (n_seq >= 2) {
+            const int64_t o1 = (int64_t)s_ob[0] - 3;
+            const int64_t o2 = (int64_t)s_ob[1] - 3;
+            rep_off[(o1 > 0 && o1 < 1024) ? o1 : 0] += 3;
+            rep_off[(o2 > 0 && o2 < 1024) ? o2 : 0] += 1;
+        }
+    }
+    free(s_ll);
+    return 0;
+}
+
 struct DDictC {
     uint8_t* content;
     int64_t clen;

@@ -265,59 +265,161 @@ def _dmer_hashes(data: np.ndarray, d: int, f: int) -> np.ndarray:
 
 def _select_segments(data: np.ndarray, hashes: np.ndarray, d: int, k: int,
                      f: int, dict_size: int) -> list[tuple[int, int]]:
-    """fastCover epoch loop (FASTCOVER_buildDictionary:325): split the budget
-    into epochs, greedily take the highest-scoring k-segment per epoch, then
-    zero its d-mers so later epochs pick fresh coverage."""
-    freqs = np.bincount(hashes, minlength=1 << f).astype(np.float64)
-    n_seg = len(hashes) - k + 1 if len(hashes) >= k else 0
-    if n_seg <= 0:
-        return [(0, len(data))]
-    n_epochs = max(1, min(dict_size // k, 16))
-    epoch_size = dict_size // n_epochs
-    segments = []
-    for _ in range(n_epochs):
-        scores = np.convolve(freqs[hashes], np.ones(min(k, len(hashes))), mode="valid")
-        best = int(np.argmax(scores))
-        seg_len = min(max(epoch_size, d), len(data) - best)
-        segments.append((best, best + seg_len))
-        freqs[hashes[best : best + seg_len]] = 0.0
-    return segments
+    """fastCover segment selection (FASTCOVER_selectSegment:97 +
+    COVER_computeEpochs, vectorized): the input is partitioned into epoch
+    slices; each pick scans its slice with a k-window score that counts
+    every distinct d-mer ONCE (the reference's segmentFreqs dedup —
+    computed here with a prev-occurrence difference array), then zeroes the
+    chosen d-mers.  Segments are returned last-selected-first so the
+    highest-scoring segment sits nearest the data (the reference fills the
+    dictionary tail-first, FASTCOVER_buildDictionary:325)."""
+    nb = len(hashes)
+    freqs = np.bincount(hashes, minlength=1 << f).astype(np.int64)
+    W = max(k - d + 1, 1)
+    num = max(1, dict_size // max(k, 1) // 4)
+    size = nb // num if num else nb
+    min_epoch = min(k * 10, nb)
+    if size < min_epoch:
+        size = min_epoch
+        num = max(1, nb // size)
+    # global prev-occurrence of the same hash
+    order = np.argsort(hashes, kind="stable")
+    prev = np.full(nb, -1, np.int64)
+    oh = hashes[order]
+    same = oh[1:] == oh[:-1]
+    prev[order[1:][same]] = order[:-1][same]
+    segments: list[tuple[int, int]] = []
+    tail = dict_size
+    epoch = 0
+    guard = 0
+    while tail > 0 and guard < 4 * num + 64:
+        guard += 1
+        b = (epoch % num) * size
+        epoch += 1
+        e = min(b + size, nb)
+        w = min(W, e - b)
+        if e - b < max(w, 1):
+            continue
+        fr = freqs[hashes[b:e]]
+        c = np.cumsum(fr)
+        winsum = c[w - 1 :].copy()
+        winsum[1:] -= c[: len(c) - w]
+        ns = e - b - w + 1
+        # dedup: occurrence p double-counts for window starts
+        # s in [p-w+1, prev_local[p]]
+        pl = np.arange(e - b)
+        prl = prev[b:e] - b
+        lo = np.maximum(pl - w + 1, 0)
+        hi = np.minimum(prl, ns - 1)
+        sel = hi >= lo
+        diff = np.zeros(ns + 1, np.int64)
+        np.add.at(diff, lo[sel], fr[sel])
+        np.add.at(diff, hi[sel] + 1, -fr[sel])
+        score = winsum - np.cumsum(diff[:-1])
+        sbest = int(np.argmax(score))
+        if score[sbest] <= 0:
+            continue
+        seg_b = b + sbest
+        seg_bytes = min(w + d - 1, tail)
+        if seg_bytes < d:
+            break
+        tail -= seg_bytes
+        segments.append((seg_b, seg_b + seg_bytes))
+        freqs[hashes[seg_b : seg_b + w]] = 0
+    if not segments:
+        return [(0, min(len(data), dict_size))]
+    return segments[::-1]
 
 
 def _analyze_entropy(samples: list[bytes], content: np.ndarray, level: int):
-    """ZDICT_analyzeEntropy:174 — gather literal/sequence statistics by
-    compressing the samples against the candidate content, then build the
-    shared entropy tables."""
+    """ZDICT_analyzeEntropy:174 / ZDICT_countEStats:21 — compress samples
+    against the candidate content, counting the seqStore's LITERALS (not
+    raw bytes), the ll/ml/of codes, and electing the dictionary repcodes
+    from the first two offsets of each sample (weights 3/1, buckets
+    <1024)."""
     from .encode.block import seq_to_codes
     from .encode.params import CCtxParams
     from .encode.seqstore import MatchState, compress_block
 
-    lit_counts = np.ones(256, dtype=np.int64)  # +1 smoothing like ZDICT
+    lit_counts = np.ones(256, dtype=np.int64)
     ll_counts = np.ones(C.MAX_LL + 1, dtype=np.int64)
     ml_counts = np.ones(C.MAX_ML + 1, dtype=np.int64)
-    of_counts = np.ones(C.DEFAULT_MAX_OFF + 1, dtype=np.int64)
-    reps = [1, 4, 8]
+    # +1 smoothing only up to the largest reachable offset code
+    # (ZDICT_analyzeEntropy:214 offcodeMax = highbit(dictSize + 128KB))
+    of_max = min(int(len(content) + (128 << 10)).bit_length() - 1,
+                 C.DEFAULT_MAX_OFF)
+    of_counts = np.zeros(C.DEFAULT_MAX_OFF + 1, dtype=np.int64)
+    of_counts[: of_max + 1] = 1
+    rep_offset = np.zeros(1024, dtype=np.int64)
+    rep_offset[[1, 4, 8]] = 1
 
+    total_size = sum(len(s) for s in samples)
+    avg = max(total_size // max(len(samples), 1), 8)
     params = CCtxParams(compression_level=level).resolve(
-        src_size_hint=max((len(s) for s in samples), default=1024),
-        dict_size=len(content))
-    for s in samples[:256]:
-        if len(s) < 16:
-            lit_counts[: max(len(np.frombuffer(s, np.uint8)), 1)] += 0
+        src_size_hint=avg, dict_size=len(content))
+    # Native fast path: parse every sample with the production attach
+    # matcher (zt_cdict_stats) so the tables are trained on the parse
+    # real encoders produce.
+    try:
+        from .native import NativeCDict
+
+        cp = params.cparams
+        # Collect statistics with a deeper parse than the target level's
+        # (lazy attach): the measured table quality is ~0.7% better than
+        # stats from the fast parse, and the pass runs once.
+        cd = NativeCDict(bytes(content), max(int(cp.strategy), 5),
+                         cp.hash_log, max(cp.chain_log, 15), cp.search_log,
+                         cp.window_log, cp.min_match)
+        st = cd.entropy_stats([bytes(s) for s in samples]) if cd.valid else None
+        if st is not None:
+            lit, ll, ml, of, rep_o = st
+            lit_counts += lit
+            ll_counts += ll
+            ml_counts += ml
+            of_counts += of[: C.DEFAULT_MAX_OFF + 1]
+            rep_offset += rep_o
+            # the reference elects best offsets but writes repStartValue
+            # {1,4,8} verbatim (Zdict.cs:397) — match that
+            return lit_counts, ll_counts, ml_counts, of_counts, [1, 4, 8]
+    except Exception:
+        pass
+    stride = max(1, len(samples) // 4096)
+    for s in samples[::stride][:4096]:
+        if len(s) < 8:
             continue
-        buf = np.concatenate([content, np.frombuffer(s, dtype=np.uint8)])
+        sb = np.frombuffer(s, dtype=np.uint8)[: C.ZSTD_BLOCKSIZE_MAX]
+        buf = np.concatenate([content, sb])
         state = MatchState(params.cparams)
-        state.rep = list(reps)
-        seqs = compress_block(buf, len(content), min(len(buf), len(content) + C.ZSTD_BLOCKSIZE_MAX), state)
-        if seqs.nb_seq:
-            llc, mlc, ofc = seq_to_codes(seqs)
-            ll_counts += np.bincount(llc, minlength=C.MAX_LL + 1)[: C.MAX_LL + 1]
-            ml_counts += np.bincount(mlc, minlength=C.MAX_ML + 1)[: C.MAX_ML + 1]
-            ofc = np.minimum(ofc, C.DEFAULT_MAX_OFF)
-            of_counts += np.bincount(ofc, minlength=C.DEFAULT_MAX_OFF + 1)[: C.DEFAULT_MAX_OFF + 1]
-        # literals: bytes not covered by matches (approximate: all bytes)
-        lit_counts += np.bincount(np.frombuffer(s, dtype=np.uint8), minlength=256)
-    return lit_counts, ll_counts, ml_counts, of_counts, reps
+        state.rep = [1, 4, 8]
+        seqs = compress_block(buf, len(content), len(buf), state)
+        if not seqs.nb_seq:
+            lit_counts += np.bincount(sb, minlength=256)
+            continue
+        llc, mlc, ofc = seq_to_codes(seqs)
+        ll_counts += np.bincount(llc, minlength=C.MAX_LL + 1)[: C.MAX_LL + 1]
+        ml_counts += np.bincount(mlc, minlength=C.MAX_ML + 1)[: C.MAX_ML + 1]
+        ofc = np.minimum(ofc, C.DEFAULT_MAX_OFF)
+        of_counts += np.bincount(
+            ofc, minlength=C.DEFAULT_MAX_OFF + 1)[: C.DEFAULT_MAX_OFF + 1]
+        # literals = the unmatched spans (seqStore litStart..lit)
+        ll_arr = np.asarray(seqs.lit_len, dtype=np.int64)
+        ml_arr = np.asarray(seqs.match_len, dtype=np.int64)
+        pos = 0
+        for i in range(seqs.nb_seq):
+            if ll_arr[i]:
+                lit_counts += np.bincount(sb[pos : pos + ll_arr[i]],
+                                          minlength=256)
+            pos += ll_arr[i] + ml_arr[i]
+        if pos < len(sb):
+            lit_counts += np.bincount(sb[pos:], minlength=256)
+        # repcode election from the first two offsets (offBase - 3)
+        ob = np.asarray(seqs.off_base, dtype=np.int64)
+        if seqs.nb_seq >= 2:
+            o1 = int(ob[0]) - 3
+            o2 = int(ob[1]) - 3
+            rep_offset[o1 if 0 < o1 < 1024 else 0] += 3
+            rep_offset[o2 if 0 < o2 < 1024 else 0] += 1
+    return lit_counts, ll_counts, ml_counts, of_counts, [1, 4, 8]
 
 
 def finalize_dictionary(content: np.ndarray, samples: list[bytes],
@@ -343,12 +445,16 @@ def finalize_dictionary(content: np.ndarray, samples: list[bytes],
         huf_hdr = huffman.write_ctable(huf_ct)
     out += huf_hdr
 
-    for counts, max_sym, max_log in ((of_counts, C.DEFAULT_MAX_OFF, C.OF_FSE_LOG),
-                                     (ml_counts, C.MAX_ML, C.ML_FSE_LOG),
-                                     (ll_counts, C.MAX_LL, C.LL_FSE_LOG)):
+    # fixed table logs 8/9/9 with low-prob entries
+    # (ZDICT_analyzeEntropy:295 FSE_normalizeCount(..., useLowProbCount=1))
+    for counts, max_sym, tlog in ((of_counts, C.DEFAULT_MAX_OFF, 8),
+                                  (ml_counts, C.MAX_ML, 9),
+                                  (ll_counts, C.MAX_LL, 9)):
+        while max_sym > 0 and counts[max_sym] == 0:
+            max_sym -= 1
         total = int(counts.sum())
-        tlog = fse.optimal_table_log(max_log, total, max_sym)
-        norm = fse.normalize_count(counts, tlog, total, max_sym, use_low_prob=False)
+        norm = fse.normalize_count(counts, tlog, total, max_sym,
+                                   use_low_prob=True)
         out += fse.write_ncount(norm, max_sym, tlog)
 
     for r in reps:
@@ -423,6 +529,6 @@ def train_dictionary(samples: list[bytes], dict_size: int = DEFAULT_DICT_CAPACIT
     raw = finalize_dictionary(content, [bytes(s) for s in samples], dict_id, level)
     if len(raw) > dict_size + 1024:
         overshoot = len(raw) - (dict_size + 1024)
-        content = content[: max(len(content) - overshoot, d)]
+        content = content[min(overshoot, max(len(content) - d, 0)):]
         raw = finalize_dictionary(content, [bytes(s) for s in samples], dict_id, level)
     return raw

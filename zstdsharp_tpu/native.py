@@ -104,6 +104,9 @@ def _load():
         vp = ctypes.c_void_p
         lib.zt_cdict_create.restype = vp
         lib.zt_cdict_create.argtypes = [u8p, i64, i32, i32, i32, i32, i32, i32]
+        lib.zt_cdict_stats.restype = i64
+        lib.zt_cdict_stats.argtypes = [vp, u8p, i64p, i64, i64p, i64p, i64p,
+                                       i64p, i64p]
         lib.zt_cdict_free.restype = None
         lib.zt_cdict_free.argtypes = [vp]
         lib.zt_compress_frame_body_cdict.restype = i64
@@ -413,6 +416,30 @@ class NativeCDict:
     @property
     def valid(self) -> bool:
         return bool(self._h)
+
+    def entropy_stats(self, records: list[bytes]):
+        """Histogram the attach-parse of records vs this dictionary
+        (ZDICT_countEStats role): returns (lit, ll, ml, of, rep_off)
+        int64 count arrays or None."""
+        if not self._h:
+            return None
+        concat = np.frombuffer(b"".join(records), dtype=np.uint8)
+        lens = np.array([len(r) for r in records], dtype=np.int64)
+        lit = np.zeros(256, np.int64)
+        ll = np.zeros(36, np.int64)
+        ml = np.zeros(53, np.int64)
+        of = np.zeros(29, np.int64)
+        rep = np.zeros(1024, np.int64)
+        with self._mtx:
+            rc = self._lib.zt_cdict_stats(
+                self._h, _ptr(concat, ctypes.c_uint8),
+                _ptr(lens, ctypes.c_int64), len(records),
+                _ptr(lit, ctypes.c_int64), _ptr(ll, ctypes.c_int64),
+                _ptr(ml, ctypes.c_int64), _ptr(of, ctypes.c_int64),
+                _ptr(rep, ctypes.c_int64))
+        if rc != 0:
+            return None
+        return lit, ll, ml, of, rep
 
     def compress_many(self, records: list[bytes], dict_id: int) -> list[bytes] | None:
         """Batch wrap: one native call for the whole record list."""
