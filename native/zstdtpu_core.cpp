@@ -325,6 +325,7 @@ static inline int64_t zt_exec_one(uint8_t* out, int64_t out_pos,
 // consumed sequentially from lit; copies use the wildcopy discipline.
 }  // pause extern "C" for the template
 template <int long_mode>
+__attribute__((optimize("O3")))
 static int64_t decode_execute_sequences_t(
     const uint8_t* padded, int64_t payload_size, int64_t nb_seq,
     const uint64_t* ll_f, int ll_log,
@@ -7107,6 +7108,7 @@ struct EntropyStateC {
 // bytes before its own start (the previous stream's bytes / the zero prefix)
 // — those bits are don't-care by canonical-table construction, so only
 // memory validity matters.  Streams advance in lockstep for ILP.
+__attribute__((optimize("O3")))
 static int huf_decode_4x(const uint8_t* pad, const int64_t* offs,
                          const int64_t* sizes, const uint16_t* D, int tlog,
                          uint8_t* out, const int64_t* osz) {

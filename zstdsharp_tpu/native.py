@@ -27,7 +27,9 @@ AVAILABLE = False
 
 def _build() -> bool:
     try:
-        cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+        # -O2 globally (the branchy matchers measure ~13% faster than at
+        # -O3); the decode hot loops pin O3 via function attributes.
+        cmd = ["g++", "-O2", "-march=native", "-shared", "-fPIC", "-std=c++17",
                str(_SRC), "-o", str(_LIB)]
         r = subprocess.run(cmd, capture_output=True, text=True, timeout=240)
         if r.returncode != 0:
