@@ -7735,7 +7735,7 @@ void* zt_cdict_create(const uint8_t* dict, int64_t dlen, int strategy,
     // inputs).
     int attempt_boost = 0;
     if (strategy > 5) {
-        attempt_boost = 1;
+        attempt_boost = strategy >= 8 ? 3 : 2;
         strategy = 5;
     }
     CDictC* c = (CDictC*)calloc(1, sizeof(CDictC));

@@ -14,6 +14,15 @@ On this tunnel-attached chip, host->device is ~1.5 GB/s and device->host
 ~0.02 GB/s, so end-to-end hybrid decode cannot beat the host engine here;
 the intended deployment decompresses into HBM for on-device consumers
 (training input pipelines), where the output never crosses back.
+
+The ENCODE direction of the entropy plane stays on the host by analysis:
+Huffman/FSE bit-packing writes variable-length fields at lane-dependent
+addresses (scatter), which the VPU has no primitive for.  The decode
+direction mapped onto the chip because its reads follow a uniform
+per-step schedule and are idempotent (read a wide window, shift); writes
+are neither.  Splitting the work (device computes code/offset vectors,
+host packs) was measured no faster than the host's fused table-lookup +
+pack loop, so the encoder keeps the single host pass.
 """
 
 from dataclasses import dataclass
