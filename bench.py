@@ -203,9 +203,12 @@ def main() -> None:
             np.asarray(f[0][:1])
 
         run_k(1)  # compile
-        t1 = min(_timed(lambda: run_k(1)) for _ in range(2))
-        t5 = min(_timed(lambda: run_k(5)) for _ in range(2))
-        marg = max((t5 - t1) / 4, 1e-9)
+        # marginal timing: median over several (5-call minus 1-call) pairs
+        # — the tunnel's per-dispatch latency is noisy
+        pairs = sorted(
+            (_timed(lambda: run_k(5)) - _timed(lambda: run_k(1))) / 4
+            for _ in range(5))
+        marg = max(pairs[2], 1e-9)
         print(f"bench: device entropy decode {lit_syms/1e6:.2f}M literal "
               f"syms + {seqs/1e6:.3f}M seqs per batch, {marg*1e3:.1f} ms "
               f"marginal -> {(lit_syms + 12*seqs)/marg/1e9:.2f} GB/s-equiv "

@@ -463,6 +463,86 @@ static int64_t decode_execute_sequences_t(
     return out_pos + rest;
 }
 
+// Two-pass variant: a lean FSE pass fills (ll, ml, of) arrays, then a
+// lean execute pass runs them with lookahead prefetch.  Fewer live
+// registers per loop than the fused form; selected via ZT_STAGED.
+__attribute__((optimize("O3")))
+static int64_t decode_sequences_to_arrays(
+    const uint8_t* padded, int64_t payload_size, int64_t nb_seq,
+    const uint64_t* ll_f, int ll_log, const uint64_t* of_f, int of_log,
+    const uint64_t* ml_f, int ml_log, uint32_t* rep, uint32_t* o_ll,
+    uint32_t* o_ml, uint32_t* o_of) {
+    int64_t pos = br_init(padded + 16, payload_size);
+    if (pos < 0) return -1;
+    pos -= ll_log; uint32_t s_ll = (uint32_t)br_field(padded, pos, ll_log);
+    pos -= of_log; uint32_t s_of = (uint32_t)br_field(padded, pos, of_log);
+    pos -= ml_log; uint32_t s_ml = (uint32_t)br_field(padded, pos, ml_log);
+    uint64_t r0 = rep[0], r1 = rep[1], r2 = rep[2];
+    int64_t wpos = 0;
+    uint64_t win = 0;
+    auto reload = [&](int64_t at) {
+        wpos = at - 57;
+        if (wpos < -120) wpos = -120;
+        const int64_t pb = wpos + 16 * 8;
+        win = read_window(padded + (pb >> 3)) >> (pb & 7);
+    };
+    for (int64_t i = 0; i < nb_seq; i++) {
+        const uint64_t eL = ll_f[s_ll], eM = ml_f[s_ml], eO = of_f[s_of];
+        const uint32_t llB = (uint32_t)eL; const int llb = (int)((eL >> 32) & 0xFF);
+        const uint32_t mlB = (uint32_t)eM; const int mlb = (int)((eM >> 32) & 0xFF);
+        const uint32_t ofB = (uint32_t)eO; const int ofb = (int)((eO >> 32) & 0xFF);
+        reload(pos);
+        if (pos - (ofb + mlb) < wpos) return -2;
+        uint64_t offset;
+        if (ofb > 1) {
+            pos -= ofb;
+            offset = ofB + ((win >> (pos - wpos)) &
+                            ((ofb >= 64) ? ~0ULL : ((1ULL << ofb) - 1)));
+            r2 = r1; r1 = r0; r0 = offset;
+        } else {
+            const int ll0 = (llB == 0);
+            if (ofb == 0) {
+                offset = ll0 ? r1 : r0;
+                if (ll0) { uint64_t t = r0; r0 = r1; r1 = t; }
+            } else {
+                pos -= 1;
+                uint64_t idx = ofB + ll0 + ((win >> (pos - wpos)) & 1);
+                uint64_t t = (idx == 3) ? r0 - 1 : (idx == 1 ? r1 : r2);
+                if (t == 0) t = 1;
+                if (idx != 1) r2 = r1;
+                r1 = r0; r0 = offset = t;
+            }
+        }
+        uint64_t m = mlB;
+        if (mlb) { pos -= mlb; m += (win >> (pos - wpos)) & ((1ULL << mlb) - 1); }
+        if (pos - llb < wpos) {
+            reload(pos);
+            if (pos - llb < wpos) return -2;
+        }
+        uint64_t l = llB;
+        if (llb) { pos -= llb; l += (win >> (pos - wpos)) & ((1ULL << llb) - 1); }
+        o_ll[i] = (uint32_t)l;
+        o_ml[i] = (uint32_t)m;
+        o_of[i] = (uint32_t)offset;
+        if (i != nb_seq - 1) {
+            const int nb1 = (int)((eL >> 56) & 0xFF);
+            const int nb2 = (int)((eM >> 56) & 0xFF);
+            const int nb3 = (int)((eO >> 56) & 0xFF);
+            if (pos - (nb1 + nb2 + nb3) < wpos) {
+                reload(pos);
+                if (pos - (nb1 + nb2 + nb3) < wpos) return -2;
+            }
+            pos -= nb1; s_ll = (uint32_t)((eL >> 40) & 0xFFFF) + (uint32_t)((win >> (pos - wpos)) & ((1ULL << nb1) - 1));
+            pos -= nb2; s_ml = (uint32_t)((eM >> 40) & 0xFFFF) + (uint32_t)((win >> (pos - wpos)) & ((1ULL << nb2) - 1));
+            pos -= nb3; s_of = (uint32_t)((eO >> 40) & 0xFFFF) + (uint32_t)((win >> (pos - wpos)) & ((1ULL << nb3) - 1));
+            if (pos < 0) return -2;
+        }
+    }
+    if (pos != 0) return -1;
+    rep[0] = (uint32_t)r0; rep[1] = (uint32_t)r1; rep[2] = (uint32_t)r2;
+    return 0;
+}
+
 extern "C" {
 static int64_t decode_execute_sequences(
     const uint8_t* padded, int64_t payload_size, int64_t nb_seq,
@@ -7369,7 +7449,6 @@ static int64_t decode_block_c(const uint8_t* src, int64_t size,
     src += h; size -= h;
     if (prof) { int64_t t = prof_now(); g_prof[1] += t - t0; t0 = t; }
 
-    (void)seq_buf; (void)max_seq;
     // Long-offset pipeline selection (ZSTD_getLongOffsetsShare role,
     // ZstdDecompressBlock.cs:3062): with >16MB of history and >=7% of OF
     // table states carrying >22 extra bits, matches likely miss cache and
@@ -7388,13 +7467,30 @@ static int64_t decode_block_c(const uint8_t* src, int64_t size,
             if (((ent->of.fused[t] >> 32) & 0xFF) > 22) longs++;
         long_mode = longs * 100 >= tsize * 7;
     }
-    int64_t r2 = decode_execute_sequences(
-        src - 16, size, nb_seq,
-        ent->ll.fused, ent->ll.tlog,
-        ent->of.fused, ent->of.tlog,
-        ent->ml.fused, ent->ml.tlog,
-        ent->rep, out, out_pos, out_cap, prefix_start, lit_buf, lit_size,
-        long_mode);
+    static int staged = -1;
+    if (staged < 0) {
+        const char* e = getenv("ZT_STAGED");
+        staged = e ? atoi(e) : 0;
+    }
+    int64_t r2;
+    if (staged) {
+        uint32_t* a_ll = seq_buf;
+        uint32_t* a_ml = seq_buf + max_seq;
+        uint32_t* a_of = seq_buf + 2 * max_seq;
+        const int64_t rc2 = decode_sequences_to_arrays(
+            src - 16, size, nb_seq, ent->ll.fused, ent->ll.tlog,
+            ent->of.fused, ent->of.tlog, ent->ml.fused, ent->ml.tlog,
+            ent->rep, a_ll, a_ml, a_of);
+        if (rc2 < 0) return -1;
+        r2 = execute_sequences(out, out_pos, out_cap, prefix_start, lit_buf,
+                               lit_size, a_ll, a_ml, a_of, nb_seq);
+    } else {
+        r2 = decode_execute_sequences(
+            src - 16, size, nb_seq, ent->ll.fused, ent->ll.tlog,
+            ent->of.fused, ent->of.tlog, ent->ml.fused, ent->ml.tlog,
+            ent->rep, out, out_pos, out_cap, prefix_start, lit_buf, lit_size,
+            long_mode);
+    }
     if (prof) { int64_t t = prof_now(); g_prof[2] += t - t0; t0 = t; }
     return r2 < 0 ? -1 : r2;
 }

@@ -6,9 +6,13 @@ This transplants the reference's differential strategy
 (ZstdSharp.Test/ZstdTest.cs:69-90) to the decode direction.
 """
 
+from pathlib import Path
+
 import numpy as np
 import pytest
 import zstandard
+
+ROOT = Path(__file__).resolve().parent.parent
 
 from zstdsharp_tpu.decode import frame as dframe
 from zstdsharp_tpu.errors import ZstdError
@@ -200,3 +204,28 @@ def test_long_offset_decode_stress():
     assert zstandard.ZstdDecompressor().decompress(
         frame, max_output_size=len(data) + 1) == data
     assert ours_d(frame) == data
+
+
+def test_staged_decode_variant_matches():
+    """The two-pass (array-staged) sequence decoder behind ZT_STAGED must
+    produce identical output to the fused default."""
+    import os
+    import subprocess
+    import sys
+
+    code = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "import numpy as np\n"
+        "from zstdsharp_tpu.encode.frame import compress\n"
+        "from zstdsharp_tpu.decode.frame import decompress\n"
+        "r = np.random.default_rng(5)\n"
+        "words = [b'zeta', b'eta', b'theta', b'iota']\n"
+        "data = b' '.join(words[int(i)] for i in r.integers(0, 4, 200_000))\n"
+        "for lvl in (1, 9, 19):\n"
+        "    f = compress(data, lvl)\n"
+        "    assert decompress(f) == data, lvl\n"
+        "print('ok')\n" % str(ROOT))
+    env = dict(os.environ, ZT_STAGED="1")
+    r = subprocess.run([sys.executable, "-c", code], env=env,
+                       capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0 and "ok" in r.stdout, r.stderr[-500:]
