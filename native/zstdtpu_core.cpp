@@ -6088,7 +6088,15 @@ static int64_t zx_chunk_cost(const uint8_t* block, int64_t blockSize,
                                            mlv + a, ob + a, b - a, plast,
                                            &prevCopy, scratch, strategy, buf,
                                            (1 << 17) + (1 << 12) - 8);
-    return (c < 0 ? pb - pa : c) + 3;
+    // ZT_SB_HDR: per-chunk block-header charge.  The reference charges
+    // none (biasing toward splits); measured best at 0 on ELF-like
+    // content, 3 on the synthetic mix — default matches the reference.
+    static int64_t hdr = -1;
+    if (hdr < 0) {
+        const char* e = getenv("ZT_SB_HDR");
+        hdr = e ? atoll(e) : 0;
+    }
+    return (c < 0 ? pb - pa : c) + hdr;
 }
 
 struct ZxSplits { int64_t loc[200]; int n; };
@@ -6099,7 +6107,12 @@ static void zx_derive_splits(ZxSplits* sp, int64_t startIdx, int64_t endIdx,
                              const uint32_t* ob, const int64_t* seq_start,
                              int64_t nseq, int64_t last_lit,
                              const ZxEntropy* prev, int strategy) {
-    if (endIdx - startIdx < 300 || sp->n >= 196) return;
+    static int64_t min_seqs = -1;
+    if (min_seqs < 0) {
+        const char* e = getenv("ZT_SB_MIN");
+        min_seqs = e ? atoll(e) : 300;
+    }
+    if (endIdx - startIdx < min_seqs || sp->n >= 196) return;
     const int64_t mid = (startIdx + endIdx) / 2;
     const int64_t full = zx_chunk_cost(block, blockSize, ll, mlv, ob,
                                        seq_start, nseq, last_lit, startIdx,
@@ -8475,8 +8488,14 @@ int64_t zt_compress_exact_params(const uint8_t* src, int64_t n,
             const char* e = getenv("ZT_DF_TH");
             df_th = e ? atof(e) : 1.0;
         }
+        static double opt_th = -1.0;
+        if (opt_th < 0) {
+            const char* e = getenv("ZT_OPT_TH");
+            opt_th = e ? atof(e) : 1.0;
+        }
         const int64_t blockSize = zx_pick_block_size(
-            ip, remaining, blockSizeMax, cp.strat == 2 ? df_th : 1.0);
+            ip, remaining, blockSizeMax,
+            cp.strat == 2 ? df_th : (cp.strat >= 7 ? opt_th : 1.0));
         const int lastBlock = blockSize == remaining;
         // ZSTD_window_enforceMaxDist with srcEnd = block start
         if (optc) {
