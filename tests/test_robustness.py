@@ -160,3 +160,37 @@ class TestFeatureMatrixDifferential:
                 sink.getvalue(), max_output_size=2 * len(data) + 64)
             assert out == data, f"trial {trial}"
             assert decompress(sink.getvalue()) == data
+
+
+def test_corrupt_frame_fuzz_native():
+    """Bit flips, truncations, and injections into valid frames at several
+    levels must raise ZstdError (or decode silently where the corruption
+    lands in literal payload — matching libzstd without checksums), never
+    escape as a non-zstd exception or crash."""
+    import random
+
+    import numpy as np
+
+    from zstdsharp_tpu.encode.frame import compress
+    from zstdsharp_tpu.decode.frame import decompress
+
+    r = np.random.default_rng(99)
+    rng = random.Random(7)
+    words = [b"alpha", b"beta", b"gamma"]
+    base = b" ".join(words[int(i)] for i in r.integers(0, 3, 8000))
+    corpora = [compress(base, lvl) for lvl in (1, 9, 19)]
+    for _ in range(1500):
+        f = bytearray(rng.choice(corpora))
+        mode = rng.random()
+        if mode < 0.5:
+            for _ in range(rng.randint(1, 8)):
+                f[rng.randrange(len(f))] ^= 1 << rng.randrange(8)
+        elif mode < 0.75:
+            f = f[: rng.randrange(1, len(f))]
+        else:
+            ins = rng.randrange(len(f))
+            f = f[:ins] + bytes([rng.randrange(256)] * rng.randint(1, 64)) + f[ins:]
+        try:
+            decompress(bytes(f))
+        except (ZstdError, MemoryError):
+            pass
