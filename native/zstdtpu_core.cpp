@@ -784,7 +784,9 @@ int64_t fast_find_matches32(const uint8_t* src, int64_t src_len,
                     break;
                 }
             }
-            if (pos + 1 <= limit) {
+            // at acceleration > 1 the paired probe costs more than its
+            // finds are worth (the negative levels trade ratio for speed)
+            if (acceleration <= 1 && pos + 1 <= limit) {
                 const int64_t p1 = pos + 1;
                 const uint64_t v = read64_fwd(src + p1);
                 const uint32_t hv = hash_mls_v(v, hlog, mls);
