@@ -387,6 +387,7 @@ def _decompress_impl(src: bytes, max_output_size, max_window_log,
     pos = 0
     outputs = []
     total = 0
+    mv = memoryview(src)  # per-frame tails without copying the buffer
     while pos < len(src):
         check(len(src) - pos >= 4, ZstdErrorCode.srcSize_wrong)
         magic = int.from_bytes(src[pos : pos + 4], "little")
@@ -396,7 +397,7 @@ def _decompress_impl(src: bytes, max_output_size, max_window_log,
             check(len(src) - pos >= 8 + size, ZstdErrorCode.srcSize_wrong)
             pos += 8 + size
             continue
-        content, consumed = decoder.decode(src[pos:], verify_checksum=verify_checksum)
+        content, consumed = decoder.decode(mv[pos:], verify_checksum=verify_checksum)
         total += len(content)
         if max_output_size is not None:
             check(total <= max_output_size, ZstdErrorCode.dstSize_tooSmall,
