@@ -8488,7 +8488,7 @@ int64_t zt_compress_exact_params(const uint8_t* src, int64_t n,
         static double df_th = -1.0;
         if (df_th < 0) {
             const char* e = getenv("ZT_DF_TH");
-            df_th = e ? atof(e) : 1.0;
+            df_th = e ? atof(e) : 8.0 / 11.0;
         }
         static double opt_th = -1.0;
         if (opt_th < 0) {
