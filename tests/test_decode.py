@@ -229,3 +229,16 @@ def test_staged_decode_variant_matches():
     r = subprocess.run([sys.executable, "-c", code], env=env,
                        capture_output=True, text=True, timeout=300)
     assert r.returncode == 0 and "ok" in r.stdout, r.stderr[-500:]
+
+
+def test_long_offset_pipeline_boundary():
+    """Frames whose history crosses the 16MB long-offset heuristic gate
+    must decode bit-exact through both the fused and prefetch pipelines
+    (the selection happens per block mid-frame)."""
+    r = np.random.default_rng(11)
+    words = [b"kappa", b"lambda", b"mu", b"nu"]
+    base = b" ".join(words[int(i)] for i in r.integers(0, 4, 1_200_000))
+    data = base + base[: 4 << 20] + base  # repeats at multi-MB distances
+    assert len(data) > (18 << 20)
+    frame = zstandard.ZstdCompressor(level=12, write_content_size=True).compress(data)
+    assert dframe.decompress(frame) == data
