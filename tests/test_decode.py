@@ -237,7 +237,7 @@ def test_long_offset_pipeline_boundary():
     (the selection happens per block mid-frame)."""
     r = np.random.default_rng(11)
     words = [b"kappa", b"lambda", b"mu", b"nu"]
-    base = b" ".join(words[int(i)] for i in r.integers(0, 4, 1_200_000))
+    base = b" ".join(words[int(i)] for i in r.integers(0, 4, 1_600_000))
     data = base + base[: 4 << 20] + base  # repeats at multi-MB distances
     assert len(data) > (18 << 20)
     frame = zstandard.ZstdCompressor(level=12, write_content_size=True).compress(data)
