@@ -8382,7 +8382,10 @@ int64_t zt_compress_exact_params(const uint8_t* src, int64_t n,
     // fast/dfast and the bt-optimal family; lazy strategies (3-6) route to
     // the legacy pipeline.
     if ((cp.strat > 2 && cp.strat < 7) || cp.strat > 9) return -2;
-    if (cp.strat >= 7 && n >= (1LL << 30)) return -2;  // u32 window indices
+    // The exact path uses u32 window indices without the reference's
+    // overflow correction; very large inputs route to the legacy driver,
+    // whose indices are 64-bit.
+    if (n >= (1LL << 30)) return -2;
 
     const uint64_t windowSize = 1ULL << cp.wlog;
     const int64_t blockSizeMax =
