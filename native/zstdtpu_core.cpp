@@ -1659,6 +1659,7 @@ static inline int bw_flush(BitWriterC* w) {
 }
 
 static inline int bw_add(BitWriterC* w, uint64_t v, int n) {
+    if (n == 0) return 0;  // zero-width field: a shift by nbits==64 is UB
     if (w->nbits + n > 64) {
         if (bw_flush(w)) return -1;   // leaves nbits <= 7
     }
