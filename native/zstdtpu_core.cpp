@@ -31,8 +31,7 @@ static inline int64_t prof_now() {
     return ts.tv_sec * 1000000000LL + ts.tv_nsec;
 }
 static bool prof_on() {
-    static int v = -1;
-    if (v < 0) v = getenv("ZT_PROF") ? 1 : 0;
+    static const int v = getenv("ZT_PROF") ? 1 : 0;  // magic-static: thread-safe init
     return v == 1;
 }
 
@@ -5234,12 +5233,11 @@ static int64_t zx_pick_block_size(const uint8_t* ip, int64_t remaining,
     // Sampled fingerprints (the oracle's preSplit also samples at the fast
     // levels): stride keeps the scan off the critical path; the distance
     // is cross-normalized so absolute event counts cancel.
-    static int stride = 0;
-    if (!stride) {
+    static const int stride = [] {
         const char* e = getenv("ZT_SPLIT_STRIDE");
-        stride = e ? atoi(e) : 2;
-        if (stride < 1) stride = 1;
-    }
+        int s = e ? atoi(e) : 2;
+        return s < 1 ? 1 : s;
+    }();
     const int64_t n_ev = SEG / stride;
     for (int64_t off = 0; off + SEG <= lim; off += SEG) {
         uint32_t cur[256] = {0};
@@ -5346,12 +5344,12 @@ static uint32_t zx_scaleStats(uint32_t* t, uint32_t last, uint32_t logTarget) {
 
 struct ZxOptTune { int litlog, lenlog, litshift, litadd; };
 static ZxOptTune zx_opt_tune() {
-    static ZxOptTune t = {-1, 0, 0, 0};
-    if (t.litlog < 0) {
+    static const ZxOptTune t = [] {
         const char* e = getenv("ZT_OPT_TUNE");  // "litlog,lenlog,litshift,litadd"
-        t = {12, 11, 8, 2};
-        if (e) sscanf(e, "%d,%d,%d,%d", &t.litlog, &t.lenlog, &t.litshift, &t.litadd);
-    }
+        ZxOptTune v = {12, 11, 8, 2};
+        if (e) sscanf(e, "%d,%d,%d,%d", &v.litlog, &v.lenlog, &v.litshift, &v.litadd);
+        return v;
+    }();
     return t;
 }
 
@@ -6094,11 +6092,10 @@ static int64_t zx_chunk_cost(const uint8_t* block, int64_t blockSize,
     // ZT_SB_HDR: per-chunk block-header charge.  The reference charges
     // none (biasing toward splits); measured best at 0 on ELF-like
     // content, 3 on the synthetic mix — default matches the reference.
-    static int64_t hdr = -1;
-    if (hdr < 0) {
+    static const int64_t hdr = [] {
         const char* e = getenv("ZT_SB_HDR");
-        hdr = e ? atoll(e) : 0;
-    }
+        return e ? atoll(e) : 0LL;
+    }();
     return (c < 0 ? pb - pa : c) + hdr;
 }
 
@@ -6110,11 +6107,10 @@ static void zx_derive_splits(ZxSplits* sp, int64_t startIdx, int64_t endIdx,
                              const uint32_t* ob, const int64_t* seq_start,
                              int64_t nseq, int64_t last_lit,
                              const ZxEntropy* prev, int strategy) {
-    static int64_t min_seqs = -1;
-    if (min_seqs < 0) {
+    static const int64_t min_seqs = [] {
         const char* e = getenv("ZT_SB_MIN");
-        min_seqs = e ? atoll(e) : 300;
-    }
+        return e ? atoll(e) : 300LL;
+    }();
     if (endIdx - startIdx < min_seqs || sp->n >= 196) return;
     const int64_t mid = (startIdx + endIdx) / 2;
     const int64_t full = zx_chunk_cost(block, blockSize, ll, mlv, ob,
@@ -7470,11 +7466,10 @@ static int64_t decode_block_c(const uint8_t* src, int64_t size,
     // table states carrying >22 extra bits, matches likely miss cache and
     // the prefetch decoder wins.
     int long_mode = 0;
-    static int lm_force = -2;
-    if (lm_force == -2) {
+    static const int lm_force = [] {
         const char* e = getenv("ZT_LONGMODE");
-        lm_force = e ? atoi(e) : -1;
-    }
+        return e ? atoi(e) : -1;
+    }();
     if (lm_force >= 0) long_mode = lm_force;
     else if (out_pos > (1 << 24) && nb_seq > 8) {
         const int64_t tsize = 1LL << ent->of.tlog;
@@ -7483,11 +7478,10 @@ static int64_t decode_block_c(const uint8_t* src, int64_t size,
             if (((ent->of.fused[t] >> 32) & 0xFF) > 22) longs++;
         long_mode = longs * 100 >= tsize * 7;
     }
-    static int staged = -1;
-    if (staged < 0) {
+    static const int staged = [] {
         const char* e = getenv("ZT_STAGED");
-        staged = e ? atoi(e) : 0;
-    }
+        return e ? atoi(e) : 0;
+    }();
     int64_t r2;
     if (staged) {
         uint32_t* a_ll = seq_buf;
@@ -8478,6 +8472,7 @@ int64_t zt_compress_exact_params(const uint8_t* src, int64_t n,
     ss.seq = (ZxSeq*)malloc(((size_t)blockSizeMax / 3 + 64) * sizeof(ZxSeq));
     if (!ss.lit || !ss.seq) {
         free(hashTable); free(chainTable); free(ss.lit); free(ss.seq);
+        zx_opt_free(optc); free(os_ll);
         return -1;
     }
 
@@ -8489,16 +8484,14 @@ int64_t zt_compress_exact_params(const uint8_t* src, int64_t n,
         // tier (~23KB average blocks on mixed content): fresh entropy
         // tables per regime beat table amortization there.  ZT_DF_TH
         // scales the fingerprint threshold for strategy 2.
-        static double df_th = -1.0;
-        if (df_th < 0) {
+        static const double df_th = [] {
             const char* e = getenv("ZT_DF_TH");
-            df_th = e ? atof(e) : 8.0 / 11.0;
-        }
-        static double opt_th = -1.0;
-        if (opt_th < 0) {
+            return e ? atof(e) : 8.0 / 11.0;
+        }();
+        static const double opt_th = [] {
             const char* e = getenv("ZT_OPT_TH");
-            opt_th = e ? atof(e) : 1.0;
-        }
+            return e ? atof(e) : 1.0;
+        }();
         const int64_t blockSize = zx_pick_block_size(
             ip, remaining, blockSizeMax,
             cp.strat == 2 ? df_th : (cp.strat >= 7 ? opt_th : 1.0));

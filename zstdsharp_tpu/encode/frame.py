@@ -337,15 +337,18 @@ def compress(data: bytes, level: int = 3, checksum: bool = False,
 
 def _exact_eligible(params: CCtxParams) -> bool:
     """The exact encoder covers the reference's default parameter shape:
-    positive level, no cParam overrides, auto/off LDM + splitter, no
+    positive level, no cParam overrides, auto/off LDM, auto splitter, no
     targetCBlockSize, content size written (negative levels differ from the
-    current libzstd oracle and stay on the legacy pipeline)."""
+    current libzstd oracle and stay on the legacy pipeline).  An explicit
+    block_splitter=False is honored on the legacy pipeline rather than
+    silently ignored: the exact path always runs the trial-encode splitter
+    at bt-optimal levels (ZSTD_resolveBlockSplitterMode:255 auto rule)."""
     return (params.compression_level >= 1
             and not (params.window_log or params.hash_log or params.chain_log
                      or params.search_log or params.min_match
                      or params.target_length or params.strategy)
             and params.ldm in (None, False)
-            and params.block_splitter in (None, False)
+            and params.block_splitter is None
             and params.target_cblock_size == 0
             and params.content_size_flag)
 
