@@ -3758,219 +3758,233 @@ static int64_t zx_dfast_block(const uint8_t* base, uint32_t* hashLong,
 
 // --------------------------- exact Huffman build ---------------------------
 // nodeElt_s (HufCompress.cs): count/parent/byte/nbBits.
-struct ZxNode { uint32_t count; uint16_t parent; uint8_t byte_, nbBits; };
+// ---- Huffman code-length construction (compress side) ---------------------
+// Contract: identical integer decisions to zstd v1.5.1's builder (the
+// behaviors documented at HufCompress.cs:518/635/689/377: count-bucketed
+// descending order with an unstable in-bucket sort above the crossover, a
+// two-queue O(n) merge whose ties prefer already-merged nodes, and the
+// Kraft-debt depth-limit repair).  The expression is this repo's own:
+// parallel arrays instead of node structs, explicit queue-emptiness tests
+// instead of sentinel elements, and the repair written from the Kraft-sum
+// derivation.
 
-static inline uint32_t zx_huf_index(uint32_t count) {
-    // HUF_getIndex:518 — RANK_POSITION cutoffs (192-1)-32-1 = 158
-    return (count < 158u + (uint32_t)highbit32(158))
-               ? count
-               : (uint32_t)highbit32(count) + 158u;
+// Bucket id for the descending counting sort: one bucket per exact count
+// below the crossover, log2 buckets above it.  The crossover constant is
+// format-behavioral (it decides which equal-count groups get the unstable
+// sort and therefore the exact code assignment).
+static inline uint32_t huf_bucket_of(uint32_t count) {
+    const uint32_t kLogBase = 158;
+    const uint32_t kCross = kLogBase + (uint32_t)highbit32(kLogBase);
+    return count < kCross ? count : kLogBase + (uint32_t)highbit32(count);
 }
 
-static void zx_huf_insertion_sort(ZxNode* a, int low, int high) {
-    const int size = high - low + 1;
-    a += low;
-    for (int i = 1; i < size; i++) {
-        const ZxNode key = a[i];
-        int j = i - 1;
-        while (j >= 0 && a[j].count < key.count) {
-            a[j + 1] = a[j];
+static inline void huf_swap2(uint32_t* c, uint8_t* s, int a, int b) {
+    const uint32_t tc = c[a]; c[a] = c[b]; c[b] = tc;
+    const uint8_t ts = s[a]; s[a] = s[b]; s[b] = ts;
+}
+
+// Descending insertion sort over a short parallel-array run; equal keys
+// keep their arrival order.
+static void huf_sort_run_desc(uint32_t* c, uint8_t* s, int n) {
+    for (int i = 1; i < n; i++) {
+        const uint32_t kc = c[i];
+        const uint8_t ks = s[i];
+        int j = i;
+        while (j > 0 && c[j - 1] < kc) {
+            c[j] = c[j - 1];
+            s[j] = s[j - 1];
             j--;
         }
-        a[j + 1] = key;
+        c[j] = kc;
+        s[j] = ks;
     }
 }
 
-static int zx_huf_qs_partition(ZxNode* arr, int low, int high) {
-    const uint32_t pivot = arr[high].count;
-    int i = low - 1;
-    for (int j = low; j < high; j++) {
-        if (arr[j].count > pivot) {
-            i++;
-            ZxNode t = arr[i]; arr[i] = arr[j]; arr[j] = t;
-        }
-    }
-    ZxNode t = arr[i + 1]; arr[i + 1] = arr[high]; arr[high] = t;
-    return i + 1;
-}
-
-static void zx_huf_quicksort(ZxNode* arr, int low, int high) {
-    if (high - low < 8) {
-        zx_huf_insertion_sort(arr, low, high);
-        return;
-    }
-    while (low < high) {
-        const int idx = zx_huf_qs_partition(arr, low, high);
-        if (idx - low < high - idx) {
-            zx_huf_quicksort(arr, low, idx - 1);
-            low = idx + 1;
+// Descending hybrid quicksort for one log-bucket [lo, hi].  Last-element
+// partition, small runs finished by insertion sort; the resulting layout
+// of equal counts is what the format's code assignment depends on.
+static void huf_sort_bucket_desc(uint32_t* c, uint8_t* s, int lo, int hi) {
+    while (hi - lo >= 8) {
+        const uint32_t pivot = c[hi];
+        int split = lo;
+        for (int j = lo; j < hi; j++)
+            if (c[j] > pivot) {
+                huf_swap2(c, s, split, j);
+                split++;
+            }
+        huf_swap2(c, s, split, hi);
+        if (split - lo < hi - split) {
+            huf_sort_bucket_desc(c, s, lo, split - 1);
+            lo = split + 1;
         } else {
-            zx_huf_quicksort(arr, idx + 1, high);
-            high = idx - 1;
+            huf_sort_bucket_desc(c, s, split + 1, hi);
+            hi = split - 1;
         }
     }
+    if (hi > lo) huf_sort_run_desc(c + lo, s + lo, hi - lo + 1);
 }
 
-// HUF_sort:635 — bucket counting sort + per-log-bucket quicksort.
-static void zx_huf_sort(ZxNode* huffNode, const uint32_t* count,
-                        uint32_t maxSymbolValue) {
-    struct RankPos { uint32_t base, curr; };
-    RankPos rankPosition[192];
-    std::memset(rankPosition, 0, sizeof rankPosition);
-    const uint32_t maxSymbolValue1 = maxSymbolValue + 1;
-    for (uint32_t n = 0; n < maxSymbolValue1; n++)
-        rankPosition[zx_huf_index(count[n])].base++;
-    for (uint32_t n = 191; n > 0; n--) {
-        rankPosition[n - 1].base += rankPosition[n].base;
-        rankPosition[n - 1].curr = rankPosition[n - 1].base;
-    }
-    for (uint32_t n = 0; n < maxSymbolValue1; n++) {
-        const uint32_t c = count[n];
-        const uint32_t r = zx_huf_index(c) + 1;
-        const uint32_t pos = rankPosition[r].curr++;
-        huffNode[pos].count = c;
-        huffNode[pos].byte_ = (uint8_t)n;
-    }
-    for (uint32_t n = 158u + (uint32_t)highbit32(158); n < 191; n++) {
-        const uint32_t bucketSize =
-            rankPosition[n].curr - rankPosition[n].base;
-        if (bucketSize > 1)
-            zx_huf_quicksort(huffNode + rankPosition[n].base, 0,
-                             (int)bucketSize - 1);
-    }
-}
-
-// HUF_buildTree:689 — two-queue merge with sentinels.
-static int zx_huf_build_tree(ZxNode* huffNode, uint32_t maxSymbolValue) {
-    ZxNode* const huffNode0 = huffNode - 1;
-    int nodeNb = 256;
-    int nonNullRank = (int)maxSymbolValue;
-    while (huffNode[nonNullRank].count == 0) nonNullRank--;
-    int lowS = nonNullRank;
-    const int nodeRoot = nodeNb + lowS - 1;
-    int lowN = nodeNb;
-    huffNode[nodeNb].count =
-        huffNode[lowS].count + huffNode[lowS - 1].count;
-    huffNode[lowS].parent = huffNode[lowS - 1].parent = (uint16_t)nodeNb;
-    nodeNb++;
-    lowS -= 2;
-    for (int n = nodeNb; n <= nodeRoot; n++)
-        huffNode[n].count = 1u << 30;
-    huffNode0[0].count = 1u << 31;
-    while (nodeNb <= nodeRoot) {
-        const int n1 =
-            (huffNode[lowS].count < huffNode[lowN].count) ? lowS-- : lowN++;
-        const int n2 =
-            (huffNode[lowS].count < huffNode[lowN].count) ? lowS-- : lowN++;
-        huffNode[nodeNb].count = huffNode[n1].count + huffNode[n2].count;
-        huffNode[n1].parent = huffNode[n2].parent = (uint16_t)nodeNb;
-        nodeNb++;
-    }
-    huffNode[nodeRoot].nbBits = 0;
-    for (int n = nodeRoot - 1; n >= 256; n--)
-        huffNode[n].nbBits = (uint8_t)(huffNode[huffNode[n].parent].nbBits + 1);
-    for (int n = 0; n <= nonNullRank; n++)
-        huffNode[n].nbBits = (uint8_t)(huffNode[huffNode[n].parent].nbBits + 1);
-    return nonNullRank;
-}
-
-// HUF_setMaxHeight:377 — exact repay order.
-static uint32_t zx_huf_set_max_height(ZxNode* huffNode, uint32_t lastNonNull,
-                                      uint32_t maxNbBits) {
-    const uint32_t largestBits = huffNode[lastNonNull].nbBits;
-    if (largestBits <= maxNbBits) return largestBits;
+// Order all symbols 0..max_sym by descending count into (l_cnt, l_sym):
+// counting sort over huf_bucket_of, ascending symbol within a bucket,
+// then the unstable descending sort inside each log bucket.
+static void huf_order_leaves(uint32_t* l_cnt, uint8_t* l_sym,
+                             const uint32_t* count, uint32_t max_sym) {
+    uint32_t first[192];
+    uint32_t at[192];
     {
-        int totalCost = 0;
-        const uint32_t baseCost = 1u << (largestBits - maxNbBits);
-        int n = (int)lastNonNull;
-        while (huffNode[n].nbBits > maxNbBits) {
-            totalCost +=
-                (int)(baseCost - (1u << (largestBits - huffNode[n].nbBits)));
-            huffNode[n].nbBits = (uint8_t)maxNbBits;
-            n--;
-        }
-        while (huffNode[n].nbBits == maxNbBits) --n;
-        totalCost >>= (largestBits - maxNbBits);
-        {
-            const uint32_t noSymbol = 0xF0F0F0F0;
-            uint32_t rankLast[14];
-            std::memset(rankLast, 0xF0, sizeof rankLast);
-            {
-                uint32_t currentNbBits = maxNbBits;
-                for (int pos = n; pos >= 0; pos--) {
-                    if (huffNode[pos].nbBits >= currentNbBits) continue;
-                    currentNbBits = huffNode[pos].nbBits;
-                    rankLast[maxNbBits - currentNbBits] = (uint32_t)pos;
-                }
-            }
-            while (totalCost > 0) {
-                uint32_t nBitsToDecrease =
-                    (uint32_t)highbit32((uint32_t)totalCost) + 1;
-                for (; nBitsToDecrease > 1; nBitsToDecrease--) {
-                    const uint32_t highPos = rankLast[nBitsToDecrease];
-                    const uint32_t lowPos = rankLast[nBitsToDecrease - 1];
-                    if (highPos == noSymbol) continue;
-                    if (lowPos == noSymbol) break;
-                    {
-                        const uint32_t highTotal = huffNode[highPos].count;
-                        const uint32_t lowTotal = 2 * huffNode[lowPos].count;
-                        if (highTotal <= lowTotal) break;
-                    }
-                }
-                while (nBitsToDecrease <= 12 &&
-                       rankLast[nBitsToDecrease] == noSymbol)
-                    nBitsToDecrease++;
-                totalCost -= 1 << (nBitsToDecrease - 1);
-                huffNode[rankLast[nBitsToDecrease]].nbBits++;
-                if (rankLast[nBitsToDecrease - 1] == noSymbol)
-                    rankLast[nBitsToDecrease - 1] = rankLast[nBitsToDecrease];
-                if (rankLast[nBitsToDecrease] == 0) {
-                    rankLast[nBitsToDecrease] = noSymbol;
-                } else {
-                    rankLast[nBitsToDecrease]--;
-                    if (huffNode[rankLast[nBitsToDecrease]].nbBits !=
-                        maxNbBits - nBitsToDecrease)
-                        rankLast[nBitsToDecrease] = noSymbol;
-                }
-            }
-            while (totalCost < 0) {
-                if (rankLast[1] == noSymbol) {
-                    while (huffNode[n].nbBits == maxNbBits) n--;
-                    huffNode[n + 1].nbBits--;
-                    rankLast[1] = (uint32_t)(n + 1);
-                    totalCost++;
-                    continue;
-                }
-                huffNode[rankLast[1] + 1].nbBits--;
-                rankLast[1]++;
-                totalCost++;
-            }
+        uint32_t sizes[192] = {0};
+        for (uint32_t s = 0; s <= max_sym; s++)
+            sizes[huf_bucket_of(count[s])]++;
+        uint32_t acc = 0;
+        for (int b = 191; b >= 0; b--) {
+            first[b] = at[b] = acc;
+            acc += sizes[b];
         }
     }
-    return maxNbBits;
+    for (uint32_t s = 0; s <= max_sym; s++) {
+        const uint32_t pos = at[huf_bucket_of(count[s])]++;
+        l_cnt[pos] = count[s];
+        l_sym[pos] = (uint8_t)s;
+    }
+    const uint32_t kCross = 158 + (uint32_t)highbit32(158);
+    for (uint32_t b = kCross; b < 191; b++)
+        if (at[b] - first[b] > 1)
+            huf_sort_bucket_desc(l_cnt, l_sym, (int)first[b],
+                                 (int)at[b] - 1);
 }
 
-// HUF_buildCTable_wksp:790 — full pipeline into HufCTableC.
-// Returns maxNbBits (huffLog) or -1.
+// Two-queue Huffman merge over the sorted leaves.  The leaf queue is the
+// array consumed from its tail (ascending count); the merge queue holds
+// internal nodes in creation order, which is ascending by weight by
+// construction.  A tie takes the internal node.  Writes each leaf's code
+// length into l_len and returns the index of the cheapest live leaf.
+static int huf_merge_tree(const uint32_t* l_cnt, uint8_t* l_len,
+                          uint32_t max_sym) {
+    uint32_t nd_weight[256];
+    uint16_t nd_up[256];
+    uint8_t nd_depth[256];
+    uint16_t leaf_up[256];
+
+    int last = (int)max_sym;
+    while (l_cnt[last] == 0) last--;  // callers guarantee >= 2 live symbols
+    if (last == 0) {                  // defensive: degenerate single leaf
+        l_len[0] = 1;
+        return 0;
+    }
+    const int n_nodes = last;         // a tree over last+1 leaves
+    int leaf = last;                  // next (cheapest) unconsumed leaf
+    int take = 0;                     // next unconsumed internal node
+    for (int made = 0; made < n_nodes; made++) {
+        uint32_t w = 0;
+        for (int half = 0; half < 2; half++) {
+            const bool node_ok = take < made;
+            if (leaf >= 0 && !(node_ok && nd_weight[take] <= l_cnt[leaf])) {
+                w += l_cnt[leaf];
+                leaf_up[leaf] = (uint16_t)made;
+                leaf--;
+            } else {
+                w += nd_weight[take];
+                nd_up[take] = (uint16_t)made;
+                take++;
+            }
+        }
+        nd_weight[made] = w;
+    }
+    nd_depth[n_nodes - 1] = 0;  // root
+    for (int k = n_nodes - 2; k >= 0; k--)
+        nd_depth[k] = (uint8_t)(nd_depth[nd_up[k]] + 1);
+    for (int i = 0; i <= last; i++)
+        l_len[i] = (uint8_t)(nd_depth[leaf_up[i]] + 1);
+    return last;
+}
+
+// Depth-limit repair.  Clamping every over-deep leaf to `cap` bits makes
+// the Kraft sum exceed 1 by `debt` units of 2^-cap after normalization;
+// deepening a leaf sitting at depth cap-k by one bit releases 2^(k-1)
+// units.  Policy (behavior-exact): pay with the largest denomination
+// <= debt, stepping down while the candidate leaf's count is more than
+// twice the next denomination's candidate; if overpaid, re-shorten
+// cap-depth leaves starting from the cheapest.
+static uint32_t huf_limit_depth(const uint32_t* l_cnt, uint8_t* l_len,
+                                int last, uint32_t cap) {
+    const uint32_t deepest = l_len[last];
+    if (deepest <= cap) return deepest;
+
+    const int over = (int)(deepest - cap);
+    int debt = 0;
+    int i = last;
+    for (; l_len[i] > cap; i--) {
+        debt += (1 << over) - (1 << (deepest - l_len[i]));
+        l_len[i] = (uint8_t)cap;
+    }
+    while (l_len[i] == cap) i--;
+    debt >>= over;
+
+    // edge[k] = highest index (cheapest leaf) currently at depth cap-k,
+    // or -1 when that depth is unoccupied.
+    int edge[14];
+    for (int k = 0; k < 14; k++) edge[k] = -1;
+    {
+        uint32_t depth = cap;
+        for (int pos = i; pos >= 0; pos--) {
+            if (l_len[pos] >= depth) continue;
+            depth = l_len[pos];
+            edge[cap - depth] = pos;
+        }
+    }
+
+    while (debt > 0) {
+        uint32_t k = (uint32_t)highbit32((uint32_t)debt) + 1;
+        for (; k > 1; k--) {
+            const int cand = edge[k];
+            const int below = edge[k - 1];
+            if (cand < 0) continue;
+            if (below < 0) break;
+            if (l_cnt[cand] <= 2 * l_cnt[below]) break;
+        }
+        while (k <= 12 && edge[k] < 0) k++;
+        debt -= 1 << (k - 1);
+        const int move = edge[k];
+        l_len[move]++;  // now at depth cap-k+1
+        if (edge[k - 1] < 0) edge[k - 1] = move;
+        if (move == 0) {
+            edge[k] = -1;
+        } else {
+            edge[k] = move - 1;
+            if (l_len[move - 1] != (uint8_t)(cap - k)) edge[k] = -1;
+        }
+    }
+    while (debt < 0) {
+        // give a bit back: prefer the tracked cap-depth edge, else rescan
+        if (edge[1] < 0) {
+            while (l_len[i] == cap) i--;
+            l_len[i + 1]--;
+            edge[1] = i + 1;
+        } else {
+            l_len[edge[1] + 1]--;
+            edge[1]++;
+        }
+        debt++;
+    }
+    return cap;
+}
+
+// Full pipeline into HufCTableC.  Returns the used table log or -1.
 static int zx_huf_build_ctable(HufCTableC* ct, const uint32_t* count,
                                uint32_t maxSymbolValue, uint32_t maxNbBits) {
-    ZxNode nodes[512 + 1];
-    std::memset(nodes, 0, sizeof nodes);
-    ZxNode* huffNode = nodes + 1;
     if (maxNbBits == 0) maxNbBits = 11;
     if (maxSymbolValue > 255) return -1;
-    zx_huf_sort(huffNode, count, maxSymbolValue);
-    const int nonNullRank = zx_huf_build_tree(huffNode, maxSymbolValue);
-    maxNbBits = zx_huf_set_max_height(huffNode, (uint32_t)nonNullRank,
-                                      maxNbBits);
+    uint32_t l_cnt[256];
+    uint8_t l_sym[256];
+    uint8_t l_len[256] = {0};
+    huf_order_leaves(l_cnt, l_sym, count, maxSymbolValue);
+    const int last = huf_merge_tree(l_cnt, l_len, maxSymbolValue);
+    maxNbBits = huf_limit_depth(l_cnt, l_len, last, maxNbBits);
     if (maxNbBits > 12) return -1;
-    // HUF_buildCTableFromTree:560 — nbits via tree, values symbol-ascending.
-    uint8_t lengths[256];
-    std::memset(lengths, 0, sizeof lengths);
-    for (int n = 0; n <= nonNullRank; n++)
-        lengths[huffNode[n].byte_] = huffNode[n].nbBits;
+    uint8_t lengths[256] = {0};
+    for (int n = 0; n <= last; n++) lengths[l_sym[n]] = l_len[n];
     huf_canonical(ct, lengths, (int)maxSymbolValue);
-    ct->tlog = (int)maxNbBits;  // exact maxNbBits, even if < observed max
+    ct->tlog = (int)maxNbBits;  // exact cap, even if below the observed max
     return (int)maxNbBits;
 }
 
