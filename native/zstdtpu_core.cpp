@@ -3427,146 +3427,184 @@ static inline void zx_store_seq(ZxStore* ss, const uint8_t* literals,
     ss->nseq++;
 }
 
-// ZSTD_compressBlock_fast_noDict_generic (ZstdFast.cs:96) — verbatim.
+// Greedy fast matcher (levels 1-2), zstd v1.5.1 decision semantics
+// (ZstdFast.cs:96 documents the required behavior).  Reformulated in this
+// repo's idiom: absolute int64 positions and one structured loop per
+// emitted sequence.  The reference's software pipeline is restated as a
+// scan over ADJACENT POSITION PAIRS: visit (t, t+1), then jump a stride
+// that grows by one every 128 scanned bytes; each pair additionally
+// probes one repcode candidate at r = t + stride, which is exactly where
+// the next pair will start.  Table discipline (behavior-critical): a
+// probe's hash-table candidate is loaded before that probe's own insert
+// and after every earlier probe's insert.
 template <uint32_t kMls, int kHasStep>
 static int64_t zx_fast_block(const uint8_t* base, uint32_t* hashTable,
                              uint32_t hlog, uint32_t dictLimit, uint32_t wlog,
                              uint32_t tlen, const uint8_t* istart,
                              int64_t srcSize, uint32_t* rep, ZxStore* ss) {
-    const size_t stepSize =
-        kHasStep ? (size_t)(tlen + (tlen == 0 ? 1 : 0) + 1) : 2;
+    const int64_t init_stride =
+        kHasStep ? (int64_t)tlen + (tlen == 0 ? 1 : 0) + 1 : 2;
     const uint32_t endIndex = (uint32_t)((istart - base) + srcSize);
     const uint32_t maxDistance = 1u << wlog;
-    const uint32_t prefixStartIndex =
+    const uint32_t prefixIdx =
         (endIndex - dictLimit > maxDistance) ? endIndex - maxDistance
                                              : dictLimit;
-    const uint8_t* const prefixStart = base + prefixStartIndex;
-    const uint8_t* const iend = istart + srcSize;
-    const uint8_t* const ilimit = iend - 8;
-    const uint8_t* anchor = istart;
-    const uint8_t* ip0 = istart;
-    const uint8_t *ip1, *ip2, *ip3;
-    uint32_t current0;
-    uint32_t rep_offset1 = rep[0];
-    uint32_t rep_offset2 = rep[1];
-    uint32_t offsetSaved = 0;
-    size_t hash0, hash1;
-    uint32_t idx, mval, offcode;
-    const uint8_t* match0;
-    size_t mLength, step;
-    const uint8_t* nextStep;
-    const size_t kStepIncr = 1 << 7;
+    const int64_t iend = (istart - base) + srcSize;
+    const int64_t scan_end = iend - 8;  // probes read up to 8 bytes ahead
+    const int64_t kGrowEvery = 128;
 
-    ip0 += (ip0 == prefixStart) ? 1 : 0;
+    int64_t anchor = istart - base;
+    int64_t t = anchor + (anchor == (int64_t)prefixIdx ? 1 : 0);
+
+    uint32_t rep1 = rep[0], rep2 = rep[1];
+    uint32_t parked = 0;  // an out-of-window rep, restored on exit
     {
-        const uint32_t curr = (uint32_t)(ip0 - base);
-        const uint32_t windowLow =
-            (curr - dictLimit > maxDistance) ? curr - maxDistance : dictLimit;
-        const uint32_t maxRep = curr - windowLow;
-        if (rep_offset2 > maxRep) { offsetSaved = rep_offset2; rep_offset2 = 0; }
-        if (rep_offset1 > maxRep) { offsetSaved = rep_offset1; rep_offset1 = 0; }
+        const uint32_t here = (uint32_t)t;
+        const uint32_t low = (here - dictLimit > maxDistance)
+                                 ? here - maxDistance
+                                 : dictLimit;
+        const uint32_t span = here - low;
+        if (rep2 > span) { parked = rep2; rep2 = 0; }
+        if (rep1 > span) { parked = rep1; rep1 = 0; }
     }
 
-_start:
-    step = stepSize;
-    nextStep = ip0 + kStepIncr;
-    ip1 = ip0 + 1;
-    ip2 = ip0 + step;
-    ip3 = ip2 + 1;
-    if (ip3 >= ilimit) goto _cleanup;
-    hash0 = zx_hash(ip0, hlog, kMls);
-    hash1 = zx_hash(ip1, hlog, kMls);
-    idx = hashTable[hash0];
-    do {
-        const uint32_t rval = read32(ip2 - rep_offset1);
-        current0 = (uint32_t)(ip0 - base);
-        hashTable[hash0] = current0;
-        if (read32(ip2) == rval && rep_offset1 > 0) {
-            ip0 = ip2;
-            match0 = ip0 - rep_offset1;
-            mLength = (ip0[-1] == match0[-1]) ? 1 : 0;
-            ip0 -= mLength;
-            match0 -= mLength;
-            offcode = 0;
-            mLength += 4;
-            goto _match;
-        }
-        mval = (idx >= prefixStartIndex) ? read32(base + idx)
-                                         : read32(ip0) ^ 1;
-        if (read32(ip0) == mval) goto _offset;
-        idx = hashTable[hash1];
-        hash0 = hash1;
-        hash1 = zx_hash(ip2, hlog, kMls);
-        ip0 = ip1;
-        ip1 = ip2;
-        ip2 = ip3;
-        current0 = (uint32_t)(ip0 - base);
-        hashTable[hash0] = current0;
-        mval = (idx >= prefixStartIndex) ? read32(base + idx)
-                                         : read32(ip0) ^ 1;
-        if (read32(ip0) == mval) goto _offset;
-        idx = hashTable[hash1];
-        hash0 = hash1;
-        hash1 = zx_hash(ip2, hlog, kMls);
-        ip0 = ip1;
-        ip1 = ip2;
-        ip2 = ip0 + step;
-        ip3 = ip1 + step;
-        if (ip2 >= nextStep) {
-            step++;
-            nextStep += kStepIncr;
-        }
-    } while (ip3 < ilimit);
+    for (;;) {  // one iteration per segment (anchor .. next stored seq)
+        int64_t s = init_stride;
+        int64_t grow_at = t + kGrowEvery;
+        int64_t r = t + s;
 
-_cleanup:
-    rep[0] = rep_offset1 ? rep_offset1 : offsetSaved;
-    rep[1] = rep_offset2 ? rep_offset2 : offsetSaved;
-    return iend - anchor;
+        // facts about the match that ends this segment
+        int64_t m_start = 0, m_len = 0, next_probe = 0, last_probe = 0;
+        uint32_t off_code = 0;
+        bool found = false;
 
-_offset:
-    match0 = base + idx;
-    rep_offset2 = rep_offset1;
-    rep_offset1 = (uint32_t)(ip0 - match0);
-    offcode = rep_offset1 + 2;
-    mLength = 4;
-    while (ip0 > anchor && match0 > prefixStart && ip0[-1] == match0[-1]) {
-        ip0--;
-        match0--;
-        mLength++;
-    }
-
-_match:
-    mLength += zx_count(ip0 + mLength, match0 + mLength, iend);
-    zx_store_seq(ss, anchor, (size_t)(ip0 - anchor), offcode, mLength - 3);
-    ip0 += mLength;
-    anchor = ip0;
-    if (ip1 < ip0) hashTable[hash1] = (uint32_t)(ip1 - base);
-    if (ip0 <= ilimit) {
-        hashTable[zx_hash(base + current0 + 2, hlog, kMls)] = current0 + 2;
-        hashTable[zx_hash(ip0 - 2, hlog, kMls)] = (uint32_t)(ip0 - 2 - base);
-        if (rep_offset2 > 0) {
-            while (ip0 <= ilimit && read32(ip0) == read32(ip0 - rep_offset2)) {
-                const size_t rLength =
-                    zx_count(ip0 + 4, ip0 + 4 - rep_offset2, iend) + 4;
-                const uint32_t t = rep_offset2;
-                rep_offset2 = rep_offset1;
-                rep_offset1 = t;
-                hashTable[zx_hash(ip0, hlog, kMls)] = (uint32_t)(ip0 - base);
-                ip0 += rLength;
-                zx_store_seq(ss, anchor, 0, 0, rLength - 3);
-                anchor = ip0;
+        if (r + 1 < scan_end) {
+            size_t hash_t = zx_hash(base + t, hlog, kMls);
+            for (;;) {
+                // ---- probe t (plus the stride-ahead repcode check) ----
+                const uint32_t cand0 = hashTable[hash_t];
+                hashTable[hash_t] = (uint32_t)t;
+                if (rep1 > 0 && read32(base + r) == read32(base + r - rep1)) {
+                    // rep hit at r; try a single byte of backward extension
+                    const int64_t back =
+                        base[r - 1] == base[r - 1 - rep1] ? 1 : 0;
+                    m_start = r - back;
+                    m_len = 4 + back;
+                    off_code = 0;
+                    next_probe = t + 1;
+                    last_probe = t;
+                    found = true;
+                    break;
+                }
+                if (cand0 >= prefixIdx &&
+                    read32(base + cand0) == read32(base + t)) {
+                    m_start = t;
+                    rep2 = rep1;
+                    rep1 = (uint32_t)(t - cand0);
+                    off_code = rep1 + 2;
+                    int64_t mp = cand0;
+                    while (m_start > anchor && mp > (int64_t)prefixIdx &&
+                           base[m_start - 1] == base[mp - 1]) {
+                        m_start--;
+                        mp--;
+                    }
+                    m_len = 4 + (t - m_start);
+                    next_probe = t + 1;
+                    last_probe = t;
+                    found = true;
+                    break;
+                }
+                // ---- probe t + 1 ----
+                const size_t hash_u = zx_hash(base + t + 1, hlog, kMls);
+                const uint32_t cand1 = hashTable[hash_u];
+                hashTable[hash_u] = (uint32_t)(t + 1);
+                if (cand1 >= prefixIdx &&
+                    read32(base + cand1) == read32(base + t + 1)) {
+                    m_start = t + 1;
+                    rep2 = rep1;
+                    rep1 = (uint32_t)(t + 1 - cand1);
+                    off_code = rep1 + 2;
+                    int64_t mp = cand1;
+                    while (m_start > anchor && mp > (int64_t)prefixIdx &&
+                           base[m_start - 1] == base[mp - 1]) {
+                        m_start--;
+                        mp--;
+                    }
+                    m_len = 4 + (t + 1 - m_start);
+                    next_probe = r;  // the pair we never reached
+                    last_probe = t + 1;
+                    found = true;
+                    break;
+                }
+                // ---- advance to the next pair ----
+                const int64_t r2 = r + s;  // next rep probe, current stride
+                if (r2 >= grow_at) {
+                    s++;
+                    grow_at += kGrowEvery;
+                }
+                if (r2 + 1 >= scan_end) break;
+                t = r;
+                r = r2;
+                hash_t = zx_hash(base + t, hlog, kMls);
             }
         }
+        if (!found) break;
+
+        // forward extension (the match distance is rep1 on every path)
+        m_len += (int64_t)zx_count(base + m_start + m_len,
+                                   base + m_start + m_len - rep1,
+                                   base + iend);
+        zx_store_seq(ss, base + anchor, (size_t)(m_start - anchor), off_code,
+                     (size_t)(m_len - 3));
+        int64_t pos = m_start + m_len;
+        anchor = pos;
+        if (next_probe < pos)
+            hashTable[zx_hash(base + next_probe, hlog, kMls)] =
+                (uint32_t)next_probe;
+        if (pos <= scan_end) {
+            // seed the table around the gap, then chase immediate rep2 hits
+            hashTable[zx_hash(base + last_probe + 2, hlog, kMls)] =
+                (uint32_t)(last_probe + 2);
+            hashTable[zx_hash(base + pos - 2, hlog, kMls)] =
+                (uint32_t)(pos - 2);
+            if (rep2 > 0) {
+                while (pos <= scan_end &&
+                       read32(base + pos) == read32(base + pos - rep2)) {
+                    const int64_t rlen =
+                        4 + (int64_t)zx_count(base + pos + 4,
+                                              base + pos + 4 - rep2,
+                                              base + iend);
+                    const uint32_t swp = rep2;
+                    rep2 = rep1;
+                    rep1 = swp;
+                    hashTable[zx_hash(base + pos, hlog, kMls)] =
+                        (uint32_t)pos;
+                    pos += rlen;
+                    zx_store_seq(ss, base + anchor, 0, 0,
+                                 (size_t)(rlen - 3));
+                    anchor = pos;
+                }
+            }
+        }
+        t = pos;
     }
-    goto _start;
+
+    rep[0] = rep1 ? rep1 : parked;
+    rep[1] = rep2 ? rep2 : parked;
+    return iend - anchor;
 }
 
-// ZSTD_compressBlock_doubleFast_noDict_generic (ZstdDoubleFast.cs:51).
-// Note: byte-exact vs the reference's v1.5.1 semantics.  The live libzstd
-// oracle (1.5.7) rewrote this matcher's visit/insert schedule, so outputs
-// agree with 1.5.7 on most inputs but can differ by a sequence choice on
-// some (size impact measured < 0.3%); the fast strategy above matches the
-// oracle byte-for-byte.
+// Double-fast matcher (dfast strategy), zstd v1.5.1 decision semantics
+// (ZstdDoubleFast.cs:51 documents the required behavior; the 1.5.7 oracle
+// rewrote this matcher's visit/insert schedule after 1.5.1, so outputs
+// agree with 1.5.4-and-earlier libzstd and can differ from 1.5.7 by a
+// sequence choice on some inputs).  Reformulated like zx_fast_block:
+// absolute positions, a structured segment loop, and the long-hash
+// lookahead carried explicitly.  Each visited position p (lookahead
+// q = p + stride, stride growing every 256 bytes) is checked in priority
+// order: repcode at p+1, 8-byte long-table match at p, then a 4-byte
+// short-table hit at p which is only taken if an 8-byte long match at q
+// doesn't supersede it.
 // kTwoWay: keep two entries per short-hash slot (recent + previous) — a
 // cheap depth upgrade over the reference's single-slot table that claws
 // back the ratio its rewritten 1.5.7 dfast gains; layout [2*h]=recent,
@@ -3579,181 +3617,190 @@ static int64_t zx_dfast_block(const uint8_t* base, uint32_t* hashLong,
                               int64_t srcSize, uint32_t* rep, ZxStore* ss) {
     const uint32_t endIndex = (uint32_t)((istart - base) + srcSize);
     const uint32_t maxDistance = 1u << wlog;
-    const uint32_t prefixLowestIndex =
+    const uint32_t prefixIdx =
         (endIndex - dictLimit > maxDistance) ? endIndex - maxDistance
                                              : dictLimit;
-    const uint8_t* const prefixLowest = base + prefixLowestIndex;
-    const uint8_t* const iend = istart + srcSize;
-    const uint8_t* const ilimit = iend - 8;
-    const uint8_t* anchor = istart;
-    uint32_t offset_1 = rep[0];
-    uint32_t offset_2 = rep[1];
-    uint32_t offsetSaved = 0;
-    size_t mLength;
-    uint32_t offset;
-    uint32_t curr = 0;
-    const size_t kStepIncr = 1 << 8;
-    const uint8_t* nextStep;
-    size_t step;
-    size_t hl0, hl1;
-    uint32_t idxl0, idxl1;
-    const uint8_t *matchl0, *matchs0, *matchl1;
-    const uint8_t* ip = istart;
-    const uint8_t* ip1;
+    const int64_t iend = (istart - base) + srcSize;
+    const int64_t scan_end = iend - 8;
+    const int64_t kGrowEvery = 256;
 
-    ip += ((ip - prefixLowest) == 0) ? 1 : 0;
+    // one short-table insert, honoring the optional two-deep layout
+    const auto small_put = [&](size_t h, uint32_t v) {
+        if (kTwoWay) {
+            hashSmall[2 * h + 1] = hashSmall[2 * h];
+            hashSmall[2 * h] = v;
+        } else {
+            hashSmall[h] = v;
+        }
+    };
+
+    int64_t anchor = istart - base;
+    int64_t p = anchor + (anchor == (int64_t)prefixIdx ? 1 : 0);
+
+    uint32_t rep1 = rep[0], rep2 = rep[1];
+    uint32_t parked = 0;
     {
-        const uint32_t current = (uint32_t)(ip - base);
-        const uint32_t windowLow =
-            (current - dictLimit > maxDistance) ? current - maxDistance
-                                                : dictLimit;
-        const uint32_t maxRep = current - windowLow;
-        if (offset_2 > maxRep) { offsetSaved = offset_2; offset_2 = 0; }
-        if (offset_1 > maxRep) { offsetSaved = offset_1; offset_1 = 0; }
+        const uint32_t here = (uint32_t)p;
+        const uint32_t low = (here - dictLimit > maxDistance)
+                                 ? here - maxDistance
+                                 : dictLimit;
+        const uint32_t span = here - low;
+        if (rep2 > span) { parked = rep2; rep2 = 0; }
+        if (rep1 > span) { parked = rep1; rep1 = 0; }
     }
 
-    while (1) {
-        step = 1;
-        nextStep = ip + kStepIncr;
-        ip1 = ip + step;
-        if (ip1 > ilimit) goto _cleanup;
-        hl0 = zx_hash(ip, hBitsL, 8);
-        idxl0 = hashLong[hl0];
-        matchl0 = base + idxl0;
-        do {
-            const size_t hs0 = zx_hash(ip, hBitsS, kMls);
-            const uint32_t idxs0 = hashSmall[kTwoWay ? 2 * hs0 : hs0];
-            const uint32_t idxs0b = kTwoWay ? hashSmall[2 * hs0 + 1] : 0;
-            curr = (uint32_t)(ip - base);
-            matchs0 = base + idxs0;
-            hashLong[hl0] = curr;
-            if (kTwoWay) {
-                hashSmall[2 * hs0 + 1] = idxs0;
-                hashSmall[2 * hs0] = curr;
-            } else {
-                hashSmall[hs0] = curr;
-            }
-            if (offset_1 > 0 &&
-                read32(ip + 1 - offset_1) == read32(ip + 1)) {
-                mLength = zx_count(ip + 1 + 4, ip + 1 + 4 - offset_1, iend) + 4;
-                ip++;
-                zx_store_seq(ss, anchor, (size_t)(ip - anchor), 0, mLength - 3);
-                goto _match_stored;
-            }
-            hl1 = zx_hash(ip1, hBitsL, 8);
-            if (idxl0 > prefixLowestIndex) {
-                if (read64_fwd(matchl0) == read64_fwd(ip)) {
-                    mLength = zx_count(ip + 8, matchl0 + 8, iend) + 8;
-                    offset = (uint32_t)(ip - matchl0);
-                    while (ip > anchor && matchl0 > prefixLowest &&
-                           ip[-1] == matchl0[-1]) {
-                        ip--;
-                        matchl0--;
-                        mLength++;
+    for (;;) {  // one iteration per stored sequence
+        int64_t s = 1;
+        int64_t grow_at = p + kGrowEvery;
+        int64_t q = p + s;
+
+        int64_t m_start = 0, m_len = 0, m_dist = 0;
+        uint32_t last_pos = 0;   // last visited p (seeds the +2 reinsert)
+        bool is_rep = false, found = false;
+
+        if (q <= scan_end) {
+            size_t hp_long = zx_hash(base + p, hBitsL, 8);
+            uint32_t cand_pl = hashLong[hp_long];
+            for (;;) {
+                const size_t hp_small = zx_hash(base + p, hBitsS, kMls);
+                const uint32_t cand_ps = hashSmall[kTwoWay ? 2 * hp_small
+                                                           : hp_small];
+                const uint32_t cand_ps2 =
+                    kTwoWay ? hashSmall[2 * hp_small + 1] : 0;
+                last_pos = (uint32_t)p;
+                hashLong[hp_long] = (uint32_t)p;
+                small_put(hp_small, (uint32_t)p);
+
+                if (rep1 > 0 &&
+                    read32(base + p + 1 - rep1) == read32(base + p + 1)) {
+                    m_len = 4 + (int64_t)zx_count(base + p + 1 + 4,
+                                                  base + p + 1 + 4 - rep1,
+                                                  base + iend);
+                    m_start = p + 1;
+                    is_rep = true;
+                    found = true;
+                    break;
+                }
+                const size_t hq_long = zx_hash(base + q, hBitsL, 8);
+                if (cand_pl > prefixIdx &&
+                    read64_fwd(base + cand_pl) == read64_fwd(base + p)) {
+                    m_len = 8 + (int64_t)zx_count(base + p + 8,
+                                                  base + cand_pl + 8,
+                                                  base + iend);
+                    m_dist = p - cand_pl;
+                    m_start = p;
+                    int64_t mp = cand_pl;
+                    while (m_start > anchor && mp > (int64_t)prefixIdx &&
+                           base[m_start - 1] == base[mp - 1]) {
+                        m_start--;
+                        mp--;
+                        m_len++;
                     }
-                    goto _match_found;
+                    // seed the lookahead's long hash while strides are short
+                    if (s < 4) hashLong[hq_long] = (uint32_t)q;
+                    found = true;
+                    break;
                 }
-            }
-            idxl1 = hashLong[hl1];
-            matchl1 = base + idxl1;
-            if (idxs0 > prefixLowestIndex) {
-                if (read32(matchs0) == read32(ip)) goto _search_next_long;
-            }
-            if (kTwoWay && idxs0b > prefixLowestIndex &&
-                read32(base + idxs0b) == read32(ip)) {
-                matchs0 = base + idxs0b;
-                goto _search_next_long;
-            }
-            if (ip1 >= nextStep) {
-                step++;
-                nextStep += kStepIncr;
-            }
-            ip = ip1;
-            ip1 += step;
-            hl0 = hl1;
-            idxl0 = idxl1;
-            matchl0 = matchl1;
-        } while (ip1 <= ilimit);
-
-    _cleanup:
-        rep[0] = offset_1 ? offset_1 : offsetSaved;
-        rep[1] = offset_2 ? offset_2 : offsetSaved;
-        return iend - anchor;
-
-    _search_next_long:
-        if (idxl1 > prefixLowestIndex) {
-            if (read64_fwd(matchl1) == read64_fwd(ip1)) {
-                ip = ip1;
-                mLength = zx_count(ip + 8, matchl1 + 8, iend) + 8;
-                offset = (uint32_t)(ip - matchl1);
-                while (ip > anchor && matchl1 > prefixLowest &&
-                       ip[-1] == matchl1[-1]) {
-                    ip--;
-                    matchl1--;
-                    mLength++;
-                }
-                goto _match_found;
-            }
-        }
-        mLength = zx_count(ip + 4, matchs0 + 4, iend) + 4;
-        offset = (uint32_t)(ip - matchs0);
-        while (ip > anchor && matchs0 > prefixLowest &&
-               ip[-1] == matchs0[-1]) {
-            ip--;
-            matchs0--;
-            mLength++;
-        }
-
-    _match_found:
-        offset_2 = offset_1;
-        offset_1 = offset;
-        if (step < 4) hashLong[hl1] = (uint32_t)(ip1 - base);
-        zx_store_seq(ss, anchor, (size_t)(ip - anchor), offset + 2,
-                     mLength - 3);
-
-    _match_stored:
-        ip += mLength;
-        anchor = ip;
-        if (ip <= ilimit) {
-            const uint32_t indexToInsert = curr + 2;
-            hashLong[zx_hash(base + indexToInsert, hBitsL, 8)] = indexToInsert;
-            hashLong[zx_hash(ip - 2, hBitsL, 8)] = (uint32_t)(ip - 2 - base);
-            {
-                const size_t h1 = zx_hash(base + indexToInsert, hBitsS, kMls);
-                const size_t h2 = zx_hash(ip - 1, hBitsS, kMls);
-                if (kTwoWay) {
-                    hashSmall[2 * h1 + 1] = hashSmall[2 * h1];
-                    hashSmall[2 * h1] = indexToInsert;
-                    hashSmall[2 * h2 + 1] = hashSmall[2 * h2];
-                    hashSmall[2 * h2] = (uint32_t)(ip - 1 - base);
-                } else {
-                    hashSmall[h1] = indexToInsert;
-                    hashSmall[h2] = (uint32_t)(ip - 1 - base);
-                }
-            }
-            while (ip <= ilimit && offset_2 > 0 &&
-                   read32(ip) == read32(ip - offset_2)) {
-                const size_t rLength =
-                    zx_count(ip + 4, ip + 4 - offset_2, iend) + 4;
-                const uint32_t tmpOff = offset_2;
-                offset_2 = offset_1;
-                offset_1 = tmpOff;
-                {
-                    const size_t hh = zx_hash(ip, hBitsS, kMls);
-                    if (kTwoWay) {
-                        hashSmall[2 * hh + 1] = hashSmall[2 * hh];
-                        hashSmall[2 * hh] = (uint32_t)(ip - base);
+                const uint32_t cand_ql = hashLong[hq_long];
+                const uint32_t short_hit =
+                    (cand_ps > prefixIdx &&
+                     read32(base + cand_ps) == read32(base + p))
+                        ? cand_ps
+                        : (kTwoWay && cand_ps2 > prefixIdx &&
+                           read32(base + cand_ps2) == read32(base + p))
+                              ? cand_ps2
+                              : 0;
+                if (short_hit) {
+                    // an 8-byte long match at the lookahead beats the
+                    // 4-byte short match at p
+                    if (cand_ql > prefixIdx &&
+                        read64_fwd(base + cand_ql) == read64_fwd(base + q)) {
+                        m_len = 8 + (int64_t)zx_count(base + q + 8,
+                                                      base + cand_ql + 8,
+                                                      base + iend);
+                        m_dist = q - cand_ql;
+                        m_start = q;
+                        int64_t mp = cand_ql;
+                        while (m_start > anchor && mp > (int64_t)prefixIdx &&
+                               base[m_start - 1] == base[mp - 1]) {
+                            m_start--;
+                            mp--;
+                            m_len++;
+                        }
                     } else {
-                        hashSmall[hh] = (uint32_t)(ip - base);
+                        m_len = 4 + (int64_t)zx_count(base + p + 4,
+                                                      base + short_hit + 4,
+                                                      base + iend);
+                        m_dist = p - short_hit;
+                        m_start = p;
+                        int64_t mp = short_hit;
+                        while (m_start > anchor && mp > (int64_t)prefixIdx &&
+                               base[m_start - 1] == base[mp - 1]) {
+                            m_start--;
+                            mp--;
+                            m_len++;
+                        }
                     }
+                    // seed the lookahead's long hash while strides are short
+                    if (s < 4) hashLong[hq_long] = (uint32_t)q;
+                    found = true;
+                    break;
                 }
-                hashLong[zx_hash(ip, hBitsL, 8)] = (uint32_t)(ip - base);
-                zx_store_seq(ss, anchor, 0, 0, rLength - 3);
-                ip += rLength;
-                anchor = ip;
+                // ---- advance ----
+                if (q >= grow_at) {
+                    s++;
+                    grow_at += kGrowEvery;
+                }
+                p = q;
+                q += s;
+                hp_long = hq_long;
+                cand_pl = cand_ql;
+                if (q > scan_end) break;
             }
         }
+        if (!found) break;
+
+        if (is_rep) {
+            zx_store_seq(ss, base + anchor, (size_t)(m_start - anchor), 0,
+                         (size_t)(m_len - 3));
+        } else {
+            rep2 = rep1;
+            rep1 = (uint32_t)m_dist;
+            zx_store_seq(ss, base + anchor, (size_t)(m_start - anchor),
+                         (uint32_t)m_dist + 2, (size_t)(m_len - 3));
+        }
+        int64_t pos = m_start + m_len;
+        anchor = pos;
+        if (pos <= scan_end) {
+            const int64_t seed = (int64_t)last_pos + 2;
+            hashLong[zx_hash(base + seed, hBitsL, 8)] = (uint32_t)seed;
+            hashLong[zx_hash(base + pos - 2, hBitsL, 8)] =
+                (uint32_t)(pos - 2);
+            small_put(zx_hash(base + seed, hBitsS, kMls), (uint32_t)seed);
+            small_put(zx_hash(base + pos - 1, hBitsS, kMls),
+                      (uint32_t)(pos - 1));
+            while (pos <= scan_end && rep2 > 0 &&
+                   read32(base + pos) == read32(base + pos - rep2)) {
+                const int64_t rlen =
+                    4 + (int64_t)zx_count(base + pos + 4,
+                                          base + pos + 4 - rep2,
+                                          base + iend);
+                const uint32_t swp = rep2;
+                rep2 = rep1;
+                rep1 = swp;
+                small_put(zx_hash(base + pos, hBitsS, kMls), (uint32_t)pos);
+                hashLong[zx_hash(base + pos, hBitsL, 8)] = (uint32_t)pos;
+                zx_store_seq(ss, base + anchor, 0, 0, (size_t)(rlen - 3));
+                pos += rlen;
+                anchor = pos;
+            }
+        }
+        p = pos;
     }
+
+    rep[0] = rep1 ? rep1 : parked;
+    rep[1] = rep2 ? rep2 : parked;
+    return iend - anchor;
 }
 
 // --------------------------- exact Huffman build ---------------------------
@@ -4391,7 +4438,8 @@ static inline int64_t zx_min_gain(int64_t srcSize, int strat) {
 static int64_t zx_compress_literals(const ZxHufS* prevHuf, ZxHufS* nextHuf,
                                     int strategy, uint8_t* op, int64_t cap,
                                     const uint8_t* lit, int64_t srcSize,
-                                    int suspectUncompressible) {
+                                    int suspectUncompressible,
+                                    int litDisabled) {
     const int64_t minGain = zx_min_gain(srcSize, strategy);
     const int64_t lhSize =
         3 + (srcSize >= 1024 ? 1 : 0) + (srcSize >= 16 * 1024 ? 1 : 0);
@@ -4399,6 +4447,9 @@ static int64_t zx_compress_literals(const ZxHufS* prevHuf, ZxHufS* nextHuf,
     int hType = 2;  // set_compressed
     int64_t cLitSize;
     *nextHuf = *prevHuf;
+    // ZSTD_literalsCompressionIsDisabled auto rule (CompressInternal.cs:168):
+    // fast strategy with targetLength > 0 (negative levels) stores raw.
+    if (litDisabled) goto _raw;
     {
         const int64_t minLitSize = prevHuf->rep == 2 ? 6 : 63;
         if (srcSize <= minLitSize)
@@ -4491,7 +4542,7 @@ _raw: {
 static int64_t zx_entropy_compress(const ZxStore* ss, const ZxEntropy* prev,
                                    ZxEntropy* next, int strategy,
                                    uint8_t* dst, int64_t cap,
-                                   int64_t srcSize) {
+                                   int64_t srcSize, int litDisabled = 0) {
     codec_init();
     uint8_t* const ostart = dst;
     uint8_t* op = dst;
@@ -4507,7 +4558,7 @@ static int64_t zx_entropy_compress(const ZxStore* ss, const ZxEntropy* prev,
         const int64_t t0 = prof_on() ? prof_now() : 0;
         const int64_t cSize = zx_compress_literals(
             &prev->huf, &next->huf, strategy, op, cap, ss->lit, ss->nlit,
-            suspect);
+            suspect, litDisabled);
         if (prof_on()) g_prof[2] += prof_now() - t0;
         if (cSize < 0) return -1;
         op += cSize;
@@ -8650,7 +8701,8 @@ int64_t zt_compress_exact_params(const uint8_t* src, int64_t n,
             const int64_t t_ent = prof_on() ? prof_now() : 0;
             cSize = zx_entropy_compress(&ss, prev, next, (int)cp.strat,
                                         out + op + 3, cap - op - 3 - 8,
-                                        blockSize);
+                                        blockSize,
+                                        cp.strat == 1 && cp.tlen > 0);
             if (prof_on()) g_prof[1] += prof_now() - t_ent;
             if (cSize < 0) { rc = -1; break; }
             if (cSize != 0) {

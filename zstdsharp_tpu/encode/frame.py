@@ -343,7 +343,8 @@ def _exact_eligible(params: CCtxParams) -> bool:
     block_splitter=False is honored on the legacy pipeline rather than
     silently ignored: the exact path always runs the trial-encode splitter
     at bt-optimal levels (ZSTD_resolveBlockSplitterMode:255 auto rule)."""
-    return (params.compression_level >= 1
+    return ((params.compression_level >= 1
+             or params.compression_level == -1)
             and not (params.window_log or params.hash_log or params.chain_log
                      or params.search_log or params.min_match
                      or params.target_length or params.strategy)
