@@ -1702,6 +1702,7 @@ static inline int fse_enc(FseEnc* e, BitWriterC* w, uint32_t sym) {
 // Encode the interleaved sequence bitstream.  ll/mlv are raw values
 // (litLength, matchLength-3), ob = offBase.  Code arrays + extra-bit width
 // tables supplied by caller.  Returns payload size or -1.
+__attribute__((optimize("O3")))
 int64_t encode_sequences(
     const uint32_t* ll, const uint32_t* mlv, const uint32_t* ob,
     const uint8_t* llc, const uint8_t* mlc, const uint8_t* ofc,
@@ -3479,12 +3480,18 @@ static int64_t zx_fast_block(const uint8_t* base, uint32_t* hashTable,
         bool found = false;
 
         if (r + 1 < scan_end) {
+            // The candidate for the pair's first probe is loaded one pair
+            // ahead (at the previous advance) so the table read is off the
+            // compare's critical path; the last write before each load is
+            // the previous pair's second insert, so ordering is unchanged.
             size_t hash_t = zx_hash(base + t, hlog, kMls);
+            uint32_t cand0 = hashTable[hash_t];
             for (;;) {
                 // ---- probe t (plus the stride-ahead repcode check) ----
-                const uint32_t cand0 = hashTable[hash_t];
+                const uint32_t r_word = read32(base + r);
+                const uint32_t r_prev = read32(base + r - rep1);
                 hashTable[hash_t] = (uint32_t)t;
-                if (rep1 > 0 && read32(base + r) == read32(base + r - rep1)) {
+                if (rep1 > 0 && r_word == r_prev) {
                     // rep hit at r; try a single byte of backward extension
                     const int64_t back =
                         base[r - 1] == base[r - 1 - rep1] ? 1 : 0;
@@ -3546,6 +3553,7 @@ static int64_t zx_fast_block(const uint8_t* base, uint32_t* hashTable,
                 t = r;
                 r = r2;
                 hash_t = zx_hash(base + t, hlog, kMls);
+                cand0 = hashTable[hash_t];
             }
         }
         if (!found) break;
@@ -4591,23 +4599,39 @@ static int64_t zx_entropy_compress(const ZxStore* ss, const ZxEntropy* prev,
     static thread_local uint32_t llv[(1 << 17) / 3 + 64];
     static thread_local uint32_t mlv[(1 << 17) / 3 + 64];
     static thread_local uint32_t obv[(1 << 17) / 3 + 64];
+    // two-lane split counters keep the histogram increments off the
+    // store-forwarding critical path (HIST_count_parallel_wksp rationale)
     uint32_t llcnt[36] = {0}, ofcnt[32] = {0}, mlcnt[53] = {0};
-    for (int64_t i = 0; i < nbSeq; i++) {
-        const uint32_t ll = ss->seq[i].ll;
-        const uint32_t ml = ss->seq[i].ml;
-        const uint32_t ob = ss->seq[i].offBase;
-        const uint8_t lc = (uint8_t)zx_llcode(ll);
-        const uint8_t oc = (uint8_t)highbit32(ob);
-        const uint8_t mc = (uint8_t)zx_mlcode(ml);
-        llc[i] = lc;
-        ofc[i] = oc;
-        mlc[i] = mc;
-        llv[i] = ll;
-        mlv[i] = ml;
-        obv[i] = ob;
-        llcnt[lc]++;
-        ofcnt[oc]++;
-        mlcnt[mc]++;
+    {
+        uint32_t ll2[36] = {0}, of2[32] = {0}, ml2[53] = {0};
+        int64_t i = 0;
+        for (; i + 2 <= nbSeq; i += 2) {
+            const ZxSeq a = ss->seq[i], b = ss->seq[i + 1];
+            const uint8_t la = (uint8_t)zx_llcode(a.ll);
+            const uint8_t oa = (uint8_t)highbit32(a.offBase);
+            const uint8_t ma = (uint8_t)zx_mlcode(a.ml);
+            const uint8_t lb = (uint8_t)zx_llcode(b.ll);
+            const uint8_t ob_ = (uint8_t)highbit32(b.offBase);
+            const uint8_t mb = (uint8_t)zx_mlcode(b.ml);
+            llc[i] = la; ofc[i] = oa; mlc[i] = ma;
+            llv[i] = a.ll; mlv[i] = a.ml; obv[i] = a.offBase;
+            llc[i + 1] = lb; ofc[i + 1] = ob_; mlc[i + 1] = mb;
+            llv[i + 1] = b.ll; mlv[i + 1] = b.ml; obv[i + 1] = b.offBase;
+            llcnt[la]++; ofcnt[oa]++; mlcnt[ma]++;
+            ll2[lb]++; of2[ob_]++; ml2[mb]++;
+        }
+        for (; i < nbSeq; i++) {
+            const ZxSeq a = ss->seq[i];
+            const uint8_t la = (uint8_t)zx_llcode(a.ll);
+            const uint8_t oa = (uint8_t)highbit32(a.offBase);
+            const uint8_t ma = (uint8_t)zx_mlcode(a.ml);
+            llc[i] = la; ofc[i] = oa; mlc[i] = ma;
+            llv[i] = a.ll; mlv[i] = a.ml; obv[i] = a.offBase;
+            llcnt[la]++; ofcnt[oa]++; mlcnt[ma]++;
+        }
+        for (int s = 0; s < 36; s++) llcnt[s] += ll2[s];
+        for (int s = 0; s < 32; s++) ofcnt[s] += of2[s];
+        for (int s = 0; s < 53; s++) mlcnt[s] += ml2[s];
     }
     if (ss->llt == 1) {
         llcnt[llc[ss->lltPos]]--;
