@@ -5367,7 +5367,6 @@ static const uint32_t kZx_baseOFCfreqs[32] = {
     6,2,1,1,2,3,4,4,4,3,2,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1};
 
 struct ZxOptMatch { uint32_t off, len; };
-struct ZxOptimal { int32_t price; uint32_t off, mlen, litlen; uint32_t rep[3]; };
 
 struct ZxOptCtx {
     const uint8_t* base;   // window base (src - 2 at frame start)
@@ -5389,8 +5388,15 @@ struct ZxOptCtx {
     uint32_t litSum, llSum, mlSum, ofSum;
     uint32_t litSumBase, llSumBase, mlSumBase, ofSumBase;
     int priceType;         // 0 dynamic, 1 predef
-    ZxOptimal* opt;        // [4097]
-    ZxOptMatch* matches;   // [4098]
+    // DP row, SoA: price to arrive at each offset of the current segment,
+    // the arriving step (via_len 0 = literal run), the literals carried in
+    // front of that step, and the repcode history after arriving.
+    int32_t* row_price;    // [4099]
+    uint32_t* row_vlen;    // [4099]
+    uint32_t* row_voff;    // [4099]
+    uint32_t* row_lead;    // [4099]
+    uint32_t* row_rep;     // [3 * 4099]
+    ZxOptMatch* matches;   // [4099]
 };
 
 static inline uint32_t zx_bitWeight(uint32_t stat) {
@@ -5541,18 +5547,14 @@ static inline uint32_t zx_hash3(const uint8_t* p, uint32_t h) {
     return ((read32(p) << (32 - 24)) * 506832829U) >> (32 - h);
 }
 
-static uint32_t zx_insertAndFindFirstIndexHash3(ZxOptCtx* c,
-                                                uint32_t* nextToUpdate3,
-                                                const uint8_t* ip) {
-    uint32_t idx = *nextToUpdate3;
-    const uint32_t target = (uint32_t)(ip - c->base);
-    const uint32_t h3 = zx_hash3(ip, c->hashLog3);
-    while (idx < target) {
-        c->hash3[zx_hash3(c->base + idx, c->hashLog3)] = idx;
-        idx++;
-    }
-    *nextToUpdate3 = target;
-    return c->hash3[h3];
+// Fill the 3-byte hash heads up to (excluding) ip, return the head for ip.
+static uint32_t opt_hash3_probe(ZxOptCtx* c, uint32_t* fill3_from,
+                                const uint8_t* ip) {
+    const uint32_t at = (uint32_t)(ip - c->base);
+    for (uint32_t i = *fill3_from; i < at; i++)
+        c->hash3[zx_hash3(c->base + i, c->hashLog3)] = i;
+    *fill3_from = at;
+    return c->hash3[zx_hash3(ip, c->hashLog3)];
 }
 
 static inline uint32_t zx_getLowestMatchIndex(const ZxOptCtx* c,
@@ -5563,247 +5565,236 @@ static inline uint32_t zx_getLowestMatchIndex(const ZxOptCtx* c,
                                               : lowestValid;
 }
 
-// ZSTD_insertBt1:423 (noDict).
-static uint32_t zx_insertBt1(ZxOptCtx* c, const uint8_t* ip,
-                             const uint8_t* iend, uint32_t target,
-                             uint32_t mls) {
+// ---- suffix-ordered binary tree -------------------------------------------
+// Every window position owns a two-slot node (bt[2*(pos & half_mask)]):
+// slot 0 links the largest suffix sorting BELOW it, slot 1 the smallest
+// sorting ABOVE.  Threading a new position walks down from the hash head,
+// re-parenting each visited candidate onto the pending link of its side —
+// the two sides are symmetric, so one direction bit drives both the link
+// update and the descent (the reference expresses this as separate
+// smaller/larger pointer juggling; behavior is identical, incl. the
+// depth budget, the reach-based skip hint, and this repo's own
+// frame-suffix ordering that preserves subtrees at block boundaries).
+
+// Thread `ip` into the tree without collecting matches.  Returns how many
+// following positions may skip their own threading (a long match makes
+// the covered tail redundant).
+static uint32_t bt_thread_suffix(ZxOptCtx* c, const uint8_t* ip,
+                                 const uint8_t* iend, uint32_t target,
+                                 uint32_t mls) {
     const size_t h = zx_hash(ip, c->hlog, mls);
-    uint32_t* bt = c->bt;
-    const uint32_t btLog = c->clog - 1;
-    const uint32_t btMask = (1u << btLog) - 1;
-    uint32_t matchIndex = c->hashTable[h];
-    size_t commonLengthSmaller = 0, commonLengthLarger = 0;
+    uint32_t* const bt = c->bt;
+    const uint32_t half_mask = (1u << (c->clog - 1)) - 1;
     const uint8_t* const base = c->base;
-    const uint8_t* match;
-    const uint32_t curr = (uint32_t)(ip - base);
-    const uint32_t btLow = btMask >= curr ? 0 : curr - btMask;
-    uint32_t* smallerPtr = bt + 2 * (curr & btMask);
-    uint32_t* largerPtr = smallerPtr + 1;
-    uint32_t dummy32;
-    const uint32_t windowLow =
+    const uint32_t at = (uint32_t)(ip - base);
+    const uint32_t reach_floor = half_mask >= at ? 0 : at - half_mask;
+    const uint32_t win_floor =
         (target - c->dictLimit > (1u << c->wlog)) ? target - (1u << c->wlog)
                                                   : c->dictLimit;
-    uint32_t matchEndIdx = curr + 8 + 1;
-    size_t bestLength = 8;
-    uint32_t nbCompares = 1u << c->slog;
+    uint32_t cand = c->hashTable[h];
+    c->hashTable[h] = at;
 
-    c->hashTable[h] = curr;
-    for (; nbCompares != 0 && matchIndex >= windowLow; --nbCompares) {
-        uint32_t* nextPtr = bt + 2 * (matchIndex & btMask);
-        size_t matchLength = commonLengthSmaller < commonLengthLarger
-                                 ? commonLengthSmaller
-                                 : commonLengthLarger;
-        // cover the next random bt-node and match-byte accesses with the
-        // count work
-        __builtin_prefetch(bt + 2 * (nextPtr[0] & btMask), 0, 1);
-        __builtin_prefetch(bt + 2 * (nextPtr[1] & btMask), 0, 1);
-        match = base + matchIndex;
-        matchLength += zx_count(ip + matchLength, match + matchLength, iend);
-        if (matchLength > bestLength) {
-            bestLength = matchLength;
-            if (matchLength > matchEndIdx - matchIndex)
-                matchEndIdx = matchIndex + (uint32_t)matchLength;
+    uint32_t* const node = bt + 2 * (at & half_mask);
+    uint32_t* link[2] = {node, node + 1};  // [0] below-side, [1] above-side
+    size_t agree[2] = {0, 0};              // verified shared prefix per side
+    uint32_t depth = 1u << c->slog;
+    uint32_t reach = at + 8 + 1;           // rightmost byte a match touched
+    size_t best = 8;
+    uint32_t sink;                         // absorbs writes past the cutoff
+
+    while (depth-- && cand >= win_floor) {
+        uint32_t* const cnode = bt + 2 * (cand & half_mask);
+        // cover the next random node/byte accesses with the count work
+        __builtin_prefetch(bt + 2 * (cnode[0] & half_mask), 0, 1);
+        __builtin_prefetch(bt + 2 * (cnode[1] & half_mask), 0, 1);
+        const uint8_t* const cp = base + cand;
+        size_t len = agree[0] < agree[1] ? agree[0] : agree[1];
+        len += zx_count(ip + len, cp + len, iend);
+        if (len > best) {
+            best = len;
+            if (len > reach - cand) reach = cand + (uint32_t)len;
         }
-        size_t tl = matchLength;
+        size_t tl = len;
         if (ip + tl == iend) {
-            // The reference breaks here, chopping the remaining subtree
-            // (ZSTD_insertBt1:490) — near every block boundary.  The block
-            // limit only bounds match reporting; suffix order can use the
-            // frame's real continuation, preserving the tree.
+            // The reference chops the remaining subtree at every block
+            // boundary (ZSTD_insertBt1:490).  The block limit only bounds
+            // match REPORTING; suffix order may consult the frame's real
+            // continuation, so the tree survives.
             if (c->frame_end == nullptr || iend >= c->frame_end) break;
-            tl += zx_count(ip + tl, match + tl, c->frame_end);
+            tl += zx_count(ip + tl, cp + tl, c->frame_end);
             if (ip + tl >= c->frame_end) break;
         }
-        if (match[tl] < ip[tl]) {
-            *smallerPtr = matchIndex;
-            commonLengthSmaller = matchLength;
-            if (matchIndex <= btLow) { smallerPtr = &dummy32; break; }
-            smallerPtr = nextPtr + 1;
-            matchIndex = nextPtr[1];
-        } else {
-            *largerPtr = matchIndex;
-            commonLengthLarger = matchLength;
-            if (matchIndex <= btLow) { largerPtr = &dummy32; break; }
-            largerPtr = nextPtr;
-            matchIndex = nextPtr[0];
-        }
+        const int d = cp[tl] < ip[tl] ? 0 : 1;
+        *link[d] = cand;
+        agree[d] = len;
+        if (cand <= reach_floor) { link[d] = &sink; break; }
+        link[d] = &cnode[1 - d];
+        cand = cnode[1 - d];
     }
-    *smallerPtr = *largerPtr = 0;
-    {
-        uint32_t positions = 0;
-        if (bestLength > 384)
-            positions = 192 < (uint32_t)(bestLength - 384)
-                            ? 192
-                            : (uint32_t)(bestLength - 384);
-        return positions > matchEndIdx - (curr + 8)
-                   ? positions
-                   : matchEndIdx - (curr + 8);
-    }
+    *link[0] = *link[1] = 0;
+    uint32_t skip = 0;
+    if (best > 384)
+        skip = best - 384 < 192 ? (uint32_t)(best - 384) : 192;
+    const uint32_t ahead = reach - (at + 8);
+    return skip > ahead ? skip : ahead;
 }
 
-static void zx_updateTree(ZxOptCtx* c, const uint8_t* ip, const uint8_t* iend,
-                          uint32_t mls) {
+static void bt_fill_to(ZxOptCtx* c, const uint8_t* ip, const uint8_t* iend,
+                       uint32_t mls) {
     const uint32_t target = (uint32_t)(ip - c->base);
     uint32_t idx = c->nextToUpdate;
-    while (idx < target) {
-        idx += zx_insertBt1(c, c->base + idx, iend, target, mls);
-    }
+    while (idx < target)
+        idx += bt_thread_suffix(c, c->base + idx, iend, target, mls);
     c->nextToUpdate = target;
 }
 
-// ZSTD_insertBtAndGetAllMatches:560 (noDict).
-static uint32_t zx_getAllMatches(ZxOptMatch* matches, ZxOptCtx* c,
-                                 uint32_t* nextToUpdate3, const uint8_t* ip,
-                                 const uint8_t* iLimit, const uint32_t* rep,
-                                 uint32_t ll0, uint32_t lengthToBeat,
-                                 uint32_t mls) {
+// Thread `ip` AND collect every strictly-improving candidate: the three
+// repcode slots first (rep search order depends on whether literals
+// precede), an optional 3-byte probe, then the tree walk reporting each
+// new best.  Candidates land in `out` ordered by increasing length, with
+// off encoded as repcode-index (0..2) or distance + 2.
+static uint32_t bt_collect_matches(ZxOptMatch* out, ZxOptCtx* c,
+                                   uint32_t* fill3_from, const uint8_t* ip,
+                                   const uint8_t* iLimit, const uint32_t* rep,
+                                   uint32_t ll0, uint32_t lengthToBeat,
+                                   uint32_t mls) {
     if (ip < c->base + c->nextToUpdate) return 0;
-    zx_updateTree(c, ip, iLimit, mls);
+    bt_fill_to(c, ip, iLimit, mls);
 
     const uint32_t sufficient_len =
         c->tlen < ((1u << 12) - 1) ? c->tlen : ((1u << 12) - 1);
     const uint8_t* const base = c->base;
-    const uint32_t curr = (uint32_t)(ip - base);
+    const uint32_t at = (uint32_t)(ip - base);
     const uint32_t minMatch = mls == 3 ? 3 : 4;
-    const size_t h = zx_hash(ip, c->hlog, mls);
-    uint32_t matchIndex = c->hashTable[h];
-    uint32_t* bt = c->bt;
-    const uint32_t btLog = c->clog - 1;
-    const uint32_t btMask = (1u << btLog) - 1;
-    size_t commonLengthSmaller = 0, commonLengthLarger = 0;
-    const uint32_t dictLimit = c->dictLimit;
-    const uint32_t btLow = btMask >= curr ? 0 : curr - btMask;
-    const uint32_t windowLow = zx_getLowestMatchIndex(c, curr);
-    const uint32_t matchLow = windowLow ? windowLow : 1;
-    uint32_t* smallerPtr = bt + 2 * (curr & btMask);
-    uint32_t* largerPtr = bt + 2 * (curr & btMask) + 1;
-    uint32_t matchEndIdx = curr + 8 + 1;
-    uint32_t dummy32;
-    uint32_t mnum = 0;
-    uint32_t nbCompares = 1u << c->slog;
-    size_t bestLength = lengthToBeat - 1;
-    int maintain = 0;
+    const uint32_t win_floor = zx_getLowestMatchIndex(c, at);
+    const uint32_t cand_floor = win_floor ? win_floor : 1;
+    uint32_t n_out = 0;
+    size_t best = lengthToBeat - 1;
 
-    // repcode candidates
-    {
-        const uint32_t lastR = 3 + ll0;
-        for (uint32_t repCode = ll0; repCode < lastR; repCode++) {
-            const uint32_t repOffset =
-                repCode == 3 ? rep[0] - 1 : rep[repCode];
-            uint32_t repLen = 0;
-            const uint32_t repIndex = curr - repOffset;
-            if (repOffset - 1 < curr - dictLimit) {
-                if (repIndex >= windowLow &&
-                    zx_readMINMATCH(ip, minMatch)
-                        == zx_readMINMATCH(ip - repOffset, minMatch)) {
-                    repLen = (uint32_t)zx_count(ip + minMatch,
-                                                ip + minMatch - repOffset,
-                                                iLimit)
-                             + minMatch;
-                }
-            }
-            if (repLen > bestLength) {
-                bestLength = repLen;
-                matches[mnum].off = repCode - ll0;
-                matches[mnum].len = repLen;
-                mnum++;
-                if (repLen > sufficient_len || ip + repLen == iLimit)
-                    return mnum;
-            }
+    // repcode candidates: slots ll0..2, plus the rep[0]-1 probe when no
+    // literals precede
+    for (uint32_t slot = ll0; slot < 3 + ll0; slot++) {
+        const uint32_t rdist = slot == 3 ? rep[0] - 1 : rep[slot];
+        const uint32_t rpos = at - rdist;
+        uint32_t rlen = 0;
+        if (rdist - 1 < at - c->dictLimit &&  // 1 <= rdist <= span
+            rpos >= win_floor &&
+            zx_readMINMATCH(ip, minMatch)
+                == zx_readMINMATCH(ip - rdist, minMatch)) {
+            rlen = (uint32_t)zx_count(ip + minMatch, ip + minMatch - rdist,
+                                      iLimit)
+                   + minMatch;
+        }
+        if (rlen > best) {
+            best = rlen;
+            out[n_out].off = slot - ll0;
+            out[n_out].len = rlen;
+            n_out++;
+            if (rlen > sufficient_len || ip + rlen == iLimit) return n_out;
         }
     }
 
-    if (mls == 3 && bestLength < mls) {
-        const uint32_t matchIndex3 =
-            zx_insertAndFindFirstIndexHash3(c, nextToUpdate3, ip);
-        if (matchIndex3 >= matchLow && curr - matchIndex3 < (1u << 18)) {
-            const size_t mlen = zx_count(ip, base + matchIndex3, iLimit);
-            if (mlen >= mls) {
-                bestLength = mlen;
-                matches[0].off = (curr - matchIndex3) + 2;
-                matches[0].len = (uint32_t)mlen;
-                mnum = 1;
-                if (mlen > sufficient_len || ip + mlen == iLimit) {
-                    c->nextToUpdate = curr + 1;
+    if (mls == 3 && best < mls) {
+        const uint32_t h3cand = opt_hash3_probe(c, fill3_from, ip);
+        if (h3cand >= cand_floor && at - h3cand < (1u << 18)) {
+            const size_t len3 = zx_count(ip, base + h3cand, iLimit);
+            if (len3 >= mls) {
+                best = len3;
+                out[0].off = (at - h3cand) + 2;
+                out[0].len = (uint32_t)len3;
+                n_out = 1;
+                if (len3 > sufficient_len || ip + len3 == iLimit) {
+                    c->nextToUpdate = at + 1;
                     return 1;
                 }
             }
         }
     }
 
-    c->hashTable[h] = curr;
-    for (; nbCompares != 0 && matchIndex >= matchLow; --nbCompares) {
-        uint32_t* nextPtr = bt + 2 * (matchIndex & btMask);
-        size_t matchLength = commonLengthSmaller < commonLengthLarger
-                                 ? commonLengthSmaller
-                                 : commonLengthLarger;
-        __builtin_prefetch(bt + 2 * (nextPtr[0] & btMask), 0, 1);
-        __builtin_prefetch(bt + 2 * (nextPtr[1] & btMask), 0, 1);
-        const uint8_t* match = base + matchIndex;
-        matchLength += zx_count(ip + matchLength, match + matchLength, iLimit);
-        if (!maintain && matchLength > bestLength) {
-            if (matchLength > matchEndIdx - matchIndex)
-                matchEndIdx = matchIndex + (uint32_t)matchLength;
-            bestLength = matchLength;
-            matches[mnum].off = (curr - matchIndex) + 2;
-            matches[mnum].len = (uint32_t)matchLength;
-            mnum++;
-            // The reference breaks here ("drop, to preserve bt
-            // consistency", ZSTD_insertBtAndGetAllMatches:750), zeroing the
-            // child slots and chopping the remaining subtree — on
-            // repetitive data the tree loses its long-reach nodes within a
-            // few blocks.  Keep walking in maintenance mode instead:
-            // re-thread the chain without reporting, preserving retention.
-            if (matchLength > (1u << 12)) maintain = 1;
+    const size_t h = zx_hash(ip, c->hlog, mls);
+    uint32_t* const bt = c->bt;
+    const uint32_t half_mask = (1u << (c->clog - 1)) - 1;
+    const uint32_t reach_floor = half_mask >= at ? 0 : at - half_mask;
+    uint32_t cand = c->hashTable[h];
+    c->hashTable[h] = at;
+
+    uint32_t* const node = bt + 2 * (at & half_mask);
+    uint32_t* link[2] = {node, node + 1};
+    size_t agree[2] = {0, 0};
+    uint32_t depth = 1u << c->slog;
+    uint32_t reach = at + 8 + 1;
+    uint32_t sink;
+    int silent = 0;  // keep re-threading without reporting (see below)
+
+    while (depth-- && cand >= cand_floor) {
+        uint32_t* const cnode = bt + 2 * (cand & half_mask);
+        __builtin_prefetch(bt + 2 * (cnode[0] & half_mask), 0, 1);
+        __builtin_prefetch(bt + 2 * (cnode[1] & half_mask), 0, 1);
+        const uint8_t* const cp = base + cand;
+        size_t len = agree[0] < agree[1] ? agree[0] : agree[1];
+        len += zx_count(ip + len, cp + len, iLimit);
+        if (!silent && len > best) {
+            if (len > reach - cand) reach = cand + (uint32_t)len;
+            best = len;
+            out[n_out].off = (at - cand) + 2;
+            out[n_out].len = (uint32_t)len;
+            n_out++;
+            // The reference stops here on a >4KB match ("drop, to preserve
+            // bt consistency", ZSTD_insertBtAndGetAllMatches:750), zeroing
+            // the child slots — on repetitive data the tree loses its
+            // long-reach nodes within blocks.  Walk on silently instead.
+            if (len > (1u << 12)) silent = 1;
         }
-        size_t tl = matchLength;
+        size_t tl = len;
         if (ip + tl >= iLimit) {
             if (c->frame_end == nullptr || iLimit >= c->frame_end) break;
-            tl += zx_count(ip + tl, match + tl, c->frame_end);
+            tl += zx_count(ip + tl, cp + tl, c->frame_end);
             if (ip + tl >= c->frame_end) break;
         }
-        if (match[tl] < ip[tl]) {
-            *smallerPtr = matchIndex;
-            commonLengthSmaller = matchLength;
-            if (matchIndex <= btLow) { smallerPtr = &dummy32; break; }
-            smallerPtr = nextPtr + 1;
-            matchIndex = nextPtr[1];
-        } else {
-            *largerPtr = matchIndex;
-            commonLengthLarger = matchLength;
-            if (matchIndex <= btLow) { largerPtr = &dummy32; break; }
-            largerPtr = nextPtr;
-            matchIndex = nextPtr[0];
-        }
+        const int d = cp[tl] < ip[tl] ? 0 : 1;
+        *link[d] = cand;
+        agree[d] = len;
+        if (cand <= reach_floor) { link[d] = &sink; break; }
+        link[d] = &cnode[1 - d];
+        cand = cnode[1 - d];
     }
-    *smallerPtr = *largerPtr = 0;
-    c->nextToUpdate = matchEndIdx - 8;
-    return mnum;
+    *link[0] = *link[1] = 0;
+    c->nextToUpdate = reach - 8;
+    return n_out;
 }
 
+// Repcode history after a step (ZSTD_updateRep semantics): off >= 3 is a
+// fresh distance (off - 2); smaller values select a history slot, shifted
+// by one when the step had no leading literals (slot 3 = rep[0] - 1).
 static inline void zx_updateRep3(const uint32_t* rep, uint32_t offset,
                                  uint32_t ll0, uint32_t* out) {
     if (offset >= 3) {
         out[2] = rep[1];
         out[1] = rep[0];
         out[0] = offset - 2;
-    } else {
-        const uint32_t repCode = offset + ll0;
-        if (repCode > 0) {
-            const uint32_t currentOffset =
-                repCode == 3 ? rep[0] - 1 : rep[repCode];
-            out[2] = repCode >= 2 ? rep[1] : rep[2];
-            out[1] = rep[0];
-            out[0] = currentOffset;
-        } else {
-            out[0] = rep[0];
-            out[1] = rep[1];
-            out[2] = rep[2];
-        }
+        return;
     }
+    const uint32_t slot = offset + ll0;
+    if (slot == 0) {
+        out[0] = rep[0];
+        out[1] = rep[1];
+        out[2] = rep[2];
+        return;
+    }
+    const uint32_t dist = slot == 3 ? rep[0] - 1 : rep[slot];
+    out[2] = slot >= 2 ? rep[1] : rep[2];
+    out[1] = rep[0];
+    out[0] = dist;
 }
 
-// ZSTD_compressBlock_opt_generic:1046, emitting into the driver's arrays.
+// ---- optimal parse ---------------------------------------------------------
+// One DP per segment: row_price[i] is the cheapest way to reach offset i
+// from the segment start, extended either by one literal or by any
+// collected match.  A "sufficient length" candidate ends the segment
+// immediately; otherwise the DP runs to its horizon and the arrival chain
+// is unwound into stored sequences.  All price comparisons, iteration
+// orders, and early-exit conditions are behavior-exact
+// (ZSTD_compressBlock_opt_generic:1046 documents the required decisions).
 static int64_t zx_opt_block(ZxOptCtx* c, const uint8_t* istart,
                             int64_t srcSize, uint32_t* rep, uint32_t* s_ll,
                             uint32_t* s_ml, uint32_t* s_ob, int64_t seq_cap,
@@ -5819,188 +5810,201 @@ static int64_t zx_opt_block(ZxOptCtx* c, const uint8_t* istart,
                              ? 3
                              : (c->mml < 6 ? c->mml : 6);
     const uint32_t minMatch = mls == 3 ? 3 : 4;
-    uint32_t nextToUpdate3 = c->nextToUpdate;
-    ZxOptimal* const opt = c->opt;
-    ZxOptMatch* const matches = c->matches;
-    ZxOptimal lastSequence;
+    uint32_t fill3_from = c->nextToUpdate;
+    int32_t* const price = c->row_price;
+    uint32_t* const vlen = c->row_vlen;
+    uint32_t* const voff = c->row_voff;
+    uint32_t* const lead = c->row_lead;
+    uint32_t* const rrow = c->row_rep;
+    ZxOptMatch* const found = c->matches;
+    const int32_t kUnreached = 1 << 30;
     int64_t n_seq = 0;
 
     zx_opt_rescaleFreqs(c, istart, srcSize);
     ip += (ip == prefixStart) ? 1 : 0;
+
     while (ip < ilimit) {
-        uint32_t cur, last_pos = 0;
+        // the step that ends this segment, and the row it departs from
+        uint32_t cut_lead = 0, cut_mlen = 0, cut_off = 0;
+        uint32_t from = 0;
+        int have_cut = 0;
+        uint32_t horizon = 0;
+
+        // ---- seed the row at the segment head ----
         {
-            const uint32_t litlen = (uint32_t)(ip - anchor);
-            const uint32_t ll0 = litlen == 0;
-            uint32_t nbMatches = zx_getAllMatches(matches, c, &nextToUpdate3,
-                                                  ip, iend, rep, ll0,
-                                                  minMatch, mls);
-            if (nbMatches == 0) { ip++; continue; }
-            for (int i = 0; i < 3; i++) opt[0].rep[i] = rep[i];
-            opt[0].mlen = 0;
-            opt[0].litlen = litlen;
-            opt[0].price = (int32_t)zx_litLengthPrice(litlen, c);
-            {
-                const uint32_t maxML = matches[nbMatches - 1].len;
-                const uint32_t maxOffset = matches[nbMatches - 1].off;
-                if (maxML > sufficient_len) {
-                    lastSequence.litlen = litlen;
-                    lastSequence.mlen = maxML;
-                    lastSequence.off = maxOffset;
-                    cur = 0;
-                    last_pos = lastSequence.litlen + lastSequence.mlen;
-                    goto _shortestPath;
-                }
+            const uint32_t litrun = (uint32_t)(ip - anchor);
+            uint32_t n = bt_collect_matches(found, c, &fill3_from, ip, iend,
+                                            rep, litrun == 0, minMatch, mls);
+            if (n == 0) {
+                ip++;
+                continue;
             }
-            {
-                const uint32_t literalsPrice =
-                    (uint32_t)opt[0].price + zx_litLengthPrice(0, c);
-                uint32_t pos;
-                for (pos = 1; pos < minMatch; pos++)
-                    opt[pos].price = 1 << 30;
-                for (uint32_t matchNb = 0; matchNb < nbMatches; matchNb++) {
-                    const uint32_t offset = matches[matchNb].off;
-                    const uint32_t end = matches[matchNb].len;
+            rrow[0] = rep[0];
+            rrow[1] = rep[1];
+            rrow[2] = rep[2];
+            vlen[0] = 0;
+            lead[0] = litrun;
+            price[0] = (int32_t)zx_litLengthPrice(litrun, c);
+            if (found[n - 1].len > sufficient_len) {
+                cut_lead = litrun;
+                cut_mlen = found[n - 1].len;
+                cut_off = found[n - 1].off;
+                from = 0;
+                have_cut = 1;
+            } else {
+                const uint32_t open_price =
+                    (uint32_t)price[0] + zx_litLengthPrice(0, c);
+                uint32_t pos = 1;
+                for (; pos < minMatch; pos++) price[pos] = kUnreached;
+                for (uint32_t k = 0; k < n; k++) {
+                    const uint32_t off = found[k].off;
+                    const uint32_t end = found[k].len;
                     for (; pos <= end; pos++) {
-                        const uint32_t matchPrice =
-                            zx_getMatchPrice(offset, pos, c);
-                        opt[pos].mlen = pos;
-                        opt[pos].off = offset;
-                        opt[pos].litlen = litlen;
-                        opt[pos].price =
-                            (int32_t)(literalsPrice + matchPrice);
+                        vlen[pos] = pos;
+                        voff[pos] = off;
+                        lead[pos] = litrun;
+                        price[pos] = (int32_t)(open_price +
+                                               zx_getMatchPrice(off, pos, c));
                     }
                 }
-                last_pos = pos - 1;
+                horizon = pos - 1;
             }
         }
-        for (cur = 1; cur <= last_pos; cur++) {
-            const uint8_t* const inr = ip + cur;
-            {
-                const uint32_t litlen = opt[cur - 1].mlen == 0
-                                            ? opt[cur - 1].litlen + 1
-                                            : 1;
-                const int32_t price =
-                    opt[cur - 1].price
-                    + (int32_t)zx_rawLiteralsCost(ip + cur - 1, 1, c)
-                    + (int32_t)zx_litLengthPrice(litlen, c)
-                    - (int32_t)zx_litLengthPrice(litlen - 1, c);
-                if (price <= opt[cur].price) {
-                    opt[cur].mlen = 0;
-                    opt[cur].off = 0;
-                    opt[cur].litlen = litlen;
-                    opt[cur].price = price;
-                }
-            }
-            if (opt[cur].mlen != 0) {
-                const uint32_t prev = cur - opt[cur].mlen;
-                uint32_t nr[3];
-                zx_updateRep3(opt[prev].rep, opt[cur].off,
-                              opt[cur].litlen == 0, nr);
-                opt[cur].rep[0] = nr[0];
-                opt[cur].rep[1] = nr[1];
-                opt[cur].rep[2] = nr[2];
-            } else {
-                opt[cur].rep[0] = opt[cur - 1].rep[0];
-                opt[cur].rep[1] = opt[cur - 1].rep[1];
-                opt[cur].rep[2] = opt[cur - 1].rep[2];
-            }
-            if (inr > ilimit) continue;
-            if (cur == last_pos) break;
-            if (c->optLevel == 0
-                && opt[cur + 1].price <= opt[cur].price + (1 << 8) / 2)
-                continue;
-            {
-                const uint32_t ll0 = opt[cur].mlen != 0;
-                const uint32_t litlen =
-                    opt[cur].mlen == 0 ? opt[cur].litlen : 0;
-                const uint32_t basePrice =
-                    (uint32_t)opt[cur].price + zx_litLengthPrice(0, c);
-                uint32_t nbMatches = zx_getAllMatches(
-                    matches, c, &nextToUpdate3, inr, iend, opt[cur].rep, ll0,
-                    minMatch, mls);
-                if (nbMatches == 0) continue;
+
+        // ---- relax forward ----
+        if (!have_cut) {
+            uint32_t at;
+            for (at = 1; at <= horizon; at++) {
+                const uint8_t* const here = ip + at;
+                // arriving by one more literal
                 {
-                    const uint32_t maxML = matches[nbMatches - 1].len;
-                    if (maxML > sufficient_len
-                        || cur + maxML >= (1u << 12)) {
-                        lastSequence.mlen = maxML;
-                        lastSequence.off = matches[nbMatches - 1].off;
-                        lastSequence.litlen = litlen;
-                        cur -= opt[cur].mlen == 0 ? opt[cur].litlen : 0;
-                        last_pos = cur + lastSequence.litlen
-                                   + lastSequence.mlen;
-                        if (cur > (1u << 12)) cur = 0;
-                        goto _shortestPath;
+                    const uint32_t run = vlen[at - 1] == 0
+                                             ? lead[at - 1] + 1
+                                             : 1;
+                    const int32_t p =
+                        price[at - 1]
+                        + (int32_t)zx_rawLiteralsCost(here - 1, 1, c)
+                        + (int32_t)zx_litLengthPrice(run, c)
+                        - (int32_t)zx_litLengthPrice(run - 1, c);
+                    if (p <= price[at]) {
+                        vlen[at] = 0;
+                        voff[at] = 0;
+                        lead[at] = run;
+                        price[at] = p;
                     }
                 }
-                for (uint32_t matchNb = 0; matchNb < nbMatches; matchNb++) {
-                    const uint32_t offset = matches[matchNb].off;
-                    const uint32_t lastML = matches[matchNb].len;
-                    const uint32_t startML =
-                        matchNb > 0 ? matches[matchNb - 1].len + 1 : minMatch;
-                    for (uint32_t mlen = lastML; mlen >= startML; mlen--) {
-                        const uint32_t pos = cur + mlen;
-                        const int32_t price =
-                            (int32_t)basePrice
-                            + (int32_t)zx_getMatchPrice(offset, mlen, c);
-                        if (pos > last_pos || price < opt[pos].price) {
-                            while (last_pos < pos) {
-                                opt[last_pos + 1].price = 1 << 30;
-                                last_pos++;
+                // repcode history for this row
+                if (vlen[at] != 0) {
+                    const uint32_t src_row = at - vlen[at];
+                    zx_updateRep3(rrow + 3 * src_row, voff[at],
+                                  lead[at] == 0, rrow + 3 * at);
+                } else {
+                    rrow[3 * at] = rrow[3 * (at - 1)];
+                    rrow[3 * at + 1] = rrow[3 * (at - 1) + 1];
+                    rrow[3 * at + 2] = rrow[3 * (at - 1) + 2];
+                }
+                if (here > ilimit) continue;
+                if (at == horizon) break;
+                if (c->optLevel == 0
+                    && price[at + 1] <= price[at] + (1 << 8) / 2)
+                    continue;  // btopt speed shortcut: skip covered rows
+                {
+                    const uint32_t ll0 = vlen[at] != 0;
+                    const uint32_t litrun = vlen[at] == 0 ? lead[at] : 0;
+                    const uint32_t open_price =
+                        (uint32_t)price[at] + zx_litLengthPrice(0, c);
+                    const uint32_t n = bt_collect_matches(
+                        found, c, &fill3_from, here, iend, rrow + 3 * at,
+                        ll0, minMatch, mls);
+                    if (n == 0) continue;
+                    const uint32_t top = found[n - 1].len;
+                    if (top > sufficient_len || at + top >= (1u << 12)) {
+                        cut_mlen = top;
+                        cut_off = found[n - 1].off;
+                        cut_lead = litrun;
+                        from = at - (vlen[at] == 0 ? lead[at] : 0);
+                        if (from > (1u << 12)) from = 0;
+                        have_cut = 1;
+                        break;
+                    }
+                    for (uint32_t k = 0; k < n; k++) {
+                        const uint32_t off = found[k].off;
+                        const uint32_t top_len = found[k].len;
+                        const uint32_t low_len =
+                            k > 0 ? found[k - 1].len + 1 : minMatch;
+                        for (uint32_t ml = top_len; ml >= low_len; ml--) {
+                            const uint32_t to = at + ml;
+                            const int32_t p =
+                                (int32_t)(open_price
+                                          + zx_getMatchPrice(off, ml, c));
+                            if (to > horizon || p < price[to]) {
+                                while (horizon < to) {
+                                    horizon++;
+                                    price[horizon] = kUnreached;
+                                }
+                                vlen[to] = ml;
+                                voff[to] = off;
+                                lead[to] = litrun;
+                                price[to] = p;
+                            } else if (c->optLevel == 0) {
+                                break;  // btopt: shorter lengths won't win
                             }
-                            opt[pos].mlen = mlen;
-                            opt[pos].off = offset;
-                            opt[pos].litlen = litlen;
-                            opt[pos].price = price;
-                        } else {
-                            if (c->optLevel == 0) break;
                         }
                     }
                 }
             }
-        }
-        lastSequence = opt[last_pos];
-        cur = last_pos > lastSequence.litlen + lastSequence.mlen
-                  ? last_pos - (lastSequence.litlen + lastSequence.mlen)
-                  : 0;
-    _shortestPath:
-        if (lastSequence.mlen != 0) {
-            uint32_t nr[3];
-            zx_updateRep3(opt[cur].rep, lastSequence.off,
-                          lastSequence.litlen == 0, nr);
-            rep[0] = nr[0]; rep[1] = nr[1]; rep[2] = nr[2];
-        } else {
-            rep[0] = opt[cur].rep[0];
-            rep[1] = opt[cur].rep[1];
-            rep[2] = opt[cur].rep[2];
-        }
-        {
-            const uint32_t storeEnd = cur + 1;
-            uint32_t storeStart = storeEnd;
-            uint32_t seqPos = cur;
-            opt[storeEnd] = lastSequence;
-            while (seqPos > 0) {
-                const uint32_t backDist =
-                    opt[seqPos].litlen + opt[seqPos].mlen;
-                storeStart--;
-                opt[storeStart] = opt[seqPos];
-                seqPos = seqPos > backDist ? seqPos - backDist : 0;
+            if (!have_cut) {
+                // the horizon row itself ends the segment
+                cut_lead = lead[horizon];
+                cut_mlen = vlen[horizon];
+                cut_off = voff[horizon];
+                from = horizon > cut_lead + cut_mlen
+                           ? horizon - (cut_lead + cut_mlen)
+                           : 0;
             }
-            for (uint32_t storePos = storeStart; storePos <= storeEnd;
-                 storePos++) {
-                const uint32_t llen = opt[storePos].litlen;
-                const uint32_t mlen = opt[storePos].mlen;
-                const uint32_t offCode = opt[storePos].off;
+        }
+
+        // ---- resolve the final repcode history ----
+        if (cut_mlen != 0) {
+            uint32_t nr[3];
+            zx_updateRep3(rrow + 3 * from, cut_off, cut_lead == 0, nr);
+            rep[0] = nr[0];
+            rep[1] = nr[1];
+            rep[2] = nr[2];
+        } else {
+            rep[0] = rrow[3 * from];
+            rep[1] = rrow[3 * from + 1];
+            rep[2] = rrow[3 * from + 2];
+        }
+
+        // ---- unwind the arrival chain into forward order ----
+        {
+            const uint32_t top = from + 1;
+            uint32_t lo = top;
+            uint32_t walk = from;
+            vlen[top] = cut_mlen;
+            voff[top] = cut_off;
+            lead[top] = cut_lead;
+            while (walk > 0) {
+                const uint32_t back = lead[walk] + vlen[walk];
+                lo--;
+                vlen[lo] = vlen[walk];
+                voff[lo] = voff[walk];
+                lead[lo] = lead[walk];
+                walk = walk > back ? walk - back : 0;
+            }
+            for (uint32_t k = lo; k <= top; k++) {
+                const uint32_t llen = lead[k];
+                const uint32_t mlen = vlen[k];
                 if (mlen == 0) {
-                    ip = anchor + llen;
+                    ip = anchor + llen;  // trailing literals, no step
                     continue;
                 }
-                zx_opt_updateStats(c, llen, anchor, offCode, mlen);
+                zx_opt_updateStats(c, llen, anchor, voff[k], mlen);
                 if (n_seq >= seq_cap) return -1;
                 s_ll[n_seq] = llen;
                 s_ml[n_seq] = mlen;
-                s_ob[n_seq] = offCode + 1;
+                s_ob[n_seq] = voff[k] + 1;
                 n_seq++;
                 anchor += llen + mlen;
                 ip = anchor;
@@ -6059,20 +6063,24 @@ static ZxOptCtx* zx_opt_create(const uint8_t* src, uint32_t wlog,
     c->hash3 = c->hashLog3
                    ? (uint32_t*)calloc((size_t)1 << c->hashLog3, 4)
                    : nullptr;
-    c->opt = (ZxOptimal*)malloc(sizeof(ZxOptimal) * 4099);
+    c->row_price = (int32_t*)malloc(4 * 4099 * (sizeof(int32_t) + 4));
     c->matches = (ZxOptMatch*)malloc(sizeof(ZxOptMatch) * 4099);
-    if (!c->hashTable || !c->bt || (c->hashLog3 && !c->hash3) || !c->opt
-        || !c->matches) {
-        free(c->hashTable); free(c->bt); free(c->hash3); free(c->opt);
+    if (!c->hashTable || !c->bt || (c->hashLog3 && !c->hash3)
+        || !c->row_price || !c->matches) {
+        free(c->hashTable); free(c->bt); free(c->hash3); free(c->row_price);
         free(c->matches); free(c);
         return nullptr;
     }
+    c->row_vlen = (uint32_t*)(c->row_price + 4099);
+    c->row_voff = c->row_vlen + 4099;
+    c->row_lead = c->row_voff + 4099;
+    c->row_rep = c->row_lead + 4099;
     return c;
 }
 
 static void zx_opt_free(ZxOptCtx* c) {
     if (!c) return;
-    free(c->hashTable); free(c->bt); free(c->hash3); free(c->opt);
+    free(c->hashTable); free(c->bt); free(c->hash3); free(c->row_price);
     free(c->matches); free(c);
 }
 
