@@ -4080,13 +4080,14 @@ static int zx_huf_validate(const HufCTableC* ct, const uint32_t* count,
 static int64_t zx_huf_write_ctable(uint8_t* op, int64_t cap,
                                    const HufCTableC* ct,
                                    uint32_t maxSymbolValue, uint32_t huffLog) {
-    uint8_t huffWeight[256 + 1];
-    uint8_t bitsToWeight[13];
-    bitsToWeight[0] = 0;
+    // weight = huffLog + 1 - nbits (0 stays 0): shorter codes weigh more
+    uint8_t wt[256 + 1];
+    uint8_t len_to_weight[13];
+    len_to_weight[0] = 0;
     for (uint32_t n = 1; n < huffLog + 1; n++)
-        bitsToWeight[n] = (uint8_t)(huffLog + 1 - n);
+        len_to_weight[n] = (uint8_t)(huffLog + 1 - n);
     for (uint32_t n = 0; n < maxSymbolValue; n++)
-        huffWeight[n] = bitsToWeight[ct->nbits[n]];
+        wt[n] = len_to_weight[ct->nbits[n]];
     if (cap < 1) return -1;
     // HUF_compressWeights: FSE with maxSymbolValue<=12, tableLog start 6.
     {
@@ -4095,8 +4096,8 @@ static int64_t zx_huf_write_ctable(uint8_t* op, int64_t cap,
             uint32_t wcount[13] = {0};
             uint32_t wmax = 0, maxCount = 0;
             for (int64_t i = 0; i < wtSize; i++) {
-                wcount[huffWeight[i]]++;
-                if (huffWeight[i] > wmax) wmax = huffWeight[i];
+                wcount[wt[i]]++;
+                if (wt[i] > wmax) wmax = wt[i];
             }
             for (uint32_t w = 0; w <= wmax; w++)
                 if (wcount[w] > maxCount) maxCount = wcount[w];
@@ -4114,7 +4115,7 @@ static int64_t zx_huf_write_ctable(uint8_t* op, int64_t cap,
                         fse_build_ctable_c(&wct, norm, (int)wmax,
                                            (int)tableLog);
                         const int64_t b = fse_compress_2state(
-                            huffWeight, wtSize, &wct, buf + nc,
+                            wt, wtSize, &wct, buf + nc,
                             (int64_t)sizeof buf - nc);
                         if (b > 0 && nc + b < wtSize) {
                             const int64_t hSize = nc + b;
@@ -4135,9 +4136,9 @@ static int64_t zx_huf_write_ctable(uint8_t* op, int64_t cap,
     const int64_t nb = ((int64_t)maxSymbolValue + 1) / 2 + 1;
     if (nb > cap) return -1;
     op[0] = (uint8_t)(128 + (maxSymbolValue - 1));
-    huffWeight[maxSymbolValue] = 0;
+    wt[maxSymbolValue] = 0;
     for (uint32_t n = 0; n < maxSymbolValue; n += 2)
-        op[n / 2 + 1] = (uint8_t)((huffWeight[n] << 4) + huffWeight[n + 1]);
+        op[n / 2 + 1] = (uint8_t)((wt[n] << 4) + wt[n + 1]);
     return nb;
 }
 
@@ -4266,119 +4267,125 @@ struct ZxEntropy {
     uint32_t repcodes[3];
 };
 
-// ZSTD_entropyCost:314 / ZSTD_crossEntropyCost:379 / ZSTD_fseBitCost:340 /
-// ZSTD_NCountCost:291 — cost model for ZSTD_selectEncodingType.
+// Table-mode cost model.  Four candidate encodings per sequence channel
+// (predefined / RLE / fresh FSE / repeat previous); each cost below is an
+// estimated payload size in bytes for one candidate, all derived from the
+// same 1/256-granular -log2 lookup so the comparisons are exact integer
+// decisions (behavior documented at ZstdCompressSequences.cs:314-467).
 static const int64_t kZxErr = (int64_t)1 << 60;
 
-static int64_t zx_entropy_cost(const uint32_t* count, uint32_t max,
-                               uint64_t total) {
-    uint64_t cost = 0;
+// bytes if coded with an ideal table built from these very counts
+static int64_t cost_fresh_table(const uint32_t* count, uint32_t max,
+                                uint64_t total) {
+    uint64_t bits256 = 0;
     for (uint32_t s = 0; s <= max; s++) {
-        uint32_t norm = (uint32_t)((256 * (uint64_t)count[s]) / total);
-        if (count[s] != 0 && norm == 0) norm = 1;
-        cost += (uint64_t)count[s] * kZxInvProbLog256[norm];
+        uint32_t p256 = (uint32_t)((256 * (uint64_t)count[s]) / total);
+        if (count[s] != 0 && p256 == 0) p256 = 1;
+        bits256 += (uint64_t)count[s] * kZxInvProbLog256[p256];
     }
-    return (int64_t)(cost >> 8);
+    return (int64_t)(bits256 >> 8);
 }
 
-static int64_t zx_cross_entropy_cost(const int16_t* norm, uint32_t accuracyLog,
-                                     const uint32_t* count, uint32_t max) {
-    const uint32_t shift = 8 - accuracyLog;
-    uint64_t cost = 0;
+// bytes if coded with the format's predefined distribution
+static int64_t cost_predefined(const int16_t* norm, uint32_t normLog,
+                               const uint32_t* count, uint32_t max) {
+    const uint32_t widen = 8 - normLog;  // rescale norm to 1/256 units
+    uint64_t bits256 = 0;
     for (uint32_t s = 0; s <= max; s++) {
-        const uint32_t normAcc = norm[s] != -1 ? (uint32_t)norm[s] : 1;
-        const uint32_t norm256 = normAcc << shift;
-        cost += (uint64_t)count[s] * kZxInvProbLog256[norm256];
+        const uint32_t w = norm[s] != -1 ? (uint32_t)norm[s] : 1;
+        bits256 += (uint64_t)count[s] * kZxInvProbLog256[w << widen];
     }
-    return (int64_t)(cost >> 8);
+    return (int64_t)(bits256 >> 8);
 }
 
-static int64_t zx_fse_bit_cost(const ZxFseCh* ch, const uint32_t* count,
+// bytes if coded with the previous block's live table (kZxErr when that
+// table cannot represent a present symbol or prices one absurdly)
+static int64_t cost_prev_table(const ZxFseCh* ch, const uint32_t* count,
                                uint32_t max) {
-    const uint32_t kAccuracyLog = 8;
-    uint64_t cost = 0;
     if ((uint32_t)ch->maxSym < max) return kZxErr;
-    const uint32_t tableLog = (uint32_t)ch->ct.tlog;
+    const uint32_t tlog = (uint32_t)ch->ct.tlog;
+    uint64_t bits256 = 0;
     for (uint32_t s = 0; s <= max; s++) {
         if (count[s] == 0) continue;
+        // per-symbol fractional bit cost recovered from the CTable's
+        // deltaNbBits encoding: cost = maxNbBits - frac(states below the
+        // threshold), in 1/256 bit units
         const uint32_t dnb = ch->ct.delta_nb[s];
-        const uint32_t minNbBits = dnb >> 16;
-        const uint32_t threshold = (minNbBits + 1) << 16;
-        const uint32_t tableSize = 1u << tableLog;
-        const uint32_t deltaFromThreshold = threshold - (dnb + tableSize);
-        const uint32_t normalizedDelta =
-            (deltaFromThreshold << kAccuracyLog) >> tableLog;
-        const uint32_t bitMultiplier = 1u << kAccuracyLog;
-        const uint32_t bitCost =
-            (minNbBits + 1) * bitMultiplier - normalizedDelta;
-        const uint32_t badCost = (tableLog + 1) << kAccuracyLog;
-        if (bitCost >= badCost) return kZxErr;
-        cost += (uint64_t)count[s] * bitCost;
+        const uint32_t floor_bits = dnb >> 16;
+        const uint32_t thresh = (floor_bits + 1) << 16;
+        const uint32_t below = thresh - (dnb + (1u << tlog));
+        const uint32_t frac256 = (below << 8) >> tlog;
+        const uint32_t bits = ((floor_bits + 1) << 8) - frac256;
+        if (bits >= ((tlog + 1) << 8)) return kZxErr;
+        bits256 += (uint64_t)count[s] * bits;
     }
-    return (int64_t)(cost >> kAccuracyLog);
+    return (int64_t)(bits256 >> 8);
 }
 
-static int64_t zx_ncount_cost(const uint32_t* count, uint32_t max,
-                              uint64_t nbSeq, uint32_t fseLog) {
-    const uint32_t tableLog = zx_optimal_table_log(fseLog, nbSeq, max, 2);
+// serialized NCount header size for a fresh table over these counts
+static int64_t cost_table_header(const uint32_t* count, uint32_t max,
+                                 uint64_t nbSeq, uint32_t fseLog) {
+    const uint32_t tlog = zx_optimal_table_log(fseLog, nbSeq, max, 2);
     int16_t norm[53];
     uint32_t cnt[53];
     std::memcpy(cnt, count, sizeof(uint32_t) * (max + 1));
-    if (fse_normalize(norm, (int)tableLog, cnt, (int64_t)nbSeq, (int)max,
+    if (fse_normalize(norm, (int)tlog, cnt, (int64_t)nbSeq, (int)max,
                       nbSeq >= 2048 ? 1 : 0) != 0)
         return kZxErr;
     uint8_t wksp[512];
     const int64_t sz =
-        fse_write_ncount(wksp, sizeof wksp, norm, (int)max, (int)tableLog);
+        fse_write_ncount(wksp, sizeof wksp, norm, (int)max, (int)tlog);
     return sz < 0 ? kZxErr : sz;
 }
 
-// ZSTD_selectEncodingType:400 — exact.
-// Returns 0 basic, 1 rle, 2 compressed, 3 repeat (symbolEncodingType order).
+// Pick a channel's table mode.  Fast strategies decide by cheap count
+// heuristics; btlazy+ strategies price all candidates through the cost
+// model above.  Returns 0 basic, 1 rle, 2 compressed, 3 repeat, and
+// updates the channel's repeat state.
 static int zx_select_encoding(int* repeatMode, const uint32_t* count,
-                              uint32_t max, uint64_t mostFrequent,
-                              uint64_t nbSeq, uint32_t FSELog,
-                              const ZxFseCh* prevCh, const int16_t* defaultNorm,
-                              uint32_t defaultNormLog, int isDefaultAllowed,
+                              uint32_t max, uint64_t peak, uint64_t nbSeq,
+                              uint32_t fseLog, const ZxFseCh* prevCh,
+                              const int16_t* defaultNorm,
+                              uint32_t defaultNormLog, int defaultAllowed,
                               int strategy) {
-    if (mostFrequent == nbSeq) {
+    if (peak == nbSeq) {  // single distinct symbol
         *repeatMode = 0;
-        if (isDefaultAllowed && nbSeq <= 2) return 0;  // set_basic
-        return 1;                                      // set_rle
+        // tiny single-symbol runs fit the predefined table's header-free
+        // coding better than an RLE byte
+        return (defaultAllowed && nbSeq <= 2) ? 0 : 1;
     }
-    if (strategy < 4 /* ZSTD_lazy */) {
-        if (isDefaultAllowed) {
-            const uint64_t staticFse_nbSeq_max = 1000;
-            const uint64_t mult = (uint64_t)(10 - strategy);
-            const uint64_t baseLog = 3;
-            const uint64_t dynamicFse_nbSeq_min =
-                ((1ULL << defaultNormLog) * mult) >> baseLog;
-            if (*repeatMode == 2 && nbSeq < staticFse_nbSeq_max)
-                return 3;  // set_repeat
-            if (nbSeq < dynamicFse_nbSeq_min ||
-                mostFrequent < (nbSeq >> (defaultNormLog - 1))) {
+    if (strategy < 4 /* < ZSTD_lazy: heuristic tier */) {
+        if (defaultAllowed) {
+            const uint64_t kRepeatSeqMax = 1000;
+            // a fresh table amortizes only past this many sequences,
+            // scaled by how cheap the strategy is
+            const uint64_t freshFloor =
+                ((1ULL << defaultNormLog) * (uint64_t)(10 - strategy)) >> 3;
+            if (*repeatMode == 2 && nbSeq < kRepeatSeqMax) return 3;
+            if (nbSeq < freshFloor ||
+                peak < (nbSeq >> (defaultNormLog - 1))) {
                 *repeatMode = 0;
-                return 0;  // set_basic
+                return 0;
             }
         }
     } else {
-        const int64_t basicCost =
-            isDefaultAllowed
-                ? zx_cross_entropy_cost(defaultNorm, defaultNormLog, count, max)
+        const int64_t c_basic =
+            defaultAllowed
+                ? cost_predefined(defaultNorm, defaultNormLog, count, max)
                 : kZxErr;
-        const int64_t repeatCost =
-            *repeatMode != 0 ? zx_fse_bit_cost(prevCh, count, max) : kZxErr;
-        const int64_t NCountCost = zx_ncount_cost(count, max, nbSeq, FSELog);
-        const int64_t compressedCost =
-            (NCountCost << 3) + zx_entropy_cost(count, max, nbSeq);
-        if (basicCost <= repeatCost && basicCost <= compressedCost) {
+        const int64_t c_repeat =
+            *repeatMode != 0 ? cost_prev_table(prevCh, count, max) : kZxErr;
+        const int64_t c_fresh =
+            (cost_table_header(count, max, nbSeq, fseLog) << 3)
+            + cost_fresh_table(count, max, nbSeq);
+        if (c_basic <= c_repeat && c_basic <= c_fresh) {
             *repeatMode = 0;
             return 0;
         }
-        if (repeatCost <= compressedCost) return 3;
+        if (c_repeat <= c_fresh) return 3;
     }
-    *repeatMode = 1;  // FSE_repeat_check
-    return 2;          // set_compressed
+    *repeatMode = 1;  // fresh table: verify before reuse next block
+    return 2;
 }
 
 // FSE_buildCTable_rle role.
@@ -4645,68 +4652,53 @@ static int64_t zx_entropy_compress(const ZxStore* ss, const ZxEntropy* prev,
     }
 
     uint8_t* const seqHead = op++;
-    int LLtype, Offtype, MLtype;
-    // LL channel
+    // One pass per sequence channel, table-driven (the reference spells the
+    // three channels out longhand; the decisions per channel are identical).
+    int chMode[3];
     {
-        uint32_t count[36];
-        std::memcpy(count, llcnt, sizeof count);
-        uint32_t max = 35;
-        while (max > 0 && count[max] == 0) max--;
-        uint32_t mostFrequent = 0;
-        for (uint32_t s = 0; s <= max; s++)
-            if (count[s] > mostFrequent) mostFrequent = count[s];
-        next->ll = prev->ll;
-        LLtype = zx_select_encoding(&next->ll.rep, count, max, mostFrequent,
-                                    (uint64_t)nbSeq, 9, &prev->ll, kLLNorm, 6,
-                                    1, strategy);
-        const int64_t countSize = zx_build_seq_ctable(
-            op, cap - (op - ostart), &next->ll, 9, LLtype, count, max, llc,
-            (uint64_t)nbSeq, kLLNorm, 6, 35);
-        if (countSize < 0) return -1;
-        if (LLtype == 2) lastCountSize = countSize;
-        op += countSize;
+        struct ChanDesc {
+            uint32_t* hist;         // raw code histogram for this block
+            uint32_t nSym;          // histogram size
+            const ZxFseCh* prevCh;
+            ZxFseCh* nextCh;
+            const uint8_t* codes;
+            uint32_t fseLog;
+            const int16_t* defNorm;
+            uint32_t defLog;
+            uint32_t defMax;
+        };
+        ChanDesc chan[3] = {
+            {llcnt, 36, &prev->ll, &next->ll, llc, 9, kLLNorm, 6, 35},
+            {ofcnt, 32, &prev->of, &next->of, ofc, 8, kOFNorm, 5, 28},
+            {mlcnt, 53, &prev->ml, &next->ml, mlc, 9, kMLNorm, 6, 52},
+        };
+        for (int ci = 0; ci < 3; ci++) {
+            ChanDesc* const d = &chan[ci];
+            uint32_t count[53];
+            std::memcpy(count, d->hist, sizeof(uint32_t) * d->nSym);
+            uint32_t max = d->nSym - 1;
+            while (max > 0 && count[max] == 0) max--;
+            uint32_t peak = 0;
+            for (uint32_t s = 0; s <= max; s++)
+                if (count[s] > peak) peak = count[s];
+            // the offset channel loses its predefined table beyond 28
+            // distance codes (the default norm doesn't cover them)
+            const int defaultAllowed = ci == 1 ? max <= d->defMax : 1;
+            *d->nextCh = *d->prevCh;
+            chMode[ci] = zx_select_encoding(
+                &d->nextCh->rep, count, max, peak, (uint64_t)nbSeq,
+                d->fseLog, d->prevCh, d->defNorm, d->defLog, defaultAllowed,
+                strategy);
+            const int64_t hdrSize = zx_build_seq_ctable(
+                op, cap - (op - ostart), d->nextCh, d->fseLog, chMode[ci],
+                count, max, d->codes, (uint64_t)nbSeq, d->defNorm, d->defLog,
+                d->defMax);
+            if (hdrSize < 0) return -1;
+            if (chMode[ci] == 2) lastCountSize = hdrSize;
+            op += hdrSize;
+        }
     }
-    // OF channel
-    {
-        uint32_t count[32];
-        std::memcpy(count, ofcnt, sizeof count);
-        uint32_t max = 31;
-        while (max > 0 && count[max] == 0) max--;
-        uint32_t mostFrequent = 0;
-        for (uint32_t s = 0; s <= max; s++)
-            if (count[s] > mostFrequent) mostFrequent = count[s];
-        const int defaultAllowed = max <= 28;
-        next->of = prev->of;
-        Offtype = zx_select_encoding(&next->of.rep, count, max, mostFrequent,
-                                     (uint64_t)nbSeq, 8, &prev->of, kOFNorm, 5,
-                                     defaultAllowed, strategy);
-        const int64_t countSize = zx_build_seq_ctable(
-            op, cap - (op - ostart), &next->of, 8, Offtype, count, max, ofc,
-            (uint64_t)nbSeq, kOFNorm, 5, 28);
-        if (countSize < 0) return -1;
-        if (Offtype == 2) lastCountSize = countSize;
-        op += countSize;
-    }
-    // ML channel
-    {
-        uint32_t count[53];
-        std::memcpy(count, mlcnt, sizeof count);
-        uint32_t max = 52;
-        while (max > 0 && count[max] == 0) max--;
-        uint32_t mostFrequent = 0;
-        for (uint32_t s = 0; s <= max; s++)
-            if (count[s] > mostFrequent) mostFrequent = count[s];
-        next->ml = prev->ml;
-        MLtype = zx_select_encoding(&next->ml.rep, count, max, mostFrequent,
-                                    (uint64_t)nbSeq, 9, &prev->ml, kMLNorm, 6,
-                                    1, strategy);
-        const int64_t countSize = zx_build_seq_ctable(
-            op, cap - (op - ostart), &next->ml, 9, MLtype, count, max, mlc,
-            (uint64_t)nbSeq, kMLNorm, 6, 52);
-        if (countSize < 0) return -1;
-        if (MLtype == 2) lastCountSize = countSize;
-        op += countSize;
-    }
+    const int LLtype = chMode[0], Offtype = chMode[1], MLtype = chMode[2];
     *seqHead = (uint8_t)((LLtype << 6) + (Offtype << 4) + (MLtype << 2));
 
     // interleaved FSE bitstream via the oracle-validated writer
@@ -5012,9 +5004,9 @@ static int64_t zx_sb_estimate(const ZxSbEst* e, const ZxEntropy* ent,
             int64_t b;
             if (c.type == 1) b = 0;
             else if (c.type == 0)
-                b = zx_cross_entropy_cost(c.defNorm, c.defLog, c.cnt, max);
+                b = cost_predefined(c.defNorm, c.defLog, c.cnt, max);
             else
-                b = zx_fse_bit_cost(c.ch, c.cnt, max);
+                b = cost_prev_table(c.ch, c.cnt, max);
             if (b < 0 || b >= kZxErr) b = e->nbSeq * 10 * 8;
             bits += b;
         }
@@ -6143,22 +6135,22 @@ static inline uint32_t zx_rep_to_raw(const uint32_t* rep, uint32_t offCode,
 }
 
 // Mutates ob[] (offBase form) in place.
-static void zx_resolve_offcodes(uint32_t* dRep, uint32_t* cRep,
+static void zx_resolve_offcodes(uint32_t* seen_rep, uint32_t* parse_rep,
                                 const uint32_t* ll_arr, uint32_t* ob,
                                 int64_t nbSeq) {
     for (int64_t i = 0; i < nbSeq; i++) {
         const uint32_t ll0 = ll_arr[i] == 0;
         const uint32_t offCode = ob[i] - 1;
         if (offCode <= 2) {
-            const uint32_t dRaw = zx_rep_to_raw(dRep, offCode, ll0);
-            const uint32_t cRaw = zx_rep_to_raw(cRep, offCode, ll0);
-            if (dRaw != cRaw) ob[i] = cRaw + 3;
+            const uint32_t seen_dist = zx_rep_to_raw(seen_rep, offCode, ll0);
+            const uint32_t parse_dist = zx_rep_to_raw(parse_rep, offCode, ll0);
+            if (seen_dist != parse_dist) ob[i] = parse_dist + 3;
         }
         uint32_t nd[3], nc[3];
-        zx_updateRep3(dRep, ob[i] - 1, ll0, nd);
-        zx_updateRep3(cRep, offCode, ll0, nc);
-        std::memcpy(dRep, nd, 12);
-        std::memcpy(cRep, nc, 12);
+        zx_updateRep3(seen_rep, ob[i] - 1, ll0, nd);
+        zx_updateRep3(parse_rep, offCode, ll0, nc);
+        std::memcpy(seen_rep, nd, 12);
+        std::memcpy(parse_rep, nc, 12);
     }
 }
 
@@ -6198,7 +6190,7 @@ static int64_t zx_chunk_cost(const uint8_t* block, int64_t blockSize,
 
 struct ZxSplits { int64_t loc[200]; int n; };
 
-static void zx_derive_splits(ZxSplits* sp, int64_t startIdx, int64_t endIdx,
+static void zx_derive_splits(ZxSplits* sp, int64_t first_seq, int64_t end_seq,
                              const uint8_t* block, int64_t blockSize,
                              const uint32_t* ll, const uint32_t* mlv,
                              const uint32_t* ob, const int64_t* seq_start,
@@ -6208,23 +6200,23 @@ static void zx_derive_splits(ZxSplits* sp, int64_t startIdx, int64_t endIdx,
         const char* e = getenv("ZT_SB_MIN");
         return e ? atoll(e) : 300LL;
     }();
-    if (endIdx - startIdx < min_seqs || sp->n >= 196) return;
-    const int64_t mid = (startIdx + endIdx) / 2;
+    if (end_seq - first_seq < min_seqs || sp->n >= 196) return;
+    const int64_t mid = (first_seq + end_seq) / 2;
     const int64_t full = zx_chunk_cost(block, blockSize, ll, mlv, ob,
-                                       seq_start, nseq, last_lit, startIdx,
-                                       endIdx, prev, strategy);
+                                       seq_start, nseq, last_lit, first_seq,
+                                       end_seq, prev, strategy);
     const int64_t lo = zx_chunk_cost(block, blockSize, ll, mlv, ob, seq_start,
-                                     nseq, last_lit, startIdx, mid, prev,
+                                     nseq, last_lit, first_seq, mid, prev,
                                      strategy);
     const int64_t hi = zx_chunk_cost(block, blockSize, ll, mlv, ob, seq_start,
-                                     nseq, last_lit, mid, endIdx, prev,
+                                     nseq, last_lit, mid, end_seq, prev,
                                      strategy);
     if (full < 0 || lo < 0 || hi < 0) return;
     if (lo + hi < full) {
-        zx_derive_splits(sp, startIdx, mid, block, blockSize, ll, mlv, ob,
+        zx_derive_splits(sp, first_seq, mid, block, blockSize, ll, mlv, ob,
                          seq_start, nseq, last_lit, prev, strategy);
         sp->loc[sp->n++] = mid;
-        zx_derive_splits(sp, mid, endIdx, block, blockSize, ll, mlv, ob,
+        zx_derive_splits(sp, mid, end_seq, block, blockSize, ll, mlv, ob,
                          seq_start, nseq, last_lit, prev, strategy);
     }
 }
@@ -6254,9 +6246,9 @@ static int64_t zx_split_block_emit(const uint8_t* block, int64_t blockSize,
                          seq_start, nseq, last_lit, &ent2[*prevIdxP],
                          strategy);
     sp.loc[sp.n] = nseq;
-    uint32_t dRep[3], cRep[3];
-    std::memcpy(dRep, ent2[*prevIdxP].repcodes, 12);
-    std::memcpy(cRep, ent2[*prevIdxP].repcodes, 12);
+    uint32_t seen_rep[3], parse_rep[3];
+    std::memcpy(seen_rep, ent2[*prevIdxP].repcodes, 12);
+    std::memcpy(parse_rep, ent2[*prevIdxP].repcodes, 12);
     int64_t op = 0;
     int64_t a = 0;
     for (int k = 0; k <= sp.n; k++) {
@@ -6266,10 +6258,10 @@ static int64_t zx_split_block_emit(const uint8_t* block, int64_t blockSize,
         const int64_t pbn = pb - pa;
         const int64_t plast = k == sp.n ? last_lit : 0;
         const int lastPart = (k == sp.n) && lastBlock;
-        uint32_t dRepOrig[3];
-        std::memcpy(dRepOrig, dRep, 12);
+        uint32_t seen_rep_orig[3];
+        std::memcpy(seen_rep_orig, seen_rep, 12);
         if (sp.n > 0)  // isPartition (ZSTD_compressSeqStore_singleBlock:4238)
-            zx_resolve_offcodes(dRep, cRep, ll + a, ob + a, b - a);
+            zx_resolve_offcodes(seen_rep, parse_rep, ll + a, ob + a, b - a);
         if (cap - op < 3 + pbn + 32) {
             free(seq_start);
             return -1;
@@ -6279,7 +6271,7 @@ static int64_t zx_split_block_emit(const uint8_t* block, int64_t blockSize,
             &ent2[*prevIdxP], &ent2[*prevIdxP ^ 1], strategy, out + op + 3,
             cap - op - 3 - 8);
         if (c >= 0 && !isFirstBlock && c < 25 && zx_is_rle(block + pa, pbn)) {
-            // RLE partition: decoder executes no sequences -> revert dRep
+            // RLE partition: decoder executes no sequences -> revert seen_rep
             const uint32_t bh =
                 (uint32_t)(lastPart + (1u << 1) + ((uint32_t)pbn << 3));
             out[op] = (uint8_t)bh;
@@ -6287,7 +6279,7 @@ static int64_t zx_split_block_emit(const uint8_t* block, int64_t blockSize,
             out[op + 2] = (uint8_t)(bh >> 16);
             out[op + 3] = block[pa];
             op += 4;
-            std::memcpy(dRep, dRepOrig, 12);
+            std::memcpy(seen_rep, seen_rep_orig, 12);
         } else if (c < 0) {
             // raw partition
             const uint32_t bh =
@@ -6297,7 +6289,7 @@ static int64_t zx_split_block_emit(const uint8_t* block, int64_t blockSize,
             out[op + 2] = (uint8_t)(bh >> 16);
             std::memcpy(out + op + 3, block + pa, (size_t)pbn);
             op += 3 + pbn;
-            std::memcpy(dRep, dRepOrig, 12);
+            std::memcpy(seen_rep, seen_rep_orig, 12);
         } else {
             *prevIdxP ^= 1;  // confirm repcodes + entropy tables
             const uint32_t bh =
@@ -6310,10 +6302,10 @@ static int64_t zx_split_block_emit(const uint8_t* block, int64_t blockSize,
         a = b;
     }
     // Split case: the decoder-visible history replaces the parse's reps
-    // (ZSTD_compressBlock_splitBlock_internal:4460 memcpy of dRep).  The
+    // (ZSTD_compressBlock_splitBlock_internal:4460 memcpy of seen_rep).  The
     // unsplit case returns early in the reference — reps flow through the
     // confirm-swap from the parse — so they must not be overwritten here.
-    if (sp.n > 0) std::memcpy(ent2[*prevIdxP].repcodes, dRep, 12);
+    if (sp.n > 0) std::memcpy(ent2[*prevIdxP].repcodes, seen_rep, 12);
     free(seq_start);
     return op;
 }
