@@ -8433,6 +8433,86 @@ int64_t zt_decompress_many_ddict(void* h, const uint8_t* concat_in,
 // fast/dfast strategies.  Returns the frame size, or
 //   -1 on internal error / capacity, -2 when the (level, srcSize) resolves
 //   to a strategy this path does not cover yet (caller falls back).
+// ---------------------------------------------------------------------------
+// DP pipeline frame body: one native pass over all blocks of a frame,
+// consuming the device parse's per-position candidates (hybrid_select)
+// and running the exact-path entropy encoder per block.  Replaces the
+// per-block host-Python loop of parallel/pipeline.py (VERDICT r2 item 3).
+// Returns emitted body bytes (block headers included) or -1.
+// ---------------------------------------------------------------------------
+int64_t zt_dp_frame_body(const uint8_t* src, int64_t n, const int32_t* cand,
+                         int64_t block_size, uint8_t* out, int64_t cap) {
+    codec_init();
+    if (n <= 0) return -1;
+    if (block_size <= 0 || block_size > (1 << 17)) return -1;
+    const int64_t seq_cap = block_size / 3 + 64;
+    uint32_t* ll = (uint32_t*)malloc((size_t)seq_cap * 12);
+    if (!ll) return -1;
+    uint32_t* ml = ll + seq_cap;
+    uint32_t* ob = ml + seq_cap;
+    ZxEntropy ent[2];
+    std::memset(ent, 0, sizeof ent);
+    ent[0].repcodes[0] = 1; ent[0].repcodes[1] = 4; ent[0].repcodes[2] = 8;
+    int prevIdx = 0;
+    uint32_t rep2[2] = {1, 4};
+    int64_t ip = 0, op = 0;
+
+    while (ip < n) {
+        const int64_t bs = block_size < n - ip ? block_size : n - ip;
+        const int lastBlock = ip + bs == n;
+        if (cap - op < bs + 32) { free(ll); return -1; }
+        // RLE block
+        int is_rle = bs > 1;
+        for (int64_t i = 1; is_rle && i < bs; i++)
+            if (src[ip + i] != src[ip]) is_rle = 0;
+        if (is_rle) {
+            const uint32_t bh = (uint32_t)(lastBlock + (1u << 1) +
+                                           ((uint32_t)bs << 3));
+            out[op] = (uint8_t)bh;
+            out[op + 1] = (uint8_t)(bh >> 8);
+            out[op + 2] = (uint8_t)(bh >> 16);
+            out[op + 3] = src[ip];
+            op += 4;
+            ip += bs;
+            continue;
+        }
+        const uint32_t rep_snap[2] = {rep2[0], rep2[1]};
+        int64_t last_lit = bs;
+        int64_t nseq = hybrid_select(src + ip, bs, cand + ip, rep2,
+                                     ll, ml, ob, seq_cap - 8, &last_lit);
+        int64_t c = -1;
+        if (nseq > 0)
+            c = zx_block_from_arrays(src + ip, bs, ll, ml, ob, nseq,
+                                     last_lit, &ent[prevIdx],
+                                     &ent[prevIdx ^ 1], 1, out + op + 3,
+                                     cap - op - 3 - 8);
+        if (c < 0) {
+            // raw block: the decoder sees no sequences, so the selector's
+            // rep advance must be rolled back and entropy stays put
+            rep2[0] = rep_snap[0];
+            rep2[1] = rep_snap[1];
+            const uint32_t bh = (uint32_t)(lastBlock + (0u << 1) +
+                                           ((uint32_t)bs << 3));
+            out[op] = (uint8_t)bh;
+            out[op + 1] = (uint8_t)(bh >> 8);
+            out[op + 2] = (uint8_t)(bh >> 16);
+            std::memcpy(out + op + 3, src + ip, (size_t)bs);
+            op += 3 + bs;
+        } else {
+            const uint32_t bh = (uint32_t)(lastBlock + (2u << 1) +
+                                           ((uint32_t)c << 3));
+            out[op] = (uint8_t)bh;
+            out[op + 1] = (uint8_t)(bh >> 8);
+            out[op + 2] = (uint8_t)(bh >> 16);
+            op += 3 + c;
+            prevIdx ^= 1;
+        }
+        ip += bs;
+    }
+    free(ll);
+    return op;
+}
+
 int64_t zt_compress_exact_params(const uint8_t* src, int64_t n,
                                  int wlog, int clog, int hlog, int slog,
                                  int mml, int tlen, int strat,

@@ -1,0 +1,473 @@
+"""End-to-end on-device frame decode: entropy kernels + LZ stitch in HBM.
+
+`decode_batch_device(frames)` decodes a batch of zstd frames wholly on
+the device: 4-stream-Huffman literal sections run through the Pallas
+decoder (ops/device_huf.py), sequence sections through the Pallas 3-state
+FSE machine (ops/device_fse.py), and the LZ reconstruction through the
+pointer-jumping executor (ops/execseq.py).  Outputs are device-resident
+uint8 rows in HBM — nothing crosses back to the host except (optionally)
+whatever the caller materializes.  This is the deployment shape the
+device plane exists for: record-batch decompression feeding on-device
+consumers (training input pipelines), where D2H bandwidth never enters.
+
+Coverage envelope (everything else transparently routes to the host
+engine, reported in the plan):
+  - single-block frames (content <= 128KB), any block type — the record
+    workload; raw and RLE blocks are handled on device too (an RLE block
+    is a one-byte literal pool row);
+  - literal sections: raw, RLE, and 4-stream Huffman on device; 1-stream
+    Huffman sections are host-decoded into the pool (header-scale work);
+  - sequence sections: predefined / RLE / fresh-FSE tables (the Pallas
+    kernel resolves repcodes internally).
+Multi-block frames chain repcode state through the payload, which would
+serialize the lanes; they take the host path (SURVEY.md §2.7: the format
+makes blocks within a window dependent — parallelism comes from frames).
+
+Reference behavior mirrored: ZSTD_decompressBlock_internal:3090 stage
+order, ZSTD_execSequence:2187 byte semantics (via ops/execseq.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .. import constants as C
+from ..entropy import huffman
+from .block import EntropyState, decode_sequence_headers
+from .device_glue import _CodedDT
+from .frame import parse_frame_header
+
+# exec batching: lanes per exec call x output bucket (one fused dispatch
+# covers assembly + LZ execution; wide chunks amortize tunnel latency)
+EXEC_LANES = 64
+_O_BUCKETS = (1 << 12, 1 << 15, 1 << 17)
+_S_BUCKETS = (256, 1024, 4096, 8192, 16384, 32768)
+
+
+@dataclass
+class _BlockPlan:
+    frame_idx: int
+    out_len: int
+    lit_regen: int
+    # literals: kind 0 = raw pool span, 1 = huf 4-stream section
+    lit_kind: int = 0
+    pool_base: int = 0
+    pool_len: int = 0
+    huf_lane0: int = -1
+    huf_seg: int = 0
+    # sequences: kind 0 = none, 1 = device FSE lane, 2 = host arrays row
+    seq_kind: int = 0
+    fse_lane: int = -1
+    host_row: int = -1
+    n_seq: int = 0
+
+
+@dataclass
+class DevicePlan:
+    blocks: list = field(default_factory=list)
+    raw_pool: bytearray = field(default_factory=bytearray)
+    huf_payloads: list = field(default_factory=list)
+    huf_weights: list = field(default_factory=list)
+    huf_nsyms: list = field(default_factory=list)
+    fse_payloads: list = field(default_factory=list)
+    fse_tables: list = field(default_factory=list)
+    fse_nseqs: list = field(default_factory=list)
+    fse_reps: list = field(default_factory=list)
+    host_seqs: list = field(default_factory=list)  # (ll, ml, of) np arrays
+    host_routed: dict = field(default_factory=dict)  # frame_idx -> reason
+    n_frames: int = 0
+    max_out: int = 0
+    max_seq: int = 0
+
+
+def _parse_lit_header(payload: bytes):
+    """(lit_type, size_format, regen, comp, header_bytes)."""
+    b0 = payload[0]
+    lt, sf = b0 & 3, (b0 >> 2) & 3
+    if lt in (0, 1):
+        if sf in (0, 2):
+            return lt, sf, b0 >> 3, 0, 1
+        if sf == 1:
+            v = int.from_bytes(payload[0:2], "little")
+            return lt, sf, v >> 4, 0, 2
+        v = int.from_bytes(payload[0:3], "little")
+        return lt, sf, v >> 4, 0, 3
+    if sf in (0, 1):
+        v = int.from_bytes(payload[0:3], "little")
+        return lt, sf, (v >> 4) & 0x3FF, (v >> 14) & 0x3FF, 3
+    if sf == 2:
+        v = int.from_bytes(payload[0:4], "little")
+        return lt, sf, (v >> 4) & 0x3FFF, (v >> 18) & 0x3FFF, 4
+    v = int.from_bytes(payload[0:5], "little")
+    return lt, sf, (v >> 4) & 0x3FFFF, (v >> 22) & 0x3FFFF, 5
+
+
+def plan_batch(frames) -> DevicePlan:
+    """Host header pass: split each frame into device work or a host
+    route.  Only headers and table descriptions are examined — payload
+    bytes go to the device untouched (raw literal spans are sliced)."""
+    from ..ops import device_fse as df
+    from ..ops import device_huf as dh
+
+    plan = DevicePlan(n_frames=len(frames))
+    for fi, frame in enumerate(frames):
+        try:
+            buf = np.frombuffer(frame, np.uint8)
+            hdr = parse_frame_header(buf)
+            if hdr.frame_content_size is None:
+                plan.host_routed[fi] = "no content size"
+                continue
+            content = int(hdr.frame_content_size)
+            if content > (1 << 17):
+                plan.host_routed[fi] = "multi-block (content > 128KB)"
+                continue
+            p = hdr.header_size
+            bh = int.from_bytes(frame[p:p + 3], "little")
+            last, btype, bsize = bh & 1, (bh >> 1) & 3, bh >> 3
+            if not last:
+                plan.host_routed[fi] = "multi-block frame"
+                continue
+            b = _BlockPlan(frame_idx=fi, out_len=content, lit_regen=0)
+            if btype == 0:  # raw block
+                b.lit_kind = 0
+                b.pool_base = len(plan.raw_pool)
+                plan.raw_pool += frame[p + 3:p + 3 + bsize]
+                b.pool_len = bsize
+                b.lit_regen = bsize
+                plan.blocks.append(b)
+                plan.max_out = max(plan.max_out, content)
+                continue
+            if btype == 1:  # RLE block
+                b.lit_kind = 0
+                b.pool_base = len(plan.raw_pool)
+                plan.raw_pool += frame[p + 3:p + 4]
+                b.pool_len = 1
+                b.lit_regen = content
+                plan.blocks.append(b)
+                plan.max_out = max(plan.max_out, content)
+                continue
+            payload = bytes(frame[p + 3:p + 3 + bsize])
+            lt, sf, regen, comp, lh = _parse_lit_header(payload)
+            b.lit_regen = regen
+            ent = EntropyState()
+            if lt == 0:  # raw literals
+                b.pool_base = len(plan.raw_pool)
+                plan.raw_pool += payload[lh:lh + regen]
+                b.pool_len = regen
+                lit_end = lh + regen
+            elif lt == 1:  # RLE literals
+                b.pool_base = len(plan.raw_pool)
+                plan.raw_pool.append(payload[lh])
+                b.pool_len = 1
+                lit_end = lh + 1
+            elif lt == 2:  # Huffman literals
+                body = payload[lh:lh + comp]
+                weights, tlog, whdr = huffman.read_weights(body)
+                streams = body[whdr:]
+                four = sf != 0
+                ok_dev = False
+                if four and len(streams) >= 10:
+                    s1 = int.from_bytes(streams[0:2], "little")
+                    s2 = int.from_bytes(streams[2:4], "little")
+                    s3 = int.from_bytes(streams[4:6], "little")
+                    sizes = [s1, s2, s3, len(streams) - 6 - s1 - s2 - s3]
+                    seg = (regen + 3) // 4
+                    outs = [seg, seg, seg, regen - 3 * seg]
+                    if (min(sizes) > 0 and min(outs) > 0
+                            and max(sizes) <= dh.MAX_W * 4):
+                        b.lit_kind = 1
+                        b.huf_lane0 = len(plan.huf_payloads)
+                        b.huf_seg = seg
+                        off = 6
+                        for s in range(4):
+                            plan.huf_payloads.append(
+                                streams[off:off + sizes[s]])
+                            plan.huf_weights.append(weights)
+                            plan.huf_nsyms.append(outs[s])
+                            off += sizes[s]
+                        ok_dev = True
+                if not ok_dev:
+                    # 1-stream or oversized: host-decode into the pool
+                    from .block import decode_literals
+
+                    lits, _ = decode_literals(payload, EntropyState())
+                    b.pool_base = len(plan.raw_pool)
+                    plan.raw_pool += lits.tobytes()
+                    b.pool_len = regen
+                lit_end = lh + comp
+            else:
+                plan.host_routed[fi] = "treeless literals in first block"
+                continue
+            # sequence section
+            rest = payload[lit_end:]
+            nbseq, ll_dt, of_dt, ml_dt, consumed = \
+                decode_sequence_headers(rest, ent)
+            b.n_seq = nbseq
+            if nbseq > 0:
+                seq_payload = rest[consumed:]
+                if (len(seq_payload) <= df.MAX_W * 4
+                        and of_dt.table_log <= 8
+                        and nbseq <= _S_BUCKETS[-1]):
+                    b.seq_kind = 1
+                    b.fse_lane = len(plan.fse_payloads)
+                    plan.fse_payloads.append(seq_payload)
+                    plan.fse_tables.append((_CodedDT(ll_dt, "ll"),
+                                            _CodedDT(of_dt, "of"),
+                                            _CodedDT(ml_dt, "ml")))
+                    plan.fse_nseqs.append(nbseq)
+                    plan.fse_reps.append([1, 4, 8])
+                else:
+                    from .block import decode_sequences
+
+                    lls, mls, ofs = decode_sequences(
+                        seq_payload, nbseq, ll_dt, of_dt, ml_dt, [1, 4, 8])
+                    b.seq_kind = 2
+                    b.host_row = len(plan.host_seqs)
+                    plan.host_seqs.append((lls, mls, ofs))
+                plan.max_seq = max(plan.max_seq, nbseq)
+            plan.blocks.append(b)
+            plan.max_out = max(plan.max_out, content)
+        except Exception as e:  # pragma: no cover - defensive routing
+            plan.host_routed[fi] = f"plan error: {e}"
+    return plan
+
+
+def _bucket(v, buckets):
+    for x in buckets:
+        if v <= x:
+            return x
+    raise ValueError(f"{v} exceeds device envelope {buckets[-1]}")
+
+
+def decode_batch_device(frames, materialize: bool = False):
+    """Decode a batch of frames on the device.
+
+    Returns (outputs, lengths, host_results) where outputs is a list of
+    per-exec-chunk device arrays [EXEC_LANES, O] uint8 whose rows map to
+    device-planned frames in plan order, lengths is the per-row content
+    size, and host_results maps frame_idx -> bytes for frames outside the
+    device envelope.  With materialize=True, returns (results, stats)
+    where results is the list of all frame bytes in order (device rows
+    copied out — testing convenience, not the deployment path).
+    """
+    import os
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops import device_fse as df
+    from ..ops import device_huf as dh
+
+    prof = os.environ.get("ZT_DP_PROF")
+    t_last = [time.perf_counter()]
+
+    def tick(stage):
+        if prof:
+            now = time.perf_counter()
+            print(f"  dp {stage}: {(now - t_last[0]) * 1e3:.0f} ms",
+                  flush=True)
+            t_last[0] = now
+
+    plan = plan_batch(frames)
+    tick("plan")
+    host_results = {}
+    if plan.host_routed:
+        from .frame import decompress
+
+        for fi in plan.host_routed:
+            host_results[fi] = decompress(bytes(frames[fi]))
+
+    if not plan.blocks:
+        if materialize:
+            return [host_results[i] for i in range(plan.n_frames)], {
+                "device_frames": 0, "host_frames": len(host_results)}
+        return [], np.zeros(0, np.int64), host_results
+
+    # ---- stage 1: entropy kernels ----
+    huf_flat = None
+    huf_T = 0
+    if plan.huf_payloads:
+        outs = []
+        for i in range(0, len(plan.huf_payloads), dh.LANES):
+            batch = dh.prepare_batch(plan.huf_payloads[i:i + dh.LANES],
+                                     plan.huf_weights[i:i + dh.LANES],
+                                     plan.huf_nsyms[i:i + dh.LANES])
+            out = dh.huf_decode_device(batch)  # [T, SUB, LN] i32
+            T = out.shape[0]
+            outs.append(out.reshape(T, dh.LANES).T)  # [LANES, T]
+        huf_T = max(o.shape[1] for o in outs)
+        outs = [jnp.pad(o, ((0, 0), (0, huf_T - o.shape[1]))) for o in outs]
+        huf_flat = jnp.concatenate(outs, axis=0).reshape(-1)  # [NL*T]
+        jax.block_until_ready(huf_flat)
+        tick("huf")
+
+    fse_rows = None
+    fse_T = 0
+    if plan.fse_payloads:
+        parts = []
+        for i in range(0, len(plan.fse_payloads), df.LANES):
+            batch = df.prepare_batch(plan.fse_payloads[i:i + df.LANES],
+                                     plan.fse_tables[i:i + df.LANES],
+                                     plan.fse_nseqs[i:i + df.LANES],
+                                     plan.fse_reps[i:i + df.LANES])
+            lls, mls, ofs = df.fse_decode_device(batch)  # [T, SUB, LN]
+            T = lls.shape[0]
+            parts.append((lls.reshape(T, df.LANES).T,
+                          mls.reshape(T, df.LANES).T,
+                          ofs.reshape(T, df.LANES).T))
+        fse_T = max(p[0].shape[1] for p in parts)
+        pad = lambda a: jnp.pad(a, ((0, 0), (0, fse_T - a.shape[1])))
+        fse_rows = tuple(jnp.concatenate([pad(p[k]) for p in parts], axis=0)
+                         for k in range(3))
+        jax.block_until_ready(fse_rows)
+        tick("fse")
+
+    # host-decoded sequence rows (fallback lanes)
+    S = _bucket(max(plan.max_seq, fse_T, 1), _S_BUCKETS)
+    if plan.host_seqs:
+        H = len(plan.host_seqs)
+        h_ll = np.zeros((H, S), np.int32)
+        h_ml = np.zeros((H, S), np.int32)
+        h_of = np.zeros((H, S), np.int32)
+        for r, (lls, mls, ofs) in enumerate(plan.host_seqs):
+            n = len(lls)
+            h_ll[r, :n] = lls
+            h_ml[r, :n] = mls
+            h_of[r, :n] = ofs
+        h_rows = (jnp.asarray(h_ll), jnp.asarray(h_ml), jnp.asarray(h_of))
+    else:
+        h_rows = None
+
+    raw_flat = jnp.asarray(
+        np.frombuffer(bytes(plan.raw_pool) + b"\x00", np.uint8))
+
+    # ---- stage 2: assemble lanes + execute, EXEC_LANES at a time ----
+    O = _bucket(max(plan.max_out, 1), _O_BUCKETS)
+    L = O
+    outputs = []
+    lengths = np.array([b.out_len for b in plan.blocks], np.int64)
+
+    nblk = len(plan.blocks)
+    B = EXEC_LANES if nblk > 64 else 64
+    fused = _fused_decode(huf_T, fse_T, S, L, B, O)
+
+    for c0 in range(0, nblk, B):
+        chunk = plan.blocks[c0:c0 + B]
+        meta = np.zeros((B, 11), np.int32)
+        for k, b in enumerate(chunk):
+            meta[k] = (b.lit_kind, b.pool_base, b.pool_len, b.huf_lane0,
+                       b.huf_seg, b.seq_kind, b.fse_lane, b.host_row,
+                       b.n_seq, b.lit_regen, b.out_len)
+        outputs.append(fused(jnp.asarray(meta), huf_flat, fse_rows, h_rows,
+                             raw_flat))
+    if prof:
+        jax.block_until_ready(outputs)
+        tick("exec")
+
+    if not materialize:
+        return outputs, lengths, host_results
+
+    results = [None] * plan.n_frames
+    for fi, data in host_results.items():
+        results[fi] = data
+    row = 0
+    for ci, out in enumerate(outputs):
+        host = np.asarray(out)
+        for k in range(min(EXEC_LANES, len(plan.blocks) - ci * EXEC_LANES)):
+            b = plan.blocks[ci * EXEC_LANES + k]
+            results[b.frame_idx] = host[k, :b.out_len].tobytes()
+            row += 1
+    stats = {"device_frames": len(plan.blocks),
+             "host_frames": len(host_results)}
+    return results, stats
+
+
+_FUSED_CACHE: dict = {}
+
+
+def _fused_decode(huf_T: int, fse_T: int, S: int, L: int, B: int, O: int):
+    """One jit-compiled dispatch: per-lane metadata + kernel outputs ->
+    decoded bytes.  Gather math derives every index from header scalars
+    (no per-byte host-built maps), then runs the pointer-jumping executor
+    inline so assembly and execution fuse into a single XLA program."""
+    key = (huf_T, fse_T, S, L, B, O)
+    if key in _FUSED_CACHE:
+        return _FUSED_CACHE[key]
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.execseq import make_executor
+
+    run_exec = make_executor(B, S, L, 8, O)
+
+    def fused(meta, huf_flat, fse_rows, h_rows, raw_flat):
+        lit_kind = meta[:, 0]
+        pool_base = meta[:, 1]
+        pool_len = meta[:, 2]
+        lane0 = meta[:, 3]
+        seg = jnp.maximum(meta[:, 4], 1)
+        seq_kind = meta[:, 5]
+        fse_lane = jnp.maximum(meta[:, 6], 0)
+        host_row = jnp.maximum(meta[:, 7], 0)
+        n_seq = meta[:, 8]
+        lit_regen = meta[:, 9]
+        out_len = meta[:, 10]
+
+        i = jnp.arange(L, dtype=jnp.int32)[None, :]
+        # raw-pool source: per-lane contiguous span via dynamic_slice
+        # (arbitrary flat gathers are the slow op class on TPU; contiguous
+        # slices and minor-dim take_along_axis are the fast ones).  An RLE
+        # span (pool_len 1) broadcasts its single byte.
+        raw_pad = jnp.pad(raw_flat, (0, L + 8))
+        lit = jax.vmap(
+            lambda st: jax.lax.dynamic_slice(raw_pad, (st,), (L,)))(
+            pool_base)
+        lit = jnp.where(pool_len[:, None] == 1, lit[:, :1], lit)
+        if huf_flat is not None:
+            # each lane's 4 streams are 4 consecutive T-rows of the flat
+            # kernel output: one contiguous 4T slice, then a minor-dim
+            # gather stitches the quarters at their real lengths
+            huf_pad = jnp.pad(huf_flat, (0, 4 * huf_T + 8))
+            quads = jax.vmap(
+                lambda l0: jax.lax.dynamic_slice(
+                    huf_pad, (l0 * huf_T,), (4 * huf_T,)))(
+                jnp.maximum(lane0, 0))
+            s = jnp.minimum(i // seg[:, None], 3)
+            within = i - s * seg[:, None]
+            qi = jnp.clip(s * huf_T + within, 0, 4 * huf_T - 1)
+            lit_huf = jnp.take_along_axis(quads, qi, axis=1).astype(jnp.uint8)
+            lit = jnp.where(lit_kind[:, None] == 1, lit_huf, lit)
+
+        def rows_from(src, idx, T):
+            r = jnp.take(src, idx, axis=0)
+            if T < S:
+                r = jnp.pad(r, ((0, 0), (0, S - T)))
+            return r[:, :S]
+
+        zero = jnp.zeros((B, S), jnp.int32)
+        ll, ml, off = zero, zero, jnp.ones_like(zero)
+        if fse_rows is not None:
+            m = (seq_kind == 1)[:, None]
+            ll = jnp.where(m, rows_from(fse_rows[0], fse_lane, fse_T), ll)
+            ml = jnp.where(m, rows_from(fse_rows[1], fse_lane, fse_T), ml)
+            off = jnp.where(m, rows_from(fse_rows[2], fse_lane, fse_T), off)
+        if h_rows is not None:
+            m = (seq_kind == 2)[:, None]
+            ll = jnp.where(m, jnp.take(h_rows[0], host_row, axis=0), ll)
+            ml = jnp.where(m, jnp.take(h_rows[1], host_row, axis=0), ml)
+            off = jnp.where(m, jnp.take(h_rows[2], host_row, axis=0), off)
+
+        live = jnp.arange(S, dtype=jnp.int32)[None, :] < n_seq[:, None]
+        sum_ll = jnp.sum(jnp.where(live, ll, 0), axis=1)
+        last_lit = lit_regen - sum_ll
+        window = jnp.zeros((B, 8), jnp.uint8)
+        return run_exec(lit, window, ll.astype(jnp.uint32),
+                        ml.astype(jnp.uint32), off.astype(jnp.uint32),
+                        n_seq, last_lit, out_len)
+
+    fn = jax.jit(fused)
+    _FUSED_CACHE[key] = fn
+    return fn

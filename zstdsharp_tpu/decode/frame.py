@@ -478,6 +478,23 @@ class Decompressor:
                     return out
         return [self.unwrap(f, max_decompressed_size) for f in frames]
 
+    def unwrap_many_device(self, frames: list[bytes]):
+        """Batch unwrap on the TPU: entropy kernels + LZ execution run
+        on-device and the decoded rows STAY in HBM for on-device consumers
+        (decode/device_pipeline.py documents the coverage envelope; frames
+        outside it are decoded by the host engine).
+
+        Returns (outputs, lengths, host_results): outputs is a list of
+        uint8 [B, O] device arrays whose rows follow plan order, lengths
+        the per-row content sizes, host_results a dict frame_idx->bytes
+        for host-routed frames.  Dictionary frames are not device-eligible
+        yet and take the host path."""
+        if self._dict is not None:
+            return [], [], {i: self.unwrap(f) for i, f in enumerate(frames)}
+        from .device_pipeline import decode_batch_device
+
+        return decode_batch_device(frames)
+
     def try_unwrap(self, src: bytes, max_decompressed_size: int) -> tuple[bool, bytes]:
         """TryUnwrap:96 — returns (ok, data) instead of raising on size."""
         try:

@@ -81,6 +81,8 @@ def _load():
         lib.hybrid_select.restype = i64
         lib.hybrid_select.argtypes = [u8p, i64, i32p, u32p, u32p, u32p, u32p,
                                       i64, i64p]
+        lib.zt_dp_frame_body.restype = i64
+        lib.zt_dp_frame_body.argtypes = [u8p, i64, i32p, i64, u8p, i64]
         lib.lazy_find_matches.restype = i64
         lib.lazy_find_matches.argtypes = [u8p, i64, i64, i64, i64, i64, i64p,
                                           i32, i64p, i64, i64, i32, i64p, u32p,
@@ -264,6 +266,24 @@ def hybrid_select(src: np.ndarray, n_valid: int, cand: np.ndarray,
         return None
     rep[0], rep[1] = int(rep_arr[0]), int(rep_arr[1])
     return out_ll[:n], out_ml[:n], out_ob[:n], int(last_lit[0])
+
+
+def dp_frame_body(src: np.ndarray, cand: np.ndarray,
+                  block_size: int) -> bytes | None:
+    """One-pass DP frame body: hybrid selection over device candidates +
+    exact-path entropy per block, all native (zt_dp_frame_body)."""
+    lib = get_lib()
+    if lib is None or len(src) == 0:
+        return None
+    cap = len(src) + (len(src) >> 2) + 4096
+    out = np.empty(cap, dtype=np.uint8)
+    n = lib.zt_dp_frame_body(
+        _ptr(np.ascontiguousarray(src, np.uint8), ctypes.c_uint8), len(src),
+        _ptr(np.ascontiguousarray(cand, np.int32), ctypes.c_int32),
+        block_size, _ptr(out, ctypes.c_uint8), cap)
+    if n < 0:
+        return None
+    return out[:n].tobytes()
 
 
 def lazy_find_matches(src: np.ndarray, start: int, end: int, window_start: int,

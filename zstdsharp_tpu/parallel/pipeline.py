@@ -93,9 +93,7 @@ def compress_data_parallel(data: bytes, mesh: Mesh | None = None,
     mesh = mesh if mesh is not None else make_mesh()
     if level >= 3:
         return _compress_framewise_parallel(data, mesh, level, checksum)
-    from ..encode.block import EncoderEntropy, encode_block_body
     from ..encode.frame import _block_header, _write_frame_header
-    from ..encode.seqstore import SeqStore
     from ..utils.xxhash import content_checksum
 
     from .. import native
@@ -112,41 +110,26 @@ def compress_data_parallel(data: bytes, mesh: Mesh | None = None,
                                         checksum, True))
     if len(src) == 0:
         out += _block_header(True, C.BlockType.RAW, 0)
-    entropy = EncoderEntropy()
-    cand_by_pos = np.empty(block_size, dtype=np.int32)
-    # Repcodes persist across blocks in the DECODER, so the selector must
-    # carry them too, and a raw fallback must not advance them
-    # (confirmRepcodesAndEntropyTables role).  Entropy state fields are
-    # replaced, never mutated, so a shallow tuple snapshot suffices.
-    rep = [1, 4]
+        if checksum:
+            out += content_checksum(src).to_bytes(4, "little")
+        return bytes(out)
 
-    for b in range(n_blocks):
-        last = b == n_blocks - 1
-        nv = int(n_valid[b])
-        block = blocks[b, :nv]
-        if nv > 1 and (block == block[0]).all():
-            out += _block_header(last, C.BlockType.RLE, nv)
-            out.append(int(block[0]))
-            continue
-        # Unsort the device candidates (one O(n) scatter).
-        cand_by_pos[ps_all[b]] = cand_all[b]
-        rep_snap = list(rep)
-        ent_snap = (entropy.huf, entropy.ll, entropy.ml, entropy.of)
-        res = native.hybrid_select(blocks[b], nv, cand_by_pos, rep)
-        if res is not None:
-            lls, mls, obs, last_lit = res
-        else:  # pure-Python fallback (tiny inputs / no toolchain)
-            lls, mls, obs, last_lit = _select_greedy_py(blocks[b], nv, cand_by_pos)
-        seqs = SeqStore(lls, mls, obs, last_lit)
-        body = encode_block_body(block, seqs, entropy) if nv else None
-        if body is None:
-            rep = rep_snap
-            entropy.huf, entropy.ll, entropy.ml, entropy.of = ent_snap
-            out += _block_header(last, C.BlockType.RAW, nv)
-            out += block.tobytes()
-        else:
-            out += _block_header(last, C.BlockType.COMPRESSED, len(body))
-            out += body
+    # Unsort the device candidates back to positional order for every
+    # block at once (vectorized scatter), then hand the WHOLE frame body
+    # to one native pass: hybrid selection over the device candidates +
+    # exact-path entropy per block, GIL released.  This is what makes the
+    # DP path faster than the per-block host loop it replaced (the entropy
+    # stage used to run in Python per block).
+    cand_by_pos = np.empty_like(cand_all)
+    np.put_along_axis(cand_by_pos, ps_all.astype(np.int64), cand_all, axis=1)
+    body = native.dp_frame_body(src, cand_by_pos[:n_blocks].reshape(-1),
+                                block_size)
+    if body is None:
+        # no native engine: fall back to the host exact encoder
+        from ..encode.frame import compress as _host_compress
+
+        return _host_compress(bytes(data), level, checksum=checksum)
+    out += body
     if checksum:
         out += content_checksum(src).to_bytes(4, "little")
     return bytes(out)
