@@ -42,7 +42,7 @@ from .frame import parse_frame_header
 # exec batching: lanes per exec call x output bucket (one fused dispatch
 # covers assembly + LZ execution; wide chunks amortize tunnel latency)
 EXEC_LANES = 64
-_O_BUCKETS = (1 << 12, 1 << 15, 1 << 17)
+_O_BUCKETS = (1 << 12, 24576, 1 << 15, 1 << 17)
 _S_BUCKETS = (256, 1024, 4096, 8192, 16384, 32768)
 
 

@@ -62,6 +62,17 @@ def _jax():
     return jax, jnp, pl, pltpu
 
 
+def _target_is_tpu() -> bool:
+    """True when dispatches will land on a TPU: honors jax.default_device
+    overrides (a CPU mesh on a TPU-registered process must interpret)."""
+    import jax
+
+    d = jax.config.jax_default_device
+    if d is not None:
+        return d.platform == "tpu"
+    return jax.default_backend() == "tpu"
+
+
 @dataclass
 class FseSeqBatch:
     words: np.ndarray      # [W, SUB, LN] int32 stream words
@@ -495,7 +506,7 @@ def fse_decode_device(batch: FseSeqBatch, interpret=False):
     words = np.zeros((W_pad, SUB, LN), np.int32)
     words[:W] = batch.words
     T = next(b for b in _T_BUCKETS if b >= max(batch.t_max, 1))
-    if jax.default_backend() != "tpu":
+    if not _target_is_tpu():
         interpret = True
     fn = _decode_fn(T, W_pad, interpret)
     llp, mlp = _shared_tables()
@@ -517,7 +528,7 @@ def make_runner(batch):
     words = np.zeros((W_pad, SUB, LN), np.int32)
     words[:W] = batch.words
     T = next(b for b in _T_BUCKETS if b >= max(batch.t_max, 1))
-    interpret = jax.default_backend() != "tpu"
+    interpret = not _target_is_tpu()
     fn = _decode_fn(T, W_pad, interpret)
     llp, mlp = _shared_tables()
     st = initial_states(batch)

@@ -47,6 +47,17 @@ def _jax():
     return jax, jnp, pl, pltpu
 
 
+def _target_is_tpu() -> bool:
+    """True when dispatches will land on a TPU: honors jax.default_device
+    overrides (a CPU mesh on a TPU-registered process must interpret)."""
+    import jax
+
+    d = jax.config.jax_default_device
+    if d is not None:
+        return d.platform == "tpu"
+    return jax.default_backend() == "tpu"
+
+
 # ---------------------------------------------------------------------------
 # Host-side preparation
 # ---------------------------------------------------------------------------
@@ -379,7 +390,7 @@ def huf_decode_device(batch, interpret=False):
     words = np.zeros((W_pad, SUB, LN), np.int32)
     words[:W] = batch.words
     T = next(b for b in _T_BUCKETS if b >= max(batch.t_max, 1))
-    if jax.default_backend() != "tpu":
+    if not _target_is_tpu():
         interpret = True  # Pallas TPU kernels only interpret on CPU
     fn = _decode_fn(T, W_pad, interpret)
     with jax.enable_x64(False):
@@ -402,7 +413,7 @@ def make_runner(batch):
     words = np.zeros((W_pad, SUB, LN), np.int32)
     words[:W] = batch.words
     T = next(b for b in _T_BUCKETS if b >= max(batch.t_max, 1))
-    interpret = jax.default_backend() != "tpu"
+    interpret = not _target_is_tpu()
     fn = _decode_fn(T, W_pad, interpret)
     with jax.enable_x64(False):
         ops = [jax.device_put(jnp.asarray(x)) for x in

@@ -75,7 +75,8 @@ def shard_blocks(data: bytes | np.ndarray, n_devices: int,
 
 def compress_data_parallel(data: bytes, mesh: Mesh | None = None,
                            level: int = 1, checksum: bool = False,
-                           block_size: int = BLOCK) -> bytes:
+                           block_size: int = BLOCK,
+                           telemetry: dict | None = None) -> bytes:
     """End-to-end DP compression across the mesh (BASELINE configs 2/5).
 
     Level routing:
@@ -98,12 +99,16 @@ def compress_data_parallel(data: bytes, mesh: Mesh | None = None,
 
     from .. import native
 
+    import time as _time
+
     ndev = mesh.devices.size
+    t0 = _time.perf_counter()
     blocks, n_valid, n_blocks = shard_blocks(data, ndev, block_size)
     parse = make_sharded_parse(mesh, block_size=block_size)
     out_shards = parse(jnp.asarray(blocks), jnp.asarray(n_valid))
     ps_all = np.asarray(out_shards["ps"])
     cand_all = np.asarray(out_shards["cand"])
+    t_parse = _time.perf_counter() - t0
 
     src = np.frombuffer(bytes(data), dtype=np.uint8)
     out = bytearray(_write_frame_header(len(src), C.ZSTD_BLOCKSIZELOG_MAX,
@@ -120,10 +125,18 @@ def compress_data_parallel(data: bytes, mesh: Mesh | None = None,
     # exact-path entropy per block, GIL released.  This is what makes the
     # DP path faster than the per-block host loop it replaced (the entropy
     # stage used to run in Python per block).
+    t0 = _time.perf_counter()
     cand_by_pos = np.empty_like(cand_all)
     np.put_along_axis(cand_by_pos, ps_all.astype(np.int64), cand_all, axis=1)
     body = native.dp_frame_body(src, cand_by_pos[:n_blocks].reshape(-1),
                                 block_size)
+    if telemetry is not None:
+        telemetry.update({
+            "bytes": len(src),
+            "blocks": n_blocks,
+            "parse_ms": round(t_parse * 1e3, 1),
+            "body_ms": round((_time.perf_counter() - t0) * 1e3, 1),
+        })
     if body is None:
         # no native engine: fall back to the host exact encoder
         from ..encode.frame import compress as _host_compress
@@ -191,17 +204,35 @@ def _compress_framewise_parallel(data: bytes, mesh: Mesh, level: int,
         return b"".join(pool.map(one, range(len(chunks))))
 
 
-def decompress_data_parallel(stream: bytes, mesh: Mesh | None = None) -> bytes:
-    """Sharded decode: the stream's frames are split across the mesh's
-    devices (frames are self-delimiting, ZSTD_findFrameCompressedSize:958
-    role) and decoded concurrently, one shard per device slot."""
+def decompress_data_parallel(stream: bytes, mesh: Mesh | None = None,
+                             telemetry: dict | None = None) -> bytes:
+    """Sharded decode with a device plane (VERDICT r2 item 4).
+
+    The stream's frames are split on frame boundaries (self-delimiting,
+    ZSTD_findFrameCompressedSize:958 role) and partitioned:
+
+    - frames inside the device envelope (single-block, <= 128KB content;
+      see decode/device_pipeline.py) are round-robin sharded across the
+      mesh's devices and decoded THERE — Pallas entropy kernels + the
+      pointer-jumping LZ executor, one shard pipeline per device via
+      jax.default_device (frames are independent; no collectives needed,
+      matching SURVEY §2.7's DP design);
+    - larger multi-block frames go to the host engine in a thread pool
+      (their intra-frame window chain is serial by format).
+
+    `telemetry`, if given, is filled with per-shard and per-stage numbers
+    (bytes, ms, device) so scaling runs record where time went.
+    """
+    import time
+
     from concurrent.futures import ThreadPoolExecutor
 
     from ..decode.frame import decompress, find_frame_compressed_size
 
     mesh = mesh if mesh is not None else make_mesh()
-    ndev = int(mesh.devices.size)
-    # frame scan (host, cheap): split the stream on frame boundaries
+    devices = list(mesh.devices.flat)
+    ndev = len(devices)
+    t0 = time.perf_counter()
     frames = []
     pos = 0
     buf = bytes(stream)
@@ -209,10 +240,67 @@ def decompress_data_parallel(stream: bytes, mesh: Mesh | None = None) -> bytes:
         size = find_frame_compressed_size(buf[pos:])
         frames.append(buf[pos : pos + size])
         pos += size
-    if len(frames) <= 1:
+    t_scan = time.perf_counter() - t0
+    if len(frames) <= 1 and telemetry is None:
         return decompress(buf)
-    with ThreadPoolExecutor(max_workers=min(ndev, 16)) as pool:
-        return b"".join(pool.map(decompress, frames))
+
+    from ..decode.device_pipeline import decode_batch_device, plan_batch
+
+    # partition: device-eligible vs host frames (header-only probe)
+    t0 = time.perf_counter()
+    probe = plan_batch(frames)
+    host_idx = set(probe.host_routed)
+    dev_idx = [i for i in range(len(frames)) if i not in host_idx]
+    t_plan = time.perf_counter() - t0
+
+    results: list = [None] * len(frames)
+    shard_stats = []
+
+    t0 = time.perf_counter()
+    if dev_idx:
+        import jax
+
+        shards = [dev_idx[d::ndev] for d in range(ndev)]
+        for d, idxs in enumerate(shards):
+            if not idxs:
+                continue
+            ts = time.perf_counter()
+            with jax.default_device(devices[d]):
+                outs, stats = decode_batch_device(
+                    [frames[i] for i in idxs], materialize=True)
+            for i, r in zip(idxs, outs):
+                results[i] = r
+            shard_stats.append({
+                "device": str(devices[d]),
+                "frames": len(idxs),
+                "bytes": sum(len(r) for r in outs if r is not None),
+                "ms": round((time.perf_counter() - ts) * 1e3, 1),
+            })
+    t_dev = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    if host_idx:
+        with ThreadPoolExecutor(max_workers=min(ndev, 16)) as pool:
+            for i, r in zip(sorted(host_idx),
+                            pool.map(lambda i: decompress(frames[i]),
+                                     sorted(host_idx))):
+                results[i] = r
+    t_host = time.perf_counter() - t0
+
+    if telemetry is not None:
+        total = sum(len(r) for r in results if r is not None)
+        telemetry.update({
+            "frames": len(frames),
+            "device_frames": len(dev_idx),
+            "host_frames": len(host_idx),
+            "scan_ms": round(t_scan * 1e3, 1),
+            "plan_ms": round(t_plan * 1e3, 1),
+            "device_ms": round(t_dev * 1e3, 1),
+            "host_ms": round(t_host * 1e3, 1),
+            "bytes": total,
+            "device_shards": shard_stats,
+        })
+    return b"".join(results)
 
 
 def _select_greedy_py(block: np.ndarray, n_valid: int, cand: np.ndarray):
