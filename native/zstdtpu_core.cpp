@@ -1371,6 +1371,9 @@ static int64_t row_search_v(RowCtx* c, int64_t p, int64_t end, int64_t* off) {
 
 // Best single match via the binary tree (ZSTD_DUBT_findBestMatch role).
 }  // pause extern "C": templates below
+
+static inline int highbit32(uint32_t v) { return 31 - __builtin_clz(v); }
+
 static inline int64_t bt_search(BtCtx* c, int64_t p, int64_t end,
                                 int64_t* best_off) {
     BtMatch mt[32];
@@ -1397,40 +1400,83 @@ static int64_t lazy_core(Ctx* c, const uint8_t* src,
     int64_t n_seq = 0;
     const int64_t limit = c->limit;
 
+    // Candidate quality is compared in quarter-bit "worth" units:
+    // 4*length minus the offset's bit cost (reps charge ~nothing).  A
+    // deferred match must beat the held one by a worth margin that grows
+    // with lookahead distance, so far offsets stop displacing near/rep
+    // matches they barely out-length (decision weights match
+    // ZSTD_compressBlock_lazy_generic, ZstdLazy.cs:1233).
+    const auto worth = [](int64_t len, int64_t off_raw) {
+        const uint32_t ob = off_raw ? (uint32_t)(off_raw + 3) : 1u;
+        return 4 * len - (int64_t)highbit32(ob);
+    };
     while (pos < limit && n_seq + 2 < max_seq) {
-        // rep0 probe requires litLength >= 1 (offset_value 1 with ll==0
-        // means rep1 to the decoder).
-        int64_t rl = (pos > anchor) ? rep_length(src, pos, rep0, window_start, end) : 0;
-        int64_t off;
-        int64_t ml = SEARCH(c, pos, end, &off);
-        if (rl >= 4 && rl + 3 >= ml) { ml = rl; off = 0; }
+        // Held candidate: rep0 one literal ahead (ll>=1 keeps offset_value
+        // 1 meaning rep0 for the decoder), then the backend search here.
+        int64_t ml = rep_length(src, pos + 1, rep0, window_start, end);
+        int64_t off = 0;
+        int64_t mstart = pos + 1;
+        if (ml >= 4 && depth == 0) goto _hold;  // greedy takes reps on sight
+        {
+            int64_t offF;
+            const int64_t mlF = SEARCH(c, pos, end, &offF);
+            if (mlF > ml) { ml = mlF; off = offF; mstart = pos; }
+        }
         if (ml < 4) {
             pos += 1 + ((pos - anchor) >> 8);
             continue;
         }
-        for (int d = depth; d > 0 && pos + 1 < limit; d--) {
-            int64_t rl2 = rep_length(src, pos + 1, rep0, window_start, end);
-            int64_t off2;
-            int64_t ml2 = SEARCH(c, pos + 1, end, &off2);
-            bool better = false;
-            if (rl2 >= 4 && rl2 + 3 > ml + (off == 0 ? 3 : 0) - 3) {
-                pos++; ml = rl2; off = 0; better = true;
-            } else if (ml2 >= 4 && ml2 > ml + (off2 != off ? 1 : 0)) {
-                pos++; ml = ml2; off = off2; better = true;
+        // Lookahead: each round steps one position (two at depth 2) and
+        // re-bids; rep bids are priced in 3/4-worth at the first step so
+        // a same-length rep one byte later still displaces a real offset.
+        while (depth > 0 && pos + 1 < limit) {
+            pos++;
+            {
+                const int64_t rl = rep_length(src, pos, rep0, window_start, end);
+                if (rl >= 4 && 3 * rl > 3 * ml - highbit32(off ? (uint32_t)(off + 3) : 1u) + 1) {
+                    ml = rl; off = 0; mstart = pos;
+                }
             }
-            if (!better) break;
+            {
+                int64_t off2;
+                const int64_t ml2 = SEARCH(c, pos, end, &off2);
+                if (ml2 >= 4 && worth(ml2, off2) > worth(ml, off) + 4) {
+                    ml = ml2; off = off2; mstart = pos;
+                    continue;  // keep bidding from the new hold
+                }
+            }
+            if (depth == 2 && pos + 1 < limit) {
+                pos++;
+                {
+                    const int64_t rl = rep_length(src, pos, rep0, window_start, end);
+                    if (rl >= 4 && 4 * rl > worth(ml, off) + 1) {
+                        ml = rl; off = 0; mstart = pos;
+                    }
+                }
+                {
+                    int64_t off2;
+                    const int64_t ml2 = SEARCH(c, pos, end, &off2);
+                    if (ml2 >= 4 && worth(ml2, off2) > worth(ml, off) + 7) {
+                        ml = ml2; off = off2; mstart = pos;
+                        continue;
+                    }
+                }
+            }
+            break;  // no better bid: emit the hold
         }
+    _hold:
         if (off > 0) {
-            int64_t cand = pos - off;
-            while (pos > anchor && cand > window_start &&
-                   src[pos - 1] == src[cand - 1]) {
-                pos--; cand--; ml++;
+            int64_t cand = mstart - off;
+            while (mstart > anchor && cand > window_start &&
+                   src[mstart - 1] == src[cand - 1]) {
+                mstart--; cand--; ml++;
             }
             rep1 = rep0; rep0 = off;
             out_ob[n_seq] = (uint32_t)(off + 3);
         } else {
             out_ob[n_seq] = 1;
         }
+        pos = mstart;
         out_ll[n_seq] = (uint32_t)(pos - anchor);
         out_ml[n_seq] = (uint32_t)ml;
         n_seq++;
@@ -1987,7 +2033,6 @@ enum { kLLNormLog = 6, kMLNormLog = 6, kOFNormLog = 5 };
 enum { kMaxLL = 35, kMaxML = 52, kMaxOFF = 31, kDefaultMaxOFF = 28 };
 enum { kLLFseLog = 9, kMLFseLog = 9, kOFFseLog = 8 };
 
-static inline int highbit32(uint32_t v) { return 31 - __builtin_clz(v); }
 
 // ----------------------------- FSE encode side ----------------------------
 
@@ -4745,16 +4790,15 @@ struct ZxSbMeta {
     int64_t lastCountSize;
 };
 
-// ZSTD_buildBlockEntropyStats_literals (ZstdCompress.cs).
-static int zx_sb_build_lit(const uint8_t* lit, int64_t litSize,
-                           const ZxHufS* prevHuf, ZxHufS* nextHuf,
-                           ZxSbMeta* m) {
+// ZSTD_buildBlockEntropyStats_literals (ZstdCompress.cs) over a
+// pre-computed byte histogram (the splitter estimates chunks from counts).
+static int zx_stats_lit_counts(const uint32_t* count, int64_t litSize,
+                               const ZxHufS* prevHuf, ZxHufS* nextHuf,
+                               ZxSbMeta* m) {
     *nextHuf = *prevHuf;
     m->hufDesSize = 0;
     const int64_t minLitSize = prevHuf->rep == 2 ? 6 : 63;
     if (litSize <= minLitSize) { m->hType = 0; return 0; }
-    uint32_t count[256] = {0};
-    for (int64_t i = 0; i < litSize; i++) count[lit[i]]++;
     uint32_t maxSym = 255;
     while (maxSym > 0 && count[maxSym] == 0) maxSym--;
     uint64_t largest = 0;
@@ -4797,6 +4841,14 @@ static int zx_sb_build_lit(const uint8_t* lit, int64_t litSize,
     m->hType = 2;
     m->hufDesSize = hSize;
     return 0;
+}
+
+static int zx_sb_build_lit(const uint8_t* lit, int64_t litSize,
+                           const ZxHufS* prevHuf, ZxHufS* nextHuf,
+                           ZxSbMeta* m) {
+    uint32_t count[256] = {0};
+    for (int64_t i = 0; i < litSize; i++) count[lit[i]]++;
+    return zx_stats_lit_counts(count, litSize, prevHuf, nextHuf, m);
 }
 
 // ZSTD_compressSubBlock_literal:27.
@@ -5283,65 +5335,98 @@ static int64_t zx_superblock_from_arrays(
                               lastBlock, rep_start, out, cap);
 }
 
-// Content-adaptive block pre-split (role of libzstd >=1.5.7's
-// zstd_preSplit, re-designed: the reference v1.5.1 has no analog).  A
-// 128KB block mixing regimes (text | random | runs) compresses worse than
-// its parts: entropy tables average over both and incompressible spans
-// drag the whole block to raw.  Scan 16KB segments' order-0 entropy and
-// cut the block at the first sharp shift.  Homogeneous inputs see no
-// splits, preserving byte-identity with the fixed 128KB layout there.
-static double g_zx_seg_th = 11.0;
-static int64_t g_zx_seg = 8 << 10;
-extern "C" void zx_set_split(double th, int64_t seg) {
-    g_zx_seg_th = th; g_zx_seg = seg;
-}
-static int64_t zx_pick_block_size(const uint8_t* ip, int64_t remaining,
-                                  int64_t block_max, double th_mult = 1.0) {
-    // Content-adaptive block boundaries (the 1.5.7 oracle's zstd_preSplit
-    // role, reconstructed): a cumulative byte-histogram fingerprint of the
-    // past is compared against each next chunk with a cross-normalized L1
-    // distance; a large distribution shift cuts the block there.  This
-    // catches same-entropy regime changes (prose vs structured records)
-    // that a scalar entropy delta cannot.  The penalty makes the first
-    // comparisons stricter, so short blocks are only created for sharp
-    // transitions.
-    const int64_t SEG = g_zx_seg;
-    const int64_t lim = remaining < block_max ? remaining : block_max;
-    if (remaining <= 2 * SEG || block_max <= SEG) return lim;
-    uint32_t past[256] = {0};
-    uint64_t n_past = 0;
-    int penalty = 3;
-    // Sampled fingerprints (the oracle's preSplit also samples at the fast
-    // levels): stride keeps the scan off the critical path; the distance
-    // is cross-normalized so absolute event counts cancel.
-    static const int stride = [] {
-        const char* e = getenv("ZT_SPLIT_STRIDE");
-        int s = e ? atoi(e) : 2;
-        return s < 1 ? 1 : s;
-    }();
-    const int64_t n_ev = SEG / stride;
-    for (int64_t off = 0; off + SEG <= lim; off += SEG) {
-        uint32_t cur[256] = {0};
-        const uint8_t* p = ip + off;
-        for (int64_t i = 0; i < SEG; i += stride) cur[p[i]]++;
-        if (n_past) {
-            uint64_t dist = 0;
-            const uint64_t nc = (uint64_t)n_ev;
-            for (int sdx = 0; sdx < 256; sdx++) {
-                const int64_t d = (int64_t)((uint64_t)past[sdx] * nc) -
-                                  (int64_t)((uint64_t)cur[sdx] * n_past);
-                dist += (uint64_t)(d < 0 ? -d : d);
-            }
-            const uint64_t p50 = n_past * nc;
-            const double thr = (double)p50 * th_mult *
-                               (g_zx_seg_th + (double)penalty) / 16.0;
-            if ((double)dist >= thr) return off;
-            penalty = penalty > 0 ? penalty - 1 : 0;
-        }
-        for (int sdx = 0; sdx < 256; sdx++) past[sdx] += cur[sdx];
-        n_past += (uint64_t)n_ev;
+// Content-adaptive block pre-split (role of libzstd 1.5.7's zstd_preSplit;
+// the reference v1.5.1 has no analog).  A 128KB block mixing regimes
+// (text | random | runs) compresses worse than its parts, so blocks are cut
+// where the byte/bigram distribution shifts.  The oracle's decision function
+// was reconstructed BLACK-BOX (no source available in this image): crafted
+// corpora were compressed with libzstd 1.5.7, frames parsed to recover the
+// input-side block boundaries, and a parameterized model fitted to exact
+// agreement over ~1,500 observed windows at every strategy tier
+// (tools/fit_presplit.py / tools/diag_presplit.py).  Fitted structure:
+//   - fast strategy: a cheap head/tail/middle 512-byte histogram probe that
+//     only ever cuts at the 32/64/96KB quarter points of a 128KB window;
+//   - dfast and up: an 8KB-chunk scan comparing each next chunk's sampled
+//     bigram-hash fingerprint against the accumulated past, with sampling
+//     rate/hash width per strategy tier and a decaying leniency penalty;
+//   - both gated on the frame's running compression savings (an
+//     incompressible prefix disables splitting until >=3 bytes saved).
+// Cross-normalized L1 distance between event histograms; all integer.
+static inline uint64_t zx_fp_dist(const uint32_t* a, uint64_t na,
+                                  const uint32_t* b, uint64_t nb, int n) {
+    uint64_t dist = 0;
+    for (int i = 0; i < n; i++) {
+        const int64_t d = (int64_t)((uint64_t)a[i] * nb) -
+                          (int64_t)((uint64_t)b[i] * na);
+        dist += (uint64_t)(d < 0 ? -d : d);
     }
-    return lim;
+    return dist;
+}
+
+static int64_t zx_presplit_borders(const uint8_t* ip) {
+    enum { SEG = 512, W = 128 << 10 };
+    uint32_t head[256] = {0}, tail[256] = {0};
+    for (int i = 0; i < SEG; i++) head[ip[i]]++;
+    for (int i = 0; i < SEG; i++) tail[ip[W - SEG + i]]++;
+    const uint64_t p50 = (uint64_t)SEG * SEG;
+    if (zx_fp_dist(head, SEG, tail, SEG, 256) < p50 * 14 / 16) return W;
+    uint32_t mid[256] = {0};
+    const uint8_t* mp = ip + W / 2 - SEG / 2;
+    for (int i = 0; i < SEG; i++) mid[mp[i]]++;
+    const uint64_t d_head = zx_fp_dist(head, SEG, mid, SEG, 256);
+    const uint64_t d_tail = zx_fp_dist(tail, SEG, mid, SEG, 256);
+    const uint64_t gap = d_head > d_tail ? d_head - d_tail : d_tail - d_head;
+    if (gap < p50 / 3) return 64 << 10;
+    return d_head > d_tail ? (32 << 10) : (96 << 10);
+}
+
+// Sampled fingerprint of one 8KB chunk.  HLOG==8 takes the raw leading
+// byte; wider tables hash the bigram.  Returns the event-count credit,
+// which is the floor-division count (one less than the samples taken when
+// RATE does not divide the scan span — a fitted detail, kept exactly).
+template <int RATE, int HLOG>
+static inline uint64_t zx_fp_record(uint32_t* ev, const uint8_t* p) {
+    enum { CHUNK = 8 << 10 };
+    std::memset(ev, 0, sizeof(uint32_t) << HLOG);
+    const int64_t limit = CHUNK - 2 + 1;
+    for (int64_t i = 0; i < limit; i += RATE) {
+        if (HLOG == 8) {
+            ev[p[i]]++;
+        } else {
+            const uint32_t v = (uint32_t)p[i] | ((uint32_t)p[i + 1] << 8);
+            ev[(v * 0x9E3779B9u) >> (32 - HLOG)]++;
+        }
+    }
+    return (uint64_t)(limit / RATE);
+}
+
+template <int RATE, int HLOG>
+static int64_t zx_presplit_chunks(const uint8_t* ip) {
+    enum { CHUNK = 8 << 10, W = 128 << 10, NB = 1 << HLOG };
+    uint32_t past[NB], cur[NB];
+    uint64_t n_past = zx_fp_record<RATE, HLOG>(past, ip);
+    int penalty = 3;
+    for (int64_t pos = CHUNK; pos <= W - CHUNK; pos += CHUNK) {
+        const uint64_t n_cur = zx_fp_record<RATE, HLOG>(cur, ip + pos);
+        const uint64_t thr = n_past * n_cur * (uint64_t)(14 + penalty) / 16;
+        if (zx_fp_dist(past, n_past, cur, n_cur, NB) >= thr) return pos;
+        for (int i = 0; i < NB; i++) past[i] += cur[i];
+        n_past += n_cur;
+        if (penalty > 0) penalty--;
+    }
+    return W;
+}
+
+static int64_t zx_presplit(const uint8_t* ip, int64_t remaining,
+                           int64_t block_max, int strat, int64_t savings) {
+    const int64_t lim = remaining < block_max ? remaining : block_max;
+    if (block_max != (128 << 10) || remaining < (128 << 10)) return lim;
+    if (savings < 3) return 128 << 10;  // incompressible-so-far gate
+    if (strat <= 1) return zx_presplit_borders(ip);
+    if (strat == 2) return zx_presplit_chunks<43, 8>(ip);
+    if (strat <= 4) return zx_presplit_chunks<11, 9>(ip);
+    if (strat <= 6) return zx_presplit_chunks<5, 10>(ip);
+    return zx_presplit_chunks<1, 10>(ip);
 }
 
 
@@ -6154,38 +6239,130 @@ static void zx_resolve_offcodes(uint32_t* seen_rep, uint32_t* parse_rep,
     }
 }
 
-// Chunk cost for the split search: a trial entropy encode (the reference
-// estimates via ZSTD_buildEntropyStatisticsAndEstimateSubBlockSize; a trial
-// encode with the same exact encoder is the same decision signal, measured
-// rather than estimated).  +3 charges the block header.
+// Chunk cost for the split search: the reference's entropy-statistics
+// estimate (ZSTD_buildEntropyStatisticsAndEstimateSubBlockSize +
+// ZSTD_estimateBlockSize family, ZstdCompress.cs:3943-4080).  The chunk's
+// encoding types are selected against the running frame entropy, candidate
+// tables are built for their header sizes, and the payload is priced in
+// fractional bits without encoding anything.  Matching the estimator (not
+// a trial encode) matters: its rounding and header charges drive the
+// oracle's split decisions, and it is several times cheaper per chunk.
 static int64_t zx_chunk_cost(const uint8_t* block, int64_t blockSize,
                              const uint32_t* ll, const uint32_t* mlv,
                              const uint32_t* ob, const int64_t* seq_start,
                              int64_t nseq, int64_t last_lit, int64_t a,
                              int64_t b, const ZxEntropy* prev, int strategy) {
-    static thread_local uint8_t* buf = nullptr;
     static thread_local ZxEntropy* scratch = nullptr;
-    if (!buf) {
-        buf = (uint8_t*)malloc((1 << 17) + (1 << 12));
+    if (!scratch) {
         scratch = (ZxEntropy*)malloc(sizeof(ZxEntropy));
-        if (!buf || !scratch) return -1;
+        if (!scratch) return -1;
     }
-    const int64_t pa = seq_start[a];
-    const int64_t pb = b == nseq ? blockSize : seq_start[b];
-    const int64_t plast = b == nseq ? last_lit : 0;
-    ZxEntropy prevCopy = *prev;
-    const int64_t c = zx_block_from_arrays(block + pa, pb - pa, ll + a,
-                                           mlv + a, ob + a, b - a, plast,
-                                           &prevCopy, scratch, strategy, buf,
-                                           (1 << 17) + (1 << 12) - 8);
-    // ZT_SB_HDR: per-chunk block-header charge.  The reference charges
-    // none (biasing toward splits); measured best at 0 on ELF-like
-    // content, 3 on the synthetic mix — default matches the reference.
-    static const int64_t hdr = [] {
-        const char* e = getenv("ZT_SB_HDR");
-        return e ? atoll(e) : 0LL;
-    }();
-    return (c < 0 ? pb - pa : c) + hdr;
+    const int64_t nbSeq = b - a;
+    // ---- chunk histograms: literal bytes, channel codes, extra bits ----
+    uint32_t litCnt[256] = {0}, llCnt[36] = {0}, ofCnt[32] = {0},
+             mlCnt[53] = {0};
+    uint64_t llXtra = 0, ofXtra = 0, mlXtra = 0;
+    uint8_t llC0 = 0, ofC0 = 0, mlC0 = 0;
+    int64_t litSize = 0;
+    for (int64_t i = a; i < b; i++) {
+        const uint8_t* lp = block + seq_start[i];
+        const uint32_t l = ll[i];
+        for (uint32_t u = 0; u < l; u++) litCnt[lp[u]]++;
+        litSize += l;
+        const uint8_t lc = (uint8_t)zx_llcode(l);
+        const uint8_t oc = (uint8_t)highbit32(ob[i]);
+        const uint8_t mc = (uint8_t)zx_mlcode(mlv[i]);
+        if (i == a) { llC0 = lc; ofC0 = oc; mlC0 = mc; }
+        llCnt[lc]++; ofCnt[oc]++; mlCnt[mc]++;
+        llXtra += kLLBits[lc]; ofXtra += oc; mlXtra += kMLBits[mc];
+    }
+    if (b == nseq) {  // final chunk carries the trailing literals
+        const uint8_t* lp = block + blockSize - last_lit;
+        for (int64_t u = 0; u < last_lit; u++) litCnt[lp[u]]++;
+        litSize += last_lit;
+    }
+    // ---- literals: type selection + size estimate ----
+    ZxSbMeta m;
+    m.hufDesSize = 0;
+    m.fseTablesSize = 0;
+    m.lastCountSize = 0;
+    if (zx_stats_lit_counts(litCnt, litSize, &prev->huf, &scratch->huf, &m) <
+        0)
+        return -1;
+    int64_t litEst;
+    if (m.hType == 0) {
+        litEst = litSize;
+    } else if (m.hType == 1) {
+        litEst = 1;
+    } else {
+        uint32_t maxSym = 255;
+        while (maxSym > 0 && litCnt[maxSym] == 0) maxSym--;
+        int64_t e = (int64_t)zx_huf_estimate(&scratch->huf.ct, litCnt, maxSym);
+        if (m.hType == 2) e += m.hufDesSize;  // writeLitEntropy
+        if (litSize >= 256) e += 6;           // 4-stream jump table
+        litEst = e + 3 + (litSize >= 1024) + (litSize >= 16 * 1024);
+    }
+    // ---- sequences: per-channel selection, table build, bit pricing ----
+    // Selection order mirrors ZSTD_buildBlockEntropyStats_sequences
+    // (LL, OF, ML); each channel's bits are floored to bytes separately
+    // (ZSTD_estimateBlockSize_symbolType rounds per channel).
+    uint8_t tbl[256];
+    uint8_t* p = tbl;
+    int64_t chBytes[3];
+    struct Ch {
+        uint32_t* cnt;
+        uint32_t maxCode, fseLog;
+        const int16_t* defNorm;
+        uint32_t defLog, defMax;
+        ZxFseCh* prevCh;
+        ZxFseCh* outCh;
+        uint8_t code0;
+        uint64_t xtra;
+    };
+    Ch chans[3] = {
+        {llCnt, 35, 9, kLLNorm, 6, 35, (ZxFseCh*)&prev->ll, &scratch->ll,
+         llC0, llXtra},
+        {ofCnt, 31, 8, kOFNorm, 5, 28, (ZxFseCh*)&prev->of, &scratch->of,
+         ofC0, ofXtra},
+        {mlCnt, 52, 9, kMLNorm, 6, 52, (ZxFseCh*)&prev->ml, &scratch->ml,
+         mlC0, mlXtra},
+    };
+    for (int k = 0; k < 3; k++) {
+        Ch& c = chans[k];
+        uint32_t max = c.maxCode;
+        while (max > 0 && c.cnt[max] == 0) max--;
+        uint32_t mostFrequent = 0;
+        for (uint32_t s = 0; s <= max; s++)
+            if (c.cnt[s] > mostFrequent) mostFrequent = c.cnt[s];
+        const int defaultAllowed = max <= c.defMax;
+        *c.outCh = *c.prevCh;
+        const int type = zx_select_encoding(&c.outCh->rep, c.cnt, max,
+                                            mostFrequent, (uint64_t)nbSeq,
+                                            c.fseLog, c.prevCh, c.defNorm,
+                                            c.defLog, defaultAllowed,
+                                            strategy);
+        uint32_t cntCopy[53];
+        std::memcpy(cntCopy, c.cnt, sizeof(uint32_t) * (max + 1));
+        const int64_t cs = zx_build_seq_ctable(
+            p, (int64_t)(sizeof tbl - (p - tbl)), c.outCh, c.fseLog, type,
+            cntCopy, max, &c.code0, (uint64_t)nbSeq, c.defNorm, c.defLog,
+            c.defMax);
+        if (cs < 0) return -1;
+        p += cs;
+        int64_t fbits;
+        if (type == 1)
+            fbits = 0;
+        else if (type == 0)
+            fbits = cost_predefined(c.defNorm, c.defLog, c.cnt, max);
+        else
+            fbits = cost_prev_table(c.outCh, c.cnt, max);
+        chBytes[k] = (fbits < 0 || fbits >= kZxErr)
+                         ? nbSeq * 10
+                         : (int64_t)(((uint64_t)fbits + c.xtra) >> 3);
+    }
+    const int64_t seqHeader = 1 + 1 + (nbSeq >= 128) + (nbSeq >= 0x7F00);
+    return litEst + chBytes[0] + chBytes[1] + chBytes[2] + (p - tbl) +
+           seqHeader + 3;
 }
 
 struct ZxSplits { int64_t loc[200]; int n; };
@@ -6987,7 +7164,12 @@ int64_t compress_frame_body_ldm_c(const uint8_t* src, int64_t n, int strategy,
     static thread_local ZxEntropy zx_snap;
     uint32_t rep_snap[3];
     while (pos < n && rc == 0) {
-        const int64_t end = pos + block_size < n ? pos + block_size : n;
+        // Content-adaptive block boundary (zstd_preSplit role), gated on
+        // the running savings (consumed minus produced = pos - size here,
+        // since this function emits the frame body only).
+        const int64_t end =
+            pos + zx_presplit(src + pos, n - pos, block_size, strategy,
+                              pos - size);
         const int last = end == n;
         const int64_t bn = end - pos;
         if (size + 3 + bn + 32 > cap) { rc = -1; break; }
@@ -8647,23 +8829,11 @@ int64_t zt_compress_exact_params(const uint8_t* src, int64_t n,
 
     int rc = 0;
     int64_t remaining = n;
+    int64_t savings = 0;  // running (consumed - produced), gates the splitter
     const uint8_t* ip = src;
     while (remaining > 0 && rc == 0) {
-        // The oracle's preSplit cuts far more aggressively at the dfast
-        // tier (~23KB average blocks on mixed content): fresh entropy
-        // tables per regime beat table amortization there.  ZT_DF_TH
-        // scales the fingerprint threshold for strategy 2.
-        static const double df_th = [] {
-            const char* e = getenv("ZT_DF_TH");
-            return e ? atof(e) : 8.0 / 11.0;
-        }();
-        static const double opt_th = [] {
-            const char* e = getenv("ZT_OPT_TH");
-            return e ? atof(e) : 1.0;
-        }();
-        const int64_t blockSize = zx_pick_block_size(
-            ip, remaining, blockSizeMax,
-            cp.strat == 2 ? df_th : (cp.strat >= 7 ? opt_th : 1.0));
+        const int64_t blockSize = zx_presplit(ip, remaining, blockSizeMax,
+                                              (int)cp.strat, savings);
         const int lastBlock = blockSize == remaining;
         // ZSTD_window_enforceMaxDist with srcEnd = block start
         if (optc) {
@@ -8714,6 +8884,7 @@ int64_t zt_compress_exact_params(const uint8_t* src, int64_t n,
                 if (prof_on()) g_prof[1] += prof_now() - t_ent2;
                 if (em < 0) { rc = -1; break; }
                 op += em;
+                savings += blockSize - em;
                 ip += blockSize;
                 remaining -= blockSize;
                 isFirstBlock = 0;
@@ -8837,6 +9008,7 @@ int64_t zt_compress_exact_params(const uint8_t* src, int64_t n,
             out[op + 2] = (uint8_t)(bh >> 16);
             std::memcpy(out + op + 3, ip, (size_t)blockSize);
             op += 3 + blockSize;
+            savings -= 3;
         } else {
             const uint32_t bh =
                 cSize == 1
@@ -8848,6 +9020,7 @@ int64_t zt_compress_exact_params(const uint8_t* src, int64_t n,
             out[op + 1] = (uint8_t)(bh >> 8);
             out[op + 2] = (uint8_t)(bh >> 16);
             op += 3 + cSize;
+            savings += blockSize - (3 + cSize);
         }
         ip += blockSize;
         remaining -= blockSize;
