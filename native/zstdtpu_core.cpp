@@ -4607,7 +4607,7 @@ static int64_t zx_entropy_compress(const ZxStore* ss, const ZxEntropy* prev,
     uint8_t* const ostart = dst;
     uint8_t* op = dst;
     const int64_t nbSeq = ss->nseq;
-    int64_t lastCountSize = 0;
+    int64_t tail_count_fix = 0;
 
     // literals
     {
@@ -4739,7 +4739,7 @@ static int64_t zx_entropy_compress(const ZxStore* ss, const ZxEntropy* prev,
                 count, max, d->codes, (uint64_t)nbSeq, d->defNorm, d->defLog,
                 d->defMax);
             if (hdrSize < 0) return -1;
-            if (chMode[ci] == 2) lastCountSize = hdrSize;
+            if (chMode[ci] == 2) tail_count_fix = hdrSize;
             op += hdrSize;
         }
     }
@@ -4761,7 +4761,7 @@ static int64_t zx_entropy_compress(const ZxStore* ss, const ZxEntropy* prev,
         if (prof_on()) g_prof[3] += prof_now() - t1;
         if (bitstreamSize < 0) return -1;
         op += bitstreamSize;
-        if (lastCountSize != 0 && lastCountSize + bitstreamSize < 4)
+        if (tail_count_fix != 0 && tail_count_fix + bitstreamSize < 4)
             return 0;
     }
     return op - ostart;
@@ -4783,11 +4783,11 @@ static inline void zx_updateRep3(const uint32_t* rep, uint32_t offset,
 struct ZxSbMeta {
     int hType;               // 0 basic, 1 rle, 2 compressed, 3 repeat
     uint8_t hufDes[200];
-    int64_t hufDesSize;
+    int64_t huf_hdr_bytes;
     int llType, ofType, mlType;
     uint8_t fseTables[256];
-    int64_t fseTablesSize;
-    int64_t lastCountSize;
+    int64_t fse_hdr_bytes;
+    int64_t tail_count_fix;
 };
 
 // ZSTD_buildBlockEntropyStats_literals (ZstdCompress.cs) over a
@@ -4796,7 +4796,7 @@ static int zx_stats_lit_counts(const uint32_t* count, int64_t litSize,
                                const ZxHufS* prevHuf, ZxHufS* nextHuf,
                                ZxSbMeta* m) {
     *nextHuf = *prevHuf;
-    m->hufDesSize = 0;
+    m->huf_hdr_bytes = 0;
     const int64_t minLitSize = prevHuf->rep == 2 ? 6 : 63;
     if (litSize <= minLitSize) { m->hType = 0; return 0; }
     uint32_t maxSym = 255;
@@ -4839,7 +4839,7 @@ static int zx_stats_lit_counts(const uint32_t* count, int64_t litSize,
     nextHuf->ct = newCT;
     nextHuf->rep = 1;  // HUF_repeat_check
     m->hType = 2;
-    m->hufDesSize = hSize;
+    m->huf_hdr_bytes = hSize;
     return 0;
 }
 
@@ -4898,10 +4898,10 @@ static int64_t zx_sb_emit_lit(const HufCTableC* ct, const ZxSbMeta* m,
     uint8_t* p = op + lhSize;
     const int64_t oend = cap;
     if (writeEntropy && m->hType == 2) {
-        if (lhSize + m->hufDesSize > cap) return -1;
-        std::memcpy(p, m->hufDes, (size_t)m->hufDesSize);
-        p += m->hufDesSize;
-        cLitSize += m->hufDesSize;
+        if (lhSize + m->huf_hdr_bytes > cap) return -1;
+        std::memcpy(p, m->hufDes, (size_t)m->huf_hdr_bytes);
+        p += m->huf_hdr_bytes;
+        cLitSize += m->huf_hdr_bytes;
     }
     {
         const int64_t c = zx_huf_streams(p, oend - (p - ostart), lit, litSize,
@@ -4986,9 +4986,9 @@ static int64_t zx_sb_emit_seq(const ZxEntropy* ent, const ZxSbMeta* m,
     if (writeEntropy) {
         *seqHead = (uint8_t)((m->llType << 6) + (m->ofType << 4) +
                              (m->mlType << 2));
-        if (cap - (op - ostart) < m->fseTablesSize) return -1;
-        std::memcpy(op, m->fseTables, (size_t)m->fseTablesSize);
-        op += m->fseTablesSize;
+        if (cap - (op - ostart) < m->fse_hdr_bytes) return -1;
+        std::memcpy(op, m->fseTables, (size_t)m->fse_hdr_bytes);
+        op += m->fse_hdr_bytes;
     } else {
         *seqHead = (uint8_t)((3u << 6) + (3u << 4) + (3u << 2));
     }
@@ -5002,8 +5002,8 @@ static int64_t zx_sb_emit_seq(const ZxEntropy* ent, const ZxSbMeta* m,
             cap - (op - ostart));
         if (bitstreamSize < 0) return -1;
         op += bitstreamSize;
-        if (writeEntropy && m->lastCountSize != 0 &&
-            m->lastCountSize + bitstreamSize < 4)
+        if (writeEntropy && m->tail_count_fix != 0 &&
+            m->tail_count_fix + bitstreamSize < 4)
             return 0;
     }
     if (op - seqHead < 4) return 0;
@@ -5031,7 +5031,7 @@ static int64_t zx_sb_estimate(const ZxSbEst* e, const ZxEntropy* ent,
         uint32_t maxSym = 255;
         while (maxSym > 0 && e->litCnt[maxSym] == 0) maxSym--;
         est += (int64_t)zx_huf_estimate(&ent->huf.ct, e->litCnt, maxSym) +
-               (writeLit ? m->hufDesSize : 0) + 3;
+               (writeLit ? m->huf_hdr_bytes : 0) + 3;
     }
     // sequences
     est += 3;
@@ -5063,7 +5063,7 @@ static int64_t zx_sb_estimate(const ZxSbEst* e, const ZxEntropy* ent,
             bits += b;
         }
         est += bits / 8;
-        if (writeSeq) est += m->fseTablesSize;
+        if (writeSeq) est += m->fse_hdr_bytes;
     }
     return est;
 }
@@ -5117,8 +5117,8 @@ static int64_t zx_superblock_emit(const ZxStore* ss, const uint8_t* block,
         mlc[ss->lltPos] = 52;
         mlcnt[52]++;
     }
-    m.lastCountSize = 0;
-    m.fseTablesSize = 0;
+    m.tail_count_fix = 0;
+    m.fse_hdr_bytes = 0;
     if (nbSeq > 0) {
         uint8_t* p = m.fseTables;
         const int64_t pcap = (int64_t)sizeof m.fseTables;
@@ -5139,7 +5139,7 @@ static int64_t zx_superblock_emit(const ZxStore* ss, const uint8_t* block,
                 p, pcap - (p - m.fseTables), &next->ll, 9, m.llType, count,
                 max, llc, (uint64_t)nbSeq, kLLNorm, 6, 35);
             if (cs < 0) return -1;
-            if (m.llType == 2) m.lastCountSize = cs;
+            if (m.llType == 2) m.tail_count_fix = cs;
             p += cs;
         }
         // OF
@@ -5161,7 +5161,7 @@ static int64_t zx_superblock_emit(const ZxStore* ss, const uint8_t* block,
                 p, pcap - (p - m.fseTables), &next->of, 8, m.ofType, count,
                 max, ofc, (uint64_t)nbSeq, kOFNorm, 5, 28);
             if (cs < 0) return -1;
-            if (m.ofType == 2) m.lastCountSize = cs;
+            if (m.ofType == 2) m.tail_count_fix = cs;
             p += cs;
         }
         // ML
@@ -5181,10 +5181,10 @@ static int64_t zx_superblock_emit(const ZxStore* ss, const uint8_t* block,
                 p, pcap - (p - m.fseTables), &next->ml, 9, m.mlType, count,
                 max, mlc, (uint64_t)nbSeq, kMLNorm, 6, 52);
             if (cs < 0) return -1;
-            if (m.mlType == 2) m.lastCountSize = cs;
+            if (m.mlType == 2) m.tail_count_fix = cs;
             p += cs;
         }
-        m.fseTablesSize = p - m.fseTables;
+        m.fse_hdr_bytes = p - m.fseTables;
     } else {
         m.llType = m.ofType = m.mlType = 0;
         next->ll = prev->ll;
@@ -5193,9 +5193,9 @@ static int64_t zx_superblock_emit(const ZxStore* ss, const uint8_t* block,
     }
 
     // --- partition + emit (ZSTD_compressSubBlock_multi) ---
-    int writeLitEntropy = m.hType == 2;
-    int writeSeqEntropy = 1;
-    int lastSequence = 0;
+    int lit_tables_due = m.hType == 2;
+    int seq_tables_due = 1;
+    int tail_reached = 0;
     int64_t sp = 0;        // consumed sequences
     int64_t lp = 0;        // consumed literal bytes
     int64_t ip = 0;        // consumed source bytes
@@ -5206,10 +5206,10 @@ static int64_t zx_superblock_emit(const ZxStore* ss, const uint8_t* block,
     // per-sequence source position for decompressedSize accounting
     do {
         if (sp + seqCount >= nbSeq) {
-            lastSequence = 1;
+            tail_reached = 1;
         } else {
             const int64_t i = sp + seqCount;
-            lastSequence = i == nbSeq - 1;
+            tail_reached = i == nbSeq - 1;
             const uint32_t llRaw =
                 (ss->llt == 1 && ss->lltPos == i) ? llv[i] + 0x10000
                                                   : ss->seq[i].ll;
@@ -5223,7 +5223,7 @@ static int64_t zx_superblock_emit(const ZxStore* ss, const uint8_t* block,
             est.nbSeq++;
             seqCount++;
         }
-        if (lastSequence) {
+        if (tail_reached) {
             // trailing literals join the final sub-block
             const int64_t rest = ss->nlit - lp;
             for (int64_t u = est.litSize; u < rest; u++)
@@ -5231,8 +5231,8 @@ static int64_t zx_superblock_emit(const ZxStore* ss, const uint8_t* block,
             est.litSize = rest;
         }
         const int64_t cEst =
-            zx_sb_estimate(&est, next, &m, writeLitEntropy, writeSeqEntropy);
-        if (cEst > targetCBlockSize || lastSequence) {
+            zx_sb_estimate(&est, next, &m, lit_tables_due, seq_tables_due);
+        if (cEst > targetCBlockSize || tail_reached) {
             int litWritten = 0, seqWritten = 0;
             // decompressed bytes covered by this sub-block
             int64_t decompressedSize = est.litSize;
@@ -5240,14 +5240,14 @@ static int64_t zx_superblock_emit(const ZxStore* ss, const uint8_t* block,
                 decompressedSize += mlv[i] + 3;
             if (ss->llt == 2 && ss->lltPos >= sp && ss->lltPos < sp + seqCount)
                 decompressedSize += 0x10000;  // u16-truncated long match
-            const int subLast = lastBlock && lastSequence;
+            const int subLast = lastBlock && tail_reached;
             // emit: [header][literals][sequences]
             if (cap - op < 8) return -1;
             int64_t sub = 3;
             {
                 const int64_t c = zx_sb_emit_lit(
                     &next->huf.ct, &m, ss->lit + lp, est.litSize,
-                    writeLitEntropy, &litWritten, out + op + sub,
+                    lit_tables_due, &litWritten, out + op + sub,
                     cap - op - sub);
                 if (c < 0) return -1;
                 if (c == 0) goto _advance_only;
@@ -5256,7 +5256,7 @@ static int64_t zx_superblock_emit(const ZxStore* ss, const uint8_t* block,
             {
                 const int64_t c = zx_sb_emit_seq(
                     next, &m, llv + sp, mlv + sp, obv + sp, llc + sp,
-                    mlc + sp, ofc + sp, seqCount, writeSeqEntropy,
+                    mlc + sp, ofc + sp, seqCount, seq_tables_due,
                     &seqWritten, out + op + sub, cap - op - sub);
                 if (c < 0) return -1;
                 if (c == 0) goto _advance_only;
@@ -5274,15 +5274,15 @@ static int64_t zx_superblock_emit(const ZxStore* ss, const uint8_t* block,
                 lp += est.litSize;
                 seqCount = 0;
                 std::memset(&est, 0, sizeof est);
-                if (litWritten) writeLitEntropy = 0;
-                if (seqWritten) writeSeqEntropy = 0;
+                if (litWritten) lit_tables_due = 0;
+                if (seqWritten) seq_tables_due = 0;
             }
         _advance_only:;
         }
-    } while (!lastSequence);
+    } while (!tail_reached);
 
-    if (writeLitEntropy) next->huf = prev->huf;  // table never reached stream
-    if (writeSeqEntropy &&
+    if (lit_tables_due) next->huf = prev->huf;  // table never reached stream
+    if (seq_tables_due &&
         (m.llType == 1 || m.llType == 2 || m.ofType == 1 || m.ofType == 2 ||
          m.mlType == 1 || m.mlType == 2))
         return 0;  // sub-blocks need tables that were never written
@@ -5738,7 +5738,7 @@ static uint32_t bt_collect_matches(ZxOptMatch* out, ZxOptCtx* c,
     if (ip < c->base + c->nextToUpdate) return 0;
     bt_fill_to(c, ip, iLimit, mls);
 
-    const uint32_t sufficient_len =
+    const uint32_t early_out_len =
         c->tlen < ((1u << 12) - 1) ? c->tlen : ((1u << 12) - 1);
     const uint8_t* const base = c->base;
     const uint32_t at = (uint32_t)(ip - base);
@@ -5767,7 +5767,7 @@ static uint32_t bt_collect_matches(ZxOptMatch* out, ZxOptCtx* c,
             out[n_out].off = slot - ll0;
             out[n_out].len = rlen;
             n_out++;
-            if (rlen > sufficient_len || ip + rlen == iLimit) return n_out;
+            if (rlen > early_out_len || ip + rlen == iLimit) return n_out;
         }
     }
 
@@ -5780,7 +5780,7 @@ static uint32_t bt_collect_matches(ZxOptMatch* out, ZxOptCtx* c,
                 out[0].off = (at - h3cand) + 2;
                 out[0].len = (uint32_t)len3;
                 n_out = 1;
-                if (len3 > sufficient_len || ip + len3 == iLimit) {
+                if (len3 > early_out_len || ip + len3 == iLimit) {
                     c->nextToUpdate = at + 1;
                     return 1;
                 }
@@ -5881,7 +5881,7 @@ static int64_t zx_opt_block(ZxOptCtx* c, const uint8_t* istart,
     const uint8_t* const iend = istart + srcSize;
     const uint8_t* const ilimit = iend - 8;
     const uint8_t* const prefixStart = c->base + c->dictLimit;
-    const uint32_t sufficient_len =
+    const uint32_t early_out_len =
         c->tlen < ((1u << 12) - 1) ? c->tlen : ((1u << 12) - 1);
     const uint32_t mls = 3 > (c->mml < 6 ? c->mml : 6)
                              ? 3
@@ -5922,7 +5922,7 @@ static int64_t zx_opt_block(ZxOptCtx* c, const uint8_t* istart,
             vlen[0] = 0;
             lead[0] = litrun;
             price[0] = (int32_t)zx_litLengthPrice(litrun, c);
-            if (found[n - 1].len > sufficient_len) {
+            if (found[n - 1].len > early_out_len) {
                 cut_lead = litrun;
                 cut_mlen = found[n - 1].len;
                 cut_off = found[n - 1].off;
@@ -5995,7 +5995,7 @@ static int64_t zx_opt_block(ZxOptCtx* c, const uint8_t* istart,
                         ll0, minMatch, mls);
                     if (n == 0) continue;
                     const uint32_t top = found[n - 1].len;
-                    if (top > sufficient_len || at + top >= (1u << 12)) {
+                    if (top > early_out_len || at + top >= (1u << 12)) {
                         cut_mlen = top;
                         cut_off = found[n - 1].off;
                         cut_lead = litrun;
@@ -6283,9 +6283,9 @@ static int64_t zx_chunk_cost(const uint8_t* block, int64_t blockSize,
     }
     // ---- literals: type selection + size estimate ----
     ZxSbMeta m;
-    m.hufDesSize = 0;
-    m.fseTablesSize = 0;
-    m.lastCountSize = 0;
+    m.huf_hdr_bytes = 0;
+    m.fse_hdr_bytes = 0;
+    m.tail_count_fix = 0;
     if (zx_stats_lit_counts(litCnt, litSize, &prev->huf, &scratch->huf, &m) <
         0)
         return -1;
@@ -6298,7 +6298,7 @@ static int64_t zx_chunk_cost(const uint8_t* block, int64_t blockSize,
         uint32_t maxSym = 255;
         while (maxSym > 0 && litCnt[maxSym] == 0) maxSym--;
         int64_t e = (int64_t)zx_huf_estimate(&scratch->huf.ct, litCnt, maxSym);
-        if (m.hType == 2) e += m.hufDesSize;  // writeLitEntropy
+        if (m.hType == 2) e += m.huf_hdr_bytes;  // lit_tables_due
         if (litSize >= 256) e += 6;           // 4-stream jump table
         litEst = e + 3 + (litSize >= 1024) + (litSize >= 16 * 1024);
     }
