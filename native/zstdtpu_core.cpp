@@ -5518,7 +5518,9 @@ struct ZxOptTune { int litlog, lenlog, litshift, litadd; };
 static ZxOptTune zx_opt_tune() {
     static const ZxOptTune t = [] {
         const char* e = getenv("ZT_OPT_TUNE");  // "litlog,lenlog,litshift,litadd"
-        ZxOptTune v = {12, 11, 8, 2};
+        // litshift 9 measured best across the real-file sweep (ELF -0.4..-1%,
+        // text within noise); 8 was the 1.5.1 value (tools/opt_grid.py).
+        ZxOptTune v = {12, 11, 9, 2};
         if (e) sscanf(e, "%d,%d,%d,%d", &v.litlog, &v.lenlog, &v.litshift, &v.litadd);
         return v;
     }();
