@@ -21,6 +21,19 @@
 #include <ctime>
 #include <cstdio>
 #include <cmath>
+#ifdef __BMI2__
+#include <immintrin.h>
+#endif
+
+// Low-nb-bits extraction: one bzhi on BMI2 hosts, mask arithmetic
+// otherwise.  nb may legally be 0..63.
+static inline uint64_t bits_lo(uint64_t w, int nb) {
+#ifdef __BMI2__
+    return _bzhi_u64(w, (unsigned)nb);
+#else
+    return w & ((1ULL << nb) - 1);
+#endif
+}
 
 // Stage profiler (ZT_PROF=1): nanoseconds per codec stage, printed at
 // frame end.  Zero overhead when disabled (single branch per stage).
@@ -155,8 +168,7 @@ int64_t fse_decode_sequences(
         uint64_t offset;
         if (ofb > 1) {
             pos -= ofb;
-            offset = ofB + ((win >> (pos - wpos)) &
-                            ((ofb >= 64) ? ~0ULL : ((1ULL << ofb) - 1)));
+            offset = ofB + bits_lo(win >> (pos - wpos), ofb);
             r2 = r1; r1 = r0; r0 = offset;
         } else {
             const int ll0 = (llB == 0);
@@ -178,7 +190,7 @@ int64_t fse_decode_sequences(
         uint64_t ml = mlB;
         if (mlb) { pos -= mlb; ml += (win >> (pos - wpos)) & ((1ULL << mlb) - 1); }
         uint64_t ll = llB;
-        if (llb) { pos -= llb; ll += (win >> (pos - wpos)) & ((1ULL << llb) - 1); }
+        if (llb) { pos -= llb; ll += bits_lo(win >> (pos - wpos), llb); }
 
         out_ll[i] = (uint32_t)ll;
         out_ml[i] = (uint32_t)ml;
@@ -308,7 +320,10 @@ static inline int64_t zt_exec_one(uint8_t* out, int64_t out_pos,
     } else if (o >= (int64_t)m) {
         std::memcpy(dst, cs, (size_t)m);
     } else if (slack) {
-        const int64_t O = o * ((16 + o - 1) / o);
+        // smallest multiple of o that is >= 16, from a table (o in 1..15)
+        static const int8_t kSpan16[16] = {0, 16, 16, 18, 16, 20, 18, 21,
+                                           16, 18, 20, 22, 24, 26, 28, 30};
+        const int64_t O = kSpan16[o];
         const int64_t head = (int64_t)m < O ? (int64_t)m : O;
         for (int64_t k = 0; k < head; k++) dst[k] = cs[k];
         if ((int64_t)m > head) wildcopy16(dst + head, dst + head - O, m - head);
@@ -377,8 +392,7 @@ static int64_t decode_execute_sequences_t(
         uint64_t offset;
         if (ofb > 1) {
             pos -= ofb;
-            offset = ofB + ((win >> (pos - wpos)) &
-                            ((ofb >= 64) ? ~0ULL : ((1ULL << ofb) - 1)));
+            offset = ofB + bits_lo(win >> (pos - wpos), ofb);
             r2 = r1; r1 = r0; r0 = offset;
         } else {
             const int ll0 = (llB == 0);
@@ -396,14 +410,14 @@ static int64_t decode_execute_sequences_t(
         }
 
         uint64_t m = mlB;
-        if (mlb) { pos -= mlb; m += (win >> (pos - wpos)) & ((1ULL << mlb) - 1); }
+        if (mlb) { pos -= mlb; m += bits_lo(win >> (pos - wpos), mlb); }
 
         if (pos - llb < wpos) {
             reload(pos);
             if (pos - llb < wpos) return -2;
         }
         uint64_t l = llB;
-        if (llb) { pos -= llb; l += (win >> (pos - wpos)) & ((1ULL << llb) - 1); }
+        if (llb) { pos -= llb; l += bits_lo(win >> (pos - wpos), llb); }
 
         // prefetch the match source before the state updates retire
         __builtin_prefetch(out + out_pos + (int64_t)l - (int64_t)offset);
@@ -414,9 +428,9 @@ static int64_t decode_execute_sequences_t(
                 reload(pos);
                 if (pos - (nb1 + nb2 + nb3) < wpos) return -2;
             }
-            pos -= nb1; s_ll = (uint32_t)((eL >> 40) & 0xFFFF) + (uint32_t)((win >> (pos - wpos)) & ((1ULL << nb1) - 1));
-            pos -= nb2; s_ml = (uint32_t)((eM >> 40) & 0xFFFF) + (uint32_t)((win >> (pos - wpos)) & ((1ULL << nb2) - 1));
-            pos -= nb3; s_of = (uint32_t)((eO >> 40) & 0xFFFF) + (uint32_t)((win >> (pos - wpos)) & ((1ULL << nb3) - 1));
+            pos -= nb1; s_ll = (uint32_t)((eL >> 40) & 0xFFFF) + (uint32_t)bits_lo(win >> (pos - wpos), nb1);
+            pos -= nb2; s_ml = (uint32_t)((eM >> 40) & 0xFFFF) + (uint32_t)bits_lo(win >> (pos - wpos), nb2);
+            pos -= nb3; s_of = (uint32_t)((eO >> 40) & 0xFFFF) + (uint32_t)bits_lo(win >> (pos - wpos), nb3);
             if (pos < 0) return -2;
         }
 
@@ -495,8 +509,7 @@ static int64_t decode_sequences_to_arrays(
         uint64_t offset;
         if (ofb > 1) {
             pos -= ofb;
-            offset = ofB + ((win >> (pos - wpos)) &
-                            ((ofb >= 64) ? ~0ULL : ((1ULL << ofb) - 1)));
+            offset = ofB + bits_lo(win >> (pos - wpos), ofb);
             r2 = r1; r1 = r0; r0 = offset;
         } else {
             const int ll0 = (llB == 0);
@@ -513,13 +526,13 @@ static int64_t decode_sequences_to_arrays(
             }
         }
         uint64_t m = mlB;
-        if (mlb) { pos -= mlb; m += (win >> (pos - wpos)) & ((1ULL << mlb) - 1); }
+        if (mlb) { pos -= mlb; m += bits_lo(win >> (pos - wpos), mlb); }
         if (pos - llb < wpos) {
             reload(pos);
             if (pos - llb < wpos) return -2;
         }
         uint64_t l = llB;
-        if (llb) { pos -= llb; l += (win >> (pos - wpos)) & ((1ULL << llb) - 1); }
+        if (llb) { pos -= llb; l += bits_lo(win >> (pos - wpos), llb); }
         o_ll[i] = (uint32_t)l;
         o_ml[i] = (uint32_t)m;
         o_of[i] = (uint32_t)offset;
@@ -531,9 +544,9 @@ static int64_t decode_sequences_to_arrays(
                 reload(pos);
                 if (pos - (nb1 + nb2 + nb3) < wpos) return -2;
             }
-            pos -= nb1; s_ll = (uint32_t)((eL >> 40) & 0xFFFF) + (uint32_t)((win >> (pos - wpos)) & ((1ULL << nb1) - 1));
-            pos -= nb2; s_ml = (uint32_t)((eM >> 40) & 0xFFFF) + (uint32_t)((win >> (pos - wpos)) & ((1ULL << nb2) - 1));
-            pos -= nb3; s_of = (uint32_t)((eO >> 40) & 0xFFFF) + (uint32_t)((win >> (pos - wpos)) & ((1ULL << nb3) - 1));
+            pos -= nb1; s_ll = (uint32_t)((eL >> 40) & 0xFFFF) + (uint32_t)bits_lo(win >> (pos - wpos), nb1);
+            pos -= nb2; s_ml = (uint32_t)((eM >> 40) & 0xFFFF) + (uint32_t)bits_lo(win >> (pos - wpos), nb2);
+            pos -= nb3; s_of = (uint32_t)((eO >> 40) & 0xFFFF) + (uint32_t)bits_lo(win >> (pos - wpos), nb3);
             if (pos < 0) return -2;
         }
     }
@@ -7497,27 +7510,30 @@ static int huf_decode_4x(const uint8_t* pad, const int64_t* offs,
         int64_t r0 = rem[0], r1 = rem[1], r2 = rem[2], r3 = rem[3];
         uint8_t *q0 = op[0], *q1 = op[1], *q2 = op[2], *q3 = op[3];
         const uint8_t *b0 = sb[0], *b1 = sb[1], *b2 = sb[2], *b3 = sb[3];
+        // MSB-aligned containers: the next code sits in the top tlog bits,
+        // so each symbol is one constant shift + load + one variable shift
+        // (no mask, no per-symbol position arithmetic).
         while (p0 >= 56 && p1 >= 56 && p2 >= 56 && p3 >= 56 &&
                r0 >= per && r1 >= per && r2 >= per && r3 >= per) {
             const int64_t a0 = p0 - 56 + 128, a1 = p1 - 56 + 128;
             const int64_t a2 = p2 - 56 + 128, a3 = p3 - 56 + 128;
-            uint64_t W0 = read_window(b0 + (a0 >> 3)) >> (a0 & 7);
-            uint64_t W1 = read_window(b1 + (a1 >> 3)) >> (a1 & 7);
-            uint64_t W2 = read_window(b2 + (a2 >> 3)) >> (a2 & 7);
-            uint64_t W3 = read_window(b3 + (a3 >> 3)) >> (a3 & 7);
-            int s0 = 56, s1 = 56, s2 = 56, s3 = 56;
+            uint64_t V0 = (read_window(b0 + (a0 >> 3)) >> (a0 & 7)) << 8;
+            uint64_t V1 = (read_window(b1 + (a1 >> 3)) >> (a1 & 7)) << 8;
+            uint64_t V2 = (read_window(b2 + (a2 >> 3)) >> (a2 & 7)) << 8;
+            uint64_t V3 = (read_window(b3 + (a3 >> 3)) >> (a3 & 7)) << 8;
+            int u0 = 0, u1 = 0, u2 = 0, u3 = 0;
             for (int j = 0; j < per; j++) {
-                const uint16_t e0 = D[(W0 >> (s0 - tlog)) & mask];
-                const uint16_t e1 = D[(W1 >> (s1 - tlog)) & mask];
-                const uint16_t e2 = D[(W2 >> (s2 - tlog)) & mask];
-                const uint16_t e3 = D[(W3 >> (s3 - tlog)) & mask];
-                q0[j] = (uint8_t)(e0 >> 8); s0 -= (int)(e0 & 0xFF);
-                q1[j] = (uint8_t)(e1 >> 8); s1 -= (int)(e1 & 0xFF);
-                q2[j] = (uint8_t)(e2 >> 8); s2 -= (int)(e2 & 0xFF);
-                q3[j] = (uint8_t)(e3 >> 8); s3 -= (int)(e3 & 0xFF);
+                const uint16_t e0 = D[V0 >> (64 - tlog)];
+                const uint16_t e1 = D[V1 >> (64 - tlog)];
+                const uint16_t e2 = D[V2 >> (64 - tlog)];
+                const uint16_t e3 = D[V3 >> (64 - tlog)];
+                q0[j] = (uint8_t)(e0 >> 8); V0 <<= (e0 & 0xFF); u0 += e0 & 0xFF;
+                q1[j] = (uint8_t)(e1 >> 8); V1 <<= (e1 & 0xFF); u1 += e1 & 0xFF;
+                q2[j] = (uint8_t)(e2 >> 8); V2 <<= (e2 & 0xFF); u2 += e2 & 0xFF;
+                q3[j] = (uint8_t)(e3 >> 8); V3 <<= (e3 & 0xFF); u3 += e3 & 0xFF;
             }
             q0 += per; q1 += per; q2 += per; q3 += per;
-            p0 -= 56 - s0; p1 -= 56 - s1; p2 -= 56 - s2; p3 -= 56 - s3;
+            p0 -= u0; p1 -= u1; p2 -= u2; p3 -= u3;
             r0 -= per; r1 -= per; r2 -= per; r3 -= per;
         }
         pos[0] = p0; pos[1] = p1; pos[2] = p2; pos[3] = p3;
