@@ -4458,7 +4458,8 @@ static void zx_fse_rle_ctable(FseCTableC* ct, uint8_t symbol) {
 // channel's CTable.  Returns header bytes or -1.
 static int64_t zx_build_seq_ctable(uint8_t* op, int64_t cap, ZxFseCh* ch,
                                    uint32_t FSELog, int type, uint32_t* count,
-                                   uint32_t max, const uint8_t* codeTable,
+                                   uint32_t max, uint8_t firstCode,
+                                   uint8_t lastCode,
                                    uint64_t nbSeq, const int16_t* defaultNorm,
                                    uint32_t defaultNormLog,
                                    uint32_t defaultMax) {
@@ -4467,7 +4468,7 @@ static int64_t zx_build_seq_ctable(uint8_t* op, int64_t cap, ZxFseCh* ch,
             if (cap == 0) return -1;
             zx_fse_rle_ctable(&ch->ct, (uint8_t)max);
             ch->maxSym = (int)max;
-            *op = codeTable[0];
+            *op = firstCode;
             return 1;
         }
         case 3:  // set_repeat: keep previous table (already in ch)
@@ -4482,8 +4483,8 @@ static int64_t zx_build_seq_ctable(uint8_t* op, int64_t cap, ZxFseCh* ch,
             uint64_t nbSeq_1 = nbSeq;
             const uint32_t tableLog =
                 zx_optimal_table_log(FSELog, nbSeq, max, 2);
-            if (count[codeTable[nbSeq - 1]] > 1) {
-                count[codeTable[nbSeq - 1]]--;
+            if (count[lastCode] > 1) {
+                count[lastCode]--;
                 nbSeq_1--;
             }
             int16_t norm[53];
@@ -4749,8 +4750,8 @@ static int64_t zx_entropy_compress(const ZxStore* ss, const ZxEntropy* prev,
                 strategy);
             const int64_t hdrSize = zx_build_seq_ctable(
                 op, cap - (op - ostart), d->nextCh, d->fseLog, chMode[ci],
-                count, max, d->codes, (uint64_t)nbSeq, d->defNorm, d->defLog,
-                d->defMax);
+                count, max, d->codes[0], d->codes[nbSeq - 1],
+                (uint64_t)nbSeq, d->defNorm, d->defLog, d->defMax);
             if (hdrSize < 0) return -1;
             if (chMode[ci] == 2) tail_count_fix = hdrSize;
             op += hdrSize;
@@ -5150,7 +5151,8 @@ static int64_t zx_superblock_emit(const ZxStore* ss, const uint8_t* block,
                                           &prev->ll, kLLNorm, 6, 1, strategy);
             const int64_t cs = zx_build_seq_ctable(
                 p, pcap - (p - m.fseTables), &next->ll, 9, m.llType, count,
-                max, llc, (uint64_t)nbSeq, kLLNorm, 6, 35);
+                max, llc[0], llc[nbSeq - 1], (uint64_t)nbSeq, kLLNorm, 6,
+                35);
             if (cs < 0) return -1;
             if (m.llType == 2) m.tail_count_fix = cs;
             p += cs;
@@ -5172,7 +5174,8 @@ static int64_t zx_superblock_emit(const ZxStore* ss, const uint8_t* block,
                                           defaultAllowed, strategy);
             const int64_t cs = zx_build_seq_ctable(
                 p, pcap - (p - m.fseTables), &next->of, 8, m.ofType, count,
-                max, ofc, (uint64_t)nbSeq, kOFNorm, 5, 28);
+                max, ofc[0], ofc[nbSeq - 1], (uint64_t)nbSeq, kOFNorm, 5,
+                28);
             if (cs < 0) return -1;
             if (m.ofType == 2) m.tail_count_fix = cs;
             p += cs;
@@ -5192,7 +5195,8 @@ static int64_t zx_superblock_emit(const ZxStore* ss, const uint8_t* block,
                                           &prev->ml, kMLNorm, 6, 1, strategy);
             const int64_t cs = zx_build_seq_ctable(
                 p, pcap - (p - m.fseTables), &next->ml, 9, m.mlType, count,
-                max, mlc, (uint64_t)nbSeq, kMLNorm, 6, 52);
+                max, mlc[0], mlc[nbSeq - 1], (uint64_t)nbSeq, kMLNorm, 6,
+                52);
             if (cs < 0) return -1;
             if (m.mlType == 2) m.tail_count_fix = cs;
             p += cs;
@@ -6277,7 +6281,9 @@ static int64_t zx_chunk_cost(const uint8_t* block, int64_t blockSize,
     uint32_t litCnt[256] = {0}, llCnt[36] = {0}, ofCnt[32] = {0},
              mlCnt[53] = {0};
     uint64_t llXtra = 0, ofXtra = 0, mlXtra = 0;
-    uint8_t llC0 = 0, ofC0 = 0, mlC0 = 0;
+    // first/last channel codes: RLE emits the first, the compressed-table
+    // normalizer discounts the last (ZSTD_buildCTable's nbSeq-1 rule)
+    uint8_t llC0 = 0, ofC0 = 0, mlC0 = 0, llCL = 0, ofCL = 0, mlCL = 0;
     int64_t litSize = 0;
     for (int64_t i = a; i < b; i++) {
         const uint8_t* lp = block + seq_start[i];
@@ -6288,6 +6294,7 @@ static int64_t zx_chunk_cost(const uint8_t* block, int64_t blockSize,
         const uint8_t oc = (uint8_t)highbit32(ob[i]);
         const uint8_t mc = (uint8_t)zx_mlcode(mlv[i]);
         if (i == a) { llC0 = lc; ofC0 = oc; mlC0 = mc; }
+        llCL = lc; ofCL = oc; mlCL = mc;
         llCnt[lc]++; ofCnt[oc]++; mlCnt[mc]++;
         llXtra += kLLBits[lc]; ofXtra += oc; mlXtra += kMLBits[mc];
     }
@@ -6332,15 +6339,16 @@ static int64_t zx_chunk_cost(const uint8_t* block, int64_t blockSize,
         ZxFseCh* prevCh;
         ZxFseCh* outCh;
         uint8_t code0;
+        uint8_t codeL;
         uint64_t xtra;
     };
     Ch chans[3] = {
         {llCnt, 35, 9, kLLNorm, 6, 35, (ZxFseCh*)&prev->ll, &scratch->ll,
-         llC0, llXtra},
+         llC0, llCL, llXtra},
         {ofCnt, 31, 8, kOFNorm, 5, 28, (ZxFseCh*)&prev->of, &scratch->of,
-         ofC0, ofXtra},
+         ofC0, ofCL, ofXtra},
         {mlCnt, 52, 9, kMLNorm, 6, 52, (ZxFseCh*)&prev->ml, &scratch->ml,
-         mlC0, mlXtra},
+         mlC0, mlCL, mlXtra},
     };
     for (int k = 0; k < 3; k++) {
         Ch& c = chans[k];
@@ -6360,8 +6368,8 @@ static int64_t zx_chunk_cost(const uint8_t* block, int64_t blockSize,
         std::memcpy(cntCopy, c.cnt, sizeof(uint32_t) * (max + 1));
         const int64_t cs = zx_build_seq_ctable(
             p, (int64_t)(sizeof tbl - (p - tbl)), c.outCh, c.fseLog, type,
-            cntCopy, max, &c.code0, (uint64_t)nbSeq, c.defNorm, c.defLog,
-            c.defMax);
+            cntCopy, max, c.code0, c.codeL, (uint64_t)nbSeq, c.defNorm,
+            c.defLog, c.defMax);
         if (cs < 0) return -1;
         p += cs;
         int64_t fbits;
