@@ -111,6 +111,23 @@ class TestShardedPipeline:
                                        block_size=1 << 14)
         assert decompress(frame) == data
 
+    def test_dp_decode_all_gather(self, text_corpus):
+        """Sharded decode assembles payloads with a mesh all_gather
+        (SURVEY §2.7): every device ends holding the full decoded stream,
+        cross-checked bit-exact against the host-order join inside the
+        pipeline; telemetry records the collective time."""
+        from zstdsharp_tpu.encode.frame import compress
+        from zstdsharp_tpu.parallel.pipeline import (decompress_data_parallel,
+                                                     make_mesh)
+
+        chunks = [text_corpus[i * 1500:(i + 1) * 1500] for i in range(8)]
+        stream = b"".join(compress(c, 3) for c in chunks)
+        tel: dict = {}
+        out = decompress_data_parallel(stream, make_mesh(), telemetry=tel)
+        assert out == b"".join(chunks)
+        assert tel["device_frames"] == 8
+        assert "gather_ms" in tel and len(tel["device_shards"]) >= 2
+
     def test_graft_entry(self):
         import __graft_entry__ as g
 

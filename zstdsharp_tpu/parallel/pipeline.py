@@ -255,27 +255,69 @@ def decompress_data_parallel(stream: bytes, mesh: Mesh | None = None,
 
     results: list = [None] * len(frames)
     shard_stats = []
+    t_gather = 0.0
 
     t0 = time.perf_counter()
     if dev_idx:
         import jax
 
         shards = [dev_idx[d::ndev] for d in range(ndev)]
-        for d, idxs in enumerate(shards):
+
+        def run_shard(d: int):
+            idxs = shards[d]
             if not idxs:
-                continue
+                return d, [], 0.0
             ts = time.perf_counter()
             with jax.default_device(devices[d]):
-                outs, stats = decode_batch_device(
+                outs, _stats = decode_batch_device(
                     [frames[i] for i in idxs], materialize=True)
-            for i, r in zip(idxs, outs):
-                results[i] = r
-            shard_stats.append({
-                "device": str(devices[d]),
-                "frames": len(idxs),
-                "bytes": sum(len(r) for r in outs if r is not None),
-                "ms": round((time.perf_counter() - ts) * 1e3, 1),
-            })
+            return d, outs, time.perf_counter() - ts
+
+        # one dispatcher thread per device so shard pipelines overlap
+        # (device compute is async; the host stages release the GIL)
+        with ThreadPoolExecutor(max_workers=ndev) as pool:
+            for d, outs, dt in pool.map(run_shard, range(ndev)):
+                idxs = shards[d]
+                for i, r in zip(idxs, outs):
+                    results[i] = r
+                if idxs:
+                    shard_stats.append({
+                        "device": str(devices[d]),
+                        "frames": len(idxs),
+                        "bytes": sum(len(r) for r in outs if r is not None),
+                        "ms": round(dt * 1e3, 1),
+                    })
+
+        # Payload assembly as a mesh collective (SURVEY §2.7: all-gather of
+        # payloads over ICI): each device contributes its shard's decoded
+        # bytes as one padded row of a P('data')-sharded array; a shard_map
+        # all_gather replicates the full payload on every device, so
+        # device-resident consumers see the assembled stream without any
+        # host round-trip.  The host copy below is only for the return
+        # value (and cross-checks the host-order join bit-exactly).
+        if len(dev_idx) > 1 and ndev > 1:
+            import jax.numpy as jnp
+
+            tg = time.perf_counter()
+            per_dev = [b"".join(results[i] for i in shards[d] if results[i])
+                       for d in range(ndev)]
+            width = max(len(b) for b in per_dev)
+            rows = np.zeros((ndev, width), dtype=np.uint8)
+            for d, b in enumerate(per_dev):
+                rows[d, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+            sharded = jax.device_put(
+                rows, NamedSharding(mesh, P("data", None)))
+            gath = jax.jit(
+                jax.shard_map(
+                    lambda a: jax.lax.all_gather(a, "data", axis=0,
+                                                 tiled=True),
+                    mesh=mesh, in_specs=P("data", None),
+                    out_specs=P(None, None), check_vma=False))(sharded)
+            gath.block_until_ready()
+            t_gather = time.perf_counter() - tg
+            flat = np.asarray(gath)
+            for d in range(ndev):
+                assert bytes(flat[d, : len(per_dev[d])]) == per_dev[d]
     t_dev = time.perf_counter() - t0
 
     t0 = time.perf_counter()
@@ -296,6 +338,7 @@ def decompress_data_parallel(stream: bytes, mesh: Mesh | None = None,
             "scan_ms": round(t_scan * 1e3, 1),
             "plan_ms": round(t_plan * 1e3, 1),
             "device_ms": round(t_dev * 1e3, 1),
+            "gather_ms": round(t_gather * 1e3, 1),
             "host_ms": round(t_host * 1e3, 1),
             "bytes": total,
             "device_shards": shard_stats,
