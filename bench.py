@@ -173,6 +173,18 @@ def main() -> None:
     # plus a 0.02 GB/s D2H ceiling that is an artifact of this test rig,
     # not of the chip.
     try:
+        # Probe the backend in a throwaway subprocess first: when the TPU
+        # tunnel wedges, backend discovery blocks indefinitely (observed
+        # 2026-08-17), and a hang here would stall the whole bench.
+        import subprocess
+
+        probe = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; raise SystemExit(0 if jax.default_backend() == 'tpu' else 1)"],
+            timeout=180, capture_output=True)
+        if probe.returncode != 0:
+            raise RuntimeError("no TPU backend (probe)")
+
         import jax
 
         if jax.default_backend() != "tpu":
