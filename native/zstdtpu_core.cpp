@@ -2786,29 +2786,37 @@ static int huf_decode_4x2(const uint8_t* pad, const int64_t* offs,
                r0 >= 11 && r1 >= 11 && r2 >= 11 && r3 >= 11) {
             const int64_t a0 = p0 - 56 + 128, a1 = p1 - 56 + 128;
             const int64_t a2 = p2 - 56 + 128, a3 = p3 - 56 + 128;
-            const uint64_t W0 = read_window(b0 + (a0 >> 3)) >> (a0 & 7);
-            const uint64_t W1 = read_window(b1 + (a1 >> 3)) >> (a1 & 7);
-            const uint64_t W2 = read_window(b2 + (a2 >> 3)) >> (a2 & 7);
-            const uint64_t W3 = read_window(b3 + (a3 >> 3)) >> (a3 & 7);
-            int s0 = 56, s1 = 56, s2 = 56, s3 = 56;
+            // MSB-aligned containers (same trick as the X1 loop): one
+            // constant shift indexes the pair table, one u16 store writes
+            // both symbols (overshoot lands in output slack), one variable
+            // shift consumes the coded bits.
+            uint64_t V0 = (read_window(b0 + (a0 >> 3)) >> (a0 & 7)) << 8;
+            uint64_t V1 = (read_window(b1 + (a1 >> 3)) >> (a1 & 7)) << 8;
+            uint64_t V2 = (read_window(b2 + (a2 >> 3)) >> (a2 & 7)) << 8;
+            uint64_t V3 = (read_window(b3 + (a3 >> 3)) >> (a3 & 7)) << 8;
+            int u0 = 0, u1 = 0, u2 = 0, u3 = 0;
             uint8_t *o0 = q0, *o1 = q1, *o2 = q2, *o3 = q3;
             for (int j = 0; j < per; j++) {
-                const uint32_t e0 = D[(W0 >> (s0 - tlog)) & mask];
-                const uint32_t e1 = D[(W1 >> (s1 - tlog)) & mask];
-                const uint32_t e2 = D[(W2 >> (s2 - tlog)) & mask];
-                const uint32_t e3 = D[(W3 >> (s3 - tlog)) & mask];
-                o0[0] = (uint8_t)e0; o0[1] = (uint8_t)(e0 >> 8);
-                o1[0] = (uint8_t)e1; o1[1] = (uint8_t)(e1 >> 8);
-                o2[0] = (uint8_t)e2; o2[1] = (uint8_t)(e2 >> 8);
-                o3[0] = (uint8_t)e3; o3[1] = (uint8_t)(e3 >> 8);
-                o0 += (e0 >> 26); s0 -= (int)((e0 >> 16) & 31);
-                o1 += (e1 >> 26); s1 -= (int)((e1 >> 16) & 31);
-                o2 += (e2 >> 26); s2 -= (int)((e2 >> 16) & 31);
-                o3 += (e3 >> 26); s3 -= (int)((e3 >> 16) & 31);
+                const uint32_t e0 = D[V0 >> (64 - tlog)];
+                const uint32_t e1 = D[V1 >> (64 - tlog)];
+                const uint32_t e2 = D[V2 >> (64 - tlog)];
+                const uint32_t e3 = D[V3 >> (64 - tlog)];
+                uint16_t w0 = (uint16_t)e0, w1 = (uint16_t)e1;
+                uint16_t w2 = (uint16_t)e2, w3 = (uint16_t)e3;
+                std::memcpy(o0, &w0, 2);
+                std::memcpy(o1, &w1, 2);
+                std::memcpy(o2, &w2, 2);
+                std::memcpy(o3, &w3, 2);
+                uint32_t n0 = (e0 >> 16) & 31, n1 = (e1 >> 16) & 31;
+                uint32_t n2 = (e2 >> 16) & 31, n3 = (e3 >> 16) & 31;
+                o0 += (e0 >> 26); V0 <<= n0; u0 += (int)n0;
+                o1 += (e1 >> 26); V1 <<= n1; u1 += (int)n1;
+                o2 += (e2 >> 26); V2 <<= n2; u2 += (int)n2;
+                o3 += (e3 >> 26); V3 <<= n3; u3 += (int)n3;
             }
             r0 -= o0 - q0; r1 -= o1 - q1; r2 -= o2 - q2; r3 -= o3 - q3;
             q0 = o0; q1 = o1; q2 = o2; q3 = o3;
-            p0 -= 56 - s0; p1 -= 56 - s1; p2 -= 56 - s2; p3 -= 56 - s3;
+            p0 -= u0; p1 -= u1; p2 -= u2; p3 -= u3;
         }
         pos[0] = p0; pos[1] = p1; pos[2] = p2; pos[3] = p3;
         rem[0] = r0; rem[1] = r1; rem[2] = r2; rem[3] = r3;
@@ -3548,7 +3556,13 @@ static int64_t zx_fast_block(const uint8_t* base, uint32_t* hashTable,
                 // ---- probe t (plus the stride-ahead repcode check) ----
                 const uint32_t r_word = read32(base + r);
                 const uint32_t r_prev = read32(base + r - rep1);
+                // probe t+1's candidate, hoisted off the critical path:
+                // loaded before t's insert lands, so patch the one case
+                // where that insert should have been visible (same bucket)
+                const size_t hash_u = zx_hash(base + t + 1, hlog, kMls);
+                uint32_t cand1 = hashTable[hash_u];
                 hashTable[hash_t] = (uint32_t)t;
+                if (hash_u == hash_t) cand1 = (uint32_t)t;
                 if (rep1 > 0 && r_word == r_prev) {
                     // rep hit at r; try a single byte of backward extension
                     const int64_t back =
@@ -3579,9 +3593,7 @@ static int64_t zx_fast_block(const uint8_t* base, uint32_t* hashTable,
                     found = true;
                     break;
                 }
-                // ---- probe t + 1 ----
-                const size_t hash_u = zx_hash(base + t + 1, hlog, kMls);
-                const uint32_t cand1 = hashTable[hash_u];
+                // ---- probe t + 1 (candidate pre-loaded above) ----
                 hashTable[hash_u] = (uint32_t)(t + 1);
                 if (cand1 >= prefixIdx &&
                     read32(base + cand1) == read32(base + t + 1)) {
@@ -7789,8 +7801,10 @@ static int64_t decode_block_c(const uint8_t* src, int64_t size,
             ent->of.fused, ent->of.tlog, ent->ml.fused, ent->ml.tlog,
             ent->rep, a_ll, a_ml, a_of);
         if (rc2 < 0) return -1;
+        if (prof) { int64_t t = prof_now(); g_prof[2] += t - t0; t0 = t; }
         r2 = execute_sequences(out, out_pos, out_cap, prefix_start, lit_buf,
                                lit_size, a_ll, a_ml, a_of, nb_seq);
+        if (prof) { int64_t t = prof_now(); g_prof[3] += t - t0; t0 = t; }
     } else {
         r2 = decode_execute_sequences(
             src - 16, size, nb_seq, ent->ll.fused, ent->ll.tlog,
