@@ -8832,7 +8832,15 @@ int64_t zt_compress_exact_params(const uint8_t* src, int64_t n,
     if (cp.strat >= 7) {
         optc = zx_opt_create(src, cp.wlog, cp.clog, cp.hlog, cp.slog,
                              cp.tlen, cp.mml, (int)cp.strat);
-        if (optc) optc->frame_end = src + n;
+        // ZT_TREE_PRESERVE=0 restores the reference's block-boundary tree
+        // chop (ZSTD_insertBt1:490) so bt-level output can be byte-compared
+        // against a pinned libzstd; preservation (default) is this repo's
+        // ratio improvement and is asserted separately.
+        static const int keep_tree = [] {
+            const char* e = getenv("ZT_TREE_PRESERVE");
+            return e ? atoi(e) : 1;
+        }();
+        if (optc && keep_tree) optc->frame_end = src + n;
         os_ll = (uint32_t*)malloc((size_t)opt_seq_cap * 12);
         if (!optc || !os_ll) {
             zx_opt_free(optc);

@@ -175,6 +175,46 @@ class TestBlockSplitterAndSuperblock:
         assert ours < theirs * 1.06, f"L{level}: ours {ours} vs oracle {theirs}"
 
 
+def test_tree_preservation_is_a_pure_win(text_corpus):
+    """The bt levels deviate from the reference by keeping BT subtrees
+    alive across block limits (PARITY.md deviation #1).  Assert the
+    deviation's justification: output with preservation (default) is never
+    larger than with the reference's block-boundary chop
+    (ZT_TREE_PRESERVE=0), and both roundtrip.  Subprocesses because the
+    knob is a read-once process static."""
+    import os
+    import pathlib
+    import subprocess
+    import sys
+    import tempfile
+
+    data = text_corpus[:400_000]
+    with tempfile.NamedTemporaryFile(suffix=".bin", delete=False) as tf:
+        tf.write(data)
+        path = tf.name
+    worker = (
+        "import sys, pathlib\n"
+        "sys.path.insert(0, %r)\n"
+        "data = pathlib.Path(%r).read_bytes()\n"
+        "from zstdsharp_tpu import compress, decompress\n"
+        "f = compress(data, 19)\n"
+        "assert decompress(f) == data\n"
+        "print(len(f))\n"
+    ) % (str(pathlib.Path(__file__).parent.parent), path)
+    try:
+        sizes = {}
+        for flag in ("0", "1"):
+            env = dict(os.environ, ZT_TREE_PRESERVE=flag)
+            out = subprocess.run([sys.executable, "-c", worker],
+                                 capture_output=True, text=True, env=env,
+                                 timeout=300)
+            assert out.returncode == 0, out.stderr[-400:]
+            sizes[flag] = int(out.stdout)
+        assert sizes["1"] <= sizes["0"], sizes
+    finally:
+        os.unlink(path)
+
+
 def test_raw_fallback_keeps_rep_and_entropy_state(rng):
     """A block that falls back to RAW must not advance repcodes or
     repeat-mode entropy tables (ZSTD_confirmRepcodesAndEntropyTables
