@@ -3550,12 +3550,17 @@ static int64_t zx_fast_block(const uint8_t* base, uint32_t* hashTable,
             // ahead (at the previous advance) so the table read is off the
             // compare's critical path; the last write before each load is
             // the previous pair's second insert, so ordering is unchanged.
+            // rep1 is loop-invariant here (it only changes on match
+            // emission); folding it into a shifted base keeps the rep
+            // probe to one addressed load instead of a stack reload + sub.
+            const uint8_t* const rep_b = base - rep1;
+            const bool rep_ok = rep1 > 0;
             size_t hash_t = zx_hash(base + t, hlog, kMls);
             uint32_t cand0 = hashTable[hash_t];
             for (;;) {
                 // ---- probe t (plus the stride-ahead repcode check) ----
                 const uint32_t r_word = read32(base + r);
-                const uint32_t r_prev = read32(base + r - rep1);
+                const uint32_t r_prev = read32(rep_b + r);
                 // probe t+1's candidate, hoisted off the critical path:
                 // loaded before t's insert lands, so patch the one case
                 // where that insert should have been visible (same bucket)
@@ -3563,7 +3568,7 @@ static int64_t zx_fast_block(const uint8_t* base, uint32_t* hashTable,
                 uint32_t cand1 = hashTable[hash_u];
                 hashTable[hash_t] = (uint32_t)t;
                 if (hash_u == hash_t) cand1 = (uint32_t)t;
-                if (rep1 > 0 && r_word == r_prev) {
+                if (rep_ok && r_word == r_prev) {
                     // rep hit at r; try a single byte of backward extension
                     const int64_t back =
                         base[r - 1] == base[r - 1 - rep1] ? 1 : 0;
