@@ -291,17 +291,23 @@ static inline int64_t zt_exec_one(uint8_t* out, int64_t out_pos,
                                   const uint8_t* lit, int64_t* lit_pos,
                                   int64_t n_literals, uint64_t l, uint64_t m,
                                   int64_t o) {
-    // Short-sequence fast path (ZSTD_execSequence's single-branch core):
-    // one 16-byte literal copy + one 16-byte match copy covers the common
-    // case; overshoot lands in slack that the general path would also
-    // write.  Lit buffer carries >=32B slack (decode_literals_c pads).
-    if ((l | m) <= 16 && o >= 16 && out_pos + 48 <= out_cap &&
+    // Fast path (ZSTD_execSequence's single-branch core): one 16-byte
+    // literal copy, one 16-byte match copy, and a wild tail for longer
+    // matches — covers every sequence with a short literal run and a
+    // non-overlapping (>=16) offset.  Overshoot lands in slack the general
+    // path would also write; lit buffer carries >=32B slack
+    // (decode_literals_c pads).
+    if (l <= 16 && o >= 16 &&
+        out_pos + (int64_t)(l + m) + 32 <= out_cap &&
         *lit_pos + (int64_t)l <= n_literals &&
         o <= out_pos + (int64_t)l - prefix_start) {
         std::memcpy(out + out_pos, lit + *lit_pos, 16);
         out_pos += l;
         *lit_pos += l;
-        std::memcpy(out + out_pos, out + out_pos - o, 16);
+        uint8_t* const dst = out + out_pos;
+        const uint8_t* const ms = dst - o;
+        std::memcpy(dst, ms, 16);
+        if (m > 16) wildcopy16(dst + 16, ms + 16, (int64_t)m - 16);
         return out_pos + m;
     }
     if (*lit_pos + (int64_t)l > n_literals) return -1;
