@@ -188,7 +188,7 @@ int64_t fse_decode_sequences(
         if (pos - (mlb + llb) < wpos) reload(pos);
         if (pos - (mlb + llb) < wpos) return -2;
         uint64_t ml = mlB;
-        if (mlb) { pos -= mlb; ml += (win >> (pos - wpos)) & ((1ULL << mlb) - 1); }
+        if (mlb) { pos -= mlb; ml += bits_lo(win >> (pos - wpos), mlb); }
         uint64_t ll = llB;
         if (llb) { pos -= llb; ll += bits_lo(win >> (pos - wpos), llb); }
 
@@ -200,9 +200,9 @@ int64_t fse_decode_sequences(
             const int nb1 = ll_sb[s_ll], nb2 = ml_sb[s_ml], nb3 = of_sb[s_of];
             if (pos - (nb1 + nb2 + nb3) < wpos) reload(pos);
             if (pos - (nb1 + nb2 + nb3) < wpos) return -2;
-            pos -= nb1; s_ll = ll_ns[s_ll] + (uint32_t)((win >> (pos - wpos)) & ((1ULL << nb1) - 1));
-            pos -= nb2; s_ml = ml_ns[s_ml] + (uint32_t)((win >> (pos - wpos)) & ((1ULL << nb2) - 1));
-            pos -= nb3; s_of = of_ns[s_of] + (uint32_t)((win >> (pos - wpos)) & ((1ULL << nb3) - 1));
+            pos -= nb1; s_ll = ll_ns[s_ll] + (uint32_t)bits_lo(win >> (pos - wpos), nb1);
+            pos -= nb2; s_ml = ml_ns[s_ml] + (uint32_t)bits_lo(win >> (pos - wpos), nb2);
+            pos -= nb3; s_of = of_ns[s_of] + (uint32_t)bits_lo(win >> (pos - wpos), nb3);
             if (pos < 0) return -2;
         }
     }
