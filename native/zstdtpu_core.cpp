@@ -9121,5 +9121,390 @@ int64_t zt_compress_exact_params(const uint8_t* src, int64_t n,
     return rc == 0 ? op : -1;
 }
 
+// ---------------------------------------------------------------------------
+// Resumable streaming encoder (ZSTD_compressStream_generic role): the
+// legacy driver's per-block machinery lifted into a persistent context so
+// CompressionStream runs at native speed.  Frame header/checksum stay on
+// the Python side; this emits block bytes only.  Unsupported shapes
+// (dictionary, LDM, targetCBlockSize) stay on the Python tier.
+// ---------------------------------------------------------------------------
+
+struct EStreamC {
+    int strategy, hlog, clog, slog, wlog, mls, accel;
+    int use_row, row_log, fast_hlog;
+    int64_t block_size;
+    uint8_t* buf;
+    int64_t cap, filled, emitted;
+    int64_t* table;       // 64-bit hash heads (fast/dfast-long/lazy/bt/opt)
+    uint32_t* table32;    // compact fast path (pos+1)
+    int64_t* chain;       // hash chains / dfast short table
+    uint32_t* row_pos;    // [rows][16] pos+1
+    uint8_t* row_tags;
+    uint8_t* row_heads;
+    int32_t* bt;          // DUBT links (strat >= 6)
+    int64_t* h3;          // 3-byte heads (opt)
+    OptStats* ost;
+    int64_t insert_from;
+    int64_t savings;
+    uint32_t rep[3];
+    ZxEntropy ents[2];
+    ZxEntropy ent_snap;
+    int ent_prev;
+    uint32_t* s_ll;       // seq scratch (ll/ml/ob)
+    int64_t max_seq_cap;
+    int last_sent;
+};
+
+void* zt_estream_new(int strategy, int hash_log, int chain_log,
+                     int search_log, int window_log, int min_match,
+                     int accel) {
+    if (strategy < 1 || strategy > 9) return nullptr;
+    codec_init();
+    EStreamC* c = (EStreamC*)calloc(1, sizeof(EStreamC));
+    if (!c) return nullptr;
+    c->strategy = strategy;
+    c->hlog = hash_log;
+    c->clog = chain_log;
+    c->slog = search_log;
+    c->wlog = window_log;
+    c->mls = min_match < 4 ? 4 : (min_match > 8 ? 8 : min_match);
+    c->accel = accel < 1 ? 1 : accel;
+    c->block_size = (1 << 17) < (1LL << window_log) ? (1 << 17)
+                                                    : (1LL << window_log);
+    c->cap = (1LL << window_log) + 4 * c->block_size + (1 << 16);
+    c->buf = (uint8_t*)malloc((size_t)c->cap);
+    c->rep[0] = 1; c->rep[1] = 4; c->rep[2] = 8;
+    c->max_seq_cap = c->block_size / 3 + 16;
+    c->s_ll = (uint32_t*)malloc((size_t)c->max_seq_cap * 12);
+    bool ok = c->buf && c->s_ll;
+    // routing mirrors compress_frame_body_ldm_c
+    const bool l2_shape = strategy == 1 && hash_log >= 15 && c->accel <= 1;
+    c->use_row = (l2_shape || (strategy >= 2 && strategy <= 5)) &&
+                 window_log >= 14 && search_log <= 5;
+    c->fast_hlog = strategy <= 1 && hash_log < 16 ? 16 : hash_log;
+    if (c->use_row) {
+        c->row_log = hash_log - 4;
+        if (c->row_log < 8) c->row_log = 8;
+        if (c->row_log > 21) c->row_log = 21;
+        const int64_t nr = 1LL << c->row_log;
+        c->row_pos = (uint32_t*)calloc((size_t)nr * 16, 4);
+        c->row_tags = (uint8_t*)calloc((size_t)nr * 16, 1);
+        c->row_heads = (uint8_t*)calloc((size_t)nr, 1);
+        ok = ok && c->row_pos && c->row_tags && c->row_heads;
+    } else if (strategy <= 1 && !l2_shape) {
+        c->table32 = (uint32_t*)calloc((size_t)1 << c->fast_hlog, 4);
+        ok = ok && c->table32;
+    }
+    if (!c->use_row || strategy >= 6) {
+        c->table = (int64_t*)malloc(((size_t)1 << hash_log) * 8);
+        ok = ok && c->table;
+        if (c->table)
+            for (int64_t i = 0; i < (1LL << hash_log); i++) c->table[i] = -1;
+    }
+    if (!c->use_row && strategy >= 2 && strategy < 6) {
+        c->chain = (int64_t*)malloc(((size_t)1 << chain_log) * 8);
+        ok = ok && c->chain;
+        if (c->chain)
+            for (int64_t i = 0; i < (1LL << chain_log); i++) c->chain[i] = -1;
+    }
+    if (strategy >= 6) {
+        c->bt = (int32_t*)malloc(((size_t)2 << chain_log) * 4);
+        ok = ok && c->bt;
+        if (c->bt) std::memset(c->bt, 0xFF, ((size_t)2 << chain_log) * 4);
+    }
+    if (strategy >= 7) {
+        c->h3 = (int64_t*)malloc(((size_t)1 << 16) * 8);
+        c->ost = (OptStats*)malloc(sizeof(OptStats));
+        ok = ok && c->h3 && c->ost;
+        if (c->h3)
+            for (int64_t i = 0; i < (1LL << 16); i++) c->h3[i] = -1;
+        if (c->ost) opt_seed_default(c->ost);
+    }
+    if (!ok) {
+        free(c->buf); free(c->s_ll); free(c->table); free(c->table32);
+        free(c->chain); free(c->row_pos); free(c->row_tags);
+        free(c->row_heads); free(c->bt); free(c->h3); free(c->ost);
+        free(c);
+        return nullptr;
+    }
+    return c;
+}
+
+int64_t zt_estream_pending(void* h) {
+    EStreamC* c = (EStreamC*)h;
+    return c ? c->filled - c->emitted : -1;
+}
+
+void zt_estream_free(void* h) {
+    if (!h) return;
+    EStreamC* c = (EStreamC*)h;
+    free(c->buf); free(c->s_ll); free(c->table); free(c->table32);
+    free(c->chain); free(c->row_pos); free(c->row_tags); free(c->row_heads);
+    free(c->bt); free(c->h3); free(c->ost);
+    free(c);
+}
+
+// Round-buffer discipline: once the compressed prefix exceeds
+// window + block slack, slide the buffer and rebase every stored position.
+// Chain/bt tables index by pos & (size-1), so the slide amount is a
+// multiple of the chain size; bt/opt state instead resets (cheap, rare).
+static void estream_trim(EStreamC* c) {
+    const int64_t keep = (1LL << c->wlog) + c->block_size;
+    int64_t unit = c->block_size;
+    if (c->chain) unit = unit > (1LL << c->clog) ? unit : (1LL << c->clog);
+    const int64_t excess = c->emitted - keep;
+    if (excess < unit) return;
+    const int64_t delta = (excess / unit) * unit;
+    std::memmove(c->buf, c->buf + delta, (size_t)(c->filled - delta));
+    c->filled -= delta;
+    c->emitted -= delta;
+    c->insert_from = c->insert_from > delta ? c->insert_from - delta : 0;
+    if (c->table)
+        for (int64_t i = 0; i < (1LL << c->hlog); i++)
+            c->table[i] = c->table[i] >= delta ? c->table[i] - delta : -1;
+    if (c->chain)
+        for (int64_t i = 0; i < (1LL << c->clog); i++)
+            c->chain[i] = c->chain[i] >= delta ? c->chain[i] - delta : -1;
+    if (c->table32)
+        for (int64_t i = 0; i < (1LL << c->fast_hlog); i++)
+            c->table32[i] = c->table32[i] > (uint32_t)delta
+                                ? c->table32[i] - (uint32_t)delta : 0;
+    if (c->row_pos) {
+        const int64_t n = (1LL << c->row_log) * 16;
+        for (int64_t i = 0; i < n; i++)
+            c->row_pos[i] = c->row_pos[i] > (uint32_t)delta
+                                ? c->row_pos[i] - (uint32_t)delta : 0;
+    }
+    if (c->bt) {  // positions are ambiguous after a slide: start fresh
+        std::memset(c->bt, 0xFF, ((size_t)2 << c->clog) * 4);
+        if (c->table)
+            for (int64_t i = 0; i < (1LL << c->hlog); i++) c->table[i] = -1;
+        if (c->h3)
+            for (int64_t i = 0; i < (1LL << 16); i++) c->h3[i] = -1;
+        c->insert_from = c->emitted;
+    }
+}
+
+// Compress one block [pos, end) of c->buf into out; returns bytes written.
+static int64_t estream_block(EStreamC* c, int64_t pos, int64_t end, int last,
+                             uint8_t* out, int64_t cap) {
+    const int64_t bn = end - pos;
+    if (cap < 3 + bn + 32) return -1;
+    uint32_t rep_snap[3] = {c->rep[0], c->rep[1], c->rep[2]};
+    c->ent_snap = c->ents[c->ent_prev];
+    bool all_same = bn > 1;
+    for (int64_t i = pos + 1; i < end && all_same; i++)
+        if (c->buf[i] != c->buf[pos]) all_same = false;
+    if (all_same) {
+        const uint32_t bh = (uint32_t)(last | (1 << 1) | (bn << 3));
+        out[0] = (uint8_t)bh; out[1] = (uint8_t)(bh >> 8);
+        out[2] = (uint8_t)(bh >> 16);
+        out[3] = c->buf[pos];
+        c->insert_from = end;
+        return 4;
+    }
+    const uint8_t* src = c->buf;
+    const int64_t n = c->filled;
+    const int64_t wsize = 1LL << c->wlog;
+    uint32_t* s_ll = c->s_ll;
+    uint32_t* s_ml = s_ll + c->max_seq_cap;
+    uint32_t* s_ob = s_ml + c->max_seq_cap;
+    int64_t last_lit = 0;
+    int64_t n_seq;
+    if (c->strategy >= 7) {
+        const uint32_t rep_in[3] = {c->rep[0], c->rep[1], c->rep[2]};
+        n_seq = opt_find_matches(src, n, pos, end, 0, wsize, c->table,
+                                 c->hlog, c->bt, 1LL << c->clog,
+                                 1LL << c->slog, c->h3, 16, c->mls,
+                                 &c->insert_from, c->rep, c->ost, s_ll, s_ml,
+                                 s_ob, c->max_seq_cap, &last_lit);
+        if (n_seq > 0 && !c->ost->inited) {
+            // btultra2 first-block seeding (ZSTD_initStats_ultra role)
+            opt_update_stats(c->ost, s_ll, s_ml, s_ob, n_seq, false);
+            c->rep[0] = rep_in[0]; c->rep[1] = rep_in[1];
+            c->rep[2] = rep_in[2];
+            for (int64_t t = 0; t < (1LL << c->hlog); t++) c->table[t] = -1;
+            std::memset(c->bt, 0xFF, ((size_t)2 << c->clog) * 4);
+            for (int64_t t = 0; t < (1LL << 16); t++) c->h3[t] = -1;
+            c->insert_from = pos;
+            n_seq = opt_find_matches(src, n, pos, end, 0, wsize, c->table,
+                                     c->hlog, c->bt, 1LL << c->clog,
+                                     1LL << c->slog, c->h3, 16, c->mls,
+                                     &c->insert_from, c->rep, c->ost, s_ll,
+                                     s_ml, s_ob, c->max_seq_cap, &last_lit);
+        }
+        if (n_seq >= 0)
+            opt_update_stats(c->ost, s_ll, s_ml, s_ob, n_seq, true);
+    } else if (c->strategy == 6) {
+        n_seq = btlazy_find_matches(src, n, pos, end, 0, wsize, c->table,
+                                    c->hlog, c->bt, 1LL << c->clog,
+                                    2LL << c->slog, 2, &c->insert_from,
+                                    c->rep, s_ll, s_ml, s_ob, c->max_seq_cap,
+                                    &last_lit);
+    } else if (c->use_row) {
+        const int depth =
+            c->strategy >= 5 ? 2 : (c->strategy >= 3 ? c->strategy - 3 : 0);
+        const int64_t att = c->strategy <= 2 ? 4 : 1LL << c->slog;
+        n_seq = row_lazy_find_matches(src, n, pos, end, 0, wsize, c->row_pos,
+                                      c->row_tags, c->row_heads, c->row_log,
+                                      c->mls, att, depth, &c->insert_from,
+                                      c->rep, s_ll, s_ml, s_ob,
+                                      c->max_seq_cap, &last_lit);
+    } else if (c->strategy == 2) {
+        n_seq = dfast_find_matches(src, n, pos, end, 0, wsize, c->table,
+                                   c->hlog, c->chain, c->clog, c->mls,
+                                   c->rep, s_ll, s_ml, s_ob, c->max_seq_cap,
+                                   &last_lit);
+    } else if (c->strategy <= 1 && c->table32) {
+        n_seq = fast_find_matches32(src, n, pos, end, 0, wsize, c->table32,
+                                    c->fast_hlog, c->mls, c->rep, s_ll, s_ml,
+                                    s_ob, c->max_seq_cap, &last_lit,
+                                    c->accel);
+    } else if (c->strategy <= 2) {
+        n_seq = fast_find_matches(src, n, pos, end, 0, wsize, c->table,
+                                  c->hlog, c->mls, c->rep, s_ll, s_ml, s_ob,
+                                  c->max_seq_cap, &last_lit, c->accel);
+    } else {
+        const int depth = c->strategy >= 5 ? 2 : c->strategy - 3;
+        n_seq = lazy_find_matches(src, n, pos, end, 0, wsize, c->table,
+                                  c->hlog, c->chain, 1LL << c->clog,
+                                  1LL << c->slog, depth, &c->insert_from,
+                                  c->rep, s_ll, s_ml, s_ob, c->max_seq_cap,
+                                  &last_lit, c->mls);
+    }
+    if (n_seq < 0) return -1;
+    ZxEntropy* const prev = &c->ents[c->ent_prev];
+    ZxEntropy* const next = &c->ents[c->ent_prev ^ 1];
+    const int64_t body = zx_block_from_arrays(src + pos, bn, s_ll, s_ml,
+                                              s_ob, n_seq, last_lit, prev,
+                                              next, c->strategy, out + 3,
+                                              cap - 3 - 8);
+    if (body < 0) {
+        c->rep[0] = rep_snap[0]; c->rep[1] = rep_snap[1];
+        c->rep[2] = rep_snap[2];
+        c->ents[c->ent_prev] = c->ent_snap;
+        const uint32_t bh = (uint32_t)(last | (0 << 1) | (bn << 3));
+        out[0] = (uint8_t)bh; out[1] = (uint8_t)(bh >> 8);
+        out[2] = (uint8_t)(bh >> 16);
+        std::memcpy(out + 3, src + pos, (size_t)bn);
+        return 3 + bn;
+    }
+    c->ent_prev ^= 1;
+    const uint32_t bh = (uint32_t)(last | (2 << 1) | ((uint32_t)body << 3));
+    out[0] = (uint8_t)bh; out[1] = (uint8_t)(bh >> 8);
+    out[2] = (uint8_t)(bh >> 16);
+    return 3 + body;
+}
+
+// ---------------------------------------------------------------------------
+// Resumable streaming decoder: persistent entropy state + scratch for the
+// Python stage machine's per-block decode, so DecompressionStream runs at
+// engine speed.  The output window buffer stays on the Python side (its
+// slide/rebase discipline is already there).
+// ---------------------------------------------------------------------------
+
+struct DStreamC {
+    EntropyStateC ent;
+    uint8_t* lit_buf;
+    uint32_t* seq_buf;
+    uint8_t* pad;       // 16-byte-prefixed copy of the block payload
+    int64_t pad_cap;
+};
+
+void* zt_dstream_new(void) {
+    codec_init();
+    DStreamC* c = (DStreamC*)malloc(sizeof(DStreamC));
+    if (!c) return nullptr;
+    c->ent.huf.valid = false;
+    c->ent.ll_valid = c->ent.of_valid = c->ent.ml_valid = false;
+    c->ent.rep[0] = 1; c->ent.rep[1] = 4; c->ent.rep[2] = 8;
+    const int64_t max_seq = (1 << 17) / 3 + 16;
+    c->lit_buf = (uint8_t*)malloc((1 << 17) + 64);
+    c->seq_buf = (uint32_t*)malloc((size_t)max_seq * 12);
+    c->pad_cap = (1 << 17) + 64;
+    c->pad = (uint8_t*)malloc((size_t)c->pad_cap + 24);
+    if (!c->lit_buf || !c->seq_buf || !c->pad) {
+        free(c->lit_buf); free(c->seq_buf); free(c->pad); free(c);
+        return nullptr;
+    }
+    std::memset(c->pad, 0, 16);
+    return c;
+}
+
+void zt_dstream_free(void* h) {
+    if (!h) return;
+    DStreamC* c = (DStreamC*)h;
+    free(c->lit_buf); free(c->seq_buf); free(c->pad);
+    free(c);
+}
+
+// Decode one compressed block into out at out_pos (history below it is
+// valid match window from prefix_start).  Returns the new out_pos, or a
+// negative error.
+int64_t zt_dstream_block(void* h, const uint8_t* src, int64_t n,
+                         uint8_t* out, int64_t out_pos, int64_t out_cap,
+                         int64_t prefix_start) {
+    DStreamC* c = (DStreamC*)h;
+    if (!c || n < 0 || n > c->pad_cap) return -1;
+    std::memcpy(c->pad + 16, src, (size_t)n);
+    const int64_t max_seq = (1 << 17) / 3 + 16;
+    return decode_block_c(c->pad + 16, n, &c->ent, out, out_pos, out_cap,
+                          prefix_start, c->lit_buf, c->seq_buf, max_seq);
+}
+
+// mode: 0 = accumulate (compress only full blocks), 1 = flush (also emit
+// the partial tail as a non-last block), 2 = end (emit everything; the
+// final block carries the last flag, an empty raw block if nothing is
+// pending).  Returns bytes written to out, or -1.
+int64_t zt_estream_feed(void* h, const uint8_t* src, int64_t n, int mode,
+                        uint8_t* out, int64_t cap) {
+    EStreamC* c = (EStreamC*)h;
+    if (!c || c->last_sent) return -1;
+    if (n > 0) {
+        while (c->filled + n > c->cap) {
+            estream_trim(c);
+            if (c->filled + n <= c->cap) break;
+            const int64_t ncap = (c->filled + n) + (c->cap >> 1);
+            uint8_t* nb = (uint8_t*)realloc(c->buf, (size_t)ncap);
+            if (!nb) return -1;
+            c->buf = nb;
+            c->cap = ncap;
+            break;
+        }
+        std::memcpy(c->buf + c->filled, src, (size_t)n);
+        c->filled += n;
+    }
+    int64_t op = 0;
+    for (;;) {
+        const int64_t avail = c->filled - c->emitted;
+        if (avail <= 0) break;
+        if (avail < c->block_size && mode == 0) break;
+        // content-adaptive boundary needs the full lookahead window; with a
+        // partial tail (flush/end) just take what is there
+        const int64_t bsize =
+            avail >= c->block_size
+                ? zx_presplit(c->buf + c->emitted, avail, c->block_size,
+                              c->strategy, c->savings)
+                : avail;
+        const int last = mode == 2 && bsize == avail;
+        const int64_t w = estream_block(c, c->emitted, c->emitted + bsize,
+                                        last, out + op, cap - op);
+        if (w < 0) return -1;
+        c->savings += bsize - w;
+        op += w;
+        c->emitted += bsize;
+        if (last) c->last_sent = 1;
+        if (mode == 0 && c->filled - c->emitted < c->block_size) break;
+    }
+    if (mode == 2 && !c->last_sent) {
+        if (cap - op < 3) return -1;
+        out[op] = 1; out[op + 1] = 0; out[op + 2] = 0;  // empty raw last
+        op += 3;
+        c->last_sent = 1;
+    }
+    estream_trim(c);
+    return op;
+}
+
 }  // extern "C"
 

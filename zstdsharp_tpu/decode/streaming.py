@@ -156,8 +156,19 @@ class StreamingDecompressor:
                     huf=self._dict_entropy.huf, ll=self._dict_entropy.ll,
                     ml=self._dict_entropy.ml, of=self._dict_entropy.of,
                     rep=list(self._dict_entropy.rep))
+                self._nds = None
             else:
                 self._entropy = EntropyState()
+                # native per-block decode state (fresh per frame); dict
+                # frames keep the Python tier (preloaded entropy)
+                from .. import native
+
+                self._nds = None
+                if native.get_lib() is not None:
+                    try:
+                        self._nds = native.NativeDStream()
+                    except RuntimeError:
+                        self._nds = None
             del self._in[: hdr.header_size]
             self._stage = _Stage.BLOCK_HEADER
             return True
@@ -192,8 +203,15 @@ class StreamingDecompressor:
                 self._out_pos += self._block_size
             else:
                 self._ensure_out(C.ZSTD_BLOCKSIZE_MAX)
-                self._out_pos = decode_block(body, self._entropy, self._out,
-                                             self._out_pos, prefix_start=0)
+                if getattr(self, "_nds", None) is not None:
+                    r = self._nds.block(body, self._out, self._out_pos)
+                    check(r >= 0, ZstdErrorCode.corruption_detected,
+                          "block decode failed")
+                    self._out_pos = r
+                else:
+                    self._out_pos = decode_block(body, self._entropy,
+                                                 self._out, self._out_pos,
+                                                 prefix_start=0)
             fresh = self._out[self._flushed : self._out_pos]
             if self._xxh_chunks is not None:
                 self._xxh_chunks.append(fresh.tobytes())

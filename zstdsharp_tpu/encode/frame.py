@@ -120,6 +120,25 @@ class FrameEncoder:
         self._header_sent = False
         self._last_sent = False
         self._src_size = src_size
+        # Native streaming context (zt_estream): block emission at engine
+        # speed for the common streaming shape; dictionary/LDM/superblock
+        # streams stay on the Python block machinery above.
+        self._nstream = None
+        self._ingested = 0
+        if (dict_content is None and not params.ldm
+                and params.target_cblock_size == 0):
+            from .. import native
+
+            if native.get_lib() is not None:
+                try:
+                    self._nstream = native.NativeEStream(
+                        int(cp.strategy), cp.hash_log, cp.chain_log,
+                        cp.search_log, cp.window_log, cp.min_match,
+                        accel=(cp.target_length
+                               if cp.strategy <= 2 and cp.target_length
+                               else 1))
+                except RuntimeError:
+                    self._nstream = None
 
     def _append(self, data: np.ndarray) -> None:
         need = self._filled + len(data)
@@ -202,6 +221,8 @@ class FrameEncoder:
                else np.frombuffer(bytes(data), dtype=np.uint8))
         if self._xxh is not None and len(arr):
             self._xxh.update(arr.tobytes())
+        if self._nstream is not None:
+            return self._native_step(arr, 2 if end else 0)
         if len(arr):
             self._append(arr)
         out = bytearray()
@@ -225,6 +246,26 @@ class FrameEncoder:
             self._finished = True
         return bytes(out)
 
+    def _native_step(self, arr: np.ndarray, mode: int) -> bytes:
+        out = bytearray()
+        if not self._header_sent:
+            out += self._header
+            self._header_sent = True
+        self._ingested += len(arr)
+        try:
+            out += self._nstream.feed(arr, mode)
+        except RuntimeError:
+            # native ctx failed mid-stream: no safe fallback (its pending
+            # bytes are inside the ctx) — surface the error
+            raise
+        if mode == 2:
+            if self._xxh is not None:
+                out += (self._xxh.intdigest() & 0xFFFFFFFF).to_bytes(
+                    4, "little")
+            self._finished = True
+            self._nstream.close()
+        return bytes(out)
+
     def flush(self) -> bytes:
         """Mid-block flush (ZSTD_flushStream:7714 / ZSTD_e_flush role):
         force the buffered tail out as a (non-last) block so the receiver
@@ -234,6 +275,8 @@ class FrameEncoder:
         (io close paths flush after finishing)."""
         if self._finished:
             return b""
+        if self._nstream is not None:
+            return self._native_step(np.empty(0, dtype=np.uint8), 1)
         out = bytearray()
         if not self._header_sent:
             out += self._header
@@ -250,6 +293,17 @@ class FrameEncoder:
     @property
     def progression(self) -> dict:
         """ZSTD_getFrameProgression:2385 analog."""
+        if self._nstream is not None:
+            pend = self._nstream.pending
+            consumed = self._ingested - pend
+            return {
+                "ingested": self._ingested,
+                "consumed": consumed,
+                "produced": consumed,
+                "flushed": consumed,
+                "current_job": 0,
+                "n_active_workers": 0,
+            }
         ingested = self._filled - self._dict_len
         consumed = self._emitted - self._dict_len
         return {
@@ -263,6 +317,8 @@ class FrameEncoder:
 
     def to_flush_now(self) -> int:
         """ZSTD_toFlushNow:2411 analog — pending bytes below a block."""
+        if self._nstream is not None:
+            return self._nstream.pending
         return self._filled - self._emitted
 
 

@@ -128,6 +128,20 @@ def _load():
         lib.zt_decompress_many_ddict.argtypes = [vp, u8p, i64p, i64,
                                                  ctypes.c_uint32, u8p, i64,
                                                  i64p]
+        lib.zt_estream_new.restype = vp
+        lib.zt_estream_new.argtypes = [i32, i32, i32, i32, i32, i32, i32]
+        lib.zt_estream_feed.restype = i64
+        lib.zt_estream_feed.argtypes = [vp, u8p, i64, i32, u8p, i64]
+        lib.zt_estream_free.restype = None
+        lib.zt_estream_free.argtypes = [vp]
+        lib.zt_estream_pending.restype = i64
+        lib.zt_estream_pending.argtypes = [vp]
+        lib.zt_dstream_new.restype = vp
+        lib.zt_dstream_new.argtypes = []
+        lib.zt_dstream_block.restype = i64
+        lib.zt_dstream_block.argtypes = [vp, u8p, i64, u8p, i64, i64, i64]
+        lib.zt_dstream_free.restype = None
+        lib.zt_dstream_free.argtypes = [vp]
         lib.zt_compress_exact.restype = i64
         lib.zt_compress_exact.argtypes = [u8p, i64, i32, i32, u8p, i64]
 
@@ -383,6 +397,90 @@ def compress_frame_body(src: np.ndarray, strategy: int, hash_log: int,
     if size < 0:
         return None
     return out[:size].tobytes()
+
+
+class NativeEStream:
+    """Resumable streaming encoder context (zt_estream_*): emits frame-body
+    block bytes at native speed; the Python FrameEncoder keeps the frame
+    header, checksum, and windowing contract."""
+
+    def __init__(self, strategy: int, hash_log: int, chain_log: int,
+                 search_log: int, window_log: int, min_match: int,
+                 accel: int = 1):
+        self._lib = get_lib()
+        self._h = None
+        if self._lib is None:
+            raise RuntimeError("native library unavailable")
+        self._h = self._lib.zt_estream_new(strategy, hash_log, chain_log,
+                                           search_log, window_log, min_match,
+                                           accel)
+        if not self._h:
+            raise RuntimeError("zt_estream_new failed")
+        self._pending = 0  # uncompressed bytes buffered in the ctx
+
+    def feed(self, data: np.ndarray, mode: int) -> bytes:
+        """mode: 0 accumulate, 1 flush pending, 2 end (writes last block)."""
+        n = len(data)
+        total = self._pending + n
+        cap = total + (total >> 6) + (1 << 18)
+        out = np.empty(cap, dtype=np.uint8)
+        arr = np.ascontiguousarray(data, np.uint8)
+        size = self._lib.zt_estream_feed(
+            self._h, _ptr(arr, ctypes.c_uint8), n, mode,
+            _ptr(out, ctypes.c_uint8), cap)
+        if size < 0:
+            raise RuntimeError("zt_estream_feed failed")
+        self._pending = int(self._lib.zt_estream_pending(self._h))
+        return out[:size].tobytes()
+
+    @property
+    def pending(self) -> int:
+        return self._pending
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.zt_estream_free(self._h)
+            self._h = None
+
+    def __del__(self):  # pragma: no cover
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class NativeDStream:
+    """Persistent per-frame decode state (entropy tables + repcodes) for the
+    streaming stage machine; one zt_dstream_block call per compressed
+    block, writing into the caller's window buffer."""
+
+    def __init__(self):
+        self._lib = get_lib()
+        self._h = None
+        if self._lib is None:
+            raise RuntimeError("native library unavailable")
+        self._h = self._lib.zt_dstream_new()
+        if not self._h:
+            raise RuntimeError("zt_dstream_new failed")
+
+    def block(self, body: bytes, out: np.ndarray, out_pos: int,
+              prefix_start: int = 0) -> int:
+        arr = np.frombuffer(body, dtype=np.uint8)
+        r = self._lib.zt_dstream_block(
+            self._h, _ptr(arr, ctypes.c_uint8), len(body),
+            _ptr(out, ctypes.c_uint8), out_pos, len(out), prefix_start)
+        return int(r)
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.zt_dstream_free(self._h)
+            self._h = None
+
+    def __del__(self):  # pragma: no cover
+        try:
+            self.close()
+        except Exception:
+            pass
 
 
 def decode_frame_body(src: bytes | np.ndarray, out_cap: int):
