@@ -41,6 +41,7 @@ class StreamingDecompressor:
                  dict_id: int = 0, verify_checksum: bool = True,
                  single_frame: bool = False):
         self._in = bytearray()
+        self._ino = 0  # consumed-prefix cursor into _in
         self._stage = _Stage.HEADER
         self.max_window_log = max_window_log
         self.verify_checksum = verify_checksum
@@ -62,17 +63,37 @@ class StreamingDecompressor:
         self._block_last = False
         self._block_type = None
         self._content_produced = 0
-        self._xxh_chunks = [] if self.verify_checksum else None
+        # streaming checksum state: xxhash object when available, else a
+        # chunk list joined at the end (pure-Python fallback)
+        self._xxh_chunks = None
+        if self.verify_checksum:
+            try:
+                import xxhash as _x
+
+                self._xxh_chunks = _x.xxh64(seed=0)
+            except ImportError:  # pragma: no cover
+                self._xxh_chunks = []
 
     @property
     def finished(self) -> bool:
-        return self._stage in (_Stage.HEADER, _Stage.DONE) and not self._in
+        return (self._stage in (_Stage.HEADER, _Stage.DONE)
+                and self._ino >= len(self._in))
 
     @property
     def at_frame_boundary(self) -> bool:
         return self._stage in (_Stage.HEADER, _Stage.DONE)
 
+    @property
+    def pending_input(self) -> int:
+        """Bytes fed but not yet consumed by the stage machine."""
+        return len(self._in) - self._ino
+
     def feed(self, chunk: bytes) -> bytes:
+        # consumed prefix is tracked by cursor (deleting it per block is
+        # quadratic); compact once it grows past a megabyte
+        if self._ino > (1 << 20):
+            del self._in[: self._ino]
+            self._ino = 0
         self._in += chunk
         out = bytearray()
         while True:
@@ -115,11 +136,11 @@ class StreamingDecompressor:
                 return False
             self._stage = _Stage.HEADER
             self._reset_frame_state()
-            return bool(self._in)
+            return len(self._in) > self._ino
 
         if self._stage == _Stage.SKIP_FRAME:
-            take = min(self._skip_left, len(self._in))
-            del self._in[:take]
+            take = min(self._skip_left, len(self._in) - self._ino)
+            self._ino += take
             self._skip_left -= take
             if self._skip_left == 0:
                 self._stage = _Stage.HEADER
@@ -127,22 +148,23 @@ class StreamingDecompressor:
             return False
 
         if self._stage == _Stage.HEADER:
-            if len(self._in) < C.ZSTD_FRAMEHEADERSIZE_PREFIX:
-                if self._in and len(self._in) >= 4:
-                    pass  # might still be skippable; need size field too
+            o = self._ino
+            avail = len(self._in) - o
+            if avail < C.ZSTD_FRAMEHEADERSIZE_PREFIX:
                 return False
-            magic = int.from_bytes(self._in[:4], "little")
+            magic = int.from_bytes(self._in[o : o + 4], "little")
             if (magic & C.ZSTD_MAGIC_SKIPPABLE_MASK) == C.ZSTD_MAGIC_SKIPPABLE_START:
-                if len(self._in) < 8:
+                if avail < 8:
                     return False
-                self._skip_left = int.from_bytes(self._in[4:8], "little")
-                del self._in[:8]
+                self._skip_left = int.from_bytes(self._in[o + 4 : o + 8], "little")
+                self._ino = o + 8
                 self._stage = _Stage.SKIP_FRAME
                 return True
             try:
-                hdr = parse_frame_header(bytes(self._in[: C.ZSTD_FRAMEHEADERSIZE_MAX]))
+                hdr = parse_frame_header(
+                    bytes(self._in[o : o + C.ZSTD_FRAMEHEADERSIZE_MAX]))
             except ZstdError as e:
-                if e.code == ZstdErrorCode.srcSize_wrong and len(self._in) < C.ZSTD_FRAMEHEADERSIZE_MAX:
+                if e.code == ZstdErrorCode.srcSize_wrong and avail < C.ZSTD_FRAMEHEADERSIZE_MAX:
                     return False  # header split across chunks; wait
                 raise
             if hdr.window_size and not hdr.single_segment:
@@ -169,29 +191,29 @@ class StreamingDecompressor:
                         self._nds = native.NativeDStream()
                     except RuntimeError:
                         self._nds = None
-            del self._in[: hdr.header_size]
+            self._ino += hdr.header_size
             self._stage = _Stage.BLOCK_HEADER
             return True
 
         if self._stage == _Stage.BLOCK_HEADER:
-            if len(self._in) < 3:
+            if len(self._in) - self._ino < 3:
                 return False
-            bh = int.from_bytes(self._in[:3], "little")
+            bh = int.from_bytes(self._in[self._ino : self._ino + 3], "little")
             self._block_last = bool(bh & 1)
             self._block_type = C.BlockType((bh >> 1) & 3)
             check(self._block_type != C.BlockType.RESERVED,
                   ZstdErrorCode.corruption_detected, "reserved block type")
             self._block_size = bh >> 3
-            del self._in[:3]
+            self._ino += 3
             self._stage = _Stage.BLOCK_BODY
             return True
 
         if self._stage == _Stage.BLOCK_BODY:
             need = 1 if self._block_type == C.BlockType.RLE else self._block_size
-            if len(self._in) < need:
+            if len(self._in) - self._ino < need:
                 return False
-            body = bytes(self._in[:need])
-            del self._in[:need]
+            body = bytes(self._in[self._ino : self._ino + need])
+            self._ino += need
             if self._block_type == C.BlockType.RAW:
                 self._ensure_out(self._block_size)
                 self._out[self._out_pos : self._out_pos + self._block_size] = \
@@ -212,10 +234,13 @@ class StreamingDecompressor:
                     self._out_pos = decode_block(body, self._entropy,
                                                  self._out, self._out_pos,
                                                  prefix_start=0)
-            fresh = self._out[self._flushed : self._out_pos]
+            fresh = self._out[self._flushed : self._out_pos].tobytes()
             if self._xxh_chunks is not None:
-                self._xxh_chunks.append(fresh.tobytes())
-            out += fresh.tobytes()
+                if isinstance(self._xxh_chunks, list):
+                    self._xxh_chunks.append(fresh)
+                else:
+                    self._xxh_chunks.update(fresh)
+            out += fresh
             self._content_produced += self._out_pos - self._flushed
             self._flushed = self._out_pos
             if self._block_last:
@@ -228,13 +253,16 @@ class StreamingDecompressor:
             return True
 
         if self._stage == _Stage.CHECKSUM:
-            if len(self._in) < 4:
+            if len(self._in) - self._ino < 4:
                 return False
-            stored = int.from_bytes(self._in[:4], "little")
-            del self._in[:4]
+            stored = int.from_bytes(self._in[self._ino : self._ino + 4], "little")
+            self._ino += 4
             if self._xxh_chunks is not None:
-                check(content_checksum(b"".join(self._xxh_chunks)) == stored,
-                      ZstdErrorCode.checksum_wrong)
+                if isinstance(self._xxh_chunks, list):
+                    got = content_checksum(b"".join(self._xxh_chunks))
+                else:
+                    got = self._xxh_chunks.intdigest() & 0xFFFFFFFF
+                check(got == stored, ZstdErrorCode.checksum_wrong)
             self._stage = _Stage.DONE
             return True
 

@@ -92,7 +92,7 @@ class DecompressionStream(io.RawIOBase):
         """Pull one chunk from inner; returns False on EOF."""
         chunk = self._inner.read(self._read_chunk)
         if not chunk:
-            if not self._dec.at_frame_boundary or self._dec._in:
+            if not self._dec.at_frame_boundary or self._dec.pending_input:
                 raise EOFError("premature end of zstd stream")
             self._eof = True
             return False
