@@ -9452,6 +9452,57 @@ int64_t zt_dstream_block(void* h, const uint8_t* src, int64_t n,
                           prefix_start, c->lit_buf, c->seq_buf, max_seq);
 }
 
+// Drain every COMPLETE block (header + body) from src in one call: walks
+// block headers like the frame loop, decodes raw/RLE/compressed blocks,
+// and stops cleanly at a partial tail or after the last-flag block.
+// Writes consumed input bytes to *consumed and 1 to *saw_last when the
+// final block was processed.  Returns the new out_pos (possibly needing a
+// larger `out`: stops early when fewer than 128KB of room remain) or a
+// negative error.
+int64_t zt_dstream_drain(void* h, const uint8_t* src, int64_t n,
+                         uint8_t* out, int64_t out_pos, int64_t out_cap,
+                         int64_t prefix_start, int64_t* consumed,
+                         int* saw_last) {
+    DStreamC* c = (DStreamC*)h;
+    if (!c) return -1;
+    int64_t pos = 0;
+    *saw_last = 0;
+    const int64_t max_seq = (1 << 17) / 3 + 16;
+    while (n - pos >= 3 && !*saw_last) {
+        const uint32_t bh = (uint32_t)src[pos] | ((uint32_t)src[pos + 1] << 8)
+                            | ((uint32_t)src[pos + 2] << 16);
+        const int last = bh & 1;
+        const int btype = (bh >> 1) & 3;
+        const int64_t bsize = bh >> 3;
+        if (btype == 3) return -2;            // reserved
+        if (bsize > (1 << 17)) return -2;     // Block_Maximum_Size bound
+        const int64_t need = btype == 1 ? 1 : bsize;
+        if (n - pos - 3 < need) break;           // partial body: wait
+        if (out_pos + (btype == 2 ? (1 << 17) : bsize) > out_cap)
+            break;                               // caller must grow out
+        if (btype == 0) {
+            std::memcpy(out + out_pos, src + pos + 3, (size_t)bsize);
+            out_pos += bsize;
+        } else if (btype == 1) {
+            std::memset(out + out_pos, src[pos + 3], (size_t)bsize);
+            out_pos += bsize;
+        } else {
+            if (bsize > c->pad_cap) return -1;
+            std::memcpy(c->pad + 16, src + pos + 3, (size_t)bsize);
+            const int64_t r = decode_block_c(c->pad + 16, bsize, &c->ent,
+                                             out, out_pos, out_cap,
+                                             prefix_start, c->lit_buf,
+                                             c->seq_buf, max_seq);
+            if (r < 0) return -3;
+            out_pos = r;
+        }
+        pos += 3 + need;
+        if (last) *saw_last = 1;
+    }
+    *consumed = pos;
+    return out_pos;
+}
+
 // mode: 0 = accumulate (compress only full blocks), 1 = flush (also emit
 // the partial tail as a non-last block), 2 = end (emit everything; the
 // final block carries the last flag, an empty raw block if nothing is

@@ -195,6 +195,45 @@ class StreamingDecompressor:
             self._stage = _Stage.BLOCK_HEADER
             return True
 
+        if self._stage == _Stage.BLOCK_HEADER and \
+                getattr(self, "_nds", None) is not None:
+            # native multi-block drain: consume every complete block in one
+            # call; loop grows the window buffer when it was the limiter
+            progress = False
+            while True:
+                if len(self._in) - self._ino < 3:
+                    break
+                self._ensure_out(C.ZSTD_BLOCKSIZE_MAX)
+                r, consumed, saw_last = self._nds.drain(
+                    memoryview(self._in)[self._ino :], self._out,
+                    self._out_pos)
+                check(r >= 0, ZstdErrorCode.corruption_detected,
+                      "block decode failed")
+                if consumed == 0 and not saw_last:
+                    break  # partial tail: wait for more input
+                self._ino += consumed
+                self._out_pos = r
+                progress = True
+                fresh = self._out[self._flushed : self._out_pos].tobytes()
+                if self._xxh_chunks is not None:
+                    if isinstance(self._xxh_chunks, list):
+                        self._xxh_chunks.append(fresh)
+                    else:
+                        self._xxh_chunks.update(fresh)
+                out += fresh
+                self._content_produced += self._out_pos - self._flushed
+                self._flushed = self._out_pos
+                if saw_last:
+                    if self._hdr.frame_content_size >= 0:
+                        check(self._content_produced ==
+                              self._hdr.frame_content_size,
+                              ZstdErrorCode.corruption_detected,
+                              "content size mismatch")
+                    self._stage = (_Stage.CHECKSUM if self._hdr.has_checksum
+                                   else _Stage.DONE)
+                    break
+            return progress
+
         if self._stage == _Stage.BLOCK_HEADER:
             if len(self._in) - self._ino < 3:
                 return False

@@ -142,6 +142,9 @@ def _load():
         lib.zt_dstream_block.argtypes = [vp, u8p, i64, u8p, i64, i64, i64]
         lib.zt_dstream_free.restype = None
         lib.zt_dstream_free.argtypes = [vp]
+        lib.zt_dstream_drain.restype = i64
+        lib.zt_dstream_drain.argtypes = [vp, u8p, i64, u8p, i64, i64, i64,
+                                         i64p, ctypes.POINTER(ctypes.c_int)]
         lib.zt_compress_exact.restype = i64
         lib.zt_compress_exact.argtypes = [u8p, i64, i32, i32, u8p, i64]
 
@@ -470,6 +473,20 @@ class NativeDStream:
             self._h, _ptr(arr, ctypes.c_uint8), len(body),
             _ptr(out, ctypes.c_uint8), out_pos, len(out), prefix_start)
         return int(r)
+
+    def drain(self, src, out: np.ndarray, out_pos: int,
+              prefix_start: int = 0) -> tuple[int, int, bool]:
+        """Decode every complete block in src; returns
+        (new_out_pos, consumed_input, saw_last).  src may be any
+        buffer-protocol object (bytes, bytearray slice, memoryview)."""
+        arr = np.frombuffer(src, dtype=np.uint8)
+        consumed = ctypes.c_int64(0)
+        saw_last = ctypes.c_int(0)
+        r = self._lib.zt_dstream_drain(
+            self._h, _ptr(arr, ctypes.c_uint8), len(arr),
+            _ptr(out, ctypes.c_uint8), out_pos, len(out), prefix_start,
+            ctypes.byref(consumed), ctypes.byref(saw_last))
+        return int(r), int(consumed.value), bool(saw_last.value)
 
     def close(self) -> None:
         if self._h:
