@@ -9373,6 +9373,59 @@ static int64_t estream_block(EStreamC* c, int64_t pos, int64_t end, int last,
                                   &last_lit, c->mls);
     }
     if (n_seq < 0) return -1;
+    // bt-level block split (same auto rule as the one-shot drivers):
+    // partitions with homogeneous statistics beat one mixed block
+    if (c->strategy >= 7 && n_seq >= 600) {
+        int64_t bounds[200];
+        int nb = 0;
+        int64_t* seq_start = (int64_t*)malloc((size_t)(n_seq + 1) * 8);
+        if (seq_start) {
+            int64_t cur = 0;
+            for (int64_t i2 = 0; i2 < n_seq; i2++) {
+                seq_start[i2] = cur;
+                cur += s_ll[i2] + s_ml[i2];
+            }
+            seq_start[n_seq] = cur;
+            SplitView v{src + pos, s_ll, s_ml, s_ob, n_seq, last_lit, bn,
+                        seq_start};
+            split_derive(&v, 0, n_seq, bounds, &nb, 0);
+            if (nb > 1) {
+                int64_t a = 0, op2 = 0;
+                bool fail = false;
+                for (int k = 0; k < nb && !fail; k++) {
+                    const int64_t b2 = bounds[k];
+                    const int64_t pa = seq_start[a];
+                    const int64_t pb = k == nb - 1 ? bn : seq_start[b2];
+                    const int64_t pbn = pb - pa;
+                    const int64_t plast = k == nb - 1 ? last_lit : 0;
+                    const int plast_flag = last && k == nb - 1;
+                    if (op2 + 3 + pbn + 32 > cap) { fail = true; break; }
+                    const int64_t pbody = zx_block_from_arrays(
+                        src + pos + pa, pbn, s_ll + a, s_ml + a, s_ob + a,
+                        b2 - a, plast, &c->ents[c->ent_prev],
+                        &c->ents[c->ent_prev ^ 1], c->strategy,
+                        out + op2 + 3, cap - op2 - 3 - 8);
+                    if (pbody < 0) { fail = true; break; }
+                    c->ent_prev ^= 1;
+                    const uint32_t bh = (uint32_t)(plast_flag | (2 << 1) |
+                                                   ((uint32_t)pbody << 3));
+                    out[op2] = (uint8_t)bh;
+                    out[op2 + 1] = (uint8_t)(bh >> 8);
+                    out[op2 + 2] = (uint8_t)(bh >> 16);
+                    op2 += 3 + pbody;
+                    a = b2;
+                }
+                free(seq_start);
+                if (!fail) return op2;
+                // abandoned split: restore the CURRENT entropy side to the
+                // pre-block snapshot (repcodes stay post-parse — the
+                // single-block emission below reuses the same sequences)
+                c->ents[c->ent_prev] = c->ent_snap;
+            } else {
+                free(seq_start);
+            }
+        }
+    }
     ZxEntropy* const prev = &c->ents[c->ent_prev];
     ZxEntropy* const next = &c->ents[c->ent_prev ^ 1];
     const int64_t body = zx_block_from_arrays(src + pos, bn, s_ll, s_ml,
