@@ -340,10 +340,23 @@ def encode_sequences(lls, mls_minus3, obs, llc, mlc, ofc, ll_bits, ml_bits,
     cap = 32 + n * 16
     out = np.empty(cap, dtype=np.uint8)
 
+    holds = []  # keep padded arrays alive across the native call
+
     def ctbl(ct):
-        return (_ptr(np.ascontiguousarray(ct.state_table, np.uint16), ctypes.c_uint16),
-                _ptr(np.ascontiguousarray(ct.delta_nb_bits, np.uint32), ctypes.c_uint32),
-                _ptr(np.ascontiguousarray(ct.delta_find_state, np.int32), ctypes.c_int32),
+        # The native fused-table prebuild reads the FULL alphabet range
+        # (36/53/32 entries); tables built for a smaller max symbol must be
+        # padded or the read runs past the buffer (ASan find, round 3).
+        dnb = np.ascontiguousarray(ct.delta_nb_bits, np.uint32)
+        dfs = np.ascontiguousarray(ct.delta_find_state, np.int32)
+        if len(dnb) < 53:
+            dnb = np.concatenate([dnb, np.zeros(53 - len(dnb), np.uint32)])
+        if len(dfs) < 53:
+            dfs = np.concatenate([dfs, np.zeros(53 - len(dfs), np.int32)])
+        st = np.ascontiguousarray(ct.state_table, np.uint16)
+        holds.extend((dnb, dfs, st))
+        return (_ptr(st, ctypes.c_uint16),
+                _ptr(dnb, ctypes.c_uint32),
+                _ptr(dfs, ctypes.c_int32),
                 ct.table_log)
 
     size = lib.encode_sequences(
