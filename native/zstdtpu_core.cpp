@@ -8188,8 +8188,10 @@ void* zt_cdict_create(const uint8_t* dict, int64_t dlen, int strategy,
     const uint8_t* src = c->buf;
     const int64_t lim = c->clen - 8;
     if (strategy <= 1) {
-        // fast keeps the one-shot attach path: one read-only table over
-        // the dictionary, tiny local table per frame
+        // fast keeps the one-shot attach path for small frames: one
+        // read-only table over the dictionary, tiny local table per frame
+        // (large frames route to the chain-attach matcher below, where
+        // parse quality dominates the dictionary's head start)
         c->fast32 = (uint32_t*)calloc((size_t)1 << hlog, 4);
         if (!c->fast32) { free(c->buf); free(c); return nullptr; }
         for (int64_t i = 0; i < lim; i++)
@@ -8197,7 +8199,8 @@ void* zt_cdict_create(const uint8_t* dict, int64_t dlen, int strategy,
         c->loc_hlog = 12;
         c->loc = (uint32_t*)malloc(((size_t)1 << c->loc_hlog) * 4);
         if (!c->loc) { free(c->fast32); free(c->buf); free(c); return nullptr; }
-    } else {
+    }
+    {
         c->tbl = (int64_t*)malloc(((size_t)1 << hlog) * 8);
         c->chain = (int64_t*)malloc(((size_t)1 << clog) * 8);
         if (!c->tbl || !c->chain) {
@@ -8295,7 +8298,7 @@ int64_t zt_compress_frame_body_cdict(void* h, const uint8_t* src, int64_t n,
         est_snap2 = est;
         int64_t last_lit = 0;
         int64_t n_seq = 0;
-        if (c->strategy <= 1) {
+        if (c->strategy <= 1 && n < (256 << 10)) {
             n_seq = fast_attach_find(all, pos, end, wsize, c->fast32,
                                      c->hlog, c->loc, c->loc_hlog, c->mls,
                                      rep, s_ll, s_ml, s_ob, max_seq_cap,
