@@ -95,7 +95,7 @@ class StreamingDecompressor:
             del self._in[: self._ino]
             self._ino = 0
         self._in += chunk
-        out = bytearray()
+        out: list[bytes] = []
         while True:
             produced = self._step(out)
             if not produced:
@@ -110,7 +110,7 @@ class StreamingDecompressor:
                   "16 calls without input or output progress")
         else:
             self._no_progress = 0
-        return bytes(out)
+        return b"".join(out)
 
     def _ensure_out(self, need: int) -> None:
         if self._out is None:
@@ -129,7 +129,7 @@ class StreamingDecompressor:
             grown[: self._out_pos] = self._out[: self._out_pos]
             self._out = grown
 
-    def _step(self, out: bytearray) -> bool:
+    def _step(self, out: list) -> bool:
         """Advance one stage if input allows; returns True if progress."""
         if self._stage == _Stage.DONE:
             if self.single_frame:
@@ -220,7 +220,7 @@ class StreamingDecompressor:
                         self._xxh_chunks.append(fresh)
                     else:
                         self._xxh_chunks.update(fresh)
-                out += fresh
+                out.append(fresh)
                 self._content_produced += self._out_pos - self._flushed
                 self._flushed = self._out_pos
                 if saw_last:
@@ -279,7 +279,7 @@ class StreamingDecompressor:
                     self._xxh_chunks.append(fresh)
                 else:
                     self._xxh_chunks.update(fresh)
-            out += fresh
+            out.append(fresh)
             self._content_produced += self._out_pos - self._flushed
             self._flushed = self._out_pos
             if self._block_last:
