@@ -9238,6 +9238,11 @@ int64_t zt_estream_pending(void* h) {
     return c ? c->filled - c->emitted : -1;
 }
 
+int64_t zt_estream_bufcap(void* h) {
+    EStreamC* c = (EStreamC*)h;
+    return c ? c->cap : -1;  // O(window) invariant observable from tests
+}
+
 void zt_estream_free(void* h) {
     if (!h) return;
     EStreamC* c = (EStreamC*)h;

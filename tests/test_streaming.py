@@ -184,3 +184,64 @@ def test_long_stream_bounded_memory():
     dctx = zstandard.ZstdDecompressor(max_window_size=1 << 20).decompressobj()
     assert dctx.decompress(bytes(out)) == bytes(total)
     assert peak < 4 * (1 << 20)
+
+
+def test_native_stream_random_chunks_and_flushes():
+    """The native streaming encoder (zt_estream) must produce decodable
+    frames under arbitrary write granularities and mid-stream flushes at
+    fast/lazy/bt levels, and its buffer must stay O(window) on a long
+    stream (the resumable-context contract added in round 3)."""
+    import io
+
+    from zstdsharp_tpu.streaming import CompressionStream, DecompressionStream
+
+    r = np.random.default_rng(7)
+    base = np.random.default_rng(3).integers(32, 90, 1 << 20, dtype=np.uint8)
+    data = (base.tobytes() * 3)[: 2_500_000]
+    for level in (1, 5, 16):
+        buf = io.BytesIO()
+        cs = CompressionStream(buf, level=level)
+        pos = 0
+        while pos < len(data):
+            n = int(r.choice((1, 300, 65_536, 777_777)))
+            cs.write(data[pos : pos + n])
+            pos += n
+            if r.random() < 0.25:
+                cs.flush()
+        cs.close()
+        frame = buf.getvalue()
+        assert zstandard.ZstdDecompressor().decompress(
+            frame, max_output_size=len(data)) == data
+        ds = DecompressionStream(io.BytesIO(frame))
+        out = bytearray()
+        while True:
+            b = ds.read(123_457)
+            if not b:
+                break
+            out += b
+        assert bytes(out) == data
+
+
+def test_native_stream_bounded_buffer():
+    """The native encoder context slides its history ring: a stream much
+    longer than the window must not grow the internal buffer."""
+    from zstdsharp_tpu.encode.frame import FrameEncoder
+    from zstdsharp_tpu.encode.params import CCtxParams
+
+    enc = FrameEncoder(CCtxParams(compression_level=5,
+                                  window_log=17).resolve(src_size_hint=-1))
+    if enc._nstream is None:
+        pytest.skip("native library unavailable")
+    r = np.random.default_rng(11)
+    out = bytearray()
+    total = bytearray()
+    for i in range(30):  # ~6MB through a 128KB window
+        chunk = r.integers(32, 64, 200_000, dtype=np.uint8).tobytes()
+        total += chunk
+        out += enc.feed(chunk)
+    lib = __import__("zstdsharp_tpu.native", fromlist=["get_lib"]).get_lib()
+    cap = lib.zt_estream_bufcap(enc._nstream._h)
+    assert cap < 8 * (1 << 17), f"stream buffer grew to {cap}"
+    out += enc.finish()
+    assert zstandard.ZstdDecompressor().decompress(
+        bytes(out), max_output_size=len(total)) == bytes(total)

@@ -136,6 +136,8 @@ def _load():
         lib.zt_estream_free.argtypes = [vp]
         lib.zt_estream_pending.restype = i64
         lib.zt_estream_pending.argtypes = [vp]
+        lib.zt_estream_bufcap.restype = i64
+        lib.zt_estream_bufcap.argtypes = [vp]
         lib.zt_dstream_new.restype = vp
         lib.zt_dstream_new.argtypes = []
         lib.zt_dstream_block.restype = i64
