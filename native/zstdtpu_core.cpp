@@ -8153,6 +8153,8 @@ static int64_t dict_parse_common(const uint8_t* d, int64_t n,
     return pos;
 }
 
+void zt_cdict_free(void* h);
+
 void* zt_cdict_create(const uint8_t* dict, int64_t dlen, int strategy,
                       int hlog, int clog, int slog, int wlog, int min_match) {
     // The bt strategies (6-9) attach through the deepest hash-chain
@@ -8204,7 +8206,7 @@ void* zt_cdict_create(const uint8_t* dict, int64_t dlen, int strategy,
         c->tbl = (int64_t*)malloc(((size_t)1 << hlog) * 8);
         c->chain = (int64_t*)malloc(((size_t)1 << clog) * 8);
         if (!c->tbl || !c->chain) {
-            free(c->tbl); free(c->chain); free(c->buf); free(c);
+            zt_cdict_free(c);
             return nullptr;
         }
         for (int64_t i = 0; i < (1LL << hlog); i++) c->tbl[i] = -1;
@@ -8222,8 +8224,7 @@ void* zt_cdict_create(const uint8_t* dict, int64_t dlen, int strategy,
         c->l_chain = (int64_t*)malloc(((size_t)1 << clog) * 8);
         c->epoch = 0;
         if (!c->l_pos || !c->l_ep || !c->l_chain) {
-            free(c->tbl); free(c->chain); free(c->l_pos); free(c->l_ep);
-            free(c->l_chain); free(c->buf); free(c);
+            zt_cdict_free(c);
             return nullptr;
         }
     }

@@ -252,3 +252,108 @@ def test_parallel_multiframe_decode():
     expect = data + b"tail frame"
     assert decompress(stream, n_workers=4) == expect
     assert decompress(stream) == expect
+
+
+class TestSetTimeParamValidation:
+    """set_parameter validates bounds at SET time, not at wrap
+    (ZSTD_CCtx_setParameter:784 / ZSTD_cParam_getBounds:444)."""
+
+    def test_every_public_param_bounds(self):
+        import pytest
+
+        from zstdsharp_tpu import Compressor
+        from zstdsharp_tpu.encode.params import PARAM_BOUNDS
+        from zstdsharp_tpu.errors import ZstdError
+
+        c = Compressor()
+        for name, (lo, hi) in PARAM_BOUNDS.items():
+            if name == "compression_level":
+                # levels clamp (ZSTD_cParam_clampBounds:702)
+                c.set_parameter(name, hi + 1000)
+                assert c.get_parameter(name) == hi
+                c.set_parameter(name, lo - 1000)
+                assert c.get_parameter(name) == lo
+                continue
+            c.set_parameter(name, lo)
+            assert c.get_parameter(name) == lo
+            c.set_parameter(name, hi)
+            assert c.get_parameter(name) == hi
+            with pytest.raises(ZstdError):
+                c.set_parameter(name, hi + 1)
+            if lo > 1:
+                with pytest.raises(ZstdError):
+                    c.set_parameter(name, lo - 1)
+
+    def test_window_log_99_raises_at_set_time(self):
+        import pytest
+
+        from zstdsharp_tpu import Compressor
+        from zstdsharp_tpu.errors import ZstdError
+
+        c = Compressor()
+        with pytest.raises(ZstdError):
+            c.set_parameter("window_log", 99)
+
+    def test_zero_resets_to_auto(self):
+        from zstdsharp_tpu import Compressor
+
+        c = Compressor()
+        c.set_parameter("window_log", 20)
+        c.set_parameter("window_log", 0)
+        assert c.get_parameter("window_log") == 0
+        assert c.wrap(b"hello world" * 100)
+
+    def test_bools_and_tristates(self):
+        import pytest
+
+        from zstdsharp_tpu import Compressor
+        from zstdsharp_tpu.errors import ZstdError
+
+        c = Compressor()
+        c.set_parameter("checksum_flag", 1)
+        assert c.get_parameter("checksum_flag") is True
+        with pytest.raises(ZstdError):
+            c.set_parameter("checksum_flag", 2)
+        c.set_parameter("ldm", None)
+        c.set_parameter("ldm", True)
+        assert c.get_parameter("ldm") is True
+        with pytest.raises(ZstdError):
+            c.set_parameter("no_such_param", 1)
+
+    def test_update_during_stream_whitelist(self):
+        import io
+
+        import pytest
+
+        from zstdsharp_tpu.encode.params import CCtxParams
+        from zstdsharp_tpu.errors import ZstdError
+        from zstdsharp_tpu.streaming import CompressionStream
+
+        params = CCtxParams(compression_level=1)
+        sink = io.BytesIO()
+        cs = CompressionStream(sink, params=params)
+        cs.write(b"some data")
+        # whitelisted (ZSTD_isUpdateAuthorized:724)
+        params.set_parameter("compression_level", 3)
+        params.set_parameter("target_length", 64)
+        # not whitelisted mid-stream
+        with pytest.raises(ZstdError):
+            params.set_parameter("window_log", 20)
+        with pytest.raises(ZstdError):
+            params.set_parameter("checksum_flag", 1)
+        cs.close()
+        params.set_parameter("window_log", 20)  # ok again after close
+
+    def test_decompressor_param_bounds(self):
+        import pytest
+
+        from zstdsharp_tpu import Decompressor
+        from zstdsharp_tpu.errors import ZstdError
+
+        d = Decompressor()
+        d.set_parameter("max_window_log", 27)
+        assert d.get_upper_bound is not None
+        with pytest.raises(ZstdError):
+            d.set_parameter("max_window_log", 99)
+        with pytest.raises(ZstdError):
+            d.set_parameter("nonsense", 1)

@@ -240,3 +240,31 @@ def test_pipeline_rep_carry_across_blocks():
     assert decompress(frame) == data
     assert zstandard.ZstdDecompressor().decompress(
         frame, max_output_size=len(data) * 2) == data
+
+
+def test_framewise_raw_gate_mixed_chunk():
+    """A chunk whose HEAD is incompressible noise but whose body is text
+    must not be raw-gated wholesale (ADVICE r2 #3: the probe used to look
+    only at the first 64KB of a multi-MB chunk).  The framewise DP output
+    must stay within 2% of the non-DP compressed size."""
+    import zstandard
+
+    from zstdsharp_tpu.encode.frame import compress
+    from zstdsharp_tpu.parallel.pipeline import (_compress_framewise_parallel,
+                                                 make_mesh)
+
+    r = np.random.default_rng(7)
+    noise = bytes(r.integers(0, 256, 1 << 16, dtype=np.uint8))
+    words = [b"sequence", b"entropy", b"window", b"the", b"of", b"stream"]
+    idx = r.choice(len(words), size=620_000)
+    text = b" ".join(words[i] for i in idx)[:3_000_000]
+    data = noise + text
+
+    dp = _compress_framewise_parallel(data, make_mesh(), 3, False)
+    solo = compress(data, 3)
+    import io
+
+    rd = zstandard.ZstdDecompressor().stream_reader(
+        io.BytesIO(dp), read_across_frames=True)
+    assert rd.read() == data
+    assert len(dp) <= len(solo) * 1.02

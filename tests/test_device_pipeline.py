@@ -95,3 +95,36 @@ class TestDevicePipeline:
             frames = [compress(x, lvl) for x in recs]
             results, _ = decode_batch_device(frames, materialize=True)
             assert results == recs
+
+
+def test_fcs_less_frame_routes_to_host():
+    """A valid frame WITHOUT a content-size field (standard streaming
+    output) must be host-routed, not planned with out_len=-1 (ADVICE r3
+    high: parse_frame_header uses -1, not None, as the unknown-FCS
+    sentinel)."""
+    import io
+
+    from zstdsharp_tpu.decode.frame import parse_frame_header
+    from zstdsharp_tpu.parallel.pipeline import (decompress_data_parallel,
+                                                 make_mesh)
+    from zstdsharp_tpu.streaming import CompressionStream
+
+    rec = _records(1, 9_000, seed=4)[0]
+    sink = io.BytesIO()
+    cs = CompressionStream(sink, level=1)
+    cs.write(rec)
+    cs.close()
+    frame = sink.getvalue()
+    hdr = parse_frame_header(np.frombuffer(frame, np.uint8))
+    assert hdr.frame_content_size is None or hdr.frame_content_size < 0
+
+    plan = plan_batch([frame])
+    assert plan.host_routed.get(0) == "no content size"
+
+    results, stats = decode_batch_device([frame], materialize=True)
+    assert results[0] == rec
+    assert stats["host_frames"] == 1
+
+    sized = compress(_records(1, 8_000, seed=5)[0], 1)
+    out = decompress_data_parallel(frame + sized, make_mesh())
+    assert out == rec + _records(1, 8_000, seed=5)[0]

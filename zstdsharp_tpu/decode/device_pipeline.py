@@ -116,7 +116,7 @@ def plan_batch(frames) -> DevicePlan:
         try:
             buf = np.frombuffer(frame, np.uint8)
             hdr = parse_frame_header(buf)
-            if hdr.frame_content_size is None:
+            if hdr.frame_content_size is None or hdr.frame_content_size < 0:
                 plan.host_routed[fi] = "no content size"
                 continue
             content = int(hdr.frame_content_size)

@@ -434,7 +434,13 @@ class Decompressor:
             self._dict_set[zd.dict_id] = zd
 
     def set_parameter(self, name: str, value) -> None:
+        """ZSTD_dParam_getBounds:2390 — validate at set time."""
         check(name in ("max_window_log",), ZstdErrorCode.parameter_unsupported, name)
+        check(isinstance(value, int) and not isinstance(value, bool)
+              and C.ZSTD_WINDOWLOG_MIN <= value <= C.ZSTD_WINDOWLOG_MAX,
+              ZstdErrorCode.parameter_outOfBound,
+              f"{name}={value} outside [{C.ZSTD_WINDOWLOG_MIN}, "
+              f"{C.ZSTD_WINDOWLOG_MAX}]")
         setattr(self, name, value)
 
     def get_upper_bound(self, src: bytes) -> int:

@@ -447,11 +447,12 @@ class Compressor:
         self.params.compression_level = value
 
     def set_parameter(self, name: str, value) -> None:
-        check(hasattr(self.params, name), ZstdErrorCode.parameter_unsupported, name)
-        setattr(self.params, name, value)
+        """Bounds-validated at set time (ZSTD_CCtx_setParameter:784)."""
+        self.params.set_parameter(name, value)
 
     def get_parameter(self, name: str):
-        check(hasattr(self.params, name), ZstdErrorCode.parameter_unsupported, name)
+        check(name in type(self.params).__dataclass_fields__,
+              ZstdErrorCode.parameter_unsupported, name)
         return getattr(self.params, name)
 
     def load_dictionary(self, dict_data: bytes | None) -> None:

@@ -110,12 +110,52 @@ class FrameParameters:
     no_dict_id_flag: bool = False
 
 
+# Per-parameter set-time bounds (ZSTD_cParam_getBounds:444).  For the
+# cParams 0 means "auto" and is always accepted, like the reference's
+# advanced API where 0 resets a parameter to its level default.
+PARAM_BOUNDS = {
+    "compression_level": (C.ZSTD_MIN_CLEVEL, C.ZSTD_MAX_CLEVEL),
+    "window_log": (C.ZSTD_WINDOWLOG_MIN, C.ZSTD_WINDOWLOG_MAX),
+    "hash_log": (C.ZSTD_HASHLOG_MIN, C.ZSTD_HASHLOG_MAX),
+    "chain_log": (C.ZSTD_CHAINLOG_MIN, C.ZSTD_CHAINLOG_MAX),
+    "search_log": (C.ZSTD_SEARCHLOG_MIN, C.ZSTD_SEARCHLOG_MAX),
+    "min_match": (C.ZSTD_MINMATCH_MIN, C.ZSTD_MINMATCH_MAX),
+    "target_length": (C.ZSTD_TARGETLENGTH_MIN, C.ZSTD_TARGETLENGTH_MAX),
+    "strategy": (1, 9),
+    "target_cblock_size": (64, 1 << 17),  # experimentalParam6 bounds
+    "n_workers": (0, 256),
+}
+_ZERO_IS_AUTO = frozenset(PARAM_BOUNDS) - {"compression_level", "n_workers"}
+_BOOL_PARAMS = frozenset({"checksum_flag", "content_size_flag",
+                          "dict_id_flag"})
+_TRI_STATE_PARAMS = frozenset({"ldm", "block_splitter"})
+
+# Parameters that may change while a stream is mid-frame
+# (ZSTD_isUpdateAuthorized:724); everything else raises stage_wrong then.
+UPDATABLE_DURING_STREAM = frozenset({
+    "compression_level", "hash_log", "chain_log", "search_log",
+    "min_match", "target_length", "strategy",
+})
+
+
+def get_parameter_bounds(name: str) -> tuple[int, int]:
+    """ZSTD_cParam_getBounds:444 — (lower, upper) for a public parameter."""
+    if name in PARAM_BOUNDS:
+        return PARAM_BOUNDS[name]
+    if name in _BOOL_PARAMS or name in _TRI_STATE_PARAMS:
+        return (0, 1)
+    raise ZstdError(ZstdErrorCode.parameter_unsupported, name)
+
+
 @dataclass
 class CCtxParams:
     """Advanced parameter set (subset of ZSTD_CCtx_params, ZstdCompress.cs:784).
 
     Parameters follow the same pending->applied model: mutate freely, then
     `resolve()` freezes them against the source size at frame start.
+    `set_parameter` is the validating entry point: bounds are enforced at
+    SET time (ZSTD_CCtx_setParameter:784 semantics), and while a stream is
+    active only the ZSTD_isUpdateAuthorized:724 whitelist may change.
     """
 
     compression_level: int = C.ZSTD_DEFAULT_CLEVEL
@@ -134,6 +174,39 @@ class CCtxParams:
     block_splitter: bool | None = None
     target_cblock_size: int = 0
     n_workers: int = 0  # accepted; data-parallel device sharding instead
+
+    def set_parameter(self, name: str, value) -> None:
+        """Validating setter: unknown names raise parameter_unsupported,
+        out-of-bounds values raise parameter_outOfBound immediately (the
+        reference validates at set time, not at first compress), and
+        non-whitelisted updates while a stream is mid-frame raise
+        stage_wrong.  compression_level clamps to its bounds
+        (ZSTD_cParam_clampBounds:702), matching libzstd's tolerance for
+        out-of-range levels."""
+        check(name in self.__dataclass_fields__,
+              ZstdErrorCode.parameter_unsupported, name)
+        if getattr(self, "_stream_active", False):
+            check(name in UPDATABLE_DURING_STREAM, ZstdErrorCode.stage_wrong,
+                  f"{name} cannot change mid-stream")
+        if name in _TRI_STATE_PARAMS:
+            check(value is None or isinstance(value, (bool, int)),
+                  ZstdErrorCode.parameter_outOfBound, name)
+            setattr(self, name, None if value is None else bool(value))
+            return
+        if name in _BOOL_PARAMS:
+            check(isinstance(value, (bool, int)) and int(value) in (0, 1),
+                  ZstdErrorCode.parameter_outOfBound, name)
+            setattr(self, name, bool(value))
+            return
+        check(isinstance(value, int) and not isinstance(value, bool),
+              ZstdErrorCode.parameter_outOfBound, name)
+        lo, hi = PARAM_BOUNDS[name]
+        if name == "compression_level":
+            value = min(max(value, lo), hi)
+        elif not (value == 0 and name in _ZERO_IS_AUTO):
+            check(lo <= value <= hi, ZstdErrorCode.parameter_outOfBound,
+                  f"{name}={value} outside [{lo}, {hi}]")
+        setattr(self, name, value)
 
     def resolve(self, src_size_hint: int = -1, dict_size: int = 0) -> "ResolvedParams":
         cp = CompressionParameters.from_level(self.compression_level,

@@ -165,12 +165,22 @@ def _compress_framewise_parallel(data: bytes, mesh: Mesh, level: int,
     chunks = [data[i : i + job] for i in range(0, n, job)]
 
     # Device stage: match-candidate density per job (sharded, psum'd).
+    # The probe samples head + middle + tail of each chunk so a chunk
+    # whose head alone is incompressible (random header + text body)
+    # still registers its compressible regions (ADVICE r2 #3).
     probe = min(job, 1 << 16)
     blocks = np.zeros((max(-(-len(chunks) // ndev) * ndev, ndev), probe),
                       np.uint8)
     n_valid = np.zeros(len(blocks), np.int32)
     for i, c in enumerate(chunks):
-        p = np.frombuffer(c[:probe], np.uint8)
+        if len(c) <= probe:
+            p = np.frombuffer(c, np.uint8)
+        else:
+            third = probe // 3
+            mid = (len(c) - third) // 2
+            p = np.frombuffer(
+                c[:third] + c[mid:mid + third]
+                + c[len(c) - (probe - 2 * third):], np.uint8)
         blocks[i, : len(p)] = p
         n_valid[i] = len(p)
     parse = make_sharded_parse(mesh, block_size=probe)

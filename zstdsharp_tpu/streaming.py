@@ -31,6 +31,8 @@ class CompressionStream(io.RawIOBase):
                                             checksum_flag=checksum)
         self._params.content_size_flag = False  # streaming: size unknown
         self._encoder = FrameEncoder(self._params.resolve(src_size_hint=-1))
+        # only the ZSTD_isUpdateAuthorized:724 whitelist may change now
+        self._params._stream_active = True
         self._closed = False
 
     def writable(self) -> bool:
@@ -62,6 +64,7 @@ class CompressionStream(io.RawIOBase):
         if hasattr(self._inner, "flush"):
             self._inner.flush()
         self._closed = True
+        self._params._stream_active = False
         super().close()
 
 
