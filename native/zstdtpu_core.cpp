@@ -426,7 +426,10 @@ static int64_t decode_execute_sequences_t(
         if (llb) { pos -= llb; l += bits_lo(win >> (pos - wpos), llb); }
 
         // prefetch the match source before the state updates retire
-        __builtin_prefetch(out + out_pos + (int64_t)l - (int64_t)offset);
+        // (long mode only: short-window matches are already cache-resident
+        // and the prefetch's address math costs more than it hides)
+        if (long_mode)
+            __builtin_prefetch(out + out_pos + (int64_t)l - (int64_t)offset);
 
         if (i != nb_seq - 1) {
             const int nb1 = (int)(eL >> 56), nb2 = (int)(eM >> 56), nb3 = (int)(eO >> 56);
@@ -2360,10 +2363,14 @@ static void fse_build_dtable_c(FseDTableC* dt, const int16_t* norm, int max_sym,
         const int s = tsym[u];
         const uint32_t ns = next[s]++;
         const int nb = tlog - highbit32(ns);
+        const uint16_t nst = (uint16_t)((ns << nb) - tsize);
         dt->state_bits[u] = (uint8_t)nb;
-        dt->next_state[u] = (uint16_t)((ns << nb) - tsize);
+        dt->next_state[u] = nst;
         dt->base[u] = base_tab[s];
         dt->add_bits[u] = bits_tab[s];
+        dt->fused[u] = (uint64_t)base_tab[s] |
+                       ((uint64_t)bits_tab[s] << 32) |
+                       ((uint64_t)nst << 40) | ((uint64_t)(uint8_t)nb << 56);
     }
 }
 
@@ -2375,6 +2382,8 @@ static void fse_rle_dtable_c(FseDTableC* dt, int symbol,
     dt->add_bits[0] = bits_tab[symbol];
     dt->next_state[0] = 0;
     dt->state_bits[0] = 0;
+    dt->fused[0] = (uint64_t)base_tab[symbol] |
+                   ((uint64_t)bits_tab[symbol] << 32);
 }
 
 // ------------------------- Huffman encode side ----------------------------
@@ -7507,8 +7516,55 @@ struct EntropyStateC {
     HufDTableC huf;
     FseDTableC ll, of, ml;
     bool ll_valid, of_valid, ml_valid;
+    // Which table the channel currently uses: 0 = the own struct above,
+    // 1 = the static predefined table (mode 0 blocks no longer copy the
+    // 16KB default struct; repeat mode resolves through this flag).
+    uint8_t ll_src, of_src, ml_src;
     uint32_t rep[3];
 };
+
+// Hot inner loop of the 4-stream X1 decode: PER symbols per stream per
+// iteration (fully unrolled), one container reload per stream per
+// iteration.  Updates positions/outputs in place, returns symbols written
+// per stream.  Bit validity is re-checked per iteration (p >= 56); output
+// space by the rmin countdown.
+}  // pause extern "C" for the template
+template <int PER>
+__attribute__((optimize("O3")))
+static inline int64_t huf_4x_fast_loop(
+    const uint16_t* D, int tlog, int64_t rmin,
+    int64_t& p0, int64_t& p1, int64_t& p2, int64_t& p3,
+    const uint8_t* b0, const uint8_t* b1, const uint8_t* b2,
+    const uint8_t* b3, uint8_t*& q0, uint8_t*& q1, uint8_t*& q2,
+    uint8_t*& q3) {
+    int64_t done = 0;
+    const int shift = 64 - tlog;
+    while (p0 >= 56 && p1 >= 56 && p2 >= 56 && p3 >= 56 && rmin >= PER) {
+        const int64_t a0 = p0 - 56 + 128, a1 = p1 - 56 + 128;
+        const int64_t a2 = p2 - 56 + 128, a3 = p3 - 56 + 128;
+        uint64_t V0 = ((read_window(b0 + (a0 >> 3)) >> (a0 & 7)) << 8) | 0x80;
+        uint64_t V1 = ((read_window(b1 + (a1 >> 3)) >> (a1 & 7)) << 8) | 0x80;
+        uint64_t V2 = ((read_window(b2 + (a2 >> 3)) >> (a2 & 7)) << 8) | 0x80;
+        uint64_t V3 = ((read_window(b3 + (a3 >> 3)) >> (a3 & 7)) << 8) | 0x80;
+        for (int j = 0; j < PER; j++) {
+            const uint16_t e0 = D[V0 >> shift];
+            const uint16_t e1 = D[V1 >> shift];
+            const uint16_t e2 = D[V2 >> shift];
+            const uint16_t e3 = D[V3 >> shift];
+            q0[j] = (uint8_t)(e0 >> 8); V0 <<= (e0 & 0xFF);
+            q1[j] = (uint8_t)(e1 >> 8); V1 <<= (e1 & 0xFF);
+            q2[j] = (uint8_t)(e2 >> 8); V2 <<= (e2 & 0xFF);
+            q3[j] = (uint8_t)(e3 >> 8); V3 <<= (e3 & 0xFF);
+        }
+        q0 += PER; q1 += PER; q2 += PER; q3 += PER;
+        p0 -= __builtin_ctzll(V0) - 7; p1 -= __builtin_ctzll(V1) - 7;
+        p2 -= __builtin_ctzll(V2) - 7; p3 -= __builtin_ctzll(V3) - 7;
+        rmin -= PER;
+        done += PER;
+    }
+    return done;
+}
+extern "C" {
 
 // Decode literals section.  Writes into lit (cap >= 1<<17 + 32).
 // Returns bytes consumed, sets *lit_size; -1 on error.
@@ -7533,42 +7589,31 @@ static int huf_decode_4x(const uint8_t* pad, const int64_t* offs,
         rem[k] = osz[k];
         ooff += osz[k];
     }
-    const int per = tlog <= 11 ? 5 : 4;
     const uint64_t mask = (1ULL << tlog) - 1;
     {
         // register-resident stream state (the array form spills)
         int64_t p0 = pos[0], p1 = pos[1], p2 = pos[2], p3 = pos[3];
-        int64_t r0 = rem[0], r1 = rem[1], r2 = rem[2], r3 = rem[3];
+        int64_t rmin = rem[0];
+        if (rem[1] < rmin) rmin = rem[1];
+        if (rem[2] < rmin) rmin = rem[2];
+        if (rem[3] < rmin) rmin = rem[3];
         uint8_t *q0 = op[0], *q1 = op[1], *q2 = op[2], *q3 = op[3];
         const uint8_t *b0 = sb[0], *b1 = sb[1], *b2 = sb[2], *b3 = sb[3];
         // MSB-aligned containers: the next code sits in the top tlog bits,
-        // so each symbol is one constant shift + load + one variable shift
-        // (no mask, no per-symbol position arithmetic).
-        while (p0 >= 56 && p1 >= 56 && p2 >= 56 && p3 >= 56 &&
-               r0 >= per && r1 >= per && r2 >= per && r3 >= per) {
-            const int64_t a0 = p0 - 56 + 128, a1 = p1 - 56 + 128;
-            const int64_t a2 = p2 - 56 + 128, a3 = p3 - 56 + 128;
-            uint64_t V0 = (read_window(b0 + (a0 >> 3)) >> (a0 & 7)) << 8;
-            uint64_t V1 = (read_window(b1 + (a1 >> 3)) >> (a1 & 7)) << 8;
-            uint64_t V2 = (read_window(b2 + (a2 >> 3)) >> (a2 & 7)) << 8;
-            uint64_t V3 = (read_window(b3 + (a3 >> 3)) >> (a3 & 7)) << 8;
-            int u0 = 0, u1 = 0, u2 = 0, u3 = 0;
-            for (int j = 0; j < per; j++) {
-                const uint16_t e0 = D[V0 >> (64 - tlog)];
-                const uint16_t e1 = D[V1 >> (64 - tlog)];
-                const uint16_t e2 = D[V2 >> (64 - tlog)];
-                const uint16_t e3 = D[V3 >> (64 - tlog)];
-                q0[j] = (uint8_t)(e0 >> 8); V0 <<= (e0 & 0xFF); u0 += e0 & 0xFF;
-                q1[j] = (uint8_t)(e1 >> 8); V1 <<= (e1 & 0xFF); u1 += e1 & 0xFF;
-                q2[j] = (uint8_t)(e2 >> 8); V2 <<= (e2 & 0xFF); u2 += e2 & 0xFF;
-                q3[j] = (uint8_t)(e3 >> 8); V3 <<= (e3 & 0xFF); u3 += e3 & 0xFF;
-            }
-            q0 += per; q1 += per; q2 += per; q3 += per;
-            p0 -= u0; p1 -= u1; p2 -= u2; p3 -= u3;
-            r0 -= per; r1 -= per; r2 -= per; r3 -= per;
-        }
+        // so each symbol is one constant shift + load + one variable shift.
+        // A marker bit at position 7 (below the 56 payload bits) rides the
+        // shifts; the bits consumed this round are tzcnt(V) - 7, killing
+        // the per-symbol consumed-bits adds (the libzstd asm loop's trick,
+        // HufDecompress.cs:342 role).  Streams decode in lockstep; the
+        // symbol loop is compile-time unrolled per tableLog class.
+        const int64_t done =
+            tlog <= 11
+                ? huf_4x_fast_loop<5>(D, tlog, rmin, p0, p1, p2, p3,
+                                      b0, b1, b2, b3, q0, q1, q2, q3)
+                : huf_4x_fast_loop<4>(D, tlog, rmin, p0, p1, p2, p3,
+                                      b0, b1, b2, b3, q0, q1, q2, q3);
         pos[0] = p0; pos[1] = p1; pos[2] = p2; pos[3] = p3;
-        rem[0] = r0; rem[1] = r1; rem[2] = r2; rem[3] = r3;
+        rem[0] -= done; rem[1] -= done; rem[2] -= done; rem[3] -= done;
         op[0] = q0; op[1] = q1; op[2] = q2; op[3] = q3;
     }
     for (int k = 0; k < 4; k++) {
@@ -7676,8 +7721,11 @@ static int64_t decode_literals_c(const uint8_t* src, int64_t size,
         // when two typical codes fit in one tableLog window:
         // 2 * avgBits = 2 * 8*comp/regen <= tlog.
         const int x2_env = getenv("ZT_HUF_X2") ? atoi(getenv("ZT_HUF_X2")) : -1;
+        // X2 only pays when pairs fit MOST lookups (avg code <= tlog/3):
+        // its table is 2-4x the X1 footprint and each lookup costs more
+        // uops, so near the 2-in-tlog boundary X1 measures ~2x faster.
         const bool use_x2 = x2_env >= 0 ? x2_env != 0
-            : (regen >= 1024 && comp * 16 <= regen * (int64_t)ent->huf.tlog);
+            : (regen >= 1024 && comp * 24 <= regen * (int64_t)ent->huf.tlog);
         if (use_x2) {
             if (!ent->huf.x2_valid) huf_build_x2(&ent->huf);
             rc = huf_decode_4x2(pad, offs, isz, ent->huf.fused2,
@@ -7692,17 +7740,27 @@ static int64_t decode_literals_c(const uint8_t* src, int64_t size,
 }
 
 // Builds one channel's decode table per its mode.  Returns consumed or -1.
+// `*use` receives the table to decode with: the static predefined table
+// for mode 0 (no 16KB copy), the channel's own struct otherwise;
+// `*src_flag` records which so repeat mode can resolve it next block.
 static int64_t build_seq_table_c(int mode, const uint8_t* src, int64_t size,
                                  FseDTableC* dt, bool* valid,
+                                 uint8_t* src_flag, const FseDTableC** use,
                                  const FseDTableC* def, const uint32_t* base,
                                  const uint8_t* bits, int max_sym, int max_log) {
     codec_init();
-    if (mode == 0) { *dt = *def; *valid = true; return 0; }
+    if (mode == 0) {
+        *valid = true;
+        *src_flag = 1;
+        *use = def;
+        return 0;
+    }
     if (mode == 1) {
         if (size < 1 || src[0] > max_sym) return -1;
         fse_rle_dtable_c(dt, src[0], base, bits);
-        fse_fuse_dtable(dt);
         *valid = true;
+        *src_flag = 0;
+        *use = dt;
         return 1;
     }
     if (mode == 2) {
@@ -7711,12 +7769,14 @@ static int64_t build_seq_table_c(int mode, const uint8_t* src, int64_t size,
         int64_t h = fse_read_ncount(norm, &ms, &tl, src, size, max_sym, max_log);
         if (h < 0) return -1;
         fse_build_dtable_c(dt, norm, ms, tl, base, bits);
-        fse_fuse_dtable(dt);
         *valid = true;
+        *src_flag = 0;
+        *use = dt;
         return 0 + h;
     }
     // repeat
     if (!*valid) return -1;
+    *use = *src_flag ? def : dt;
     return 0;
 }
 
@@ -7767,15 +7827,19 @@ static int64_t decode_block_c(const uint8_t* src, int64_t size,
     }
     src += 1; size -= 1;
     int64_t h;
+    const FseDTableC *llu, *ofu, *mlu;
     h = build_seq_table_c(mode_byte >> 6, src, size, &ent->ll, &ent->ll_valid,
+                          &ent->ll_src, &llu,
                           &kLLDefaultDT, kLLBase, kLLBits, kMaxLL, kLLFseLog);
     if (h < 0) return -1;
     src += h; size -= h;
     h = build_seq_table_c((mode_byte >> 4) & 3, src, size, &ent->of, &ent->of_valid,
+                          &ent->of_src, &ofu,
                           &kOFDefaultDT, kOFBase, kOFBits, kMaxOFF, kOFFseLog);
     if (h < 0) return -1;
     src += h; size -= h;
     h = build_seq_table_c((mode_byte >> 2) & 3, src, size, &ent->ml, &ent->ml_valid,
+                          &ent->ml_src, &mlu,
                           &kMLDefaultDT, kMLBase, kMLBits, kMaxML, kMLFseLog);
     if (h < 0) return -1;
     src += h; size -= h;
@@ -7792,10 +7856,10 @@ static int64_t decode_block_c(const uint8_t* src, int64_t size,
     }();
     if (lm_force >= 0) long_mode = lm_force;
     else if (out_pos > (1 << 24) && nb_seq > 8) {
-        const int64_t tsize = 1LL << ent->of.tlog;
+        const int64_t tsize = 1LL << ofu->tlog;
         int64_t longs = 0;
         for (int64_t t = 0; t < tsize; t++)
-            if (((ent->of.fused[t] >> 32) & 0xFF) > 22) longs++;
+            if (((ofu->fused[t] >> 32) & 0xFF) > 22) longs++;
         long_mode = longs * 100 >= tsize * 7;
     }
     static const int staged = [] {
@@ -7808,8 +7872,8 @@ static int64_t decode_block_c(const uint8_t* src, int64_t size,
         uint32_t* a_ml = seq_buf + max_seq;
         uint32_t* a_of = seq_buf + 2 * max_seq;
         const int64_t rc2 = decode_sequences_to_arrays(
-            src - 16, size, nb_seq, ent->ll.fused, ent->ll.tlog,
-            ent->of.fused, ent->of.tlog, ent->ml.fused, ent->ml.tlog,
+            src - 16, size, nb_seq, llu->fused, llu->tlog,
+            ofu->fused, ofu->tlog, mlu->fused, mlu->tlog,
             ent->rep, a_ll, a_ml, a_of);
         if (rc2 < 0) return -1;
         if (prof) { int64_t t = prof_now(); g_prof[2] += t - t0; t0 = t; }
@@ -7818,8 +7882,8 @@ static int64_t decode_block_c(const uint8_t* src, int64_t size,
         if (prof) { int64_t t = prof_now(); g_prof[3] += t - t0; t0 = t; }
     } else {
         r2 = decode_execute_sequences(
-            src - 16, size, nb_seq, ent->ll.fused, ent->ll.tlog,
-            ent->of.fused, ent->of.tlog, ent->ml.fused, ent->ml.tlog,
+            src - 16, size, nb_seq, llu->fused, llu->tlog,
+            ofu->fused, ofu->tlog, mlu->fused, mlu->tlog,
             ent->rep, out, out_pos, out_cap, prefix_start, lit_buf, lit_size,
             long_mode);
     }
@@ -7845,6 +7909,7 @@ int64_t decode_frame_body_c(const uint8_t* src, int64_t size, uint8_t* out,
     if (!ent) return -1;
     ent->huf.valid = false;
     ent->ll_valid = ent->of_valid = ent->ml_valid = false;
+    ent->ll_src = ent->of_src = ent->ml_src = 0;
     ent->rep[0] = 1; ent->rep[1] = 4; ent->rep[2] = 8;
     // One padded copy for the whole frame: backward bit-readers may touch
     // up to 16 bytes before any payload, so blocks decode in place here.
@@ -8138,10 +8203,8 @@ static int64_t dict_parse_common(const uint8_t* d, int64_t n,
         fse_build_dtable_c(&dec->of, norms[0], maxs[0], logs[0], kOFBase, kOFBits);
         fse_build_dtable_c(&dec->ml, norms[1], maxs[1], logs[1], kMLBase, kMLBits);
         fse_build_dtable_c(&dec->ll, norms[2], maxs[2], logs[2], kLLBase, kLLBits);
-        fse_fuse_dtable(&dec->of);
-        fse_fuse_dtable(&dec->ml);
-        fse_fuse_dtable(&dec->ll);
         dec->of_valid = dec->ml_valid = dec->ll_valid = true;
+        dec->of_src = dec->ml_src = dec->ll_src = 0;
     }
     if (n < pos + 12) return -1;
     for (int i = 0; i < 3; i++) {
@@ -8440,6 +8503,7 @@ void* zt_ddict_create(const uint8_t* dict, int64_t dlen) {
     if (!d) return nullptr;
     d->ent.huf.valid = false;
     d->ent.ll_valid = d->ent.of_valid = d->ent.ml_valid = false;
+    d->ent.ll_src = d->ent.of_src = d->ent.ml_src = 0;
     d->ent.rep[0] = 1; d->ent.rep[1] = 4; d->ent.rep[2] = 8;
     int64_t coff = dict_parse_common(dict, dlen, nullptr, &d->ent, d->ent.rep);
     if (coff < 0) { free(d); return nullptr; }
@@ -8477,6 +8541,9 @@ int64_t zt_decode_frame_body_ddict(const uint8_t* src, int64_t size, void* h,
     d->scratch.ll_valid = d->ent.ll_valid;
     d->scratch.of_valid = d->ent.of_valid;
     d->scratch.ml_valid = d->ent.ml_valid;
+    d->scratch.ll_src = d->ent.ll_src;
+    d->scratch.of_src = d->ent.of_src;
+    d->scratch.ml_src = d->ent.ml_src;
     d->scratch.huf.valid = d->ent.huf.valid;
     std::memcpy(d->scratch.rep, d->ent.rep, sizeof d->scratch.rep);
     d->scratch_dirty = 0;
@@ -9479,6 +9546,7 @@ void* zt_dstream_new(void) {
     if (!c) return nullptr;
     c->ent.huf.valid = false;
     c->ent.ll_valid = c->ent.of_valid = c->ent.ml_valid = false;
+    c->ent.ll_src = c->ent.of_src = c->ent.ml_src = 0;
     c->ent.rep[0] = 1; c->ent.rep[1] = 4; c->ent.rep[2] = 8;
     const int64_t max_seq = (1 << 17) / 3 + 16;
     c->lit_buf = (uint8_t*)malloc((1 << 17) + 64);

@@ -231,8 +231,14 @@ class FrameDecoder:
                             break
                     cap = n_blocks * min(C.ZSTD_BLOCKSIZE_MAX,
                                          hdr.window_size or C.ZSTD_BLOCKSIZE_MAX)
-                res = native.decode_frame_body(
-                    np.frombuffer(src, np.uint8)[hdr.header_size :], cap)
+                ext = native.get_ext()
+                if ext is not None:
+                    # zero-copy: the native codec writes straight into the
+                    # returned bytes object (no numpy staging / .tobytes())
+                    res = ext.decode_frame_body(src, hdr.header_size, cap)
+                else:
+                    res = native.decode_frame_body(
+                        np.frombuffer(src, np.uint8)[hdr.header_size :], cap)
                 if res is not None:
                     content, consumed = res
                     pos = hdr.header_size + consumed
@@ -404,7 +410,8 @@ def _decompress_impl(src: bytes, max_output_size, max_window_log,
                   "output exceeds max_output_size")
         outputs.append(content)
         pos += consumed
-    return b"".join(o.tobytes() for o in outputs)
+    return b"".join(
+        o if isinstance(o, bytes) else o.tobytes() for o in outputs)
 
 
 class Decompressor:

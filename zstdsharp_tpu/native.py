@@ -19,9 +19,13 @@ import numpy as np
 _REPO = Path(__file__).resolve().parent.parent
 _SRC = _REPO / "native" / "zstdtpu_core.cpp"
 _LIB = _REPO / "native" / "libzstdtpu_core.so"
+_EXT_SRC = _REPO / "native" / "ztpy.cpp"
+_EXT_LIB = _REPO / "native" / "_ztpy.so"
 
 _lock = threading.Lock()
 _lib = None
+_ext = None          # CPython extension module (zero-copy entry points)
+_ext_tried = False
 AVAILABLE = False
 
 
@@ -39,6 +43,60 @@ def _build() -> bool:
     except (OSError, subprocess.TimeoutExpired) as e:  # pragma: no cover
         print(f"zstdtpu_core build error: {e}", file=sys.stderr)
         return False
+
+
+def _build_ext() -> bool:
+    """CPython extension (zero-copy PyBytes entry points); optional —
+    everything it offers has a ctypes fallback."""
+    import sysconfig
+
+    try:
+        cmd = ["g++", "-O2", "-shared", "-fPIC", "-std=c++17",
+               f"-I{sysconfig.get_paths()['include']}",
+               str(_EXT_SRC), "-o", str(_EXT_LIB),
+               f"-L{_LIB.parent}", "-lzstdtpu_core",
+               f"-Wl,-rpath,{_LIB.parent}"]
+        r = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
+        if r.returncode != 0:
+            print(f"_ztpy build failed:\n{r.stderr}", file=sys.stderr)
+            return False
+        return True
+    except (OSError, subprocess.TimeoutExpired) as e:  # pragma: no cover
+        print(f"_ztpy build error: {e}", file=sys.stderr)
+        return False
+
+
+def get_ext():
+    """The _ztpy extension module, or None (ctypes paths still work)."""
+    global _ext, _ext_tried
+    if _ext is not None or _ext_tried:
+        return _ext
+    with _lock:
+        if _ext is not None or _ext_tried:
+            return _ext
+        _ext_tried = True
+        if os.environ.get("ZSTDTPU_NO_NATIVE") or os.environ.get(
+                "ZSTDTPU_NO_EXT"):
+            return None
+    if get_lib() is None:   # ensures libzstdtpu_core.so exists & is fresh
+        return None
+    with _lock:
+        if (not _EXT_LIB.exists()
+                or _EXT_LIB.stat().st_mtime < _EXT_SRC.stat().st_mtime
+                or _EXT_LIB.stat().st_mtime < _SRC.stat().st_mtime):
+            if not _build_ext():
+                return None
+        try:
+            import importlib.util
+
+            spec = importlib.util.spec_from_file_location("_ztpy", _EXT_LIB)
+            mod = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(mod)
+            _ext = mod
+        except Exception as e:  # pragma: no cover
+            print(f"_ztpy load error: {e}", file=sys.stderr)
+            return None
+    return _ext
 
 
 def _load():
@@ -718,6 +776,10 @@ def compress_exact(data: bytes, level: int, checksum: bool = False) -> bytes | N
     strategies, ZstdFast.cs:96 / ZstdDoubleFast.cs:51 / ZstdOpt.cs:1046).
     Returns None when unavailable or the level/size routes to an
     unsupported strategy (caller falls back to the generic pipeline)."""
+    ext = get_ext()
+    if ext is not None:
+        # zero-copy: the frame is written straight into the returned bytes
+        return ext.compress_exact(data, level, bool(checksum))
     lib = get_lib()
     if lib is None:
         return None
