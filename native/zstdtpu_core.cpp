@@ -344,6 +344,47 @@ static inline int64_t zt_exec_one(uint8_t* out, int64_t out_pos,
 // Tables are struct-of-arrays as in fse_decode_sequences; literals are
 // consumed sequentially from lit; copies use the wildcopy discipline.
 }  // pause extern "C" for the template
+
+// Out-of-line continuation for the rare execute shapes (literal run > 16,
+// offset < 16 / overlapping, or within 32 bytes of the output cap).  Kept
+// noinline so the hot loop's register allocation is not constrained by
+// this path's live values.  Returns the advanced write pointer, or null
+// on a bounds violation.
+struct ZtOpLp { uint8_t* op; const uint8_t* lp; };  // two-register return
+
+__attribute__((noinline))
+static ZtOpLp zt_exec_cold(uint8_t* op, uint8_t* const oend,
+                           const uint8_t* const prefix,
+                           const uint8_t* lp, const uint8_t* const lend,
+                           uint64_t l, uint64_t m, int64_t o) {
+    if (lp + l > lend) return {nullptr, lp};
+    if (op + l + m > oend) return {nullptr, lp};
+    const bool slack = op + (int64_t)(l + m) + 31 <= oend;
+    if (l) {
+        if (slack) wildcopy16(op, lp, (int64_t)l);
+        else std::memcpy(op, lp, (size_t)l);
+        op += l; lp += l;
+    }
+    if (o <= 0 || o > op - prefix) return {nullptr, lp};
+    const uint8_t* cs = op - o;
+    if (o >= 16 && slack) {
+        wildcopy16(op, cs, (int64_t)m);
+    } else if (o >= (int64_t)m) {
+        std::memcpy(op, cs, (size_t)m);
+    } else if (slack) {
+        // smallest multiple of o that is >= 16, from a table (o in 1..15)
+        static const int8_t kSpan16[16] = {0, 16, 16, 18, 16, 20, 18, 21,
+                                           16, 18, 20, 22, 24, 26, 28, 30};
+        const int64_t O = kSpan16[o];
+        const int64_t head = (int64_t)m < O ? (int64_t)m : O;
+        for (int64_t k = 0; k < head; k++) op[k] = cs[k];
+        if ((int64_t)m > head) wildcopy16(op + head, op + head - O, m - head);
+    } else {
+        for (int64_t k = 0; k < (int64_t)m; k++) op[k] = cs[k];
+    }
+    return {op + m, lp};
+}
+
 template <int long_mode>
 __attribute__((optimize("O3")))
 static int64_t decode_execute_sequences_t(
@@ -363,17 +404,34 @@ static int64_t decode_execute_sequences_t(
     pos -= ml_log; uint32_t s_ml = (uint32_t)br_field(padded, pos, ml_log);
 
     uint64_t r0 = rep[0], r1 = rep[1], r2 = rep[2];
-    int64_t lit_pos = 0;
 
-    int64_t wpos = 0;
+    // Pointer-form output/literal state (one live pointer each instead of
+    // base+index pairs; the compare-only bounds stay cold).
+    uint8_t* op = out + out_pos;
+    uint8_t* const oend = out + out_cap;
+    const uint8_t* const prefix = out + prefix_start;
+    const uint8_t* lp = lit;
+    const uint8_t* const lend = lit + n_literals;
+
+    // Bit window: `win` holds the 57 stream bits below the anchor position
+    // `pos`; `bleft` counts how many remain unconsumed, so the next field
+    // sits at win >> (bleft - nb) and the current absolute bit position is
+    // always pos - 57 + bleft.  Field validity is one subtraction+compare
+    // against bleft instead of a position/watermark compare.
     uint64_t win = 0;
-    auto reload = [&](int64_t at) {
-        wpos = at - 57;
-        if (wpos < -120) wpos = -120;
-        const int64_t pb = wpos + 16 * 8;
+    int64_t bleft = 57;  // so the first reanchor lands at `pos` exactly
+    // Only corrupt streams can drive the position below -63 (valid data
+    // never over-consumes); starve the window there (every subsequent
+    // field check then fails) instead of clamping on the address chain.
+    auto reanchor = [&]() {
+        pos += bleft - 57;
+        bleft = 57;
+        const int64_t w = pos - 57;
+        if (__builtin_expect(w < -120, 0)) { win = 0; bleft = 0; return; }
+        const int64_t pb = w + 16 * 8;
         win = read_window(padded + (pb >> 3)) >> (pb & 7);
     };
-    reload(pos);
+    reanchor();
 
     // Long-offset prefetch pipeline (ZSTD_decompressSequencesLong_body
     // role, ZstdDecompressBlock.cs:2796): decoded sequences stage through
@@ -381,24 +439,28 @@ static int64_t decode_execute_sequences_t(
     // the copy runs 8 sequences behind, hiding the window-read miss.
     uint64_t ring_l[8], ring_m[8];
     int64_t ring_o[8];
-    int64_t dec_pos = out_pos;
+    uint8_t* pf = op;
 
-    for (int64_t i = 0; i < nb_seq; i++) {
-        const uint64_t eL = ll_f[s_ll], eM = ml_f[s_ml], eO = of_f[s_of];
+    // Software-pipelined entry loads: the three table entries for the NEXT
+    // sequence are fetched right where the next states are computed, so
+    // their load latency overlaps this sequence's copy work instead of
+    // serializing at the loop top.
+    uint64_t eL = ll_f[s_ll], eM = ml_f[s_ml], eO = of_f[s_of];
+    for (int64_t i = nb_seq - 1; i >= 0; --i) {
         const uint32_t llB = (uint32_t)eL; const int llb = (int)((eL >> 32) & 0xFF);
         const uint32_t mlB = (uint32_t)eM; const int mlb = (int)((eM >> 32) & 0xFF);
         const uint32_t ofB = (uint32_t)eO; const int ofb = (int)((eO >> 32) & 0xFF);
 
-        // One reload covers of+ml+ll when ofb+mlb+llb <= 57 (all offsets
-        // below ~32MB); the rare long-offset case reloads once more before
-        // the literals field.
-        reload(pos);
-        if (pos - (ofb + mlb) < wpos) return -2;
+        // One anchor covers of+ml+ll when ofb+mlb+llb <= 57 (all offsets
+        // below ~32MB); the rare long-offset case re-anchors once more
+        // before the literals field.
+        reanchor();
+        if (bleft < ofb + mlb) return -2;
 
         uint64_t offset;
         if (ofb > 1) {
-            pos -= ofb;
-            offset = ofB + bits_lo(win >> (pos - wpos), ofb);
+            bleft -= ofb;
+            offset = ofB + bits_lo(win >> bleft, ofb);
             r2 = r1; r1 = r0; r0 = offset;
         } else {
             const int ll0 = (llB == 0);
@@ -406,8 +468,8 @@ static int64_t decode_execute_sequences_t(
                 offset = ll0 ? r1 : r0;
                 if (ll0) { uint64_t t = r0; r0 = r1; r1 = t; }
             } else {
-                pos -= 1;
-                uint64_t idx = ofB + ll0 + ((win >> (pos - wpos)) & 1);
+                bleft -= 1;
+                uint64_t idx = ofB + ll0 + ((win >> bleft) & 1);
                 uint64_t t = (idx == 3) ? r0 - 1 : (idx == 1 ? r1 : r2);
                 if (t == 0) t = 1;
                 if (idx != 1) r2 = r1;
@@ -416,73 +478,99 @@ static int64_t decode_execute_sequences_t(
         }
 
         uint64_t m = mlB;
-        if (mlb) { pos -= mlb; m += bits_lo(win >> (pos - wpos), mlb); }
+        if (mlb) { bleft -= mlb; m += bits_lo(win >> bleft, mlb); }
 
-        if (pos - llb < wpos) {
-            reload(pos);
-            if (pos - llb < wpos) return -2;
+        if (bleft < llb) {
+            reanchor();
+            if (bleft < llb) return -2;
         }
         uint64_t l = llB;
-        if (llb) { pos -= llb; l += bits_lo(win >> (pos - wpos), llb); }
+        if (llb) { bleft -= llb; l += bits_lo(win >> bleft, llb); }
 
-        // prefetch the match source before the state updates retire
-        // (long mode only: short-window matches are already cache-resident
-        // and the prefetch's address math costs more than it hides)
-        if (long_mode)
-            __builtin_prefetch(out + out_pos + (int64_t)l - (int64_t)offset);
-
-        if (i != nb_seq - 1) {
+        if (i != 0) {
             const int nb1 = (int)(eL >> 56), nb2 = (int)(eM >> 56), nb3 = (int)(eO >> 56);
-            if (pos - (nb1 + nb2 + nb3) < wpos) {
-                reload(pos);
-                if (pos - (nb1 + nb2 + nb3) < wpos) return -2;
+            if (bleft < nb1 + nb2 + nb3) {
+                reanchor();
+                if (bleft < nb1 + nb2 + nb3) return -2;
             }
-            pos -= nb1; s_ll = (uint32_t)((eL >> 40) & 0xFFFF) + (uint32_t)bits_lo(win >> (pos - wpos), nb1);
-            pos -= nb2; s_ml = (uint32_t)((eM >> 40) & 0xFFFF) + (uint32_t)bits_lo(win >> (pos - wpos), nb2);
-            pos -= nb3; s_of = (uint32_t)((eO >> 40) & 0xFFFF) + (uint32_t)bits_lo(win >> (pos - wpos), nb3);
-            if (pos < 0) return -2;
+            bleft -= nb1; const uint32_t nsll = (uint32_t)((eL >> 40) & 0xFFFF) + (uint32_t)bits_lo(win >> bleft, nb1);
+            bleft -= nb2; const uint32_t nsml = (uint32_t)((eM >> 40) & 0xFFFF) + (uint32_t)bits_lo(win >> bleft, nb2);
+            bleft -= nb3; const uint32_t nsof = (uint32_t)((eO >> 40) & 0xFFFF) + (uint32_t)bits_lo(win >> bleft, nb3);
+            eL = ll_f[nsll]; eM = ml_f[nsml]; eO = of_f[nsof];
         }
 
         // ---- execute (ll=l, ml=m, offset) ----
         if (long_mode) {
-            const int64_t slot = i & 7;
-            if (i >= 8) {
-                out_pos = zt_exec_one(out, out_pos, out_cap, prefix_start,
-                                      lit, &lit_pos, n_literals, ring_l[slot],
-                                      ring_m[slot], ring_o[slot]);
-                if (out_pos < 0) return -3;
+            const int64_t fwd = nb_seq - 1 - i;
+            const int64_t slot = fwd & 7;
+            if (fwd >= 8) {
+                const uint64_t rl = ring_l[slot], rm = ring_m[slot];
+                const int64_t ro = ring_o[slot];
+                uint8_t* const ole = op + rl;
+                if (rl <= 16 && ro >= 16 && op + (rl + rm) + 32 <= oend &&
+                    lp + rl <= lend && ro <= ole - prefix) {
+                    std::memcpy(op, lp, 16);
+                    lp += rl;
+                    const uint8_t* ms = ole - ro;
+                    std::memcpy(ole, ms, 16);
+                    if (rm > 16) wildcopy16(ole + 16, ms + 16, (int64_t)rm - 16);
+                    op = ole + rm;
+                } else {
+                    const ZtOpLp c = zt_exec_cold(op, oend, prefix, lp, lend,
+                                                  rl, rm, ro);
+                    op = c.op; lp = c.lp;
+                    if (!op) return -3;
+                }
             }
             ring_l[slot] = l;
             ring_m[slot] = m;
             ring_o[slot] = (int64_t)offset;
-            dec_pos += (int64_t)l;
-            __builtin_prefetch(out + dec_pos - (int64_t)offset);
-            __builtin_prefetch(out + dec_pos - (int64_t)offset + 64);
-            dec_pos += (int64_t)m;
+            pf += (int64_t)l;
+            __builtin_prefetch(pf - (int64_t)offset);
+            __builtin_prefetch(pf - (int64_t)offset + 64);
+            pf += (int64_t)m;
         } else {
-            out_pos = zt_exec_one(out, out_pos, out_cap, prefix_start, lit,
-                                  &lit_pos, n_literals, l, m,
-                                  (int64_t)offset);
-            if (out_pos < 0) return -3;
+            // r0 == offset in every decode branch above; reusing it keeps
+            // one less value live across the copy.
+            uint8_t* const ole = op + l;
+            if (l <= 16 && (int64_t)r0 >= 16 &&
+                op + (l + m) + 32 <= oend && lp + l <= lend &&
+                (int64_t)r0 <= ole - prefix) {
+                // fast shape (ZSTD_execSequence single-branch core): one
+                // 16B literal copy, one 16B match copy, wild tail.  The
+                // literal buffer carries >= 32B slack (decode_literals_c).
+                std::memcpy(op, lp, 16);
+                lp += l;
+                const uint8_t* ms = ole - r0;
+                std::memcpy(ole, ms, 16);
+                if (m > 16) wildcopy16(ole + 16, ms + 16, (int64_t)m - 16);
+                op = ole + m;
+            } else {
+                const ZtOpLp c = zt_exec_cold(op, oend, prefix, lp, lend,
+                                              l, m, (int64_t)r0);
+                op = c.op; lp = c.lp;
+                if (!op) return -3;
+            }
         }
     }
     if (long_mode) {
         const int64_t from = nb_seq > 8 ? nb_seq - 8 : 0;
         for (int64_t i = from; i < nb_seq; i++) {
             const int64_t slot = i & 7;
-            out_pos = zt_exec_one(out, out_pos, out_cap, prefix_start, lit,
-                                  &lit_pos, n_literals, ring_l[slot],
-                                  ring_m[slot], ring_o[slot]);
-            if (out_pos < 0) return -3;
+            const ZtOpLp c = zt_exec_cold(op, oend, prefix, lp, lend,
+                                          ring_l[slot], ring_m[slot],
+                                          ring_o[slot]);
+            op = c.op; lp = c.lp;
+            if (!op) return -3;
         }
     }
-    if (pos != 0) return -1;
+    if (pos + bleft - 57 != 0) return -1;
     rep[0] = (uint32_t)r0; rep[1] = (uint32_t)r1; rep[2] = (uint32_t)r2;
 
-    const int64_t rest = n_literals - lit_pos;
-    if (rest < 0 || out_pos + rest > out_cap) return -3;
-    std::memcpy(out + out_pos, lit + lit_pos, (size_t)rest);
-    return out_pos + rest;
+    const int64_t rest = lend - lp;
+    if (op + rest > oend) return -3;
+    std::memcpy(op, lp, (size_t)rest);
+    return (op - out) + rest;
 }
 
 // Two-pass variant: a lean FSE pass fills (ll, ml, of) arrays, then a
@@ -7564,6 +7652,80 @@ static inline int64_t huf_4x_fast_loop(
     }
     return done;
 }
+
+#if defined(__x86_64__) && defined(__BMI2__) && \
+    !defined(__SANITIZE_ADDRESS__) && !defined(__SANITIZE_THREAD__)
+#define ZT_HUF_ASM 1
+// Hand-scheduled x86-64 core for the same loop (tlog <= 11 so 5 symbols
+// per stream fit in the 56 payload bits).  The compiler build of
+// huf_4x_fast_loop spills the 4-stream state to the stack; this form keeps
+// all of it in registers:
+//   - per-stream state is ONE absolute bit cursor A = ptr*8 + bitpos
+//     (byte address = A>>3, intra-byte shift = A&7), not {base, pos} pairs
+//   - the refill marker rides at bit 0, so tzcnt(V) IS the bits consumed
+//   - table entries are sym<<8 | nb: `movb %%ah` stores the symbol and
+//     shlx reads nb from the same register (low 6 bits), 4 uops/symbol
+//   - output pointers live in rbx/rcx/rdx/rsi because the %%ah store
+//     encoding forbids REX registers
+// Runs exactly (qend - q0)/5 iterations; the caller guarantees every
+// stream has >= 5*tlog bits and 5 output slots per iteration.
+#define ZT_HRLD(Vn, An)                          \
+    "mov %[" An "], %%rax\n\t"                   \
+    "shr $3, %%rax\n\t"                          \
+    "mov (%%rax), %[" Vn "]\n\t"                 \
+    "mov %[" An "], %%rax\n\t"                   \
+    "and $7, %%eax\n\t"                          \
+    "shrx %%rax, %[" Vn "], %[" Vn "]\n\t"       \
+    "shl $8, %[" Vn "]\n\t"                      \
+    "or $1, %[" Vn "]\n\t"
+#define ZT_HSYM(Vn, Qn, J)                       \
+    "shrx %[sh], %[" Vn "], %%rax\n\t"           \
+    "movzwl (%[D], %%rax, 2), %%eax\n\t"         \
+    "shlx %%rax, %[" Vn "], %[" Vn "]\n\t"       \
+    "movb %%ah, " J "(%[" Qn "])\n\t"
+#define ZT_HROW(J)                               \
+    ZT_HSYM("v0", "q0", J) ZT_HSYM("v1", "q1", J) \
+    ZT_HSYM("v2", "q2", J) ZT_HSYM("v3", "q3", J)
+#define ZT_HACC(Vn, An)                          \
+    "tzcnt %[" Vn "], %%rax\n\t"                 \
+    "sub %%rax, %[" An "]\n\t"
+
+// omit-frame-pointer pinned: the loop needs all 15 GPRs (a sanitizer or
+// -O0 build keeps rbp and cannot allocate the operands; those builds take
+// the C loop via the ZT_HUF_ASM gate instead)
+__attribute__((noinline, optimize("O2", "omit-frame-pointer")))
+static void huf_4x_asm_block(const uint16_t* D, uint64_t sh,
+                             uint64_t& A0, uint64_t& A1, uint64_t& A2,
+                             uint64_t& A3, uint8_t*& q0, uint8_t*& q1,
+                             uint8_t*& q2, uint8_t*& q3,
+                             const uint8_t* qend) {
+    uint64_t v0, v1, v2, v3;
+    asm volatile(
+        ".p2align 4\n"
+        "1:\n\t"
+        ZT_HRLD("v0", "a0") ZT_HRLD("v1", "a1")
+        ZT_HRLD("v2", "a2") ZT_HRLD("v3", "a3")
+        ZT_HROW("0") ZT_HROW("1") ZT_HROW("2") ZT_HROW("3") ZT_HROW("4")
+        ZT_HACC("v0", "a0") ZT_HACC("v1", "a1")
+        ZT_HACC("v2", "a2") ZT_HACC("v3", "a3")
+        "add $5, %[q0]\n\t"
+        "add $5, %[q1]\n\t"
+        "add $5, %[q2]\n\t"
+        "add $5, %[q3]\n\t"
+        "cmp %[qend], %[q0]\n\t"
+        "jb 1b\n\t"
+        : [a0] "+r"(A0), [a1] "+r"(A1), [a2] "+r"(A2), [a3] "+r"(A3),
+          [q0] "+b"(q0), [q1] "+c"(q1), [q2] "+d"(q2), [q3] "+S"(q3),
+          [v0] "=&r"(v0), [v1] "=&r"(v1), [v2] "=&r"(v2), [v3] "=&r"(v3)
+        : [D] "r"(D), [sh] "r"(sh), [qend] "m"(qend)
+        : "rax", "cc", "memory");
+}
+#undef ZT_HRLD
+#undef ZT_HSYM
+#undef ZT_HROW
+#undef ZT_HACC
+#endif  // ZT_HUF_ASM
+
 extern "C" {
 
 // Decode literals section.  Writes into lit (cap >= 1<<17 + 32).
@@ -7606,7 +7768,38 @@ static int huf_decode_4x(const uint8_t* pad, const int64_t* offs,
         // the per-symbol consumed-bits adds (the libzstd asm loop's trick,
         // HufDecompress.cs:342 role).  Streams decode in lockstep; the
         // symbol loop is compile-time unrolled per tableLog class.
-        const int64_t done =
+        int64_t done = 0;
+#ifdef ZT_HUF_ASM
+        if (tlog <= 11) {
+            // Batched register-resident core: run it for the largest
+            // iteration count provably safe from the worst-case bit
+            // consumption (5*tlog bits/stream/iter), then re-derive.
+            const uint64_t sh64 = (uint64_t)(64 - tlog);
+            const uint64_t bias0 = ((uint64_t)(uintptr_t)b0 << 3) + 72;
+            const uint64_t bias1 = ((uint64_t)(uintptr_t)b1 << 3) + 72;
+            const uint64_t bias2 = ((uint64_t)(uintptr_t)b2 << 3) + 72;
+            const uint64_t bias3 = ((uint64_t)(uintptr_t)b3 << 3) + 72;
+            uint64_t A0 = bias0 + (uint64_t)p0, A1 = bias1 + (uint64_t)p1;
+            uint64_t A2 = bias2 + (uint64_t)p2, A3 = bias3 + (uint64_t)p3;
+            for (;;) {
+                int64_t pm = p0 < p1 ? p0 : p1;
+                if (p2 < pm) pm = p2;
+                if (p3 < pm) pm = p3;
+                if (pm < 56) break;
+                int64_t it = (pm - 56) / (5 * tlog) + 1;
+                const int64_t it_out = rmin / 5;
+                if (it > it_out) it = it_out;
+                if (it <= 0) break;
+                huf_4x_asm_block(D, sh64, A0, A1, A2, A3, q0, q1, q2, q3,
+                                 q0 + it * 5);
+                rmin -= it * 5;
+                done += it * 5;
+                p0 = (int64_t)(A0 - bias0); p1 = (int64_t)(A1 - bias1);
+                p2 = (int64_t)(A2 - bias2); p3 = (int64_t)(A3 - bias3);
+            }
+        }
+#endif
+        done +=
             tlog <= 11
                 ? huf_4x_fast_loop<5>(D, tlog, rmin, p0, p1, p2, p3,
                                       b0, b1, b2, b3, q0, q1, q2, q3)
