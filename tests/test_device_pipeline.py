@@ -128,3 +128,51 @@ def test_fcs_less_frame_routes_to_host():
     sized = compress(_records(1, 8_000, seed=5)[0], 1)
     out = decompress_data_parallel(frame + sized, make_mesh())
     assert out == rec + _records(1, 8_000, seed=5)[0]
+
+
+class TestDeviceIntegrity:
+    """ADVICE r3 medium: the device plane must not silently decode
+    corrupt frames — cheap structural checks host-route at plan time, and
+    materialize=True verifies the stored content checksum."""
+
+    def test_corrupt_raw_block_size_routes_to_host(self):
+        data = np.random.default_rng(3).integers(
+            0, 256, 5000, dtype=np.uint8).tobytes()  # incompressible -> raw
+        frame = bytearray(compress(data, 1))
+        hdr_sz = 0
+        from zstdsharp_tpu.decode.frame import parse_frame_header
+        hdr = parse_frame_header(np.frombuffer(bytes(frame), np.uint8))
+        hdr_sz = hdr.header_size
+        bh = int.from_bytes(frame[hdr_sz:hdr_sz + 3], "little")
+        assert (bh >> 1) & 3 == 0  # raw block
+        # shrink the declared block size: content no longer matches
+        bad = (bh & 7) | ((bh >> 3) - 1 << 3)
+        frame[hdr_sz:hdr_sz + 3] = bad.to_bytes(3, "little")
+        plan = plan_batch([bytes(frame)])
+        assert "corrupt" in plan.host_routed.get(0, "")
+
+    def test_truncated_frame_routes_to_host(self):
+        rec = _records(1, 20_000, seed=11)[0]
+        frame = compress(rec, 5)
+        plan = plan_batch([frame[:len(frame) - 3]])
+        assert 0 in plan.host_routed
+
+    def test_checksum_mismatch_raises(self):
+        from zstdsharp_tpu.errors import ZstdError, ZstdErrorCode
+
+        rec = _records(1, 20_000, seed=13)[0]
+        frame = bytearray(compress(rec, 5, checksum=True))
+        plan = plan_batch([bytes(frame)])
+        assert plan.blocks and plan.blocks[0].checksum >= 0
+        # flip a bit in the stored checksum (last 4 bytes of the frame)
+        frame[-1] ^= 0x40
+        with pytest.raises(ZstdError) as ei:
+            decode_batch_device([bytes(frame)], materialize=True)
+        assert ei.value.code == ZstdErrorCode.checksum_wrong
+
+    def test_checksum_verified_ok(self):
+        rec = _records(1, 20_000, seed=17)[0]
+        frame = compress(rec, 5, checksum=True)
+        results, stats = decode_batch_device([frame], materialize=True)
+        assert stats["device_frames"] == 1
+        assert results[0] == rec

@@ -23,6 +23,18 @@ Multi-block frames chain repcode state through the payload, which would
 serialize the lanes; they take the host path (SURVEY.md §2.7: the format
 makes blocks within a window dependent — parallelism comes from frames).
 
+Integrity: plan time validates what is cheap on the host (block bounds vs
+frame length, raw/RLE size vs content size, literal-section bounds) and
+host-routes violations so the host engine raises the proper taxonomy;
+``materialize=True`` additionally verifies the stored xxh64 content
+checksum of every device-decoded frame (checksum_wrong on mismatch).
+The device-resident path (``materialize=False``) returns rows that have
+NOT been checksum-verified — the executor clips out-of-range offsets
+rather than faulting, so that path assumes trusted input, exactly like
+feeding unverified records to any on-device input pipeline.  Callers
+needing verification on device-resident rows can hash via
+``utils.xxhash`` after their own materialization.
+
 Reference behavior mirrored: ZSTD_decompressBlock_internal:3090 stage
 order, ZSTD_execSequence:2187 byte semantics (via ops/execseq.py).
 """
@@ -51,6 +63,8 @@ class _BlockPlan:
     frame_idx: int
     out_len: int
     lit_regen: int
+    # stored xxh64 content checksum (low 32 bits), or -1 if absent
+    checksum: int = -1
     # literals: kind 0 = raw pool span, 1 = huf 4-stream section
     lit_kind: int = 0
     pool_base: int = 0
@@ -104,6 +118,51 @@ def _parse_lit_header(payload: bytes):
     return lt, sf, (v >> 4) & 0x3FFFF, (v >> 22) & 0x3FFFF, 5
 
 
+def scan_eligibility(frames) -> dict:
+    """Cheap header-only partition probe: frame_idx -> host-route reason
+    for frames outside the device envelope (ADVICE r3: the partitioner
+    must not run the full ``plan_batch`` — which host-decodes fallback
+    literal/sequence sections — twice per frame).  Examines only the
+    frame header, first block header, and the literal-section type byte;
+    mirrors exactly the routing conditions of ``plan_batch``."""
+    routed = {}
+    for fi, frame in enumerate(frames):
+        try:
+            buf = np.frombuffer(frame, np.uint8)
+            hdr = parse_frame_header(buf)
+            if hdr.frame_content_size is None or hdr.frame_content_size < 0:
+                routed[fi] = "no content size"
+                continue
+            content = int(hdr.frame_content_size)
+            if content > (1 << 17):
+                routed[fi] = "multi-block (content > 128KB)"
+                continue
+            p = hdr.header_size
+            bh = int.from_bytes(frame[p:p + 3], "little")
+            last, btype, bsize = bh & 1, (bh >> 1) & 3, bh >> 3
+            if not last:
+                routed[fi] = "multi-block frame"
+                continue
+            body_len = bsize if btype != 1 else 1
+            tail = 4 if hdr.has_checksum else 0
+            if p + 3 + body_len + tail > len(frame):
+                routed[fi] = "corrupt: truncated block"
+                continue
+            if btype in (0, 1):
+                if bsize != content:
+                    routed[fi] = "corrupt: block size"
+                continue
+            payload = bytes(frame[p + 3:p + 3 + min(bsize, 5)])
+            lt, sf, regen, comp, lh = _parse_lit_header(payload)
+            if lt == 3:
+                routed[fi] = "treeless literals in first block"
+            elif regen > content or lh + (comp if lt >= 2 else 0) > bsize:
+                routed[fi] = "corrupt: literal section bounds"
+        except Exception as e:  # pragma: no cover - defensive routing
+            routed[fi] = f"plan error: {e}"
+    return routed
+
+
 def plan_batch(frames) -> DevicePlan:
     """Host header pass: split each frame into device work or a host
     route.  Only headers and table descriptions are examined — payload
@@ -129,8 +188,22 @@ def plan_batch(frames) -> DevicePlan:
             if not last:
                 plan.host_routed[fi] = "multi-block frame"
                 continue
+            # structural validation (cheap on host; the device executor
+            # clips instead of faulting, so corrupt frames must not reach
+            # it silently — host engine raises the right taxonomy)
+            body_len = bsize if btype != 1 else 1
+            tail = 4 if hdr.has_checksum else 0
+            if p + 3 + body_len + tail > len(frame):
+                plan.host_routed[fi] = "corrupt: truncated block"
+                continue
             b = _BlockPlan(frame_idx=fi, out_len=content, lit_regen=0)
+            if hdr.has_checksum:
+                b.checksum = int.from_bytes(
+                    frame[p + 3 + body_len:p + 3 + body_len + 4], "little")
             if btype == 0:  # raw block
+                if bsize != content:
+                    plan.host_routed[fi] = "corrupt: raw block size"
+                    continue
                 b.lit_kind = 0
                 b.pool_base = len(plan.raw_pool)
                 plan.raw_pool += frame[p + 3:p + 3 + bsize]
@@ -140,6 +213,9 @@ def plan_batch(frames) -> DevicePlan:
                 plan.max_out = max(plan.max_out, content)
                 continue
             if btype == 1:  # RLE block
+                if bsize != content:
+                    plan.host_routed[fi] = "corrupt: RLE block size"
+                    continue
                 b.lit_kind = 0
                 b.pool_base = len(plan.raw_pool)
                 plan.raw_pool += frame[p + 3:p + 4]
@@ -150,6 +226,9 @@ def plan_batch(frames) -> DevicePlan:
                 continue
             payload = bytes(frame[p + 3:p + 3 + bsize])
             lt, sf, regen, comp, lh = _parse_lit_header(payload)
+            if regen > content or lh + (comp if lt >= 2 else 0) > len(payload):
+                plan.host_routed[fi] = "corrupt: literal section bounds"
+                continue
             b.lit_regen = regen
             ent = EntropyState()
             if lt == 0:  # raw literals
@@ -370,6 +449,9 @@ def decode_batch_device(frames, materialize: bool = False):
     if not materialize:
         return outputs, lengths, host_results
 
+    from ..errors import ZstdError, ZstdErrorCode
+    from ..utils.xxhash import content_checksum
+
     results = [None] * plan.n_frames
     for fi, data in host_results.items():
         results[fi] = data
@@ -378,7 +460,12 @@ def decode_batch_device(frames, materialize: bool = False):
         host = np.asarray(out)
         for k in range(min(EXEC_LANES, len(plan.blocks) - ci * EXEC_LANES)):
             b = plan.blocks[ci * EXEC_LANES + k]
-            results[b.frame_idx] = host[k, :b.out_len].tobytes()
+            data = host[k, :b.out_len].tobytes()
+            if b.checksum >= 0 and content_checksum(data) != b.checksum:
+                raise ZstdError(ZstdErrorCode.checksum_wrong,
+                                f"frame {b.frame_idx}: content checksum "
+                                "mismatch on device-decoded output")
+            results[b.frame_idx] = data
             row += 1
     stats = {"device_frames": len(plan.blocks),
              "host_frames": len(host_results)}

@@ -254,12 +254,13 @@ def decompress_data_parallel(stream: bytes, mesh: Mesh | None = None,
     if len(frames) <= 1 and telemetry is None:
         return decompress(buf)
 
-    from ..decode.device_pipeline import decode_batch_device, plan_batch
+    from ..decode.device_pipeline import decode_batch_device, scan_eligibility
 
-    # partition: device-eligible vs host frames (header-only probe)
+    # partition: device-eligible vs host frames (header-only probe —
+    # plan_batch would host-decode fallback sections, then be re-run by
+    # each shard's decode_batch_device)
     t0 = time.perf_counter()
-    probe = plan_batch(frames)
-    host_idx = set(probe.host_routed)
+    host_idx = set(scan_eligibility(frames))
     dev_idx = [i for i in range(len(frames)) if i not in host_idx]
     t_plan = time.perf_counter() - t0
 
