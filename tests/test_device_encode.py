@@ -1,0 +1,122 @@
+"""Device batch encoder: frames composed wholly on device must be
+standard zstd — decodable by libzstd, the host tier, and the device
+decode plane (VERDICT r3 item 4: the encode mirror of the decode plane).
+"""
+
+import numpy as np
+import pytest
+import zstandard
+
+jax = pytest.importorskip("jax")
+jnp = jax.numpy
+
+from zstdsharp_tpu.decode.frame import decompress
+from zstdsharp_tpu.encode.device_pipeline import compress_batch_device
+from zstdsharp_tpu.ops.device_encode import (_fse_stream_states, _tables,
+                                             encode_frames_device,
+                                             seq_budget, word_budget)
+
+
+def _records(n, size, seed=7):
+    r = np.random.default_rng(seed)
+    words = [b"alpha", b"bravo", b"charlie", b"delta", b"echo", b"foxtrot",
+             b"golf", b"hotel", b"india", b"juliet"]
+    out = []
+    for _ in range(n):
+        rec = b" ".join(words[int(i)]
+                        for i in r.integers(0, len(words), size // 6 + 2))
+        out.append(rec[:size])
+    return out
+
+
+class TestFseStates:
+    """The permutation-map suffix composition must reproduce the
+    sequential FSE encoder exactly, stream by stream."""
+
+    @pytest.mark.parametrize("stream,maxc", [("ll", 35), ("ml", 52),
+                                             ("of", 20)])
+    def test_matches_sequential(self, stream, maxc):
+        from zstdsharp_tpu import constants as C
+        from zstdsharp_tpu.entropy import fse
+
+        t = _tables()
+        cts = {
+            "ll": fse.build_ctable(C.LL_DEFAULT_NORM, C.MAX_LL,
+                                   C.LL_DEFAULT_NORM_LOG),
+            "ml": fse.build_ctable(C.ML_DEFAULT_NORM, C.MAX_ML,
+                                   C.ML_DEFAULT_NORM_LOG),
+            "of": fse.build_ctable(C.OF_DEFAULT_NORM, C.DEFAULT_MAX_OFF,
+                                   C.OF_DEFAULT_NORM_LOG),
+        }
+        ct = cts[stream]
+        rng = np.random.default_rng(11)
+        for n, S in ((1, 4), (2, 4), (9, 16), (57, 64)):
+            codes = rng.integers(0, maxc + 1, S).astype(np.int32)
+            ev, en, fv = _fse_stream_states(
+                jnp.asarray(codes), jnp.int32(n), t[stream])
+            ev, en = np.asarray(ev), np.asarray(en)
+            enc = fse.FseEncoder(ct, int(codes[n - 1]))
+            for i in range(n - 2, -1, -1):
+                nb = (enc.value + int(ct.delta_nb_bits[codes[i]])) >> 16
+                assert en[i] == nb, (stream, n, i)
+                assert (ev[i] & ((1 << nb) - 1)) == \
+                    (enc.value & ((1 << nb) - 1)), (stream, n, i)
+                class _W:
+                    def add(self, v, b):
+                        pass
+                enc.encode(_W(), int(codes[i]))
+            mask = (1 << ct.table_log) - 1
+            assert (int(fv) & mask) == (enc.value & mask), (stream, n)
+            assert (en[n - 1:] == 0).all()
+
+
+class TestDeviceEncode:
+    def test_batch_roundtrips_via_oracle(self):
+        recs = _records(10, 20_000) + [
+            np.random.default_rng(3).integers(
+                0, 256, 9000, dtype=np.uint8).tobytes(),  # raw fallback
+            b"ab" * 9000,                                  # match-heavy
+            b"", b"z", b"short literal only"]
+        frames, stats = compress_batch_device(recs, materialize=True)
+        assert stats["device_frames"] == len(recs)
+        d = zstandard.ZstdDecompressor()
+        for rec, frame in zip(recs, frames):
+            assert d.decompress(frame,
+                                max_output_size=max(2 * len(rec), 64)) == rec
+            assert decompress(frame) == rec
+
+    def test_device_frames_feed_device_decoder(self):
+        from zstdsharp_tpu.decode.device_pipeline import decode_batch_device
+
+        recs = _records(6, 12_000, seed=5)
+        frames, _ = compress_batch_device(recs, materialize=True)
+        results, stats = decode_batch_device(frames, materialize=True)
+        assert stats["device_frames"] == len(recs)
+        assert results == recs
+
+    def test_compression_beats_raw_on_text(self):
+        recs = _records(4, 30_000, seed=9)
+        frames, _ = compress_batch_device(recs, materialize=True)
+        for rec, frame in zip(recs, frames):
+            assert len(frame) < len(rec) // 2  # repetitive words compress
+
+    def test_oversized_records_route_to_host(self):
+        big = _records(1, 200_000, seed=13)[0]
+        small = _records(1, 5_000, seed=14)[0]
+        frames, stats = compress_batch_device([big, small], materialize=True)
+        assert stats == {"device_frames": 1, "host_frames": 1}
+        assert decompress(frames[0]) == big
+        assert decompress(frames[1]) == small
+
+    def test_device_rows_stay_on_device(self):
+        recs = _records(3, 3_000, seed=15)
+        chunks, host = compress_batch_device(recs)
+        assert not host
+        (part, rows, lens), = chunks
+        assert part == [0, 1, 2]
+        assert isinstance(rows, jax.Array)
+        h = np.asarray(rows)
+        for k, rec in enumerate(recs):
+            assert zstandard.ZstdDecompressor().decompress(
+                h[k, :int(lens[k])].tobytes(),
+                max_output_size=2 * len(rec)) == rec
