@@ -120,3 +120,26 @@ class TestDeviceEncode:
             assert zstandard.ZstdDecompressor().decompress(
                 h[k, :int(lens[k])].tobytes(),
                 max_output_size=2 * len(rec)) == rec
+
+
+class TestPtrjumpParse:
+    def test_matches_scan_parse(self):
+        from zstdsharp_tpu.ops.matcher import parse_blocks, parse_blocks_ptrjump
+
+        rng = np.random.default_rng(5)
+        words = [b"alpha ", b"beta ", b"gamma ", b"delta ", b"epsilon "]
+        N, B, S = 4096, 8, 512
+        blocks = np.zeros((B, N), np.uint8)
+        nv = np.zeros(B, np.int32)
+        for k in range(B):
+            m = int(rng.integers(16, N + 1))
+            r = b"".join(words[i] for i in rng.integers(0, 5, 1200))[:m]
+            blocks[k, :len(r)] = np.frombuffer(r, np.uint8)
+            nv[k] = len(r)
+        jb, jn = jnp.asarray(blocks), jnp.asarray(nv)
+        p1 = jax.tree.map(np.asarray, parse_blocks(jb, jn, 12, S))
+        # same ml extension budget as the default scan parse
+        p2 = jax.tree.map(np.asarray,
+                          parse_blocks_ptrjump(jb, jn, 12, S, 16, 24))
+        for key in ("starts", "mls", "offs", "nseq", "covered"):
+            assert (p1[key] == p2[key]).all(), key

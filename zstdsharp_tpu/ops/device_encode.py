@@ -36,7 +36,7 @@ import numpy as np
 from .. import constants as C
 from ..entropy import fse
 from .common import pack_bits_device
-from .matcher import parse_blocks
+from .matcher import parse_blocks_ptrjump
 
 MINMATCH = 3  # format minimum (the parse emits >= 4)
 
@@ -285,7 +285,8 @@ def encode_frames_device(blocks, n_valid, S: int, W: int,
     rows uint8 [B, N+16] + lengths int32 [B].  Everything — parse, FSE
     coding, bit packing, frame assembly — runs in one XLA program."""
     t = _tables()
-    parsed = parse_blocks(blocks, n_valid.astype(jnp.int32), hash_log, S)
+    parsed = parse_blocks_ptrjump(blocks, n_valid.astype(jnp.int32),
+                                  hash_log, S, 8, 8)
     lane = lambda blk, nv, st, ml, of, ns, cov: _encode_lane(
         blk, nv, {"starts": st, "mls": ml, "offs": of, "nseq": ns,
                   "covered": cov}, W, t)

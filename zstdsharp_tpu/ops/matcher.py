@@ -151,3 +151,86 @@ def parse_block_stats(block: jax.Array, n_valid: jax.Array, hash_log: int = 16):
     lit_hist = histogram_u8(block, mask=lit_mask)
     return {**r, "lit_count": lit_count, "match_bytes": match_bytes,
             "of_hist": of_hist, "lit_hist": lit_hist}
+
+
+@partial(jax.jit, static_argnames=("hash_log", "max_seq", "ml_u64_rounds",
+                                   "ml_stride_rounds"))
+def parse_block_ptrjump(block: jax.Array, n_valid: jax.Array,
+                        hash_log: int = 16, max_seq: int | None = None,
+                        ml_u64_rounds: int = 8, ml_stride_rounds: int = 8):
+    """Greedy parse with LOG-DEPTH selection (same contract as
+    parse_block).
+
+    The serial cursor walk "next match at-or-after pos, jump past it" is
+    an orbit of pos=0 under the jump map f(p) = j + ml[j], j = nv[p].
+    Pointer-jumping doubles f (f, f^2, f^4, ...) and marks the orbit in
+    ceil(log2(max_seq)) rounds of gather+scatter — the same trick the
+    decode plane's LZ executor uses (ops/execseq.py) — replacing
+    parse_block's max_seq-step lax.scan, which dominates the device
+    encoder's runtime.
+    """
+    n = block.shape[0]
+    if max_seq is None:
+        max_seq = n // 8
+    idx = jnp.arange(n, dtype=jnp.int32)
+
+    v32 = u32_at_every_byte(block)
+    h = hash4(v32, hash_log)
+    cand = previous_occurrence(h)
+    valid = (cand >= 0) & (v32[jnp.maximum(cand, 0)] == v32) & (idx + MIN_MATCH <= n_valid)
+    # Capped extension: a match longer than the cap is simply emitted as
+    # chained sequences (the cursor re-enters the run) — a deliberate
+    # throughput/ratio trade for the device encoder.
+    ml = match_lengths(block, jnp.where(valid, cand, -1),
+                       u64_rounds=ml_u64_rounds,
+                       stride_rounds=ml_stride_rounds)
+    ml = jnp.minimum(ml, n_valid - idx)
+    valid = valid & (ml >= MIN_MATCH)
+
+    cand_pos = jnp.where(valid, idx, n)
+    next_valid = jax.lax.associative_scan(jnp.minimum, cand_pos, reverse=True)
+
+    nv_pad = jnp.concatenate([next_valid, jnp.full(1, n, jnp.int32)])
+    ml_pad = jnp.concatenate([ml, jnp.zeros(1, jnp.int32)])
+
+    j = nv_pad                                   # match chosen at cursor p
+    f = jnp.where(j < n, jnp.minimum(j + ml_pad[jnp.clip(j, 0, n)], n), n)
+
+    # orbit of cursor 0: R <- R | f^(2^k)(R), doubling f each round
+    orbit = jnp.zeros(n + 1, jnp.int32).at[0].set(1)
+    fk = f
+    levels = max(1, (max_seq + 1).bit_length())
+    for _ in range(levels):
+        orbit = jnp.maximum(orbit, jnp.zeros(n + 1, jnp.int32)
+                            .at[fk].max(orbit, mode="drop"))
+        fk = fk[fk]
+
+    # selected match starts = nv of orbit cursors (distinct by progress)
+    take = (orbit > 0) & (j < n)
+    sel = jnp.zeros(n + 1, jnp.int32).at[jnp.where(take, j, n)].max(
+        take.astype(jnp.int32), mode="drop")[:n]
+    nseq_all = jnp.sum(sel)
+    nseq = jnp.minimum(nseq_all, max_seq).astype(jnp.int32)
+
+    # compact selected positions in order via one sort
+    key = jnp.where(sel > 0, idx, n + idx).astype(jnp.int32)
+    sorted_idx = jax.lax.sort(key)[:max_seq]
+    k = jnp.arange(max_seq, dtype=jnp.int32)
+    starts = jnp.where(k < nseq, sorted_idx, n)
+    sc = jnp.clip(starts, 0, n - 1)
+    mls = jnp.where(k < nseq, ml[sc], 0)
+    offs = jnp.where(k < nseq, idx[sc] - cand[sc], 0)
+
+    delta = jnp.zeros(n + 1, jnp.int32)
+    delta = delta.at[jnp.where(starts < n, starts, n)].add(
+        jnp.where(starts < n, 1, 0))
+    ends = jnp.minimum(starts + mls, n)
+    delta = delta.at[jnp.where(starts < n, ends, n)].add(
+        jnp.where(starts < n, -1, 0))
+    covered = jnp.cumsum(delta[:n]) > 0
+    return {"starts": starts, "mls": mls, "offs": offs, "nseq": nseq,
+            "covered": covered}
+
+
+parse_blocks_ptrjump = jax.vmap(parse_block_ptrjump,
+                                in_axes=(0, 0, None, None, None, None))
