@@ -9417,11 +9417,20 @@ struct EStreamC {
     uint32_t* s_ll;       // seq scratch (ll/ml/ob)
     int64_t max_seq_cap;
     int last_sent;
+    // targetCBlockSize (superblock emission) — 0 off
+    int64_t tcbs;
+    // long-distance matcher state (persists across feeds; positions are
+    // buffer offsets, rebased on trim like every other table)
+    int ldm_on;
+    int64_t* ldm_buckets;
+    int ldm_hlog;
+    LdmMatch* ldm;
+    int64_t ldm_cap, n_ldm, ldm_cursor, ldm_scanned;
 };
 
-void* zt_estream_new(int strategy, int hash_log, int chain_log,
-                     int search_log, int window_log, int min_match,
-                     int accel) {
+void* zt_estream_new2(int strategy, int hash_log, int chain_log,
+                      int search_log, int window_log, int min_match,
+                      int accel, int64_t tcbs, int ldm_on) {
     if (strategy < 1 || strategy > 9) return nullptr;
     codec_init();
     EStreamC* c = (EStreamC*)calloc(1, sizeof(EStreamC));
@@ -9441,6 +9450,17 @@ void* zt_estream_new(int strategy, int hash_log, int chain_log,
     c->max_seq_cap = c->block_size / 3 + 16;
     c->s_ll = (uint32_t*)malloc((size_t)c->max_seq_cap * 12);
     bool ok = c->buf && c->s_ll;
+    c->tcbs = tcbs > 0 ? tcbs : 0;
+    c->ldm_on = ldm_on ? 1 : 0;
+    if (c->ldm_on) {
+        c->ldm_hlog = 20;
+        c->ldm_buckets = (int64_t*)malloc(((size_t)4 << c->ldm_hlog) * 8);
+        c->ldm_cap = 4096;
+        c->ldm = (LdmMatch*)malloc((size_t)c->ldm_cap * sizeof(LdmMatch));
+        ok = ok && c->ldm_buckets && c->ldm;
+        if (c->ldm_buckets)
+            std::memset(c->ldm_buckets, 0xFF, ((size_t)4 << c->ldm_hlog) * 8);
+    }
     // routing mirrors compress_frame_body_ldm_c
     const bool l2_shape = strategy == 1 && hash_log >= 15 && c->accel <= 1;
     c->use_row = (l2_shape || (strategy >= 2 && strategy <= 5)) &&
@@ -9462,14 +9482,14 @@ void* zt_estream_new(int strategy, int hash_log, int chain_log,
     if (!c->use_row || strategy >= 6) {
         c->table = (int64_t*)malloc(((size_t)1 << hash_log) * 8);
         ok = ok && c->table;
-        if (c->table)
-            for (int64_t i = 0; i < (1LL << hash_log); i++) c->table[i] = -1;
+        if (c->table)  // -1 is all-ones: memset rides the fast fill path
+            std::memset(c->table, 0xFF, ((size_t)1 << hash_log) * 8);
     }
     if (!c->use_row && strategy >= 2 && strategy < 6) {
         c->chain = (int64_t*)malloc(((size_t)1 << chain_log) * 8);
         ok = ok && c->chain;
         if (c->chain)
-            for (int64_t i = 0; i < (1LL << chain_log); i++) c->chain[i] = -1;
+            std::memset(c->chain, 0xFF, ((size_t)1 << chain_log) * 8);
     }
     if (strategy >= 6) {
         c->bt = (int32_t*)malloc(((size_t)2 << chain_log) * 4);
@@ -9481,17 +9501,87 @@ void* zt_estream_new(int strategy, int hash_log, int chain_log,
         c->ost = (OptStats*)malloc(sizeof(OptStats));
         ok = ok && c->h3 && c->ost;
         if (c->h3)
-            for (int64_t i = 0; i < (1LL << 16); i++) c->h3[i] = -1;
+            std::memset(c->h3, 0xFF, ((size_t)1 << 16) * 8);
         if (c->ost) opt_seed_default(c->ost);
     }
     if (!ok) {
         free(c->buf); free(c->s_ll); free(c->table); free(c->table32);
         free(c->chain); free(c->row_pos); free(c->row_tags);
         free(c->row_heads); free(c->bt); free(c->h3); free(c->ost);
+        free(c->ldm_buckets); free(c->ldm);
         free(c);
         return nullptr;
     }
     return c;
+}
+
+void* zt_estream_new(int strategy, int hash_log, int chain_log,
+                     int search_log, int window_log, int min_match,
+                     int accel) {
+    return zt_estream_new2(strategy, hash_log, chain_log, search_log,
+                           window_log, min_match, accel, 0, 0);
+}
+
+// Load a zstd dictionary into a fresh stream context: the content
+// becomes match history (prefix semantics, ZSTD_CCtx_refPrefix +
+// entropy/repcode seeding of ZSTD_compress_insertDictionary:4517), the
+// matcher tables are prefilled (dtlm_full role: explicit inserts for the
+// direct-hash matchers, lazy insert_from replay for chained/tree ones),
+// and the repeat-mode entropy starts from the dictionary tables.
+int64_t zt_estream_preload(void* h, const uint8_t* dict, int64_t dlen) {
+    EStreamC* c = (EStreamC*)h;
+    if (!c || c->filled != 0 || c->last_sent || dlen <= 0) return -1;
+    EncEntropyC enc;
+    enc_entropy_reset(&enc);
+    uint32_t rep[3] = {1, 4, 8};
+    const int64_t off = dict_parse_common(dict, dlen, &enc, nullptr, rep);
+    if (off < 0) return -1;
+    const uint8_t* content = dict + off;
+    int64_t clen = dlen - off;
+    const int64_t wsize = 1LL << c->wlog;
+    if (clen > wsize) {  // only the last window of content can ever match
+        content += clen - wsize;
+        clen = wsize;
+    }
+    if (clen > c->cap) return -1;
+    std::memcpy(c->buf, content, (size_t)clen);
+    c->filled = clen;
+    c->emitted = clen;
+    c->insert_from = 0;
+    c->rep[0] = rep[0]; c->rep[1] = rep[1]; c->rep[2] = rep[2];
+    if (off > 0) {
+        // entropy repeat-mode seed (HUF_repeat_check class: the emitters
+        // re-validate coverage before referencing the dict tables)
+        ZxEntropy* e = &c->ents[c->ent_prev];
+        e->huf.ct = enc.huf;
+        e->huf.rep = 1;
+        e->ll.ct = enc.ll_ct; e->ll.maxSym = enc.ll_max; e->ll.rep = 1;
+        e->of.ct = enc.of_ct; e->of.maxSym = enc.of_max; e->of.rep = 1;
+        e->ml.ct = enc.ml_ct; e->ml.maxSym = enc.ml_max; e->ml.rep = 1;
+        e->repcodes[0] = rep[0]; e->repcodes[1] = rep[1];
+        e->repcodes[2] = rep[2];
+    }
+    // direct-hash matcher tables have no lazy-insert replay: fill now
+    if (c->table32) {
+        for (int64_t i = 0; i + 8 <= clen; i++)
+            c->table32[hash_mls(c->buf + i, c->fast_hlog, c->mls)] =
+                (uint32_t)(i + 1);
+        c->insert_from = clen;
+    } else if (c->strategy == 2 && !c->use_row && c->table && c->chain) {
+        for (int64_t i = 0; i + 8 <= clen; i++) {
+            c->table[hash64(read64(c->buf + i), c->hlog)] = i;
+            c->chain[hash_mls(c->buf + i, c->clog, c->mls)] = i;
+        }
+        c->insert_from = clen;
+    } else if (c->strategy <= 2 && !c->use_row && c->table) {
+        for (int64_t i = 0; i + 8 <= clen; i++)
+            c->table[hash_mls(c->buf + i, c->hlog, c->mls)] = i;
+        c->insert_from = clen;
+    }
+    if (c->ldm_on)  // warm buckets over the prefix (no match emission)
+        (void)ldm_scan(c->buf, 0, clen, 0, c->ldm_buckets, c->ldm_hlog, 7,
+                       64, c->ldm, 0), c->ldm_scanned = clen;
+    return clen;
 }
 
 int64_t zt_estream_pending(void* h) {
@@ -9510,6 +9600,7 @@ void zt_estream_free(void* h) {
     free(c->buf); free(c->s_ll); free(c->table); free(c->table32);
     free(c->chain); free(c->row_pos); free(c->row_tags); free(c->row_heads);
     free(c->bt); free(c->h3); free(c->ost);
+    free(c->ldm_buckets); free(c->ldm);
     free(c);
 }
 
@@ -9547,11 +9638,109 @@ static void estream_trim(EStreamC* c) {
     if (c->bt) {  // positions are ambiguous after a slide: start fresh
         std::memset(c->bt, 0xFF, ((size_t)2 << c->clog) * 4);
         if (c->table)
-            for (int64_t i = 0; i < (1LL << c->hlog); i++) c->table[i] = -1;
+            std::memset(c->table, 0xFF, ((size_t)1 << c->hlog) * 8);
         if (c->h3)
-            for (int64_t i = 0; i < (1LL << 16); i++) c->h3[i] = -1;
+            std::memset(c->h3, 0xFF, ((size_t)1 << 16) * 8);
         c->insert_from = c->emitted;
     }
+    if (c->ldm_on) {
+        for (int64_t i = 0; i < (4LL << c->ldm_hlog); i++)
+            c->ldm_buckets[i] =
+                c->ldm_buckets[i] >= delta ? c->ldm_buckets[i] - delta : -1;
+        // compact pending matches (consumed ones drop, the rest rebase)
+        int64_t w = 0;
+        for (int64_t i = c->ldm_cursor; i < c->n_ldm; i++) {
+            if (c->ldm[i].pos + c->ldm[i].len <= delta) continue;
+            LdmMatch m = c->ldm[i];
+            if (m.pos < delta) {
+                m.len -= delta - m.pos;
+                m.pos = delta;
+            }
+            m.pos -= delta;
+            // matches whose source slid out of the buffer are dropped
+            if (m.pos - m.dist < 0) continue;
+            c->ldm[w++] = m;
+        }
+        c->n_ldm = w;
+        c->ldm_cursor = 0;
+        c->ldm_scanned = c->ldm_scanned > delta ? c->ldm_scanned - delta : 0;
+    }
+}
+
+// One matcher dispatch over [from, to) of the stream buffer (the same
+// strategy routing as the one-shot drivers).  allow_seed enables the
+// btultra2 first-block re-parse; gap parses inside the LDM merge must
+// not rewind tables mid-block.
+static int64_t estream_parse(EStreamC* c, int64_t from, int64_t to,
+                             uint32_t* s_ll, uint32_t* s_ml, uint32_t* s_ob,
+                             int64_t budget, int64_t* last_lit,
+                             int allow_seed) {
+    const uint8_t* src = c->buf;
+    const int64_t n = c->filled;
+    const int64_t wsize = 1LL << c->wlog;
+    int64_t n_seq;
+    if (c->strategy >= 7) {
+        const uint32_t rep_in[3] = {c->rep[0], c->rep[1], c->rep[2]};
+        n_seq = opt_find_matches(src, n, from, to, 0, wsize, c->table,
+                                 c->hlog, c->bt, 1LL << c->clog,
+                                 1LL << c->slog, c->h3, 16, c->mls,
+                                 &c->insert_from, c->rep, c->ost, s_ll, s_ml,
+                                 s_ob, budget, last_lit);
+        if (allow_seed && n_seq > 0 && !c->ost->inited) {
+            // btultra2 first-block seeding (ZSTD_initStats_ultra role)
+            opt_update_stats(c->ost, s_ll, s_ml, s_ob, n_seq, false);
+            c->rep[0] = rep_in[0]; c->rep[1] = rep_in[1];
+            c->rep[2] = rep_in[2];
+            std::memset(c->table, 0xFF, ((size_t)1 << c->hlog) * 8);
+            std::memset(c->bt, 0xFF, ((size_t)2 << c->clog) * 4);
+            std::memset(c->h3, 0xFF, ((size_t)1 << 16) * 8);
+            c->insert_from = from;
+            n_seq = opt_find_matches(src, n, from, to, 0, wsize, c->table,
+                                     c->hlog, c->bt, 1LL << c->clog,
+                                     1LL << c->slog, c->h3, 16, c->mls,
+                                     &c->insert_from, c->rep, c->ost, s_ll,
+                                     s_ml, s_ob, budget, last_lit);
+        }
+        if (allow_seed && n_seq >= 0)
+            opt_update_stats(c->ost, s_ll, s_ml, s_ob, n_seq, true);
+    } else if (c->strategy == 6) {
+        n_seq = btlazy_find_matches(src, n, from, to, 0, wsize, c->table,
+                                    c->hlog, c->bt, 1LL << c->clog,
+                                    2LL << c->slog, 2, &c->insert_from,
+                                    c->rep, s_ll, s_ml, s_ob, budget,
+                                    last_lit);
+    } else if (c->use_row) {
+        const int depth =
+            c->strategy >= 5 ? 2 : (c->strategy >= 3 ? c->strategy - 3 : 0);
+        const int64_t att = c->strategy <= 2 ? 4 : 1LL << c->slog;
+        n_seq = row_lazy_find_matches(src, n, from, to, 0, wsize, c->row_pos,
+                                      c->row_tags, c->row_heads, c->row_log,
+                                      c->mls, att, depth, &c->insert_from,
+                                      c->rep, s_ll, s_ml, s_ob,
+                                      budget, last_lit);
+    } else if (c->strategy == 2) {
+        n_seq = dfast_find_matches(src, n, from, to, 0, wsize, c->table,
+                                   c->hlog, c->chain, c->clog, c->mls,
+                                   c->rep, s_ll, s_ml, s_ob, budget,
+                                   last_lit);
+    } else if (c->strategy <= 1 && c->table32) {
+        n_seq = fast_find_matches32(src, n, from, to, 0, wsize, c->table32,
+                                    c->fast_hlog, c->mls, c->rep, s_ll, s_ml,
+                                    s_ob, budget, last_lit,
+                                    c->accel);
+    } else if (c->strategy <= 2) {
+        n_seq = fast_find_matches(src, n, from, to, 0, wsize, c->table,
+                                  c->hlog, c->mls, c->rep, s_ll, s_ml, s_ob,
+                                  budget, last_lit, c->accel);
+    } else {
+        const int depth = c->strategy >= 5 ? 2 : c->strategy - 3;
+        n_seq = lazy_find_matches(src, n, from, to, 0, wsize, c->table,
+                                  c->hlog, c->chain, 1LL << c->clog,
+                                  1LL << c->slog, depth, &c->insert_from,
+                                  c->rep, s_ll, s_ml, s_ob, budget,
+                                  last_lit, c->mls);
+    }
+    return n_seq;
 }
 
 // Compress one block [pos, end) of c->buf into out; returns bytes written.
@@ -9573,75 +9762,98 @@ static int64_t estream_block(EStreamC* c, int64_t pos, int64_t end, int last,
         return 4;
     }
     const uint8_t* src = c->buf;
-    const int64_t n = c->filled;
-    const int64_t wsize = 1LL << c->wlog;
     uint32_t* s_ll = c->s_ll;
     uint32_t* s_ml = s_ll + c->max_seq_cap;
     uint32_t* s_ob = s_ml + c->max_seq_cap;
     int64_t last_lit = 0;
     int64_t n_seq;
-    if (c->strategy >= 7) {
-        const uint32_t rep_in[3] = {c->rep[0], c->rep[1], c->rep[2]};
-        n_seq = opt_find_matches(src, n, pos, end, 0, wsize, c->table,
-                                 c->hlog, c->bt, 1LL << c->clog,
-                                 1LL << c->slog, c->h3, 16, c->mls,
-                                 &c->insert_from, c->rep, c->ost, s_ll, s_ml,
-                                 s_ob, c->max_seq_cap, &last_lit);
-        if (n_seq > 0 && !c->ost->inited) {
-            // btultra2 first-block seeding (ZSTD_initStats_ultra role)
-            opt_update_stats(c->ost, s_ll, s_ml, s_ob, n_seq, false);
-            c->rep[0] = rep_in[0]; c->rep[1] = rep_in[1];
-            c->rep[2] = rep_in[2];
-            for (int64_t t = 0; t < (1LL << c->hlog); t++) c->table[t] = -1;
-            std::memset(c->bt, 0xFF, ((size_t)2 << c->clog) * 4);
-            for (int64_t t = 0; t < (1LL << 16); t++) c->h3[t] = -1;
-            c->insert_from = pos;
-            n_seq = opt_find_matches(src, n, pos, end, 0, wsize, c->table,
-                                     c->hlog, c->bt, 1LL << c->clog,
-                                     1LL << c->slog, c->h3, 16, c->mls,
-                                     &c->insert_from, c->rep, c->ost, s_ll,
-                                     s_ml, s_ob, c->max_seq_cap, &last_lit);
+    if (c->ldm_on) {
+        // LDM merge: [gap parse][ldm seq]... (ZSTD_ldm_blockCompress:761
+        // role, same shape as the one-shot driver)
+        n_seq = 0;
+        int64_t cursor = pos;
+        while (c->ldm_cursor < c->n_ldm && n_seq + 4 < c->max_seq_cap) {
+            LdmMatch m = c->ldm[c->ldm_cursor];
+            if (m.pos + m.len <= cursor || m.dist >= (1LL << c->wlog)) {
+                c->ldm_cursor++;
+                continue;
+            }
+            if (m.pos < cursor) {
+                const int64_t trim = cursor - m.pos;
+                m.pos += trim;
+                m.len -= trim;
+            }
+            if (m.pos >= end) break;
+            const int64_t take = m.len < end - m.pos ? m.len : end - m.pos;
+            if (take < 4) break;
+            int64_t gl = 0;
+            if (m.pos > cursor) {
+                int64_t k = estream_parse(c, cursor, m.pos, s_ll + n_seq,
+                                          s_ml + n_seq, s_ob + n_seq,
+                                          c->max_seq_cap - n_seq - 2, &gl, 0);
+                if (k < 0) { n_seq = -1; break; }
+                n_seq += k;
+            }
+            s_ll[n_seq] = (uint32_t)gl;
+            s_ml[n_seq] = (uint32_t)take;
+            s_ob[n_seq] = (uint32_t)(m.dist + 3);
+            c->rep[2] = c->rep[1]; c->rep[1] = c->rep[0];
+            c->rep[0] = (uint32_t)m.dist;
+            n_seq++;
+            cursor = m.pos + take;
+            if (c->insert_from < cursor) c->insert_from = cursor;
+            if (take < m.len) {
+                c->ldm[c->ldm_cursor].pos = m.pos + take;
+                c->ldm[c->ldm_cursor].len = m.len - take;
+                break;
+            }
+            c->ldm_cursor++;
         }
-        if (n_seq >= 0)
+        if (n_seq >= 0) {
+            int64_t gl = end - cursor;
+            if (cursor < end - 16) {
+                int64_t k = estream_parse(c, cursor, end, s_ll + n_seq,
+                                          s_ml + n_seq, s_ob + n_seq,
+                                          c->max_seq_cap - n_seq, &gl, 0);
+                if (k < 0) n_seq = -1;
+                else n_seq += k;
+            }
+            last_lit = gl;
+        }
+        if (n_seq > 0 && c->ost)
             opt_update_stats(c->ost, s_ll, s_ml, s_ob, n_seq, true);
-    } else if (c->strategy == 6) {
-        n_seq = btlazy_find_matches(src, n, pos, end, 0, wsize, c->table,
-                                    c->hlog, c->bt, 1LL << c->clog,
-                                    2LL << c->slog, 2, &c->insert_from,
-                                    c->rep, s_ll, s_ml, s_ob, c->max_seq_cap,
-                                    &last_lit);
-    } else if (c->use_row) {
-        const int depth =
-            c->strategy >= 5 ? 2 : (c->strategy >= 3 ? c->strategy - 3 : 0);
-        const int64_t att = c->strategy <= 2 ? 4 : 1LL << c->slog;
-        n_seq = row_lazy_find_matches(src, n, pos, end, 0, wsize, c->row_pos,
-                                      c->row_tags, c->row_heads, c->row_log,
-                                      c->mls, att, depth, &c->insert_from,
-                                      c->rep, s_ll, s_ml, s_ob,
-                                      c->max_seq_cap, &last_lit);
-    } else if (c->strategy == 2) {
-        n_seq = dfast_find_matches(src, n, pos, end, 0, wsize, c->table,
-                                   c->hlog, c->chain, c->clog, c->mls,
-                                   c->rep, s_ll, s_ml, s_ob, c->max_seq_cap,
-                                   &last_lit);
-    } else if (c->strategy <= 1 && c->table32) {
-        n_seq = fast_find_matches32(src, n, pos, end, 0, wsize, c->table32,
-                                    c->fast_hlog, c->mls, c->rep, s_ll, s_ml,
-                                    s_ob, c->max_seq_cap, &last_lit,
-                                    c->accel);
-    } else if (c->strategy <= 2) {
-        n_seq = fast_find_matches(src, n, pos, end, 0, wsize, c->table,
-                                  c->hlog, c->mls, c->rep, s_ll, s_ml, s_ob,
-                                  c->max_seq_cap, &last_lit, c->accel);
     } else {
-        const int depth = c->strategy >= 5 ? 2 : c->strategy - 3;
-        n_seq = lazy_find_matches(src, n, pos, end, 0, wsize, c->table,
-                                  c->hlog, c->chain, 1LL << c->clog,
-                                  1LL << c->slog, depth, &c->insert_from,
-                                  c->rep, s_ll, s_ml, s_ob, c->max_seq_cap,
-                                  &last_lit, c->mls);
+        n_seq = estream_parse(c, pos, end, s_ll, s_ml, s_ob, c->max_seq_cap,
+                              &last_lit, 1);
     }
     if (n_seq < 0) return -1;
+    // targetCBlockSize: superblock emission — sub-blocks sharing one
+    // entropy table set (ZSTD_compressSuperBlock role)
+    if (c->tcbs > 0) {
+        ZxEntropy* const sb_prev = &c->ents[c->ent_prev];
+        ZxEntropy* const sb_next = &c->ents[c->ent_prev ^ 1];
+        std::memcpy(sb_next->repcodes, c->rep, 12);
+        const int64_t em = zx_superblock_from_arrays(
+            src + pos, bn, s_ll, s_ml, s_ob, n_seq, last_lit, sb_prev,
+            sb_next, c->strategy, c->tcbs, last, rep_snap, out, cap - 8);
+        if (em < 0) return -1;
+        if (em > 0 && em < bn - zx_min_gain(bn, c->strategy) + 3) {
+            c->rep[0] = sb_next->repcodes[0];
+            c->rep[1] = sb_next->repcodes[1];
+            c->rep[2] = sb_next->repcodes[2];
+            c->ent_prev ^= 1;
+            return em;
+        }
+        // superblock not formed: raw block (reference fallback)
+        c->rep[0] = rep_snap[0]; c->rep[1] = rep_snap[1];
+        c->rep[2] = rep_snap[2];
+        c->ents[c->ent_prev] = c->ent_snap;
+        const uint32_t bh = (uint32_t)(last | (0 << 1) | (bn << 3));
+        out[0] = (uint8_t)bh; out[1] = (uint8_t)(bh >> 8);
+        out[2] = (uint8_t)(bh >> 16);
+        std::memcpy(out + 3, src + pos, (size_t)bn);
+        return 3 + bn;
+    }
     // bt-level block split (same auto rule as the one-shot drivers):
     // partitions with homogeneous statistics beat one mixed block
     if (c->strategy >= 7 && n_seq >= 600) {
@@ -9847,6 +10059,27 @@ int64_t zt_estream_feed(void* h, const uint8_t* src, int64_t n, int mode,
         }
         std::memcpy(c->buf + c->filled, src, (size_t)n);
         c->filled += n;
+    }
+    if (c->ldm_on && c->filled > c->ldm_scanned) {
+        // Incremental long-distance scan of the new bytes.  Each segment
+        // starts the gear hash cold, so anchors within the first ~64
+        // bytes of a feed boundary can be missed — a bounded ratio cost
+        // of streaming (the buckets and matches persist and are rebased
+        // with the buffer).
+        const int64_t need = c->n_ldm + (c->filled - c->ldm_scanned) / 64 + 8;
+        if (need > c->ldm_cap) {
+            int64_t ncap = c->ldm_cap * 2 > need ? c->ldm_cap * 2 : need;
+            LdmMatch* nl =
+                (LdmMatch*)realloc(c->ldm, (size_t)ncap * sizeof(LdmMatch));
+            if (!nl) return -1;
+            c->ldm = nl;
+            c->ldm_cap = ncap;
+        }
+        const int64_t k = ldm_scan(c->buf, c->ldm_scanned, c->filled, 0,
+                                   c->ldm_buckets, c->ldm_hlog, 7, 64,
+                                   c->ldm + c->n_ldm, c->ldm_cap - c->n_ldm);
+        if (k > 0) c->n_ldm += k;
+        c->ldm_scanned = c->filled;
     }
     int64_t op = 0;
     for (;;) {

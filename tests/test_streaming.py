@@ -245,3 +245,98 @@ def test_native_stream_bounded_buffer():
     out += enc.finish()
     assert zstandard.ZstdDecompressor().decompress(
         bytes(out), max_output_size=len(total)) == bytes(total)
+
+
+class TestNativeStreamModes:
+    """VERDICT r3 item 6: dictionary / LDM / targetCBlockSize streams run
+    the native engine (not the Python block machinery)."""
+
+    def _data(self, n=120_000, seed=31):
+        r = np.random.default_rng(seed)
+        words = [b"the quick ", b"brown fox ", b"jumps over ", b"lazy dogs "]
+        return b"".join(words[i] for i in r.integers(0, 4, n))
+
+    def test_dictionary_stream_native_and_interop(self):
+        import io
+
+        import zstandard
+
+        from zstdsharp_tpu.streaming import CompressionStream
+
+        data = self._data()
+        r = np.random.default_rng(7)
+        words = [b"the quick ", b"brown fox ", b"jumps over ", b"lazy dogs "]
+        samples = [bytes(b"".join(words[i] for i in r.integers(0, 4, 30)))
+                   for _ in range(200)]
+        d = zstandard.train_dictionary(4096, samples)
+        sink = io.BytesIO()
+        cs = CompressionStream(sink, level=3, dictionary=d.as_bytes())
+        assert cs._encoder._nstream is not None  # engine engaged
+        for i in range(0, len(data), 77_777):
+            cs.write(data[i:i + 77_777])
+        cs.close()
+        frame = sink.getvalue()
+        dec = zstandard.ZstdDecompressor(dict_data=d)
+        assert dec.decompress(frame, max_output_size=2 * len(data)) == data
+        # the dict must actually help a small record
+        small = samples[0] * 3
+        s1, s2 = io.BytesIO(), io.BytesIO()
+        c1 = CompressionStream(s1, level=3, dictionary=d.as_bytes())
+        c1.write(small); c1.close()
+        c2 = CompressionStream(s2, level=3)
+        c2.write(small); c2.close()
+        assert len(s1.getvalue()) < len(s2.getvalue())
+        assert zstandard.ZstdDecompressor(dict_data=d).decompress(
+            s1.getvalue(), max_output_size=4 * len(small)) == small
+
+    def test_dict_stream_window_not_shrunk(self):
+        # ADVICE-class regression: resolve(src=-1, dict_size=K) must not
+        # shrink the stream window to the dict size (attach-mode rule)
+        from zstdsharp_tpu.encode.params import CCtxParams
+
+        p = CCtxParams(compression_level=3)
+        full = p.resolve(src_size_hint=-1).cparams.window_log
+        with_dict = p.resolve(src_size_hint=-1, dict_size=4096).cparams.window_log
+        assert with_dict == full
+
+    def test_ldm_stream_native(self):
+        import io
+
+        import zstandard
+
+        from zstdsharp_tpu.encode.params import CCtxParams
+        from zstdsharp_tpu.streaming import CompressionStream
+
+        data = self._data(60_000)
+        p = CCtxParams(compression_level=5)
+        p.ldm = True
+        sink = io.BytesIO()
+        cs = CompressionStream(sink, params=p)
+        assert cs._encoder._nstream is not None
+        for i in range(0, len(data), 1 << 17):
+            cs.write(data[i:i + (1 << 17)])
+        cs.close()
+        out = sink.getvalue()
+        assert zstandard.ZstdDecompressor().decompress(
+            out, max_output_size=2 * len(data)) == data
+        assert len(out) < len(data) // 4
+
+    def test_tcbs_stream_native(self):
+        import io
+
+        import zstandard
+
+        from zstdsharp_tpu.encode.params import CCtxParams
+        from zstdsharp_tpu.streaming import CompressionStream
+
+        data = self._data(40_000)
+        p = CCtxParams(compression_level=5)
+        p.target_cblock_size = 1400
+        sink = io.BytesIO()
+        cs = CompressionStream(sink, params=p)
+        assert cs._encoder._nstream is not None
+        cs.write(data)
+        cs.close()
+        out = sink.getvalue()
+        assert zstandard.ZstdDecompressor().decompress(
+            out, max_output_size=2 * len(data)) == data

@@ -80,11 +80,16 @@ class FrameEncoder:
     def __init__(self, params: ResolvedParams, src_size: int = -1,
                  dict_id: int = 0, dict_content: np.ndarray | None = None,
                  dict_reps: list[int] | None = None,
-                 dict_entropy: EncoderEntropy | None = None):
+                 dict_entropy: EncoderEntropy | None = None,
+                 dict_raw: bytes | None = None):
         self.params = params
         cp = params.cparams
         self.block_size = min(C.ZSTD_BLOCKSIZE_MAX, 1 << cp.window_log)
-        self.state = MatchState(cp)
+        # MatchState allocates the full window-sized tables — built lazily
+        # so the native-context path never pays for the Python tier's
+        # gigabyte-class numpy allocations it will never use
+        self._state = None
+        self._pending_rep = None
         if dict_entropy is not None:
             self.entropy = EncoderEntropy(huf=dict_entropy.huf, ll=dict_entropy.ll,
                                           ml=dict_entropy.ml, of=dict_entropy.of)
@@ -103,17 +108,6 @@ class FrameEncoder:
         self._filled = 0
         self._emitted = 0  # bytes already compressed into blocks
         self._finished = False
-        if dict_content is not None and len(dict_content):
-            self._append(dict_content)
-            self._emitted = len(dict_content)
-            self.state.window_start = 0  # dict is valid history
-            self.state._next_to_insert = 0
-            from .seqstore import fill_hash_table
-
-            fill_hash_table(self.state, self._buf[: self._filled], 0, self._filled)
-        if dict_reps is not None:
-            self.state.rep = list(dict_reps)
-        self._dict_len = self._emitted
         self._header = _write_frame_header(
             src_size, cp.window_log, params.fparams.checksum_flag,
             params.fparams.content_size_flag and src_size >= 0, dict_id)
@@ -121,24 +115,71 @@ class FrameEncoder:
         self._last_sent = False
         self._src_size = src_size
         # Native streaming context (zt_estream): block emission at engine
-        # speed for the common streaming shape; dictionary/LDM/superblock
-        # streams stay on the Python block machinery above.
+        # speed for every streaming shape — dictionary streams preload the
+        # context (prefix history + table prefill + entropy seed), LDM and
+        # targetCBlockSize run inside the engine.  The Python block
+        # machinery below is the no-native fallback tier.
         self._nstream = None
         self._ingested = 0
-        if (dict_content is None and not params.ldm
-                and params.target_cblock_size == 0):
+        want_dict = dict_content is not None and len(dict_content) > 0
+        if not want_dict or dict_raw is not None:
             from .. import native
 
             if native.get_lib() is not None:
-                try:
-                    self._nstream = native.NativeEStream(
-                        int(cp.strategy), cp.hash_log, cp.chain_log,
-                        cp.search_log, cp.window_log, cp.min_match,
-                        accel=(cp.target_length
-                               if cp.strategy <= 2 and cp.target_length
-                               else 1))
-                except RuntimeError:
-                    self._nstream = None
+                accel = (cp.target_length
+                         if cp.strategy <= 2 and cp.target_length else 1)
+                tcbs = int(params.target_cblock_size or 0)
+                ldm = 1 if params.ldm else 0
+                # bt levels size their chain table 2^(clog+1)*4 bytes; on a
+                # constrained VM that allocation can fail — degrade the
+                # chain log (ratio trade) before dropping a whole tier,
+                # never fall to the Python block machinery silently.
+                for clog in (cp.chain_log, min(cp.chain_log, 26),
+                             min(cp.chain_log, 24)):
+                    try:
+                        self._nstream = native.NativeEStream(
+                            int(cp.strategy), cp.hash_log, clog,
+                            cp.search_log, cp.window_log, cp.min_match,
+                            accel=accel, tcbs=tcbs, ldm=ldm)
+                        break
+                    except RuntimeError:
+                        self._nstream = None
+                if self._nstream is None and cp.strategy > 5:
+                    try:
+                        # last resort: row-matcher tier at the same window
+                        self._nstream = native.NativeEStream(
+                            5, min(cp.hash_log, 20), min(cp.chain_log, 21),
+                            cp.search_log, cp.window_log, cp.min_match,
+                            accel=1, tcbs=tcbs, ldm=ldm)
+                    except RuntimeError:
+                        self._nstream = None
+                if self._nstream is not None and want_dict:
+                    try:
+                        self._nstream.preload(dict_raw)
+                    except RuntimeError:
+                        self._nstream = None
+        if self._nstream is None and want_dict:
+            self._append(dict_content)
+            self._emitted = len(dict_content)
+            st = self.state
+            st.window_start = 0  # dict is valid history
+            st._next_to_insert = 0
+            from .seqstore import fill_hash_table
+
+            fill_hash_table(st, self._buf[: self._filled], 0, self._filled)
+        if dict_reps is not None:
+            self._pending_rep = list(dict_reps)
+            if self._nstream is None:
+                self.state.rep = list(dict_reps)
+        self._dict_len = self._emitted
+
+    @property
+    def state(self) -> MatchState:
+        if self._state is None:
+            self._state = MatchState(self.params.cparams)
+            if self._pending_rep is not None:
+                self._state.rep = list(self._pending_rep)
+        return self._state
 
     def _append(self, data: np.ndarray) -> None:
         need = self._filled + len(data)

@@ -66,8 +66,12 @@ class CompressionParameters:
         return p.adjust(src_size_hint, dict_size)
 
     def adjust(self, src_size: int = -1, dict_size: int = 0) -> "CompressionParameters":
-        """ZSTD_adjustCParams_internal:2023 — shrink logs to content size."""
-        if src_size < 0 and dict_size == 0:
+        """ZSTD_adjustCParams_internal:2023 — shrink logs to content size.
+
+        Unknown-size streams with a dictionary are attach-mode
+        (ZSTD_cpm_attachDict zeroes dictSize): the dict must not shrink
+        the window a long stream will need."""
+        if src_size < 0:
             return self
         known = max(src_size, 0) + dict_size
         if known == 0:

@@ -188,6 +188,11 @@ def _load():
                                                  i64p]
         lib.zt_estream_new.restype = vp
         lib.zt_estream_new.argtypes = [i32, i32, i32, i32, i32, i32, i32]
+        lib.zt_estream_new2.restype = vp
+        lib.zt_estream_new2.argtypes = [i32, i32, i32, i32, i32, i32, i32,
+                                        i64, i32]
+        lib.zt_estream_preload.restype = i64
+        lib.zt_estream_preload.argtypes = [vp, u8p, i64]
         lib.zt_estream_feed.restype = i64
         lib.zt_estream_feed.argtypes = [vp, u8p, i64, i32, u8p, i64]
         lib.zt_estream_free.restype = None
@@ -482,17 +487,26 @@ class NativeEStream:
 
     def __init__(self, strategy: int, hash_log: int, chain_log: int,
                  search_log: int, window_log: int, min_match: int,
-                 accel: int = 1):
+                 accel: int = 1, tcbs: int = 0, ldm: int = 0):
         self._lib = get_lib()
         self._h = None
         if self._lib is None:
             raise RuntimeError("native library unavailable")
-        self._h = self._lib.zt_estream_new(strategy, hash_log, chain_log,
-                                           search_log, window_log, min_match,
-                                           accel)
+        self._h = self._lib.zt_estream_new2(strategy, hash_log, chain_log,
+                                            search_log, window_log,
+                                            min_match, accel, tcbs, ldm)
         if not self._h:
             raise RuntimeError("zt_estream_new failed")
         self._pending = 0  # uncompressed bytes buffered in the ctx
+
+    def preload(self, dict_data: bytes) -> None:
+        """Seed the context with a dictionary (prefix history + matcher
+        table prefill + repcode/entropy seed) — must precede any feed."""
+        arr = np.frombuffer(bytes(dict_data), np.uint8)
+        rc = self._lib.zt_estream_preload(
+            self._h, _ptr(arr, ctypes.c_uint8), len(arr))
+        if rc < 0:
+            raise RuntimeError("zt_estream_preload failed")
 
     def feed(self, data: np.ndarray, mode: int) -> bytes:
         """mode: 0 accumulate, 1 flush pending, 2 end (writes last block)."""

@@ -25,12 +25,28 @@ class CompressionStream(io.RawIOBase):
     ends the frame)."""
 
     def __init__(self, inner, level: int = C.ZSTD_DEFAULT_CLEVEL,
-                 params: CCtxParams | None = None, checksum: bool = False):
+                 params: CCtxParams | None = None, checksum: bool = False,
+                 dictionary: bytes | None = None):
         self._inner = inner
         self._params = params or CCtxParams(compression_level=level,
                                             checksum_flag=checksum)
         self._params.content_size_flag = False  # streaming: size unknown
-        self._encoder = FrameEncoder(self._params.resolve(src_size_hint=-1))
+        kwargs = {}
+        if dictionary is not None:
+            from .dictionary import ZstdCompressionDict
+
+            d = ZstdCompressionDict(dictionary)
+            p = d._parsed
+            kwargs = dict(dict_content=p.content,
+                          dict_entropy=p.enc_entropy,
+                          dict_reps=(p.entropy.rep
+                                     if p.entropy is not None else None),
+                          dict_id=p.dict_id,
+                          dict_raw=p.raw or bytes(dictionary))
+        dict_size = len(kwargs.get("dict_content", ()))
+        self._encoder = FrameEncoder(
+            self._params.resolve(src_size_hint=-1, dict_size=dict_size),
+            **kwargs)
         # only the ZSTD_isUpdateAuthorized:724 whitelist may change now
         self._params._stream_active = True
         self._closed = False
