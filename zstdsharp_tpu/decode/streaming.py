@@ -112,18 +112,60 @@ class StreamingDecompressor:
             self._no_progress = 0
         return b"".join(out)
 
+    def feed_chunks(self, chunk: bytes) -> list:
+        """Like feed() but returns the produced spans as a list of
+        bytes-like objects (zero-copy views of the window buffer) so the
+        caller can assemble output with a single copy."""
+        if self._ino > (1 << 20):
+            del self._in[: self._ino]
+            self._ino = 0
+        self._in += chunk
+        out: list = []
+        while True:
+            if not self._step(out):
+                break
+        if not out and not chunk and not self.finished:
+            self._no_progress = getattr(self, "_no_progress", 0) + 1
+            check(self._no_progress < 16,
+                  ZstdErrorCode.noForwardProgress_inputEmpty,
+                  "16 calls without input or output progress")
+        else:
+            self._no_progress = 0
+        return out
+
     def _ensure_out(self, need: int) -> None:
         if self._out is None:
             prefix = 0
             if self._dict_content is not None:
                 prefix = len(self._dict_content)
-            cap = max(need, 1 << 18) + prefix
+            fcs = self._hdr.frame_content_size if self._hdr else -1
+            if 0 <= fcs <= (1 << 31):
+                # known content size: one exact allocation, no growth
+                # copies for the whole frame
+                cap = max(fcs, need, 1) + prefix
+            else:
+                cap = max(need, 1 << 18) + prefix
             self._out = np.empty(cap, dtype=np.uint8)
             if prefix:
                 self._out[:prefix] = self._dict_content
             self._out_pos = prefix
             self._flushed = prefix
             self._window_base = prefix
+        # O(window) discipline for unknown-size streams: once flushed
+        # history exceeds the window, slide into a FRESH array (outstanding
+        # zero-copy views of flushed spans keep the old buffer alive)
+        window = self._hdr.window_size if self._hdr else 0
+        if window:
+            keep = window + C.ZSTD_BLOCKSIZE_MAX
+            if (self._flushed == self._out_pos
+                    and self._out_pos + need > len(self._out)
+                    and self._out_pos > keep):
+                base = self._out_pos - keep
+                fresh_arr = np.empty(len(self._out), dtype=np.uint8)
+                fresh_arr[:keep] = self._out[base : self._out_pos]
+                self._out = fresh_arr
+                self._out_pos = keep
+                self._flushed = keep
         while self._out_pos + need > len(self._out):
             grown = np.empty(2 * len(self._out), dtype=np.uint8)
             grown[: self._out_pos] = self._out[: self._out_pos]
@@ -214,10 +256,12 @@ class StreamingDecompressor:
                 self._ino += consumed
                 self._out_pos = r
                 progress = True
-                fresh = self._out[self._flushed : self._out_pos].tobytes()
+                # zero-copy span: the array is replaced (never moved) on
+                # growth/slide, so views stay valid until consumed
+                fresh = self._out[self._flushed : self._out_pos].data
                 if self._xxh_chunks is not None:
                     if isinstance(self._xxh_chunks, list):
-                        self._xxh_chunks.append(fresh)
+                        self._xxh_chunks.append(bytes(fresh))
                     else:
                         self._xxh_chunks.update(fresh)
                 out.append(fresh)
@@ -273,10 +317,10 @@ class StreamingDecompressor:
                     self._out_pos = decode_block(body, self._entropy,
                                                  self._out, self._out_pos,
                                                  prefix_start=0)
-            fresh = self._out[self._flushed : self._out_pos].tobytes()
+            fresh = self._out[self._flushed : self._out_pos].data
             if self._xxh_chunks is not None:
                 if isinstance(self._xxh_chunks, list):
-                    self._xxh_chunks.append(fresh)
+                    self._xxh_chunks.append(bytes(fresh))
                 else:
                     self._xxh_chunks.update(fresh)
             out.append(fresh)

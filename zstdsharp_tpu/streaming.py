@@ -101,7 +101,8 @@ class DecompressionStream(io.RawIOBase):
             kwargs = dict(dict_content=p.content, dict_entropy=p.entropy,
                           dict_id=p.dict_id)
         self._dec = StreamingDecompressor(max_window_log=max_window_log, **kwargs)
-        self._pending = bytearray()
+        self._chunks: list = []   # bytes-like spans, assembled on read
+        self._pending_n = 0
         self._eof = False
 
     def readable(self) -> bool:
@@ -115,22 +116,36 @@ class DecompressionStream(io.RawIOBase):
                 raise EOFError("premature end of zstd stream")
             self._eof = True
             return False
-        self._pending += self._dec.feed(chunk)
+        for c in self._dec.feed_chunks(chunk):
+            self._chunks.append(c)
+            self._pending_n += len(c)
         return True
 
     def read(self, size: int = -1) -> bytes:
         if size is None or size < 0:
             while not self._eof:
                 self._fill()
-            out = bytes(self._pending)
-            self._pending.clear()
+            out = b"".join(self._chunks)
+            self._chunks.clear()
+            self._pending_n = 0
             return out
-        while len(self._pending) < size and not self._eof:
+        while self._pending_n < size and not self._eof:
             if not self._fill():
                 break
-        out = bytes(self._pending[:size])
-        del self._pending[:size]
-        return out
+        # assemble exactly `size` bytes: whole spans plus one boundary slice
+        take, got = [], 0
+        while self._chunks and got < size:
+            c = self._chunks[0]
+            if got + len(c) <= size:
+                take.append(self._chunks.pop(0))
+                got += len(c)
+            else:
+                cut = size - got
+                take.append(c[:cut])
+                self._chunks[0] = c[cut:]
+                got = size
+        self._pending_n -= got
+        return b"".join(take)
 
     def readall(self) -> bytes:
         return self.read(-1)
