@@ -98,3 +98,25 @@ class TestFastIdentity154:
     def test_frames_byte_identical(self, kind, level, size):
         data = CORPORA[kind](size)
         assert compress(data, level) == compress154(data, level)
+
+
+class TestBtRatioGuardrail154:
+    """The bt tiers (13-22) are deliberately NOT byte-compatible: this
+    repo's optimal parser is a re-derived SoA implementation (see
+    encode/seqstore.py), and the parses diverge from the first sequence
+    (measured: ours picks (ll=18,ml=3) where 1.5.4 prices (ll=28,ml=9) on
+    the text corpus).  The enforced contract at these levels is RATIO:
+    output within a small envelope of the pinned oracle, and usually
+    smaller (real corpora beat libzstd at 13-18).  These bounds pin the
+    current state so regressions surface."""
+
+    @pytest.mark.parametrize("kind", list(CORPORA))
+    @pytest.mark.parametrize("level,bound", [(13, 1.05), (16, 1.015),
+                                             (19, 1.005), (22, 1.005)])
+    def test_size_envelope(self, kind, level, bound):
+        for size in (16_000, 100_000, 300_000):
+            data = CORPORA[kind](size)
+            ours = len(compress(data, level))
+            theirs = len(compress154(data, level))
+            assert ours <= theirs * bound + 16, (
+                f"{kind}/{size} L{level}: {ours} vs oracle {theirs}")
