@@ -176,3 +176,73 @@ class TestDeviceIntegrity:
         results, stats = decode_batch_device([frame], materialize=True)
         assert stats["device_frames"] == 1
         assert results[0] == rec
+
+
+class TestWidenedEnvelope:
+    """VERDICT r3 item 7: 1-stream Huffman sections and dictionary frames
+    decode on device (window rows + dict entropy seeding)."""
+
+    def test_single_stream_huffman_on_device(self):
+        rng = np.random.default_rng(61)
+        words = [b"alpha ", b"bravo ", b"charlie ", b"delta ", b"echo "]
+        small = [b"".join(words[int(i)] for i in rng.integers(0, 5, 60))[:300]
+                 for _ in range(6)]
+        frames = [zstandard.ZstdCompressor(level=19).compress(r)
+                  for r in small]
+        plan = plan_batch(frames)
+        assert not plan.host_routed
+        # at least one lane must be a (single-stream) Huffman section
+        assert any(b.lit_kind == 1 and b.huf_seg == b.lit_regen
+                   for b in plan.blocks)
+        res, stats = decode_batch_device(frames, materialize=True)
+        assert res == small
+        assert stats["host_frames"] == 0
+
+    def test_dictionary_frames_on_device(self):
+        from zstdsharp_tpu.dictionary import parse_dictionary
+
+        rng = np.random.default_rng(62)
+        words = [b"alpha ", b"bravo ", b"charlie ", b"delta ", b"echo "]
+        def rec(n):
+            return b"".join(words[int(i)] for i in rng.integers(0, 5, n))
+        samples = [rec(40) for _ in range(300)]
+        d = zstandard.train_dictionary(8192, samples)
+        pd = parse_dictionary(d.as_bytes())
+        recs = [samples[i] * 3 for i in range(8)] + [rec(800) for _ in range(4)]
+        for lvl in (1, 3, 19):
+            c = zstandard.ZstdCompressor(level=lvl, dict_data=d)
+            dframes = [c.compress(r) for r in recs]
+            plan = plan_batch(dframes, ddict=pd)
+            assert not plan.host_routed, (lvl, plan.host_routed)
+            res, stats = decode_batch_device(dframes, materialize=True,
+                                             ddict=pd)
+            assert res == recs, lvl
+            assert stats["host_frames"] == 0
+
+    def test_dict_frames_without_dict_route_to_host(self):
+        rng = np.random.default_rng(63)
+        data = bytes(rng.integers(97, 110, 500, dtype=np.uint8))
+        d = zstandard.train_dictionary(
+            2048, [data[i:i + 50] for i in range(0, 450, 25)])
+        frame = zstandard.ZstdCompressor(level=3, dict_data=d).compress(data)
+        from zstdsharp_tpu.decode.device_pipeline import scan_eligibility
+        assert scan_eligibility([frame]).get(0) == "dictionary required"
+        assert plan_batch([frame]).host_routed.get(0) == "dictionary required"
+
+    def test_unwrap_many_device_with_dict(self):
+        from zstdsharp_tpu.decode.frame import Decompressor
+
+        rng = np.random.default_rng(64)
+        words = [b"unwrap ", b"many ", b"device ", b"dict "]
+        def rec(n):
+            return b"".join(words[int(i)] for i in rng.integers(0, 4, n))
+        samples = [rec(30) for _ in range(200)]
+        d = zstandard.train_dictionary(4096, samples)
+        recs = [rec(150) for _ in range(5)]
+        c = zstandard.ZstdCompressor(level=3, dict_data=d)
+        frames = [c.compress(r) for r in recs]
+        dec = Decompressor()
+        dec.load_dictionary(d.as_bytes())
+        results, stats = decode_batch_device(
+            frames, materialize=True, ddict=dec._dict._parsed)
+        assert results == recs

@@ -15,10 +15,14 @@ engine, reported in the plan):
   - single-block frames (content <= 128KB), any block type — the record
     workload; raw and RLE blocks are handled on device too (an RLE block
     is a one-byte literal pool row);
-  - literal sections: raw, RLE, and 4-stream Huffman on device; 1-stream
-    Huffman sections are host-decoded into the pool (header-scale work);
-  - sequence sections: predefined / RLE / fresh-FSE tables (the Pallas
-    kernel resolves repcodes internally).
+  - literal sections: raw, RLE, 4-stream AND 1-stream Huffman on device
+    (a 1-stream section is a single kernel lane; only oversized streams
+    host-decode into the pool), treeless sections via the dict table;
+  - sequence sections: predefined / RLE / fresh-FSE / dict-repeat tables
+    (the Pallas kernel resolves repcodes internally);
+  - dictionary frames when a parsed dict is supplied: the dict content
+    tail (<= 128KB) rides as broadcast window rows of the LZ executor,
+    entropy starts from the dict tables (ZstdDdict.cs:142 role).
 Multi-block frames chain repcode state through the payload, which would
 serialize the lanes; they take the host path (SURVEY.md §2.7: the format
 makes blocks within a window dependent — parallelism comes from frames).
@@ -94,6 +98,9 @@ class DevicePlan:
     n_frames: int = 0
     max_out: int = 0
     max_seq: int = 0
+    # dictionary window shared by every dict-framed lane (right-aligned
+    # tail of the dict content; broadcast once to the device)
+    window: bytes = b""
 
 
 def _parse_lit_header(payload: bytes):
@@ -118,7 +125,7 @@ def _parse_lit_header(payload: bytes):
     return lt, sf, (v >> 4) & 0x3FFFF, (v >> 22) & 0x3FFFF, 5
 
 
-def scan_eligibility(frames) -> dict:
+def scan_eligibility(frames, ddict=None) -> dict:
     """Cheap header-only partition probe: frame_idx -> host-route reason
     for frames outside the device envelope (ADVICE r3: the partitioner
     must not run the full ``plan_batch`` — which host-decodes fallback
@@ -126,12 +133,17 @@ def scan_eligibility(frames) -> dict:
     frame header, first block header, and the literal-section type byte;
     mirrors exactly the routing conditions of ``plan_batch``."""
     routed = {}
+    d_id = ddict.dict_id if ddict is not None else 0
+    has_dict_huf = ddict is not None and ddict.entropy is not None
     for fi, frame in enumerate(frames):
         try:
             buf = np.frombuffer(frame, np.uint8)
             hdr = parse_frame_header(buf)
             if hdr.frame_content_size is None or hdr.frame_content_size < 0:
                 routed[fi] = "no content size"
+                continue
+            if hdr.dict_id and hdr.dict_id != d_id:
+                routed[fi] = "dictionary required"
                 continue
             content = int(hdr.frame_content_size)
             if content > (1 << 17):
@@ -154,8 +166,8 @@ def scan_eligibility(frames) -> dict:
                 continue
             payload = bytes(frame[p + 3:p + 3 + min(bsize, 5)])
             lt, sf, regen, comp, lh = _parse_lit_header(payload)
-            if lt == 3:
-                routed[fi] = "treeless literals in first block"
+            if lt == 3 and not has_dict_huf:
+                routed[fi] = "treeless literals, no dict table"
             elif regen > content or lh + (comp if lt >= 2 else 0) > bsize:
                 routed[fi] = "corrupt: literal section bounds"
         except Exception as e:  # pragma: no cover - defensive routing
@@ -163,20 +175,41 @@ def scan_eligibility(frames) -> dict:
     return routed
 
 
-def plan_batch(frames) -> DevicePlan:
+def plan_batch(frames, ddict=None) -> DevicePlan:
     """Host header pass: split each frame into device work or a host
     route.  Only headers and table descriptions are examined — payload
-    bytes go to the device untouched (raw literal spans are sliced)."""
+    bytes go to the device untouched (raw literal spans are sliced).
+
+    ddict: optional parsed dictionary (dictionary.ParsedDict).  Dict
+    frames then run on device: the dict content tail becomes the shared
+    window rows, the dict entropy state seeds table/repcode decoding
+    (treeless literal sections resolve against the dict Huffman table),
+    mirroring ZSTD_decompressBegin_usingDDict (ZstdDdict.cs:142).
+    Dicts larger than 128KB host-route (window-row envelope)."""
     from ..ops import device_fse as df
     from ..ops import device_huf as dh
 
     plan = DevicePlan(n_frames=len(frames))
+    d_id = 0
+    d_weights = None
+    if ddict is not None:
+        d_id = ddict.dict_id
+        content = np.asarray(ddict.content)
+        plan.window = content[-(1 << 17):].tobytes()
+        if ddict.entropy is not None and len(ddict.raw) >= 8:
+            d_weights, _, _ = huffman.read_weights(ddict.raw[8:])
     for fi, frame in enumerate(frames):
         try:
             buf = np.frombuffer(frame, np.uint8)
             hdr = parse_frame_header(buf)
             if hdr.frame_content_size is None or hdr.frame_content_size < 0:
                 plan.host_routed[fi] = "no content size"
+                continue
+            if hdr.dict_id and hdr.dict_id != d_id:
+                plan.host_routed[fi] = "dictionary required"
+                continue
+            if ddict is not None and len(np.asarray(ddict.content)) > (1 << 17):
+                plan.host_routed[fi] = "dict > 128KB window envelope"
                 continue
             content = int(hdr.frame_content_size)
             if content > (1 << 17):
@@ -197,6 +230,12 @@ def plan_batch(frames) -> DevicePlan:
                 plan.host_routed[fi] = "corrupt: truncated block"
                 continue
             b = _BlockPlan(frame_idx=fi, out_len=content, lit_regen=0)
+            if ddict is not None and ddict.entropy is not None:
+                de = ddict.entropy
+                ent0 = EntropyState(huf=de.huf, ll=de.ll, ml=de.ml,
+                                    of=de.of, rep=list(de.rep))
+            else:
+                ent0 = EntropyState()
             if hdr.has_checksum:
                 b.checksum = int.from_bytes(
                     frame[p + 3 + body_len:p + 3 + body_len + 4], "little")
@@ -230,7 +269,7 @@ def plan_batch(frames) -> DevicePlan:
                 plan.host_routed[fi] = "corrupt: literal section bounds"
                 continue
             b.lit_regen = regen
-            ent = EntropyState()
+            ent = ent0
             if lt == 0:  # raw literals
                 b.pool_base = len(plan.raw_pool)
                 plan.raw_pool += payload[lh:lh + regen]
@@ -241,9 +280,16 @@ def plan_batch(frames) -> DevicePlan:
                 plan.raw_pool.append(payload[lh])
                 b.pool_len = 1
                 lit_end = lh + 1
-            elif lt == 2:  # Huffman literals
+            elif lt >= 2:  # Huffman literals (2 fresh tree, 3 treeless)
                 body = payload[lh:lh + comp]
-                weights, tlog, whdr = huffman.read_weights(body)
+                if lt == 2:
+                    weights, tlog, whdr = huffman.read_weights(body)
+                elif d_weights is not None:
+                    # treeless: resolve against the dict Huffman table
+                    weights, whdr = d_weights, 0
+                else:
+                    plan.host_routed[fi] = "treeless literals, no dict table"
+                    continue
                 streams = body[whdr:]
                 four = sf != 0
                 ok_dev = False
@@ -267,18 +313,26 @@ def plan_batch(frames) -> DevicePlan:
                             plan.huf_nsyms.append(outs[s])
                             off += sizes[s]
                         ok_dev = True
+                elif (not four and 0 < len(streams) <= dh.MAX_W * 4
+                      and 0 < regen <= 4096):
+                    # single-stream section: one kernel lane; huf_seg =
+                    # regen makes the 4-way stitch read quarter 0 only
+                    b.lit_kind = 1
+                    b.huf_lane0 = len(plan.huf_payloads)
+                    b.huf_seg = regen
+                    plan.huf_payloads.append(streams)
+                    plan.huf_weights.append(weights)
+                    plan.huf_nsyms.append(regen)
+                    ok_dev = True
                 if not ok_dev:
-                    # 1-stream or oversized: host-decode into the pool
+                    # oversized stream: host-decode into the pool
                     from .block import decode_literals
 
-                    lits, _ = decode_literals(payload, EntropyState())
+                    lits, _ = decode_literals(payload, ent0)
                     b.pool_base = len(plan.raw_pool)
                     plan.raw_pool += lits.tobytes()
                     b.pool_len = regen
                 lit_end = lh + comp
-            else:
-                plan.host_routed[fi] = "treeless literals in first block"
-                continue
             # sequence section
             rest = payload[lit_end:]
             nbseq, ll_dt, of_dt, ml_dt, consumed = \
@@ -296,12 +350,13 @@ def plan_batch(frames) -> DevicePlan:
                                             _CodedDT(of_dt, "of"),
                                             _CodedDT(ml_dt, "ml")))
                     plan.fse_nseqs.append(nbseq)
-                    plan.fse_reps.append([1, 4, 8])
+                    plan.fse_reps.append(list(ent.rep))
                 else:
                     from .block import decode_sequences
 
                     lls, mls, ofs = decode_sequences(
-                        seq_payload, nbseq, ll_dt, of_dt, ml_dt, [1, 4, 8])
+                        seq_payload, nbseq, ll_dt, of_dt, ml_dt,
+                        list(ent.rep))
                     b.seq_kind = 2
                     b.host_row = len(plan.host_seqs)
                     plan.host_seqs.append((lls, mls, ofs))
@@ -320,7 +375,7 @@ def _bucket(v, buckets):
     raise ValueError(f"{v} exceeds device envelope {buckets[-1]}")
 
 
-def decode_batch_device(frames, materialize: bool = False):
+def decode_batch_device(frames, materialize: bool = False, ddict=None):
     """Decode a batch of frames on the device.
 
     Returns (outputs, lengths, host_results) where outputs is a list of
@@ -350,14 +405,23 @@ def decode_batch_device(frames, materialize: bool = False):
                   flush=True)
             t_last[0] = now
 
-    plan = plan_batch(frames)
+    plan = plan_batch(frames, ddict=ddict)
     tick("plan")
     host_results = {}
     if plan.host_routed:
         from .frame import decompress
 
         for fi in plan.host_routed:
-            host_results[fi] = decompress(bytes(frames[fi]))
+            if ddict is not None:
+                from .frame import FrameDecoder
+
+                fd = FrameDecoder(dict_content=np.asarray(ddict.content),
+                                  dict_entropy=ddict.entropy,
+                                  dict_id=ddict.dict_id)
+                content, _ = fd.decode(bytes(frames[fi]))
+                host_results[fi] = content.tobytes()
+            else:
+                host_results[fi] = decompress(bytes(frames[fi]))
 
     if not plan.blocks:
         if materialize:
@@ -423,6 +487,18 @@ def decode_batch_device(frames, materialize: bool = False):
     raw_flat = jnp.asarray(
         np.frombuffer(bytes(plan.raw_pool) + b"\x00", np.uint8))
 
+    # shared dictionary window (right-aligned; W=8 zero rows when absent)
+    W = 8
+    win_row = None
+    if plan.window:
+        for wb in (4096, 32768, 1 << 17):
+            if len(plan.window) <= wb:
+                W = wb
+                break
+        wr = np.zeros(W, np.uint8)
+        wr[W - len(plan.window):] = np.frombuffer(plan.window, np.uint8)
+        win_row = jnp.asarray(wr)
+
     # ---- stage 2: assemble lanes + execute, EXEC_LANES at a time ----
     O = _bucket(max(plan.max_out, 1), _O_BUCKETS)
     L = O
@@ -431,7 +507,7 @@ def decode_batch_device(frames, materialize: bool = False):
 
     nblk = len(plan.blocks)
     B = EXEC_LANES if nblk > 64 else 64
-    fused = _fused_decode(huf_T, fse_T, S, L, B, O)
+    fused = _fused_decode(huf_T, fse_T, S, L, B, O, W)
 
     for c0 in range(0, nblk, B):
         chunk = plan.blocks[c0:c0 + B]
@@ -441,7 +517,7 @@ def decode_batch_device(frames, materialize: bool = False):
                        b.huf_seg, b.seq_kind, b.fse_lane, b.host_row,
                        b.n_seq, b.lit_regen, b.out_len)
         outputs.append(fused(jnp.asarray(meta), huf_flat, fse_rows, h_rows,
-                             raw_flat))
+                             raw_flat, win_row))
     if prof:
         jax.block_until_ready(outputs)
         tick("exec")
@@ -475,12 +551,13 @@ def decode_batch_device(frames, materialize: bool = False):
 _FUSED_CACHE: dict = {}
 
 
-def _fused_decode(huf_T: int, fse_T: int, S: int, L: int, B: int, O: int):
+def _fused_decode(huf_T: int, fse_T: int, S: int, L: int, B: int, O: int,
+                  W: int = 8):
     """One jit-compiled dispatch: per-lane metadata + kernel outputs ->
     decoded bytes.  Gather math derives every index from header scalars
     (no per-byte host-built maps), then runs the pointer-jumping executor
     inline so assembly and execution fuse into a single XLA program."""
-    key = (huf_T, fse_T, S, L, B, O)
+    key = (huf_T, fse_T, S, L, B, O, W)
     if key in _FUSED_CACHE:
         return _FUSED_CACHE[key]
     import jax
@@ -488,9 +565,9 @@ def _fused_decode(huf_T: int, fse_T: int, S: int, L: int, B: int, O: int):
 
     from ..ops.execseq import make_executor
 
-    run_exec = make_executor(B, S, L, 8, O)
+    run_exec = make_executor(B, S, L, W, O)
 
-    def fused(meta, huf_flat, fse_rows, h_rows, raw_flat):
+    def fused(meta, huf_flat, fse_rows, h_rows, raw_flat, win_row):
         lit_kind = meta[:, 0]
         pool_base = meta[:, 1]
         pool_len = meta[:, 2]
@@ -550,7 +627,10 @@ def _fused_decode(huf_T: int, fse_T: int, S: int, L: int, B: int, O: int):
         live = jnp.arange(S, dtype=jnp.int32)[None, :] < n_seq[:, None]
         sum_ll = jnp.sum(jnp.where(live, ll, 0), axis=1)
         last_lit = lit_regen - sum_ll
-        window = jnp.zeros((B, 8), jnp.uint8)
+        if win_row is None:
+            window = jnp.zeros((B, W), jnp.uint8)
+        else:
+            window = jnp.broadcast_to(win_row[None, :], (B, W))
         return run_exec(lit, window, ll.astype(jnp.uint32),
                         ml.astype(jnp.uint32), off.astype(jnp.uint32),
                         n_seq, last_lit, out_len)

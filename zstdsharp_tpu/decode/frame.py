@@ -500,13 +500,12 @@ class Decompressor:
         Returns (outputs, lengths, host_results): outputs is a list of
         uint8 [B, O] device arrays whose rows follow plan order, lengths
         the per-row content sizes, host_results a dict frame_idx->bytes
-        for host-routed frames.  Dictionary frames are not device-eligible
-        yet and take the host path."""
-        if self._dict is not None:
-            return [], [], {i: self.unwrap(f) for i, f in enumerate(frames)}
+        for host-routed frames.  With a loaded dictionary, dict frames
+        are device-decoded against its window/entropy (<= 128KB dicts)."""
         from .device_pipeline import decode_batch_device
 
-        return decode_batch_device(frames)
+        dd = self._dict._parsed if self._dict is not None else None
+        return decode_batch_device(frames, ddict=dd)
 
     def try_unwrap(self, src: bytes, max_decompressed_size: int) -> tuple[bool, bytes]:
         """TryUnwrap:96 — returns (ok, data) instead of raising on size."""
