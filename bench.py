@@ -222,6 +222,41 @@ def main() -> None:
     except Exception as e:  # pragma: no cover
         print(f"bench: device decode plane skipped ({e})", file=sys.stderr)
 
+    # Device encode plane: records -> greedy parse + FSE coding + frame
+    # assembly wholly on device (encode/device_pipeline.py).
+    try:
+        import jax
+
+        if jax.default_backend() != "tpu":
+            raise RuntimeError("no TPU backend")
+
+        from zstdsharp_tpu.encode.device_pipeline import compress_batch_device
+
+        rec_size = 16 << 10
+        recs = [data[i : i + rec_size] for i in range(0, 4 << 20, rec_size)]
+        payload = sum(map(len, recs))
+
+        def run_encode():
+            chunks, host = compress_batch_device(recs)
+            if chunks:
+                jax.block_until_ready(chunks[-1][1])
+            return sum(int(np.asarray(l).sum()) for _, _, l in chunks)
+
+        csize = run_encode()  # compile
+        pairs = []
+        for _ in range(3):
+            t5 = _timed(lambda: [run_encode() for _ in range(3)])
+            t1 = _timed(run_encode)
+            pairs.append((t5 - t1) / 2)
+        pairs.sort()
+        marg = max(pairs[1], 1e-9)
+        print(f"bench: device encode {payload >> 20} MB batch "
+              f"({len(recs)} records -> {csize} bytes): "
+              f"{payload / marg / 1e9:.3f} GB/s marginal "
+              f"on {jax.devices()[0]}", file=sys.stderr)
+    except Exception as e:  # pragma: no cover
+        print(f"bench: device encode plane skipped ({e})", file=sys.stderr)
+
     print(json.dumps({
         "metric": "silesia_like_l1_roundtrip_per_chip",
         "value": round(rt_gbs, 6),
