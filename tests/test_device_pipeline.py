@@ -80,14 +80,18 @@ class TestDevicePipeline:
         for got, want in zip(results, recs):
             assert got == want
 
-    def test_multiblock_routes_to_host(self):
+    def test_multiblock_now_device_planned(self):
+        # r4: multi-block frames run as dependent execution rounds on
+        # device instead of host-routing (beyond-cap frames still route)
         big = _records(1, 400_000)[0]
         frames = [compress(big, 3), compress(b"tiny", 1)]
         plan = plan_batch(frames)
-        assert 0 in plan.host_routed
+        assert 0 not in plan.host_routed
+        assert len(plan.mb_frames) == 1
         results, stats = decode_batch_device(frames, materialize=True)
         assert results[0] == big
         assert results[1] == b"tiny"
+        assert stats["host_frames"] == 0
 
     def test_levels_and_dfast_shapes(self):
         recs = _records(4, 30_000, seed=13)
@@ -246,3 +250,64 @@ class TestWidenedEnvelope:
         results, stats = decode_batch_device(
             frames, materialize=True, ddict=dec._dict._parsed)
         assert results == recs
+
+
+class TestMultiBlockDevice:
+    """VERDICT r3 item 7: multi-block frames decode as dependent
+    execution rounds (repcode/entropy chains resolved at plan time;
+    per-round windows slice the device-resident accumulator)."""
+
+    def _recs(self, seed=82):
+        rng = np.random.default_rng(seed)
+        words = [b"multi ", b"block ", b"frame ", b"round ", b"window "]
+        def rec(n):
+            return b"".join(words[int(i)] for i in rng.integers(0, 5, n))
+        return rec
+
+    def test_mixed_levels_roundtrip(self):
+        rec = self._recs()
+        recs = [rec(200_000), rec(600_000), rec(30_000)]
+        frames = [zstandard.ZstdCompressor(level=l).compress(r)
+                  for r, l in zip(recs, (3, 9, 19))]
+        c = zstandard.ZstdCompressor(level=5, write_checksum=True)
+        recs.append(rec(120_000))
+        frames.append(c.compress(recs[-1]))
+        plan = plan_batch(frames)
+        assert not plan.host_routed
+        assert len(plan.mb_frames) == 4
+        res, stats = decode_batch_device(frames, materialize=True)
+        assert res == recs
+        assert stats == {"device_frames": 4, "host_frames": 0}
+
+    def test_corrupt_mb_checksum_raises(self):
+        from zstdsharp_tpu.errors import ZstdError
+
+        rec = self._recs(83)
+        data = rec(120_000)
+        frame = bytearray(zstandard.ZstdCompressor(
+            level=5, write_checksum=True).compress(data))
+        frame[-1] ^= 0x10
+        with pytest.raises(ZstdError):
+            decode_batch_device([bytes(frame)], materialize=True)
+
+    def test_dict_multiblock(self):
+        from zstdsharp_tpu.dictionary import parse_dictionary
+
+        rec = self._recs(84)
+        samples = [rec(40) for _ in range(200)]
+        d = zstandard.train_dictionary(8192, samples)
+        pd = parse_dictionary(d.as_bytes())
+        drecs = [rec(40_000), rec(90_000)]
+        dc = zstandard.ZstdCompressor(level=3, dict_data=d)
+        dframes = [dc.compress(r) for r in drecs]
+        res, stats = decode_batch_device(dframes, materialize=True, ddict=pd)
+        assert res == drecs
+        assert stats["host_frames"] == 0
+
+    def test_device_resident_mb_rows(self):
+        rec = self._recs(85)
+        data = rec(150_000)
+        frame = zstandard.ZstdCompressor(level=3).compress(data)
+        outs, lens, host = decode_batch_device([frame])
+        assert 0 in host and not isinstance(host[0], bytes)
+        assert np.asarray(host[0]).tobytes() == data

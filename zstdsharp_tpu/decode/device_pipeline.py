@@ -23,9 +23,15 @@ engine, reported in the plan):
   - dictionary frames when a parsed dict is supplied: the dict content
     tail (<= 128KB) rides as broadcast window rows of the LZ executor,
     entropy starts from the dict tables (ZstdDdict.cs:142 role).
-Multi-block frames chain repcode state through the payload, which would
-serialize the lanes; they take the host path (SURVEY.md §2.7: the format
-makes blocks within a window dependent — parallelism comes from frames).
+Multi-block frames (content <= 4MB, window <= 4MB) decode as DEPENDENT
+EXECUTION ROUNDS: the plan walks every block host-side (chaining the
+repcode and repeat-table state the format threads through the payload,
+and host-decoding sequence sections so those chains resolve at plan
+time), then round r executes block r of every such frame in parallel,
+each lane's window sliced from a zero-padded device accumulator the
+previous rounds wrote.  Parallelism across frames is preserved; the
+serial dependency the format imposes within a frame costs rounds, not
+lanes (SURVEY.md §2.7).
 
 Integrity: plan time validates what is cheap on the host (block bounds vs
 frame length, raw/RLE size vs content size, literal-section bounds) and
@@ -60,6 +66,12 @@ from .frame import parse_frame_header
 EXEC_LANES = 64
 _O_BUCKETS = (1 << 12, 24576, 1 << 15, 1 << 17)
 _S_BUCKETS = (256, 1024, 4096, 8192, 16384, 32768)
+# multi-block envelope: total content / window the dependent-round
+# executor supports (accumulator memory: F x (W + content))
+MB_CONTENT_CAP = 1 << 22
+MB_WINDOW_CAP = 1 << 22
+_MBC_BUCKETS = (1 << 18, 1 << 20, 1 << 22)
+_MBW_BUCKETS = (1 << 15, 1 << 17, 1 << 20, 1 << 22)
 
 
 @dataclass
@@ -80,6 +92,7 @@ class _BlockPlan:
     fse_lane: int = -1
     host_row: int = -1
     n_seq: int = 0
+    out_off: int = 0   # multi-block: output offset within the frame
 
 
 @dataclass
@@ -101,6 +114,9 @@ class DevicePlan:
     # dictionary window shared by every dict-framed lane (right-aligned
     # tail of the dict content; broadcast once to the device)
     window: bytes = b""
+    # multi-block frames: list of dicts {frame_idx, content, checksum,
+    # blocks: [_BlockPlan with out_len/out_off per block]}
+    mb_frames: list = field(default_factory=list)
 
 
 def _parse_lit_header(payload: bytes):
@@ -146,15 +162,16 @@ def scan_eligibility(frames, ddict=None) -> dict:
                 routed[fi] = "dictionary required"
                 continue
             content = int(hdr.frame_content_size)
-            if content > (1 << 17):
-                routed[fi] = "multi-block (content > 128KB)"
+            if content > MB_CONTENT_CAP or (
+                    content > (1 << 17)
+                    and hdr.window_size > MB_WINDOW_CAP):
+                routed[fi] = "content/window beyond device caps"
                 continue
             p = hdr.header_size
             bh = int.from_bytes(frame[p:p + 3], "little")
             last, btype, bsize = bh & 1, (bh >> 1) & 3, bh >> 3
             if not last:
-                routed[fi] = "multi-block frame"
-                continue
+                continue  # multi-block: device-planned (dependent rounds)
             body_len = bsize if btype != 1 else 1
             tail = 4 if hdr.has_checksum else 0
             if p + 3 + body_len + tail > len(frame):
@@ -173,6 +190,153 @@ def scan_eligibility(frames, ddict=None) -> dict:
         except Exception as e:  # pragma: no cover - defensive routing
             routed[fi] = f"plan error: {e}"
     return routed
+
+
+def _plan_multiblock(plan, fi, frame, hdr, ddict, d_weights):
+    """Walk every block of a multi-block frame: literal sections become
+    device lanes (or pool spans), sequence sections are host-decoded so
+    the repcode and repeat-table chains resolve at plan time (the
+    reference's decoder chains them block to block,
+    ZSTD_decompressBlock_internal:3090), and each block records its
+    output offset for the dependent-round executor.  Returns an error
+    string to host-route, or None on success."""
+    from ..ops import device_fse as df
+    from ..ops import device_huf as dh
+    from .block import decode_literals, decode_sequences
+
+    content = int(hdr.frame_content_size)
+    if ddict is not None and ddict.entropy is not None:
+        de = ddict.entropy
+        ent = EntropyState(huf=de.huf, ll=de.ll, ml=de.ml, of=de.of,
+                          rep=list(de.rep))
+    else:
+        ent = EntropyState()
+    blocks = []
+    p = hdr.header_size
+    out_off = 0
+    while True:
+        if p + 3 > len(frame):
+            return "corrupt: truncated block header"
+        bh = int.from_bytes(frame[p:p + 3], "little")
+        last, btype, bsize = bh & 1, (bh >> 1) & 3, bh >> 3
+        p += 3
+        body_len = bsize if btype != 1 else 1
+        if p + body_len > len(frame):
+            return "corrupt: truncated block"
+        b = _BlockPlan(frame_idx=fi, out_len=0, lit_regen=0)
+        b.out_off = out_off
+        if btype == 0:
+            b.pool_base = len(plan.raw_pool)
+            plan.raw_pool += frame[p:p + bsize]
+            b.pool_len = bsize
+            b.lit_regen = bsize
+            b.out_len = bsize
+        elif btype == 1:
+            b.pool_base = len(plan.raw_pool)
+            plan.raw_pool += frame[p:p + 1]
+            b.pool_len = 1
+            b.lit_regen = bsize
+            b.out_len = bsize
+        elif btype == 2:
+            payload = bytes(frame[p:p + bsize])
+            lt, sf, regen, comp, lh = _parse_lit_header(payload)
+            if lh + (comp if lt >= 2 else 0) > len(payload):
+                return "corrupt: literal section bounds"
+            b.lit_regen = regen
+            if lt == 0:
+                b.pool_base = len(plan.raw_pool)
+                plan.raw_pool += payload[lh:lh + regen]
+                b.pool_len = regen
+                lit_end = lh + regen
+            elif lt == 1:
+                b.pool_base = len(plan.raw_pool)
+                plan.raw_pool.append(payload[lh])
+                b.pool_len = 1
+                lit_end = lh + 1
+            else:
+                body = payload[lh:lh + comp]
+                if lt == 2:
+                    weights, tlog, whdr = huffman.read_weights(body)
+                    ent.huf = huffman.build_dtable(weights, tlog)
+                elif ent.huf is not None:
+                    weights, whdr = None, 0
+                else:
+                    return "treeless literals, no table"
+                ok_dev = False
+                streams = body[whdr:]
+                if weights is not None and sf != 0 and len(streams) >= 10:
+                    s1 = int.from_bytes(streams[0:2], "little")
+                    s2 = int.from_bytes(streams[2:4], "little")
+                    s3 = int.from_bytes(streams[4:6], "little")
+                    sizes = [s1, s2, s3, len(streams) - 6 - s1 - s2 - s3]
+                    seg = (regen + 3) // 4
+                    outs = [seg, seg, seg, regen - 3 * seg]
+                    if (min(sizes) > 0 and min(outs) > 0
+                            and max(sizes) <= dh.MAX_W * 4):
+                        b.lit_kind = 1
+                        b.huf_lane0 = len(plan.huf_payloads)
+                        b.huf_seg = seg
+                        off = 6
+                        for si in range(4):
+                            plan.huf_payloads.append(
+                                streams[off:off + sizes[si]])
+                            plan.huf_weights.append(weights)
+                            plan.huf_nsyms.append(outs[si])
+                            off += sizes[si]
+                        ok_dev = True
+                elif (weights is not None and sf == 0
+                      and 0 < len(streams) <= dh.MAX_W * 4
+                      and 0 < regen <= 4096):
+                    b.lit_kind = 1
+                    b.huf_lane0 = len(plan.huf_payloads)
+                    b.huf_seg = regen
+                    plan.huf_payloads.append(streams)
+                    plan.huf_weights.append(weights)
+                    plan.huf_nsyms.append(regen)
+                    ok_dev = True
+                if not ok_dev:
+                    lits, _ = decode_literals(payload, ent)
+                    b.pool_base = len(plan.raw_pool)
+                    plan.raw_pool += lits.tobytes()
+                    b.pool_len = regen
+                lit_end = lh + comp
+            # sequence section: host decode (chains ent + reps)
+            rest = payload[lit_end:]
+            nbseq, ll_dt, of_dt, ml_dt, consumed =                 decode_sequence_headers(rest, ent)
+            b.n_seq = nbseq
+            if nbseq > 0:
+                if nbseq > _S_BUCKETS[-1]:
+                    return "sequence count beyond device bucket"
+                lls, mls, ofs = decode_sequences(
+                    rest[consumed:], nbseq, ll_dt, of_dt, ml_dt, ent.rep)
+                b.seq_kind = 2
+                b.host_row = len(plan.host_seqs)
+                plan.host_seqs.append((lls, mls, ofs))
+                plan.max_seq = max(plan.max_seq, nbseq)
+                b.out_len = int(np.sum(mls)) + b.lit_regen
+            else:
+                b.out_len = b.lit_regen
+        else:
+            return "corrupt: reserved block type"
+        out_off += b.out_len
+        if out_off > content:
+            return "corrupt: content overflow"
+        blocks.append(b)
+        p += body_len
+        if last:
+            break
+    if out_off != content:
+        return "corrupt: content size mismatch"
+    cks = -1
+    if hdr.has_checksum:
+        if p + 4 > len(frame):
+            return "corrupt: missing checksum"
+        cks = int.from_bytes(frame[p:p + 4], "little")
+    wsize = min(int(hdr.window_size or content), MB_WINDOW_CAP)
+    plan.mb_frames.append({"frame_idx": fi, "content": content,
+                           "checksum": cks, "window": wsize,
+                           "blocks": blocks})
+    return None
 
 
 def plan_batch(frames, ddict=None) -> DevicePlan:
@@ -212,14 +376,21 @@ def plan_batch(frames, ddict=None) -> DevicePlan:
                 plan.host_routed[fi] = "dict > 128KB window envelope"
                 continue
             content = int(hdr.frame_content_size)
-            if content > (1 << 17):
-                plan.host_routed[fi] = "multi-block (content > 128KB)"
+            if content > MB_CONTENT_CAP or (
+                    content > (1 << 17)
+                    and hdr.window_size > MB_WINDOW_CAP):
+                plan.host_routed[fi] = "content/window beyond device caps"
                 continue
             p = hdr.header_size
             bh = int.from_bytes(frame[p:p + 3], "little")
             last, btype, bsize = bh & 1, (bh >> 1) & 3, bh >> 3
             if not last:
-                plan.host_routed[fi] = "multi-block frame"
+                # multi-block: dependent-round plan (repcode/entropy
+                # chains resolved host-side; execution on device)
+                err = _plan_multiblock(plan, fi, frame, hdr, ddict,
+                                       d_weights)
+                if err:
+                    plan.host_routed[fi] = err
                 continue
             # structural validation (cheap on host; the device executor
             # clips instead of faulting, so corrupt frames must not reach
@@ -423,7 +594,7 @@ def decode_batch_device(frames, materialize: bool = False, ddict=None):
             else:
                 host_results[fi] = decompress(bytes(frames[fi]))
 
-    if not plan.blocks:
+    if not plan.blocks and not plan.mb_frames:
         if materialize:
             return [host_results[i] for i in range(plan.n_frames)], {
                 "device_frames": 0, "host_frames": len(host_results)}
@@ -522,7 +693,58 @@ def decode_batch_device(frames, materialize: bool = False, ddict=None):
         jax.block_until_ready(outputs)
         tick("exec")
 
+    # ---- multi-block frames: dependent execution rounds ----
+    mb_device = {}
+    if plan.mb_frames:
+        dict_tail = np.frombuffer(plan.window, np.uint8) if plan.window \
+            else None
+        for group in _mb_groups(plan.mb_frames):
+            F = len(group)
+            Wb = _bucket(max(f["window"] for f in group), _MBW_BUCKETS)
+            Cb = _bucket(max(f["content"] for f in group), _MBC_BUCKETS)
+            n_rounds = max(len(f["blocks"]) for f in group)
+            O_max = _bucket(
+                max(b.out_len for f in group for b in f["blocks"]),
+                _O_BUCKETS)
+            acc = jnp.zeros((F, Wb + Cb + O_max), jnp.uint8)
+            if dict_tail is not None and len(dict_tail):
+                t = dict_tail[-Wb:]
+                acc = acc.at[:, Wb - len(t):Wb].set(jnp.asarray(t))
+            fusedm = _fused_decode(huf_T, fse_T, S, O_max, F, O_max, Wb)
+            slice_win = jax.vmap(
+                lambda a, st: jax.lax.dynamic_slice(a, (st,), (Wb,)))
+            write_out = jax.vmap(
+                lambda a, o, st: jax.lax.dynamic_update_slice(a, o, (st,)))
+            for r in range(n_rounds):
+                meta = np.zeros((F, 11), np.int32)
+                # fresh per round: jnp.asarray may alias numpy memory on
+                # the CPU backend, so a reused-and-mutated array races
+                # with still-in-flight async computations
+                offs_np = np.full(F, Cb, np.int32)  # default: padding tail
+                for k, f in enumerate(group):
+                    if r >= len(f["blocks"]):
+                        continue
+                    b = f["blocks"][r]
+                    meta[k] = (b.lit_kind, b.pool_base, b.pool_len,
+                               b.huf_lane0, b.huf_seg, b.seq_kind,
+                               max(b.fse_lane, 0), max(b.host_row, 0),
+                               b.n_seq, b.lit_regen, b.out_len)
+                    offs_np[k] = b.out_off
+                starts = jnp.asarray(offs_np)
+                windows = slice_win(acc, starts)
+                outs = fusedm(jnp.asarray(meta), huf_flat, fse_rows,
+                              h_rows, raw_flat, windows)
+                # inactive lanes write zeros past their content (harmless:
+                # the region beyond a finished frame's content is padding)
+                acc = write_out(acc, outs, Wb + starts)
+            for k, f in enumerate(group):
+                mb_device[f["frame_idx"]] = (
+                    acc[k, Wb:Wb + f["content"]], f["content"], f["checksum"])
+        tick("mb-exec")
+
     if not materialize:
+        for fi, (row, n, _cks) in mb_device.items():
+            host_results[fi] = row  # device-resident uint8 [content]
         return outputs, lengths, host_results
 
     from ..errors import ZstdError, ZstdErrorCode
@@ -530,6 +752,13 @@ def decode_batch_device(frames, materialize: bool = False, ddict=None):
 
     results = [None] * plan.n_frames
     for fi, data in host_results.items():
+        results[fi] = data
+    for fi, (row, n, cks) in mb_device.items():
+        data = np.asarray(row).tobytes()
+        if cks >= 0 and content_checksum(data) != cks:
+            raise ZstdError(ZstdErrorCode.checksum_wrong,
+                            f"frame {fi}: content checksum mismatch on "
+                            "device-decoded output")
         results[fi] = data
     row = 0
     for ci, out in enumerate(outputs):
@@ -543,9 +772,24 @@ def decode_batch_device(frames, materialize: bool = False, ddict=None):
                                 "mismatch on device-decoded output")
             results[b.frame_idx] = data
             row += 1
-    stats = {"device_frames": len(plan.blocks),
+    stats = {"device_frames": len(plan.blocks) + len(plan.mb_frames),
              "host_frames": len(host_results)}
     return results, stats
+
+
+def _mb_groups(mb_frames, max_group: int = 16):
+    """Group multi-block frames so each dependent-round batch shares one
+    compiled shape (window/content buckets) and bounded memory."""
+    by_key: dict = {}
+    for f in mb_frames:
+        key = (_bucket(f["window"], _MBW_BUCKETS),
+               _bucket(f["content"], _MBC_BUCKETS))
+        by_key.setdefault(key, []).append(f)
+    out = []
+    for fs in by_key.values():
+        for i in range(0, len(fs), max_group):
+            out.append(fs[i:i + max_group])
+    return out
 
 
 _FUSED_CACHE: dict = {}
@@ -629,6 +873,8 @@ def _fused_decode(huf_T: int, fse_T: int, S: int, L: int, B: int, O: int,
         last_lit = lit_regen - sum_ll
         if win_row is None:
             window = jnp.zeros((B, W), jnp.uint8)
+        elif win_row.ndim == 2:
+            window = win_row                      # per-lane (multi-block)
         else:
             window = jnp.broadcast_to(win_row[None, :], (B, W))
         return run_exec(lit, window, ll.astype(jnp.uint32),
