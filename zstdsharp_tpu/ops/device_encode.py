@@ -106,10 +106,14 @@ def _codes_from_values(ll, mlv, ofb, t):
 # ---------------------------------------------------------------------------
 
 
-def _fse_stream_states(codes, nseq, stream):
+def _fse_stream_states(codes, nseq, stream, tables=None):
     """All encoder states of one FSE stream at once.
 
     codes: int32 [S] code symbols per sequence (garbage beyond nseq).
+    `tables` optionally overrides the predefined encode table with a
+    per-lane (dnb, dfs, st) triple of the SAME table log (fresh tables
+    are normalized to the default logs so every shape stays static; an
+    RLE channel is an all-zero dnb — every emission is zero-width).
     Returns (emit_val [S], emit_nb [S], flush_val []) where slot i holds
     the state bits written when encoding symbol i (zero-width for
     i >= nseq-1: the last symbol initializes without emitting), and
@@ -118,9 +122,12 @@ def _fse_stream_states(codes, nseq, stream):
     S = codes.shape[0]
     tlog = stream["tlog"]
     TS = 1 << tlog
-    dnb = jnp.asarray(stream["dnb"])
-    dfs = jnp.asarray(stream["dfs"])
-    st = jnp.asarray(stream["st"])
+    if tables is None:
+        dnb = jnp.asarray(stream["dnb"])
+        dfs = jnp.asarray(stream["dfs"])
+        st = jnp.asarray(stream["st"])
+    else:
+        dnb, dfs, st = tables
 
     i = jnp.arange(S, dtype=jnp.int32)
     c = jnp.clip(codes, 0, dnb.shape[0] - 1)
@@ -170,7 +177,8 @@ def _fse_stream_states(codes, nseq, stream):
 # ---------------------------------------------------------------------------
 
 
-def _encode_lane(block, n_valid, parse, W, t):
+def _encode_lane(block, n_valid, parse, W, t, lit_sorted, lit_count,
+                 huf, WQ, seq_tables=None):
     """Compose one frame row from a parsed block.  Returns
     (row uint8 [N+16], out_len int32)."""
     N = block.shape[0]
@@ -179,7 +187,7 @@ def _encode_lane(block, n_valid, parse, W, t):
     mls = parse["mls"]
     offs = parse["offs"]
     nseq = parse["nseq"]
-    covered = parse["covered"]
+    h_codes, h_nbits, h_desc, h_dlen, h_ok = huf
 
     i = jnp.arange(S, dtype=jnp.int32)
     real = i < nseq
@@ -189,21 +197,39 @@ def _encode_lane(block, n_valid, parse, W, t):
         [jnp.zeros(1, jnp.int32), (starts + mls)[:-1]])
     ll = jnp.where(real, starts - prev_end, 0)
     mlv = jnp.where(real, mls - MINMATCH, 0)
-    ofb = jnp.where(real, offs + 3, 1)
+    # repcode detection: after any sequence with offset o the decoder's
+    # rep0 is o, so "same offset as the previous sequence, with literals
+    # in between" is exactly Offset_Value 1 (rep0) — zero extra bits.
+    # (ll == 0 shifts rep semantics; those emit literal-form offsets.)
+    prev_off = jnp.concatenate([jnp.zeros(1, jnp.int32), offs[:-1]])
+    rep0 = (i > 0) & (offs == prev_off) & (ll > 0)
+    ofb = jnp.where(real, jnp.where(rep0, 1, offs + 3), 1)
     ll_code, ml_code, of_code = _codes_from_values(ll, mlv, ofb, t)
 
-    # literal pool: stable compaction via one sort (uncovered first, in
-    # order) — sorts beat arbitrary gathers on TPU (see candidate_stage)
-    idx = jnp.arange(N, dtype=jnp.int32)
-    drop = covered | (idx >= n_valid)
-    key = drop.astype(jnp.uint32) * jnp.uint32(N) + idx.astype(jnp.uint32)
-    _, lit_sorted = jax.lax.sort((key, block), num_keys=1, is_stable=False)
-    lit_count = (n_valid - jnp.sum(jnp.where(real, mls, 0))).astype(jnp.int32)
-
-    # FSE state chains
-    of_val, of_nb, of_fin = _fse_stream_states(of_code, nseq, t["of"])
-    ml_val, ml_nb, ml_fin = _fse_stream_states(ml_code, nseq, t["ml"])
-    ll_val, ll_nb, ll_fin = _fse_stream_states(ll_code, nseq, t["ll"])
+    # FSE state chains (per-lane fresh/RLE/predefined tables)
+    if seq_tables is not None:
+        of_val, of_nb, of_fin = _fse_stream_states(
+            of_code, nseq, t["of"], seq_tables["of"][:3])
+        ml_val, ml_nb, ml_fin = _fse_stream_states(
+            ml_code, nseq, t["ml"], seq_tables["ml"][:3])
+        ll_val, ll_nb, ll_fin = _fse_stream_states(
+            ll_code, nseq, t["ll"], seq_tables["ll"][:3])
+        fl_ll = seq_tables["ll"][3]
+        fl_of = seq_tables["of"][3]
+        fl_ml = seq_tables["ml"][3]
+        modes = seq_tables["mode"]
+        tbl_row = seq_tables["tbl"]
+        tbl_len = seq_tables["tbl_len"]
+    else:
+        of_val, of_nb, of_fin = _fse_stream_states(of_code, nseq, t["of"])
+        ml_val, ml_nb, ml_fin = _fse_stream_states(ml_code, nseq, t["ml"])
+        ll_val, ll_nb, ll_fin = _fse_stream_states(ll_code, nseq, t["ll"])
+        fl_ll = jnp.int32(t["ll"]["tlog"])
+        fl_of = jnp.int32(t["of"]["tlog"])
+        fl_ml = jnp.int32(t["ml"]["tlog"])
+        modes = jnp.int32(0)
+        tbl_row = jnp.zeros(1, jnp.uint8)
+        tbl_len = jnp.int32(0)
 
     # extras (value masked by the packer to nbits)
     ll_bits = jnp.take(jnp.asarray(t["ll_bits"]), jnp.clip(ll_code, 0, 35))
@@ -221,8 +247,7 @@ def _encode_lane(block, n_valid, parse, W, t):
     nbs6 = jnp.stack([of_nb, ml_nb, ll_nb, ext_ll_nb, ext_ml_nb, ext_of_nb],
                      axis=1)[::-1].reshape(-1)
     tail_vals = jnp.stack([ml_fin, of_fin, ll_fin])
-    tail_nbs = jnp.array([t["ml"]["tlog"], t["of"]["tlog"],
-                          t["ll"]["tlog"]], jnp.int32)
+    tail_nbs = jnp.stack([fl_ml, fl_of, fl_ll]).astype(jnp.int32)
     values = jnp.concatenate([vals6, tail_vals]).astype(jnp.uint32)
     nbits = jnp.concatenate([nbs6, tail_nbs]).astype(jnp.uint32)
     nbits = jnp.where(nseq > 0, nbits, 0)
@@ -233,9 +258,33 @@ def _encode_lane(block, n_valid, parse, W, t):
                    >> (8 * jnp.arange(4, dtype=jnp.uint32))[None, :])
                   & 0xFF).astype(jnp.uint8).reshape(-1)
 
+    # ---- Huffman literal section (4-stream, device-packed) ----
+    L = lit_count
+    seg = jnp.maximum((L + 3) >> 2, 1)
+    SEGMAX = lit_sorted.shape[0] // 4 + 1
+    tq = jnp.arange(SEGMAX, dtype=jnp.int32)[None, :]
+    q = jnp.arange(4, dtype=jnp.int32)[:, None]
+    seglen = jnp.where(q < 3, seg, L - 3 * seg)      # [4, 1]
+    # symbols consumed back-to-front per quarter (encode_1x order)
+    srcpos = q * seg + (seglen - 1 - tq)
+    valid_q = tq < seglen
+    sym = jnp.take(lit_sorted, jnp.clip(srcpos, 0, lit_sorted.shape[0] - 1))
+    hv = jnp.take(h_codes, sym)
+    hb = jnp.where(valid_q, jnp.take(h_nbits, sym), 0)
+    hwords, htotal = jax.vmap(
+        lambda v, nb: pack_bits_device(v, nb.astype(jnp.uint32), WQ))(
+        hv.astype(jnp.uint32), hb)
+    sl = ((htotal + 7) >> 3).astype(jnp.int32)       # [4] stream bytes
+    hbytes = ((hwords[:, :, None]
+               >> (8 * jnp.arange(4, dtype=jnp.uint32))[None, None, :])
+              & 0xFF).astype(jnp.uint8).reshape(4, -1)
+    comp_lit = h_dlen + 6 + jnp.sum(sl)
+    use_huf = h_ok & (5 + comp_lit < 3 + L) & (nseq > 0)
+    lit_sec = jnp.where(use_huf, 5 + comp_lit, 3 + L)
+
     # section sizes
-    body = 3 + lit_count + 2 + 1 + bits_len          # lit hdr + lits + nbseq + modes + stream
-    comp_total = 12 + body                           # frame hdr 9 + block hdr 3
+    body = lit_sec + 2 + 1 + tbl_len + bits_len  # lits+nbseq+modes+tbls+fse
+    comp_total = 12 + body                       # frame hdr 9 + block hdr 3
     raw_total = 12 + n_valid.astype(jnp.int32)
     use_raw = (nseq == 0) | (comp_total >= raw_total)
     out_len = jnp.where(use_raw, raw_total, comp_total)
@@ -249,10 +298,17 @@ def _encode_lane(block, n_valid, parse, W, t):
     btype = jnp.where(use_raw, 0, 2)
     bh = 1 | (btype << 1) | (bsize << 3)
     bh3 = (bh >> (8 * jnp.arange(3))) & 0xFF
+    # raw-literal header (type 0, size_format 3)
     lh = (0 | (3 << 2) | (lit_count << 4)).astype(jnp.uint32)
     lh3 = (lh >> (8 * jnp.arange(3, dtype=jnp.uint32))) & 0xFF
+    # compressed-literal header (type 2, size_format 3: 18+18-bit sizes)
+    hh = (jnp.uint64(2) | jnp.uint64(3 << 2)
+          | (L.astype(jnp.uint64) << 4)
+          | (comp_lit.astype(jnp.uint64) << 22))
+    hh5 = ((hh >> (8 * jnp.arange(5, dtype=jnp.uint64))) & jnp.uint64(0xFF)
+           ).astype(jnp.uint32)
 
-    # byte-position classifier (3 variable gathers, all minor-dim takes)
+    # byte-position classifier (variable gathers, all minor-dim takes)
     OUT = N + 16
     j = jnp.arange(OUT, dtype=jnp.int32)
     jb = j - 12
@@ -261,47 +317,296 @@ def _encode_lane(block, n_valid, parse, W, t):
     raw_byte = jnp.take(block, jnp.clip(jb, 0, N - 1)).astype(jnp.uint32)
     lit_byte = jnp.take(lit_sorted,
                         jnp.clip(jb - 3, 0, N - 1)).astype(jnp.uint32)
+    # raw-literal section byte
+    raw_sec = jnp.where(jb < 3, jnp.take(lh3, jnp.clip(jb, 0, 2)), lit_byte)
+    # huffman section byte: hdr5 | desc | jump | 4 streams
+    c_desc = 5
+    c_jump = c_desc + h_dlen
+    c_s0 = c_jump + 6
+    c_s1 = c_s0 + sl[0]
+    c_s2 = c_s1 + sl[1]
+    c_s3 = c_s2 + sl[2]
+    desc_byte = jnp.take(h_desc, jnp.clip(jb - c_desc, 0,
+                                          h_desc.shape[0] - 1))
+    jump6 = jnp.stack([sl[0] & 0xFF, sl[0] >> 8, sl[1] & 0xFF, sl[1] >> 8,
+                       sl[2] & 0xFF, sl[2] >> 8]).astype(jnp.uint32)
+    jump_byte = jnp.take(jump6, jnp.clip(jb - c_jump, 0, 5))
+    SB = hbytes.shape[1]
+    sb = lambda k, c0: jnp.take(hbytes[k], jnp.clip(jb - c0, 0, SB - 1))
+    huf_sec = jnp.where(
+        jb < c_desc, jnp.take(hh5, jnp.clip(jb, 0, 4)),
+        jnp.where(jb < c_jump, desc_byte.astype(jnp.uint32),
+        jnp.where(jb < c_s0, jump_byte,
+        jnp.where(jb < c_s1, sb(0, c_s0).astype(jnp.uint32),
+        jnp.where(jb < c_s2, sb(1, c_s1).astype(jnp.uint32),
+        jnp.where(jb < c_s3, sb(2, c_s2).astype(jnp.uint32),
+                  sb(3, c_s3).astype(jnp.uint32)))))))
+    lit_sec_byte = jnp.where(use_huf, huf_sec, raw_sec)
+
     bits_byte = jnp.take(bits_bytes,
-                         jnp.clip(jb - 6 - lit_count, 0,
+                         jnp.clip(jb - 3 - tbl_len - lit_sec, 0,
                                   bits_bytes.shape[0] - 1)).astype(jnp.uint32)
-    nbseq_b = jnp.where(jb == 3 + lit_count, 128 + (nseq >> 8),
+    tbl_byte = jnp.take(tbl_row, jnp.clip(jb - 3 - lit_sec, 0,
+                                          tbl_row.shape[0] - 1))
+    nbseq_b = jnp.where(jb == lit_sec, 128 + (nseq >> 8),
                         nseq & 0xFF).astype(jnp.uint32)
     compressed = jnp.where(
-        jb < 3, jnp.take(lh3, jnp.clip(jb, 0, 2)),
-        jnp.where(jb < 3 + lit_count, lit_byte,
-                  jnp.where(jb < 5 + lit_count, nbseq_b,
-                            jnp.where(jb == 5 + lit_count,
-                                      jnp.uint32(0), bits_byte))))
+        jb < lit_sec, lit_sec_byte,
+        jnp.where(jb < lit_sec + 2, nbseq_b,
+            jnp.where(jb == lit_sec + 2, modes.astype(jnp.uint32),
+                jnp.where(jb < lit_sec + 3 + tbl_len,
+                          tbl_byte.astype(jnp.uint32), bits_byte))))
     tail = jnp.where(use_raw, raw_byte, compressed)
     row = jnp.where(j < 12, head, tail).astype(jnp.uint8)
     row = jnp.where(j < out_len, row, 0)
     return row, out_len
 
 
-@partial(jax.jit, static_argnames=("S", "W", "hash_log"))
-def encode_frames_device(blocks, n_valid, S: int, W: int,
-                         hash_log: int = 15):
-    """Batched device encode: uint8 [B, N] padded records -> zstd frame
-    rows uint8 [B, N+16] + lengths int32 [B].  Everything — parse, FSE
-    coding, bit packing, frame assembly — runs in one XLA program."""
+@partial(jax.jit, static_argnames=("S", "hash_log"))
+def _parse_phase(blocks, n_valid, S: int, hash_log: int):
+    """Phase A: greedy parse + literal compaction + literal histograms.
+    Device arrays stay resident for phase B; only the [B, 256] histogram
+    crosses to the host (table building is host-scale work, exactly like
+    the decode plane's header planning)."""
+    from .histogram import histogram_u8
+
+    nv = n_valid.astype(jnp.int32)
+    parsed = parse_blocks_ptrjump(blocks, nv, hash_log, S, 8, 8)
+    N = blocks.shape[1]
+
+    def lane(blk, nvl, real_mls, covered, nseq):
+        idx = jnp.arange(N, dtype=jnp.int32)
+        drop = covered | (idx >= nvl)
+        key = drop.astype(jnp.uint32) * jnp.uint32(N) + idx.astype(jnp.uint32)
+        _, lit_sorted = jax.lax.sort((key, blk), num_keys=1, is_stable=False)
+        i = jnp.arange(real_mls.shape[0], dtype=jnp.int32)
+        lit_count = (nvl - jnp.sum(jnp.where(i < nseq, real_mls, 0))
+                     ).astype(jnp.int32)
+        hist = histogram_u8(lit_sorted,
+                            mask=jnp.arange(N, dtype=jnp.int32) < lit_count)
+        return lit_sorted, lit_count, hist
+
+    lit_sorted, lit_count, lit_hist = jax.vmap(lane)(
+        blocks, nv, parsed["mls"], parsed["covered"], parsed["nseq"])
+
+    # sequence-code histograms (compare-reduce: TPU-fast, no scatters)
     t = _tables()
-    parsed = parse_blocks_ptrjump(blocks, n_valid.astype(jnp.int32),
-                                  hash_log, S, 8, 8)
-    lane = lambda blk, nv, st, ml, of, ns, cov: _encode_lane(
-        blk, nv, {"starts": st, "mls": ml, "offs": of, "nseq": ns,
-                  "covered": cov}, W, t)
-    rows, lens = jax.vmap(lane)(blocks, n_valid.astype(jnp.int32),
-                                parsed["starts"], parsed["mls"],
-                                parsed["offs"], parsed["nseq"],
-                                parsed["covered"])
-    return rows, lens
+
+    def code_hists(starts, mls_l, offs_l, ns):
+        Sl = starts.shape[0]
+        i = jnp.arange(Sl, dtype=jnp.int32)
+        real = i < ns
+        prev_end = jnp.concatenate(
+            [jnp.zeros(1, jnp.int32), (starts + mls_l)[:-1]])
+        ll = jnp.where(real, starts - prev_end, 0)
+        mlv = jnp.where(real, mls_l - MINMATCH, 0)
+        prev_off = jnp.concatenate([jnp.zeros(1, jnp.int32), offs_l[:-1]])
+        rep0 = (i > 0) & (offs_l == prev_off) & (ll > 0)
+        ofb = jnp.where(real, jnp.where(rep0, 1, offs_l + 3), 1)
+        llc, mlc, ofc = _codes_from_values(ll, mlv, ofb, t)
+
+        def hist(c, n_sym):
+            sym = jax.lax.broadcasted_iota(jnp.int32, (1, n_sym), 1)
+            return jnp.sum((c.reshape(-1, 1) == sym) & real.reshape(-1, 1),
+                           axis=0, dtype=jnp.int32)
+
+        return hist(llc, 36), hist(ofc, 32), hist(mlc, 53)
+
+    llh, ofh, mlh = jax.vmap(code_hists)(parsed["starts"], parsed["mls"],
+                                         parsed["offs"], parsed["nseq"])
+    return parsed, lit_sorted, lit_count, lit_hist, (llh, ofh, mlh)
+
+
+DESC_MAX = 160   # serialized Huffman table descriptor cap
+
+
+def _build_lit_tables(lit_hist: np.ndarray, lit_count: np.ndarray):
+    """Host middle phase: canonical Huffman tables per lane from device
+    histograms (HUF_buildCTable/HUF_writeCTable role).  Returns
+    (codes [B,256] u32, nbits [B,256] u32, desc [B,DESC_MAX] u8,
+    desc_len [B] i32, huf_ok [B] bool)."""
+    from ..entropy import huffman
+
+    B = lit_hist.shape[0]
+    codes = np.zeros((B, 256), np.uint32)
+    nbits = np.zeros((B, 256), np.uint32)
+    desc = np.zeros((B, DESC_MAX), np.uint8)
+    desc_len = np.zeros(B, np.int32)
+    huf_ok = np.zeros(B, bool)
+    for b in range(B):
+        n = int(lit_count[b])
+        counts = lit_hist[b]
+        nz = np.nonzero(counts)[0]
+        if n < 64 or len(nz) < 2 or int(counts.max()) >= n:
+            continue  # raw/RLE territory
+        try:
+            ct = huffman.build_ctable(counts, int(nz[-1]), 11)
+            d = huffman.write_ctable(ct)
+        except Exception:
+            continue
+        if len(d) > DESC_MAX:
+            continue
+        codes[b, :ct.max_symbol + 1] = ct.code
+        nbits[b, :ct.max_symbol + 1] = ct.nb_bits
+        desc[b, :len(d)] = np.frombuffer(d, np.uint8)
+        desc_len[b] = len(d)
+        huf_ok[b] = True
+    return codes, nbits, desc, desc_len, huf_ok
+
+
+TBL_MAX = 128   # per-lane sequence-tables area cap (3 NCounts)
+
+
+def _build_seq_tables(hists, nseq: np.ndarray, t):
+    """Host middle phase: per-lane FSE tables from device code histograms
+    (ZSTD_selectEncodingType + FSE_normalizeCount role, restricted to the
+    DEFAULT table logs so every device shape stays static).  Per channel:
+    fresh FSE (mode 2) when it pays, RLE (mode 1) for single-symbol
+    streams, predefined (mode 0) otherwise."""
+    from ..entropy import fse
+
+    chans = (("ll", 0, 35), ("of", 1, 31), ("ml", 2, 52))
+    B = nseq.shape[0]
+    mode = np.zeros((B, 3), np.int32)
+    tbl = np.zeros((B, TBL_MAX), np.uint8)
+    tbl_len = np.zeros(B, np.int32)
+    out = {}
+    for name, ci, max_code in chans:
+        st_def = t[name]
+        nsym = st_def["dnb"].shape[0]
+        TS = 1 << st_def["tlog"]
+        dnb = np.broadcast_to(st_def["dnb"], (B, nsym)).copy()
+        dfs = np.broadcast_to(st_def["dfs"], (B, nsym)).copy()
+        stt = np.broadcast_to(st_def["st"], (B, TS)).copy()
+        flush = np.full(B, st_def["tlog"], np.int32)
+        out[name] = (dnb, dfs, stt, flush)
+    for b in range(B):
+        n = int(nseq[b])
+        if n < 32:
+            continue
+        parts = []
+        ok_modes = [0, 0, 0]
+        for name, ci, max_code in chans:
+            counts = np.asarray(hists[ci][b], np.int64)
+            nz = np.nonzero(counts)[0]
+            st_def = _tables()[name]
+            if len(nz) == 1:
+                ok_modes[ci] = 1
+                parts.append(bytes([int(nz[0])]))
+                out[name][0][b, :] = 0      # dnb=0: zero-width emissions
+                out[name][1][b, :] = 0
+                out[name][2][b, :] = 0
+                out[name][3][b] = 0
+                continue
+            try:
+                max_sym = int(nz[-1])
+                tlog = st_def["tlog"]
+                norm = fse.normalize_count(counts[:max_sym + 1], tlog,
+                                           n, max_sym, False)
+                hdr = fse.write_ncount(norm, max_sym, tlog)
+                ct = fse.build_ctable(norm, max_sym, tlog)
+            except Exception:
+                continue
+            ok_modes[ci] = 2
+            parts.append(hdr)
+            out[name][0][b, :max_sym + 1] = np.asarray(
+                ct.delta_nb_bits, np.int64).astype(np.int32)
+            out[name][1][b, :max_sym + 1] = np.asarray(
+                ct.delta_find_state, np.int32)
+            out[name][2][b, :] = (np.asarray(ct.state_table, np.int64)
+                                  - (1 << tlog)).astype(np.int32)
+        area = b"".join(parts)
+        if len(area) > TBL_MAX or all(m == 0 for m in ok_modes):
+            # roll back to predefined for this lane
+            for name, ci, _mc in chans:
+                st_def = _tables()[name]
+                out[name][0][b] = st_def["dnb"]
+                out[name][1][b] = st_def["dfs"]
+                out[name][2][b] = st_def["st"]
+                out[name][3][b] = st_def["tlog"]
+            continue
+        # channels that stayed predefined emit nothing in the area
+        mode[b] = ok_modes
+        tbl[b, :len(area)] = np.frombuffer(area, np.uint8)
+        tbl_len[b] = len(area)
+    mode_byte = (mode[:, 0] << 6) | (mode[:, 1] << 4) | (mode[:, 2] << 2)
+    return out, mode_byte.astype(np.int32), tbl, tbl_len
+
+
+def encode_frames_device(blocks, n_valid, S: int, W: int,
+                         hash_log: int = 15, huf_literals: bool = True):
+    """Batched device encode: uint8 [B, N] padded records -> zstd frame
+    rows uint8 [B, N+16] + lengths int32 [B].
+
+    Two fused XLA programs: phase A (parse + literal compaction +
+    histograms), a host-scale table-build step (Huffman literal tables +
+    fresh per-lane FSE sequence tables at the default logs), then phase B
+    (FSE state chains, Huffman + FSE bit packing, frame assembly)."""
+    t = _tables()
+    parsed, lit_sorted, lit_count, lit_hist, code_hists = _parse_phase(
+        blocks, n_valid, S, hash_log)
+    B, N = blocks.shape
+    if huf_literals:
+        ch, nh, dh_, dl, ok = _build_lit_tables(
+            np.asarray(lit_hist), np.asarray(lit_count))
+    else:
+        ch = np.zeros((B, 256), np.uint32)
+        nh = np.zeros((B, 256), np.uint32)
+        dh_ = np.zeros((B, DESC_MAX), np.uint8)
+        dl = np.zeros(B, np.int32)
+        ok = np.zeros(B, bool)
+    hists_np = tuple(np.asarray(h) for h in code_hists)
+    seq_t, mode_byte, tbl, tbl_len = _build_seq_tables(
+        hists_np, np.asarray(parsed["nseq"]), t)
+    sa = []
+    for name in ("ll", "of", "ml"):
+        dnb, dfs, stt, flush = seq_t[name]
+        sa += [jnp.asarray(dnb), jnp.asarray(dfs), jnp.asarray(stt),
+               jnp.asarray(flush)]
+    SEGMAX = N // 4 + 1
+    WQ = (SEGMAX * 11 + 24) // 32 + 2
+    return _assembly_phase(
+        blocks, n_valid.astype(jnp.int32), parsed["starts"], parsed["mls"],
+        parsed["offs"], parsed["nseq"], lit_sorted, lit_count,
+        jnp.asarray(ch), jnp.asarray(nh), jnp.asarray(dh_),
+        jnp.asarray(dl), jnp.asarray(ok), *sa, jnp.asarray(mode_byte),
+        jnp.asarray(tbl), jnp.asarray(tbl_len), S, W, WQ)
+
+
+@partial(jax.jit, static_argnames=("S", "W", "WQ"))
+def _assembly_phase(blocks, nv, starts, mls, offs, nseq, lit_sorted,
+                    lit_count, h_codes, h_nbits, h_desc, h_dlen, h_ok,
+                    ll_dnb, ll_dfs, ll_st, ll_fl,
+                    of_dnb, of_dfs, of_st, of_fl,
+                    ml_dnb, ml_dfs, ml_st, ml_fl,
+                    mode_byte, tbl, tbl_len,
+                    S: int, W: int, WQ: int):
+    t = _tables()
+
+    def lane(blk, nvl, st, ml, of, ns, ls, lc, hc, hn, hd, hl, hk,
+             a1, a2, a3, a4, b1, b2, b3, b4, c1, c2, c3, c4, mb, tb, tl):
+        return _encode_lane(
+            blk, nvl, {"starts": st, "mls": ml, "offs": of, "nseq": ns},
+            W, t, ls, lc, (hc, hn, hd, hl, hk), WQ,
+            seq_tables={"ll": (a1, a2, a3, a4), "of": (b1, b2, b3, b4),
+                        "ml": (c1, c2, c3, c4), "mode": mb,
+                        "tbl": tb, "tbl_len": tl})
+
+    return jax.vmap(lane)(blocks, nv, starts, mls, offs, nseq,
+                          lit_sorted, lit_count, h_codes, h_nbits,
+                          h_desc, h_dlen, h_ok,
+                          ll_dnb, ll_dfs, ll_st, ll_fl,
+                          of_dnb, of_dfs, of_st, of_fl,
+                          ml_dnb, ml_dfs, ml_st, ml_fl,
+                          mode_byte, tbl, tbl_len)
+
 
 
 def seq_budget(n: int) -> int:
-    """Max sequences the encoder plans for an n-byte block (the parse
-    emits one match per >= MIN_MATCH+1 consumed bytes on average; /4 is
-    the format-safe ceiling used by parse_block)."""
-    return max(16, n // 8)
+    """Max sequences the encoder plans for an n-byte block (word-like
+    text emits one match per ~6 bytes; the format ceiling is n/4 — /5
+    keeps the cap from truncating real parses into literals)."""
+    return max(16, n // 5)
 
 
 def word_budget(s: int) -> int:
