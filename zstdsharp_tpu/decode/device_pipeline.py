@@ -141,7 +141,8 @@ def _parse_lit_header(payload: bytes):
     return lt, sf, (v >> 4) & 0x3FFFF, (v >> 22) & 0x3FFFF, 5
 
 
-def scan_eligibility(frames, ddict=None) -> dict:
+def scan_eligibility(frames, ddict=None,
+                     single_block_only: bool = False) -> dict:
     """Cheap header-only partition probe: frame_idx -> host-route reason
     for frames outside the device envelope (ADVICE r3: the partitioner
     must not run the full ``plan_batch`` — which host-decodes fallback
@@ -167,10 +168,15 @@ def scan_eligibility(frames, ddict=None) -> dict:
                     and hdr.window_size > MB_WINDOW_CAP):
                 routed[fi] = "content/window beyond device caps"
                 continue
+            if single_block_only and content > (1 << 17):
+                routed[fi] = "multi-block (host preferred)"
+                continue
             p = hdr.header_size
             bh = int.from_bytes(frame[p:p + 3], "little")
             last, btype, bsize = bh & 1, (bh >> 1) & 3, bh >> 3
             if not last:
+                if single_block_only:
+                    routed[fi] = "multi-block (host preferred)"
                 continue  # multi-block: device-planned (dependent rounds)
             body_len = bsize if btype != 1 else 1
             tail = 4 if hdr.has_checksum else 0

@@ -259,8 +259,13 @@ def decompress_data_parallel(stream: bytes, mesh: Mesh | None = None,
     # partition: device-eligible vs host frames (header-only probe —
     # plan_batch would host-decode fallback sections, then be re-run by
     # each shard's decode_batch_device)
+    # Stream decode prefers the HOST plane for multi-block frames: their
+    # device path serializes into dependent rounds, which only pays when
+    # many such frames batch together (the record-batch APIs expose it);
+    # the host engine decodes them at engine speed and frames already
+    # shard across dispatch threads.
     t0 = time.perf_counter()
-    host_idx = set(scan_eligibility(frames))
+    host_idx = set(scan_eligibility(frames, single_block_only=True))
     dev_idx = [i for i in range(len(frames)) if i not in host_idx]
     t_plan = time.perf_counter() - t0
 
@@ -377,3 +382,52 @@ def _select_greedy_py(block: np.ndarray, n_valid: int, cand: np.ndarray):
             pos += 1
     return (np.array(lls, np.uint32), np.array(mls, np.uint32),
             np.array(obs, np.uint32), n_valid - anchor)
+
+
+def compress_records_device(records, mesh: Mesh | None = None,
+                            telemetry: dict | None = None) -> list:
+    """Record-batch compression on the DEVICE plane, sharded over the
+    mesh (the encode mirror of decompress_data_parallel's device path):
+    records are round-robin sharded across the mesh's devices and each
+    shard runs compress_batch_device there — parse, FSE coding, bit
+    packing and frame assembly wholly on its device
+    (encode/device_pipeline.py).  Returns the per-record frame bytes in
+    order; records outside the device envelope compress on the host."""
+    import time
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    import jax
+
+    from ..encode.device_pipeline import compress_batch_device
+
+    mesh = mesh if mesh is not None else make_mesh()
+    devices = list(mesh.devices.flat)
+    ndev = len(devices)
+    results: list = [None] * len(records)
+    shards = [list(range(d, len(records), ndev)) for d in range(ndev)]
+    t0 = time.perf_counter()
+    stats_all = []
+
+    def run_shard(d: int):
+        idxs = shards[d]
+        if not idxs:
+            return d, [], None
+        with jax.default_device(devices[d]):
+            frames, stats = compress_batch_device(
+                [records[i] for i in idxs], materialize=True)
+        return d, frames, stats
+
+    with ThreadPoolExecutor(max_workers=ndev) as pool:
+        for d, frames, stats in pool.map(run_shard, range(ndev)):
+            for i, f in zip(shards[d], frames):
+                results[i] = f
+            if stats:
+                stats_all.append(stats)
+    if telemetry is not None:
+        telemetry["ms"] = round((time.perf_counter() - t0) * 1e3, 1)
+        telemetry["device_frames"] = sum(
+            s["device_frames"] for s in stats_all)
+        telemetry["host_frames"] = sum(s["host_frames"] for s in stats_all)
+        telemetry["shards"] = ndev
+    return results
