@@ -182,7 +182,8 @@ def main() -> None:
             [sys.executable, "-c",
              "import jax; raise SystemExit(0 if jax.default_backend() == 'tpu' else 1)"],
             timeout=180, capture_output=True)
-        if probe.returncode != 0:
+        tpu_probe_ok = probe.returncode == 0
+        if not tpu_probe_ok:
             raise RuntimeError("no TPU backend (probe)")
 
         import jax
@@ -225,6 +226,10 @@ def main() -> None:
     # Device encode plane: records -> greedy parse + FSE coding + frame
     # assembly wholly on device (encode/device_pipeline.py).
     try:
+        # the decode section's subprocess probe already told us whether the
+        # tunnel is alive; importing jax in-process would WEDGE otherwise
+        if not locals().get("tpu_probe_ok"):
+            raise RuntimeError("no TPU backend (probe)")
         import jax
 
         if jax.default_backend() != "tpu":
