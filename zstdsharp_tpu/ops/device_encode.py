@@ -59,7 +59,7 @@ def _tables():
                           C.OF_DEFAULT_NORM_LOG)
 
     def pack(ct):
-        return {
+        d = {
             "tlog": int(ct.table_log),
             "dnb": np.asarray(ct.delta_nb_bits, np.int64).astype(np.int32),
             "dfs": np.asarray(ct.delta_find_state, np.int32),
@@ -67,6 +67,8 @@ def _tables():
             "st": (np.asarray(ct.state_table, np.int64)
                    - (1 << ct.table_log)).astype(np.int32),
         }
+        d["maps"], d["nbs"], d["init"] = _symbol_maps(d)
+        return d
 
     # value -> code LUTs (ZSTD_LLcode/ZSTD_MLcode small-value tables)
     ll_lut = (np.searchsorted(C.LL_BASE, np.arange(64), side="right")
@@ -81,6 +83,27 @@ def _tables():
     }
     _CONST_CACHE["t"] = t
     return t
+
+
+def _symbol_maps(stream):
+    """[NSYM, TS] next-state permutation + emitted-bit-count tables and
+    the [NSYM] init states: the per-symbol FSE transition precomputed
+    over every state, so the device builds its scan operands with one
+    row-gather instead of in-kernel arithmetic + table probes."""
+    tlog = stream["tlog"]
+    TS = 1 << tlog
+    dnb = stream["dnb"].astype(np.int64)
+    dfs = stream["dfs"].astype(np.int64)
+    st = stream["st"].astype(np.int64)
+    u = np.arange(TS)[None, :]
+    val = TS + u
+    nb = (val + dnb[:, None]) >> 16
+    nxt = st[np.clip((val >> nb) + dfs[:, None], 0, TS - 1)]
+    # FSE_initCState2 per symbol (pure function of the table)
+    nb0 = (dnb + (1 << 15)) >> 16
+    v0 = (nb0 << 16) - dnb
+    init = st[np.clip((v0 >> nb0) + dfs, 0, TS - 1)]
+    return nxt.astype(np.int32), nb.astype(np.uint8), init.astype(np.int32)
 
 
 def _highbit(v):
@@ -123,27 +146,23 @@ def _fse_stream_states(codes, nseq, stream, tables=None):
     tlog = stream["tlog"]
     TS = 1 << tlog
     if tables is None:
-        dnb = jnp.asarray(stream["dnb"])
-        dfs = jnp.asarray(stream["dfs"])
-        st = jnp.asarray(stream["st"])
+        sym_maps = jnp.asarray(stream["maps"])
+        sym_nbs = jnp.asarray(stream["nbs"])
+        sym_init = jnp.asarray(stream["init"])
     else:
-        dnb, dfs, st = tables
+        sym_maps, sym_nbs, sym_init = tables
 
     i = jnp.arange(S, dtype=jnp.int32)
-    c = jnp.clip(codes, 0, dnb.shape[0] - 1)
+    c = jnp.clip(codes, 0, sym_maps.shape[0] - 1)
 
-    # init state from the LAST real symbol (FSE_initCState2 role)
+    # init state from the LAST real symbol (FSE_initCState2, host-built)
     c_last = c[jnp.clip(nseq - 1, 0, S - 1)]
-    nb0 = (dnb[c_last] + (1 << 15)) >> 16
-    v0 = (nb0 << 16) - dnb[c_last]
-    u_init = st[(v0 >> nb0) + dfs[c_last]]
+    u_init = jnp.take(sym_init, c_last)
 
-    # per-symbol permutation map over u in [0, TS): applied when encoding
-    # symbol i with incoming state u (value = TS + u)
+    # per-symbol permutation map over u in [0, TS): one row-gather from
+    # the precomputed [NSYM, TS] transition tables
     u = jnp.arange(TS, dtype=jnp.int32)[None, :]
-    val = TS + u
-    nb_u = (val + dnb[c][:, None]) >> 16
-    nxt = st[jnp.clip((val >> nb_u) + dfs[c][:, None], 0, TS - 1)]
+    nxt = jnp.take(sym_maps, c, axis=0)
     ident = jnp.broadcast_to(u, (S, TS))
     # steps exist only for i <= nseq-2
     maps = jnp.where((i[:, None] <= nseq - 2), nxt, ident).astype(jnp.int32)
@@ -164,7 +183,7 @@ def _fse_stream_states(codes, nseq, stream, tables=None):
     u_next = jnp.concatenate([u_all[1:], jnp.zeros(1, jnp.int32)])
 
     emit_val = TS + u_next
-    nb = (emit_val + dnb[c]) >> 16
+    nb = jnp.take(sym_nbs, c * TS + u_next).astype(jnp.int32)
     emit_nb = jnp.where(i <= nseq - 2, nb, 0)
 
     flush_val = jnp.where(nseq > 0,
@@ -475,11 +494,11 @@ def _build_seq_tables(hists, nseq: np.ndarray, t):
         st_def = t[name]
         nsym = st_def["dnb"].shape[0]
         TS = 1 << st_def["tlog"]
-        dnb = np.broadcast_to(st_def["dnb"], (B, nsym)).copy()
-        dfs = np.broadcast_to(st_def["dfs"], (B, nsym)).copy()
-        stt = np.broadcast_to(st_def["st"], (B, TS)).copy()
+        maps = np.broadcast_to(st_def["maps"], (B, nsym, TS)).copy()
+        nbs = np.broadcast_to(st_def["nbs"], (B, nsym, TS)).copy()
+        init = np.broadcast_to(st_def["init"], (B, nsym)).copy()
         flush = np.full(B, st_def["tlog"], np.int32)
-        out[name] = (dnb, dfs, stt, flush)
+        out[name] = (maps, nbs, init, flush)
     for b in range(B):
         n = int(nseq[b])
         if n < 32:
@@ -493,9 +512,9 @@ def _build_seq_tables(hists, nseq: np.ndarray, t):
             if len(nz) == 1:
                 ok_modes[ci] = 1
                 parts.append(bytes([int(nz[0])]))
-                out[name][0][b, :] = 0      # dnb=0: zero-width emissions
-                out[name][1][b, :] = 0
-                out[name][2][b, :] = 0
+                out[name][0][b] = 0      # zero-width channel
+                out[name][1][b] = 0
+                out[name][2][b] = 0
                 out[name][3][b] = 0
                 continue
             try:
@@ -509,20 +528,26 @@ def _build_seq_tables(hists, nseq: np.ndarray, t):
                 continue
             ok_modes[ci] = 2
             parts.append(hdr)
-            out[name][0][b, :max_sym + 1] = np.asarray(
-                ct.delta_nb_bits, np.int64).astype(np.int32)
-            out[name][1][b, :max_sym + 1] = np.asarray(
-                ct.delta_find_state, np.int32)
-            out[name][2][b, :] = (np.asarray(ct.state_table, np.int64)
-                                  - (1 << tlog)).astype(np.int32)
+            fresh = {
+                "tlog": tlog,
+                "dnb": np.asarray(ct.delta_nb_bits, np.int64).astype(
+                    np.int32),
+                "dfs": np.asarray(ct.delta_find_state, np.int32),
+                "st": (np.asarray(ct.state_table, np.int64)
+                       - (1 << tlog)).astype(np.int32),
+            }
+            fm, fn_, fi = _symbol_maps(fresh)
+            out[name][0][b, :max_sym + 1] = fm
+            out[name][1][b, :max_sym + 1] = fn_
+            out[name][2][b, :max_sym + 1] = fi
         area = b"".join(parts)
         if len(area) > TBL_MAX or all(m == 0 for m in ok_modes):
             # roll back to predefined for this lane
             for name, ci, _mc in chans:
                 st_def = _tables()[name]
-                out[name][0][b] = st_def["dnb"]
-                out[name][1][b] = st_def["dfs"]
-                out[name][2][b] = st_def["st"]
+                out[name][0][b] = st_def["maps"]
+                out[name][1][b] = st_def["nbs"]
+                out[name][2][b] = st_def["init"]
                 out[name][3][b] = st_def["tlog"]
             continue
         # channels that stayed predefined emit nothing in the area
