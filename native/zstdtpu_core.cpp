@@ -10113,5 +10113,496 @@ int64_t zt_estream_feed(void* h, const uint8_t* src, int64_t n, int mode,
     return op;
 }
 
+// ---------------------------------------------------------------------------
+// Device-plane batch planner (decode/device_pipeline.py host pass in native
+// code).  The Python plan + prepare_batch pair measured ~850ms per 256-frame
+// batch — 99% of steady-state device-decode time (the Pallas kernels run in
+// single-digit ms).  This section packs the per-lane device operands
+// (Huffman canonical tables + bit planes, coded FSE tables, stream words)
+// straight into caller-owned numpy buffers, one frame per call.
+//
+// Scope: single-block no-dictionary frames (the record-batch deployment
+// shape).  Everything else returns a routing code and the Python planner
+// keeps its existing behavior (multi-block dependent rounds, dict frames,
+// oversized sections).  Mirrors plan_batch's envelope rules exactly.
+// ---------------------------------------------------------------------------
+
+struct ZtDPlaneCtx {
+    // scalars first (all int64 so the ctypes mirror is trivial)
+    int64_t pool_cap, pool_off;
+    int64_t huf_cap, n_huf;
+    int64_t fse_cap, n_fse;
+    int64_t huf_maxw, fse_maxw;   // word rows per lane column
+    int64_t s_cap;                // device max sequences per lane
+    int64_t huf_wmax, fse_wmax;   // running max used words (outputs)
+    int64_t max_seq, max_out;     // running maxima (outputs)
+    uint8_t* raw_pool;
+    uint32_t* huf_words;          // [huf_maxw, huf_cap]
+    int32_t* huf_limits;          // [16, huf_cap]
+    int32_t* huf_bases;           // [16, huf_cap]
+    int32_t* huf_offs;            // [16, huf_cap]
+    int32_t* huf_shifts;          // [16, huf_cap]
+    int32_t* huf_planes;          // [8, 8, huf_cap]
+    int32_t* huf_pos;             // [huf_cap]
+    int32_t* huf_nsym;            // [huf_cap]
+    int32_t* huf_wlen;            // [huf_cap]
+    uint32_t* fse_words;          // [fse_maxw, fse_cap]
+    int32_t* fse_ll;              // [512, fse_cap]
+    int32_t* fse_of;              // [256, fse_cap]
+    int32_t* fse_ml;              // [512, fse_cap]
+    int32_t* fse_logs;            // [3, fse_cap]
+    int32_t* fse_pos;             // [fse_cap]
+    int32_t* fse_rep;             // [3, fse_cap]
+    int32_t* fse_nseq;            // [fse_cap]
+    int32_t* fse_wlen;            // [fse_cap]
+};
+
+// Routing codes shared with Python (_NATIVE_ROUTE in device_pipeline.py).
+enum {
+    ZT_DP_OK = 0,
+    ZT_DP_NO_FCS = 1,
+    ZT_DP_DICT = 2,
+    ZT_DP_CAPS = 3,
+    ZT_DP_TRUNC = 4,
+    ZT_DP_BLOCKSIZE = 5,
+    ZT_DP_LITBOUNDS = 6,
+    ZT_DP_TREELESS = 7,
+    ZT_DP_RESERVED = 8,
+    ZT_DP_BADHUF = 9,
+    ZT_DP_BADSEQ = 10,
+    ZT_DP_PY = -1,   // outside native scope: Python planner handles it
+};
+
+// Pack a bitstream into a words column.  Returns word count or -1 (empty /
+// zero last byte / longer than maxw).
+static int64_t dplane_words(uint32_t* words, int64_t cap, int64_t maxw,
+                            int64_t lane, const uint8_t* p, int64_t len,
+                            int32_t* pos_out) {
+    if (len <= 0 || p[len - 1] == 0) return -1;
+    const int64_t nw = (len + 3) >> 2;
+    if (nw > maxw) return -1;
+    for (int64_t w = 0; w < nw; w++) {
+        uint32_t v = 0;
+        const int64_t rem = len - w * 4;
+        std::memcpy(&v, p + w * 4, (size_t)(rem < 4 ? rem : 4));
+        words[w * cap + lane] = v;
+    }
+    *pos_out = (int32_t)((len - 1) * 8 + highbit32(p[len - 1]));
+    return nw;
+}
+
+// Canonical-arithmetic operands for one Huffman lane (device_huf.py
+// canonical_from_weights + prepare_batch, per lane).  weights includes the
+// implied last symbol; n_out is the lane's symbol count.
+static int64_t dplane_pack_huf_lane(ZtDPlaneCtx* c, const uint8_t* p,
+                                    int64_t len, const uint8_t* weights,
+                                    int nsym_w, int tlog, int64_t n_out) {
+    if (c->n_huf >= c->huf_cap) return -1;
+    const int64_t lane = c->n_huf;
+    int32_t pos = 0;
+    const int64_t nw = dplane_words(c->huf_words, c->huf_cap, c->huf_maxw,
+                                    lane, p, len, &pos);
+    if (nw < 0) return -1;
+    const int sc = 11 - tlog;
+    int32_t lim[16], bas[16], off[16], shf[16];
+    for (int k = 0; k < 16; k++) { lim[k] = 1 << 11; bas[k] = 0; off[k] = 0;
+                                   shf[k] = 0; }
+    uint32_t planes[8][8] = {{0}};
+    int rank = 0;
+    int64_t cum = 0;
+    for (int w = 1; w <= tlog && w <= 11; w++) {
+        const int64_t start_w = cum;
+        const int base_r = rank;
+        for (int s = 0; s < nsym_w && rank < 256; s++)
+            if (weights[s] == w) {
+                for (int j = 0; j < 8; j++)
+                    if ((s >> j) & 1) planes[j][rank >> 5] |= 1u << (rank & 31);
+                rank++;
+            }
+        cum += (int64_t)(rank - base_r) << (w - 1);
+        lim[w - 1] = (int32_t)(cum << sc);
+        bas[w - 1] = base_r;
+        off[w - 1] = (int32_t)(start_w << sc);
+        shf[w - 1] = (w - 1) + sc;
+    }
+    const int64_t cap = c->huf_cap;
+    for (int k = 0; k < 16; k++) {
+        c->huf_limits[k * cap + lane] = lim[k];
+        c->huf_bases[k * cap + lane] = bas[k];
+        c->huf_offs[k * cap + lane] = off[k];
+        c->huf_shifts[k * cap + lane] = shf[k];
+    }
+    for (int j = 0; j < 8; j++)
+        for (int wd = 0; wd < 8; wd++)
+            c->huf_planes[(j * 8 + wd) * cap + lane] = (int32_t)planes[j][wd];
+    c->huf_pos[lane] = pos;
+    c->huf_nsym[lane] = (int32_t)n_out;
+    c->huf_wlen[lane] = (int32_t)nw;
+    if (nw > c->huf_wmax) c->huf_wmax = nw;
+    c->n_huf++;
+    return lane;
+}
+
+// Coded FSE table (sym | next_state<<8 | state_bits<<20) into a column.
+static void dplane_coded_fill(int32_t* out, int64_t cap, int64_t lane,
+                              const int16_t* norm, int max_sym, int tlog) {
+    const int tsize = 1 << tlog;
+    uint8_t tsym[1 << 9];
+    fse_spread(norm, max_sym, tlog, tsym);
+    uint32_t next[256];
+    for (int s = 0; s <= max_sym; s++)
+        next[s] = norm[s] == -1 ? 1 : (norm[s] > 0 ? (uint32_t)norm[s] : 0);
+    for (int u = 0; u < tsize; u++) {
+        const int s = tsym[u];
+        const uint32_t ns = next[s]++;
+        const int nb = tlog - highbit32(ns);
+        const uint32_t nst = (ns << nb) - (uint32_t)tsize;
+        out[(int64_t)u * cap + lane] =
+            (int32_t)((uint32_t)s | (nst << 8) | ((uint32_t)nb << 20));
+    }
+}
+
+// Predefined coded tables (mode 0), built once.
+static int32_t kCodedLLDef[1 << kLLNormLog];
+static int32_t kCodedMLDef[1 << kMLNormLog];
+static int32_t kCodedOFDef[1 << kOFNormLog];
+static bool kCodedDefInit = false;
+
+static void dplane_coded_defaults() {
+    if (kCodedDefInit) return;
+    dplane_coded_fill(kCodedLLDef, 1, 0, kLLNorm, kMaxLL, kLLNormLog);
+    dplane_coded_fill(kCodedMLDef, 1, 0, kMLNorm, kMaxML, kMLNormLog);
+    dplane_coded_fill(kCodedOFDef, 1, 0, kOFNorm, kDefaultMaxOFF, kOFNormLog);
+    kCodedDefInit = true;
+}
+
+// One channel of the sequence-table header for a FRESH frame (no repeat
+// state).  Fills the coded column; returns bytes consumed or -1.
+static int64_t dplane_seq_table(int mode, const uint8_t* src, int64_t size,
+                                int32_t* out, int64_t cap, int64_t lane,
+                                const int32_t* coded_def, int def_log,
+                                int max_sym, int max_log, int* tlog_out) {
+    dplane_coded_defaults();
+    if (mode == 0) {
+        const int tsize = 1 << def_log;
+        for (int u = 0; u < tsize; u++)
+            out[(int64_t)u * cap + lane] = coded_def[u];
+        *tlog_out = def_log;
+        return 0;
+    }
+    if (mode == 1) {
+        if (size < 1 || src[0] > max_sym) return -1;
+        out[lane] = src[0];  // tlog 0: single state, nb 0, nst 0
+        *tlog_out = 0;
+        return 1;
+    }
+    if (mode == 2) {
+        int16_t norm[64];
+        int ms, tl;
+        const int64_t h = fse_read_ncount(norm, &ms, &tl, src, size,
+                                          max_sym, max_log);
+        if (h < 0) return -1;
+        dplane_coded_fill(out, cap, lane, norm, ms, tl);
+        *tlog_out = tl;
+        return h;
+    }
+    return -1;  // repeat mode on a fresh frame is corrupt
+}
+
+// Huffman weight read incl. implied-last completion (huf_read_weights_c +
+// the completion logic of huf_read_and_build_dtable).  Returns header bytes
+// consumed, or -1.  weights must hold 257 entries.
+static int64_t dplane_read_weights(const uint8_t* src, int64_t size,
+                                   uint8_t* weights, int* nsym_out,
+                                   int* tlog_out) {
+    int nw = 0;
+    const int64_t consumed = huf_read_weights_c(src, size, weights, &nw);
+    if (consumed < 0) return -1;
+    uint64_t total = 0;
+    for (int i = 0; i < nw; i++) {
+        if (weights[i] > 12) return -1;
+        if (weights[i]) total += 1ULL << (weights[i] - 1);
+    }
+    if (total == 0) return -1;
+    const int tlog = highbit32((uint32_t)total) + 1;
+    if (tlog > 12) return -1;
+    const uint64_t rest = (1ULL << tlog) - total;
+    if (rest == 0 || (rest & (rest - 1))) return -1;
+    weights[nw] = (uint8_t)(highbit32((uint32_t)rest) + 1);
+    *nsym_out = nw + 1;
+    *tlog_out = tlog;
+    return consumed;
+}
+
+// Python-fallback lane packers: the Python planner (multi-block frames,
+// dict batches) routes its lanes through these so every lane of a batch
+// lives in one packed numbering.
+int64_t zt_dplane_pack_huf(ZtDPlaneCtx* c, const uint8_t* p, int64_t len,
+                           const uint8_t* weights, int64_t nsym_w,
+                           int64_t tlog, int64_t n_out) {
+    return dplane_pack_huf_lane(c, p, len, weights, (int)nsym_w, (int)tlog,
+                                n_out);
+}
+
+int64_t zt_dplane_pack_fse(ZtDPlaneCtx* c, const uint8_t* p, int64_t len,
+                           const int32_t* ll512, const int32_t* of256,
+                           const int32_t* ml512, int64_t ll_log,
+                           int64_t of_log, int64_t ml_log,
+                           const int32_t* rep3, int64_t nseq) {
+    if (c->n_fse >= c->fse_cap) return -1;
+    const int64_t lane = c->n_fse;
+    const int64_t cap = c->fse_cap;
+    int32_t pos = 0;
+    const int64_t nw = dplane_words(c->fse_words, cap, c->fse_maxw, lane, p,
+                                    len, &pos);
+    if (nw < 0) return -1;
+    for (int u = 0; u < 512; u++) c->fse_ll[(int64_t)u * cap + lane] = ll512[u];
+    for (int u = 0; u < 256; u++) c->fse_of[(int64_t)u * cap + lane] = of256[u];
+    for (int u = 0; u < 512; u++) c->fse_ml[(int64_t)u * cap + lane] = ml512[u];
+    c->fse_logs[0 * cap + lane] = (int32_t)ll_log;
+    c->fse_logs[1 * cap + lane] = (int32_t)of_log;
+    c->fse_logs[2 * cap + lane] = (int32_t)ml_log;
+    c->fse_pos[lane] = pos;
+    for (int k = 0; k < 3; k++) c->fse_rep[k * cap + lane] = rep3[k];
+    c->fse_nseq[lane] = (int32_t)nseq;
+    c->fse_wlen[lane] = (int32_t)nw;
+    if (nw > c->fse_wmax) c->fse_wmax = nw;
+    if (nseq > c->max_seq) c->max_seq = nseq;
+    c->n_fse++;
+    return lane;
+}
+
+// Plan one frame.  meta[12] = [lit_kind, pool_base, pool_len, huf_lane0,
+// huf_seg, seq_kind, fse_lane, host_row, n_seq, lit_regen, out_len,
+// checksum].  Returns ZT_DP_OK / a host-route code / ZT_DP_PY.
+int zt_dplane_frame(ZtDPlaneCtx* c, const uint8_t* frame, int64_t n,
+                    int32_t* meta) {
+    codec_init();
+    // rollback state: a frame either plans fully or leaves no trace
+    const int64_t pool0 = c->pool_off, huf0 = c->n_huf, fse0 = c->n_fse;
+    const int64_t hw0 = c->huf_wmax, fw0 = c->fse_wmax, ms0 = c->max_seq;
+#define ZT_DP_FAIL(code) do { c->pool_off = pool0; c->n_huf = huf0; \
+    c->n_fse = fse0; c->huf_wmax = hw0; c->fse_wmax = fw0; \
+    c->max_seq = ms0; return (code); } while (0)
+    int64_t fcs = -1;
+    int has_cksum = 0;
+    uint32_t dict_id = 0;
+    const int64_t hdr = parse_frame_header_c(frame, n, &fcs, &has_cksum,
+                                             &dict_id);
+    if (hdr < 0) return ZT_DP_TRUNC;
+    if (fcs < 0) return ZT_DP_NO_FCS;
+    if (dict_id != 0) return ZT_DP_DICT;
+    const int64_t content = fcs;
+    if (content > (1LL << 22)) return ZT_DP_CAPS;
+    int64_t p = hdr;
+    if (p + 3 > n) return ZT_DP_TRUNC;
+    const uint32_t bh = (uint32_t)frame[p] | ((uint32_t)frame[p + 1] << 8) |
+                        ((uint32_t)frame[p + 2] << 16);
+    const int last = bh & 1;
+    const int btype = (bh >> 1) & 3;
+    const int64_t bsize = bh >> 3;
+    if (!last) return ZT_DP_PY;           // multi-block: Python plan
+    if (btype == 3) return ZT_DP_RESERVED;
+    const int64_t body_len = btype == 1 ? 1 : bsize;
+    const int64_t tail = has_cksum ? 4 : 0;
+    if (p + 3 + body_len + tail > n) return ZT_DP_TRUNC;
+    int32_t cksum = -1;
+    if (has_cksum) {
+        uint32_t v;
+        std::memcpy(&v, frame + p + 3 + body_len, 4);
+        cksum = (int32_t)v;
+    }
+    // meta defaults
+    int32_t lit_kind = 0, huf_lane0 = -1, huf_seg = 0;
+    int32_t seq_kind = 0, fse_lane = -1, n_seq = 0;
+    int64_t pool_base = c->pool_off, pool_len = 0, lit_regen = 0;
+    const uint8_t* body = frame + p + 3;
+    if (btype == 0) {          // raw block
+        if (bsize != content) return ZT_DP_BLOCKSIZE;
+        if (c->pool_off + bsize > c->pool_cap) return ZT_DP_PY;
+        std::memcpy(c->raw_pool + c->pool_off, body, (size_t)bsize);
+        c->pool_off += bsize;
+        pool_len = bsize;
+        lit_regen = bsize;
+    } else if (btype == 1) {   // RLE block
+        if (bsize != content) return ZT_DP_BLOCKSIZE;
+        if (c->pool_off + 1 > c->pool_cap) return ZT_DP_PY;
+        c->raw_pool[c->pool_off++] = body[0];
+        pool_len = 1;
+        lit_regen = content;
+    } else {                   // compressed block
+        if (bsize < 1) return ZT_DP_TRUNC;
+        const int b0 = body[0];
+        const int lt = b0 & 3, sf = (b0 >> 2) & 3;
+        int64_t regen, comp = 0, lh;
+        if (lt <= 1) {
+            if (sf == 0 || sf == 2) { regen = b0 >> 3; lh = 1; }
+            else if (sf == 1) {
+                if (bsize < 2) return ZT_DP_LITBOUNDS;
+                regen = (b0 >> 4) + ((int64_t)body[1] << 4); lh = 2;
+            } else {
+                if (bsize < 3) return ZT_DP_LITBOUNDS;
+                regen = (b0 >> 4) + ((int64_t)body[1] << 4) +
+                        ((int64_t)body[2] << 12); lh = 3;
+            }
+        } else {
+            if (bsize < 3) return ZT_DP_LITBOUNDS;
+            if (sf == 0 || sf == 1) {
+                const uint32_t v = (uint32_t)body[0] |
+                    ((uint32_t)body[1] << 8) | ((uint32_t)body[2] << 16);
+                regen = (v >> 4) & 0x3FF; comp = (v >> 14) & 0x3FF; lh = 3;
+            } else if (sf == 2) {
+                if (bsize < 4) return ZT_DP_LITBOUNDS;
+                uint32_t v; std::memcpy(&v, body, 4);
+                regen = (v >> 4) & 0x3FFF; comp = (v >> 18) & 0x3FFF; lh = 4;
+            } else {
+                if (bsize < 5) return ZT_DP_LITBOUNDS;
+                uint64_t v = 0; std::memcpy(&v, body, 5);
+                regen = (int64_t)((v >> 4) & 0x3FFFF);
+                comp = (int64_t)((v >> 22) & 0x3FFFF); lh = 5;
+            }
+        }
+        if (regen > content || lh + (lt >= 2 ? comp : 0) > bsize)
+            return ZT_DP_LITBOUNDS;
+        lit_regen = regen;
+        int64_t lit_end;
+        if (lt == 0) {
+            if (lh + regen > bsize) return ZT_DP_LITBOUNDS;
+            if (c->pool_off + regen > c->pool_cap) return ZT_DP_PY;
+            std::memcpy(c->raw_pool + c->pool_off, body + lh, (size_t)regen);
+            c->pool_off += regen;
+            pool_len = regen;
+            lit_end = lh + regen;
+        } else if (lt == 1) {
+            if (lh + 1 > bsize) return ZT_DP_LITBOUNDS;
+            if (c->pool_off + 1 > c->pool_cap) return ZT_DP_PY;
+            c->raw_pool[c->pool_off++] = body[lh];
+            pool_len = 1;
+            lit_end = lh + 1;
+        } else if (lt == 3) {
+            return ZT_DP_TREELESS;   // no dict table in the native scope
+        } else {
+            uint8_t weights[257];
+            int nsym_w = 0, tlog = 0;
+            const int64_t whdr = dplane_read_weights(body + lh, comp,
+                                                     weights, &nsym_w, &tlog);
+            if (whdr < 0) return ZT_DP_BADHUF;
+            const uint8_t* streams = body + lh + whdr;
+            const int64_t slen = comp - whdr;
+            if (sf != 0) {  // 4-stream
+                if (slen < 10) ZT_DP_FAIL(ZT_DP_PY);
+                const int64_t s1 = streams[0] | (streams[1] << 8);
+                const int64_t s2 = streams[2] | (streams[3] << 8);
+                const int64_t s3 = streams[4] | (streams[5] << 8);
+                const int64_t s4 = slen - 6 - s1 - s2 - s3;
+                const int64_t seg = (regen + 3) / 4;
+                const int64_t szs[4] = {s1, s2, s3, s4};
+                const int64_t outs[4] = {seg, seg, seg, regen - 3 * seg};
+                for (int k = 0; k < 4; k++)
+                    if (szs[k] <= 0 || outs[k] <= 0 ||
+                        szs[k] > c->huf_maxw * 4)
+                        ZT_DP_FAIL(ZT_DP_PY);
+                if (c->n_huf + 4 > c->huf_cap) ZT_DP_FAIL(ZT_DP_PY);
+                huf_lane0 = (int32_t)c->n_huf;
+                huf_seg = (int32_t)seg;
+                int64_t o = 6;
+                for (int k = 0; k < 4; k++) {
+                    if (dplane_pack_huf_lane(c, streams + o, szs[k], weights,
+                                             nsym_w, tlog, outs[k]) < 0)
+                        ZT_DP_FAIL(ZT_DP_TRUNC);  // zero last byte: corrupt
+                    o += szs[k];
+                }
+            } else {        // 1-stream
+                if (slen <= 0 || slen > c->huf_maxw * 4 || regen <= 0 ||
+                    regen > 4096)
+                    ZT_DP_FAIL(ZT_DP_PY);
+                huf_lane0 = (int32_t)c->n_huf;
+                huf_seg = (int32_t)regen;
+                if (dplane_pack_huf_lane(c, streams, slen, weights, nsym_w,
+                                         tlog, regen) < 0)
+                    ZT_DP_FAIL(ZT_DP_TRUNC);
+            }
+            lit_kind = 1;
+            lit_end = lh + comp;
+        }
+        // ---- sequence section ----
+        const uint8_t* rest = body + lit_end;
+        int64_t rsize = bsize - lit_end;
+        if (rsize < 1) ZT_DP_FAIL(ZT_DP_BADSEQ);
+        int64_t nbseq;
+        if (rest[0] < 128) { nbseq = rest[0]; rest += 1; rsize -= 1; }
+        else if (rest[0] < 255) {
+            if (rsize < 2) ZT_DP_FAIL(ZT_DP_BADSEQ);
+            nbseq = ((int64_t)(rest[0] - 128) << 8) + rest[1];
+            rest += 2; rsize -= 2;
+        } else {
+            if (rsize < 3) ZT_DP_FAIL(ZT_DP_BADSEQ);
+            nbseq = rest[1] + ((int64_t)rest[2] << 8) + 0x7F00;
+            rest += 3; rsize -= 3;
+        }
+        if (nbseq > 0) {
+            if (rsize < 1) ZT_DP_FAIL(ZT_DP_BADSEQ);
+            const int mode_byte = rest[0];
+            if (mode_byte & 3) ZT_DP_FAIL(ZT_DP_BADSEQ);
+            rest += 1; rsize -= 1;
+            if (nbseq > c->s_cap || c->n_fse >= c->fse_cap)
+                ZT_DP_FAIL(ZT_DP_PY);
+            const int64_t lane = c->n_fse;
+            const int64_t cap = c->fse_cap;
+            int ll_log = 0, of_log = 0, ml_log = 0;
+            int64_t h = dplane_seq_table(mode_byte >> 6, rest, rsize,
+                                         c->fse_ll, cap, lane, kCodedLLDef,
+                                         kLLNormLog, kMaxLL, 9, &ll_log);
+            if (h < 0) ZT_DP_FAIL(ZT_DP_BADSEQ);
+            rest += h; rsize -= h;
+            h = dplane_seq_table((mode_byte >> 4) & 3, rest, rsize,
+                                 c->fse_of, cap, lane, kCodedOFDef,
+                                 kOFNormLog, kMaxOFF, 8, &of_log);
+            if (h < 0) ZT_DP_FAIL(ZT_DP_BADSEQ);
+            rest += h; rsize -= h;
+            h = dplane_seq_table((mode_byte >> 2) & 3, rest, rsize,
+                                 c->fse_ml, cap, lane, kCodedMLDef,
+                                 kMLNormLog, kMaxML, 9, &ml_log);
+            if (h < 0) ZT_DP_FAIL(ZT_DP_BADSEQ);
+            rest += h; rsize -= h;
+            if (rsize <= 0 || rsize > c->fse_maxw * 4) ZT_DP_FAIL(ZT_DP_PY);
+            int32_t pos = 0;
+            const int64_t nw = dplane_words(c->fse_words, cap, c->fse_maxw,
+                                            lane, rest, rsize, &pos);
+            if (nw < 0) ZT_DP_FAIL(ZT_DP_TRUNC);
+            c->fse_logs[0 * cap + lane] = ll_log;
+            c->fse_logs[1 * cap + lane] = of_log;
+            c->fse_logs[2 * cap + lane] = ml_log;
+            c->fse_pos[lane] = pos;
+            c->fse_rep[0 * cap + lane] = 1;
+            c->fse_rep[1 * cap + lane] = 4;
+            c->fse_rep[2 * cap + lane] = 8;
+            c->fse_nseq[lane] = (int32_t)nbseq;
+            c->fse_wlen[lane] = (int32_t)nw;
+            if (nw > c->fse_wmax) c->fse_wmax = nw;
+            if (nbseq > c->max_seq) c->max_seq = nbseq;
+            c->n_fse++;
+            seq_kind = 1;
+            fse_lane = (int32_t)lane;
+            n_seq = (int32_t)nbseq;
+        }
+    }
+    if (content > c->max_out) c->max_out = content;
+    meta[0] = lit_kind;
+    meta[1] = (int32_t)pool_base;
+    meta[2] = (int32_t)pool_len;
+    meta[3] = huf_lane0;
+    meta[4] = huf_seg;
+    meta[5] = seq_kind;
+    meta[6] = fse_lane;
+    meta[7] = -1;           // host_row (unused on this path)
+    meta[8] = n_seq;
+    meta[9] = (int32_t)lit_regen;
+    meta[10] = (int32_t)content;
+    meta[11] = cksum;
+    return ZT_DP_OK;
+#undef ZT_DP_FAIL
+}
+
 }  // extern "C"
 

@@ -117,6 +117,281 @@ class DevicePlan:
     # multi-block frames: list of dicts {frame_idx, content, checksum,
     # blocks: [_BlockPlan with out_len/out_off per block]}
     mb_frames: list = field(default_factory=list)
+    # native operand buffers (_NativeOps) when the C planner is active; all
+    # lanes and the raw pool then live in its packed arrays instead of the
+    # payload lists above
+    nb: object = None
+
+    # ---- lane/pool helpers: one numbering whether lanes are packed by the
+    # native planner, the native pack entry points, or the Python lists ----
+
+    def pool_add(self, b) -> int:
+        if self.nb is not None:
+            return self.nb.pool_add(bytes(b))
+        base = len(self.raw_pool)
+        self.raw_pool += b
+        return base
+
+    def add_huf_lane(self, payload, weights, n_out) -> int:
+        if self.nb is not None:
+            lane = self.nb.pack_huf(bytes(payload), weights, n_out)
+            if lane >= 0:
+                return lane
+            raise ValueError("corrupt stream: zero last byte")
+        self.huf_payloads.append(payload)
+        self.huf_weights.append(weights)
+        self.huf_nsyms.append(n_out)
+        return len(self.huf_payloads) - 1
+
+    def add_fse_lane(self, payload, dts, nseq, rep) -> int:
+        if self.nb is not None:
+            lane = self.nb.pack_fse(bytes(payload), dts, rep, nseq)
+            if lane >= 0:
+                self.max_seq = max(self.max_seq, nseq)
+                return lane
+            raise ValueError("corrupt stream: zero last byte")
+        ll_dt, of_dt, ml_dt = dts
+        self.fse_payloads.append(payload)
+        self.fse_tables.append((_CodedDT(ll_dt, "ll"), _CodedDT(of_dt, "of"),
+                                _CodedDT(ml_dt, "ml")))
+        self.fse_nseqs.append(nseq)
+        self.fse_reps.append(list(rep))
+        self.max_seq = max(self.max_seq, nseq)
+        return len(self.fse_payloads) - 1
+
+
+# Host-route reasons by native planner code (zt_dplane_frame).
+_NATIVE_ROUTE = {
+    1: "no content size",
+    2: "dictionary required",
+    3: "content/window beyond device caps",
+    4: "corrupt: truncated block",
+    5: "corrupt: block size",
+    6: "corrupt: literal section bounds",
+    7: "treeless literals, no dict table",
+    8: "corrupt: reserved block type",
+    9: "corrupt: huffman weights",
+    10: "corrupt: sequence headers",
+}
+
+
+class _NativeOps:
+    """Packed device operands, filled by the native planner (ZtDPlaneCtx).
+
+    Buffers are numpy arrays in exactly the layouts the kernels consume
+    (lane-column packed); `huf_batch`/`fse_batch` slice 1024-lane windows
+    into HufBatch/FseSeqBatch without any per-lane Python work."""
+
+    LANES = 1024
+    HUF_MAXW = 2048   # == ops.device_huf.MAX_W
+    FSE_MAXW = 2048   # == ops.device_fse.MAX_W
+    S_CAP = 32768     # == _S_BUCKETS[-1]
+
+    def __init__(self, lib, n_frames: int, total_in: int):
+        import ctypes
+
+        self._ctypes = ctypes
+        self.lib = lib
+        from .. import native
+
+        self.ctx = native.DPlaneCtx()
+        self._meta = np.zeros(12, np.int32)
+        huf_cap = -(-max(4 * n_frames, 4) // self.LANES) * self.LANES
+        fse_cap = -(-max(n_frames, 1) // self.LANES) * self.LANES
+        pool_cap = total_in + (1 << 17) + 64
+        self._alloc_huf(huf_cap)
+        self._alloc_fse(fse_cap)
+        self._alloc_pool(pool_cap)
+        self.ctx.s_cap = self.S_CAP
+        self.ctx.huf_maxw = self.HUF_MAXW
+        self.ctx.fse_maxw = self.FSE_MAXW
+
+    # -- allocation / growth (pointers live in the ctx struct) --
+
+    def _i32p(self, a):
+        return a.ctypes.data_as(
+            self._ctypes.POINTER(self._ctypes.c_int32))
+
+    def _alloc_huf(self, cap, old=None):
+        z = lambda *s: np.zeros(s, np.int32)
+        arrs = dict(
+            huf_words=z(self.HUF_MAXW, cap), huf_limits=z(16, cap),
+            huf_bases=z(16, cap), huf_offs=z(16, cap), huf_shifts=z(16, cap),
+            huf_planes=z(64, cap), huf_pos=z(cap), huf_nsym=z(cap),
+            huf_wlen=z(cap))
+        if old is not None:
+            oc = old["huf_words"].shape[1]
+            for k, a in arrs.items():
+                a[..., :oc] = old[k]
+        self._huf = arrs
+        ct = self._ctypes
+        self.ctx.huf_cap = cap
+        self.ctx.huf_words = arrs["huf_words"].ctypes.data_as(
+            ct.POINTER(ct.c_uint32))
+        for k in ("huf_limits", "huf_bases", "huf_offs", "huf_shifts",
+                  "huf_planes", "huf_pos", "huf_nsym", "huf_wlen"):
+            setattr(self.ctx, k, self._i32p(arrs[k]))
+
+    def _alloc_fse(self, cap, old=None):
+        z = lambda *s: np.zeros(s, np.int32)
+        arrs = dict(
+            fse_words=z(self.FSE_MAXW, cap), fse_ll=z(512, cap),
+            fse_of=z(256, cap), fse_ml=z(512, cap), fse_logs=z(3, cap),
+            fse_pos=z(cap), fse_rep=z(3, cap), fse_nseq=z(cap),
+            fse_wlen=z(cap))
+        if old is not None:
+            oc = old["fse_words"].shape[1]
+            for k, a in arrs.items():
+                a[..., :oc] = old[k]
+        self._fse = arrs
+        ct = self._ctypes
+        self.ctx.fse_cap = cap
+        self.ctx.fse_words = arrs["fse_words"].ctypes.data_as(
+            ct.POINTER(ct.c_uint32))
+        for k in ("fse_ll", "fse_of", "fse_ml", "fse_logs", "fse_pos",
+                  "fse_rep", "fse_nseq", "fse_wlen"):
+            setattr(self.ctx, k, self._i32p(arrs[k]))
+
+    def _alloc_pool(self, cap, old=None):
+        pool = np.zeros(cap, np.uint8)
+        if old is not None:
+            pool[: len(old)] = old
+        self._pool = pool
+        ct = self._ctypes
+        self.ctx.pool_cap = cap
+        self.ctx.raw_pool = pool.ctypes.data_as(ct.POINTER(ct.c_uint8))
+
+    def _ensure(self, pool_need=1 << 17, huf_need=4, fse_need=1):
+        c = self.ctx
+        if c.pool_off + pool_need + 8 > c.pool_cap:
+            self._alloc_pool(
+                max(c.pool_cap * 2, c.pool_off + pool_need + 64),
+                old=self._pool[: c.pool_off])
+        if c.n_huf + huf_need > c.huf_cap:
+            self._alloc_huf(c.huf_cap * 2, old=self._huf)
+        if c.n_fse + fse_need > c.fse_cap:
+            self._alloc_fse(c.fse_cap * 2, old=self._fse)
+
+    # -- entry points --
+
+    def _u8p(self, b: bytes):
+        ct = self._ctypes
+        v = np.frombuffer(b, np.uint8)
+        return v.ctypes.data_as(ct.POINTER(ct.c_uint8)), v
+
+    def plan_frame(self, frame):
+        """Run the native planner on one frame.  Returns (rc, meta)."""
+        self._ensure()
+        ct = self._ctypes
+        p, ref = self._u8p(bytes(frame))
+        rc = self.lib.zt_dplane_frame(ct.byref(self.ctx), p, len(ref),
+                                      self._i32p(self._meta))
+        return rc, self._meta
+
+    def pack_huf(self, payload: bytes, weights, n_out: int) -> int:
+        self._ensure(pool_need=0, huf_need=1, fse_need=0)
+        w = np.ascontiguousarray(np.asarray(weights, np.uint8))
+        total = int(((np.uint64(1) << w[w > 0].astype(np.uint64)).sum())
+                    >> np.uint64(1))
+        tlog = max(int(total).bit_length() - 1 if total else 1, 1)
+        ct = self._ctypes
+        p, ref = self._u8p(payload)
+        return int(self.lib.zt_dplane_pack_huf(
+            ct.byref(self.ctx), p, len(ref),
+            w.ctypes.data_as(ct.POINTER(ct.c_uint8)), len(w), tlog, n_out))
+
+    def pack_fse(self, payload: bytes, dts, rep, nseq: int) -> int:
+        from ..ops import device_fse as df
+
+        self._ensure(pool_need=0, huf_need=0, fse_need=1)
+        ll_dt, of_dt, ml_dt = dts
+        ll = np.ascontiguousarray(df.pack_table(ll_dt).astype(np.int32))
+        of = np.ascontiguousarray(
+            df.pack_table(of_dt)[:256].astype(np.int32))
+        ml = np.ascontiguousarray(df.pack_table(ml_dt).astype(np.int32))
+        r3 = np.asarray(list(rep), np.int32)
+        ct = self._ctypes
+        p, ref = self._u8p(payload)
+        return int(self.lib.zt_dplane_pack_fse(
+            ct.byref(self.ctx), p, len(ref),
+            self._i32p(ll), self._i32p(of), self._i32p(ml),
+            int(ll_dt.table_log), int(of_dt.table_log),
+            int(ml_dt.table_log), self._i32p(r3), nseq))
+
+    def pool_add(self, b: bytes) -> int:
+        self._ensure(pool_need=len(b), huf_need=0, fse_need=0)
+        base = int(self.ctx.pool_off)
+        self._pool[base: base + len(b)] = np.frombuffer(b, np.uint8)
+        self.ctx.pool_off = base + len(b)
+        return base
+
+    # -- batched operand views --
+
+    @property
+    def n_huf(self):
+        return int(self.ctx.n_huf)
+
+    @property
+    def n_fse(self):
+        return int(self.ctx.n_fse)
+
+    def pool_bytes(self) -> bytes:
+        return self._pool[: int(self.ctx.pool_off)].tobytes()
+
+    def huf_batch(self, i: int):
+        from ..ops import device_huf as dh
+
+        a = self._huf
+        n = min(self.n_huf - i, self.LANES)
+        s = slice(i, i + self.LANES)
+        wmax = max(int(a["huf_wlen"][s][:n].max()), 2)
+        cut = lambda x: np.ascontiguousarray(x[..., s])
+        return dh.HufBatch(
+            cut(a["huf_words"][:wmax]).reshape(wmax, 8, 128),
+            cut(a["huf_limits"]).reshape(16, 8, 128),
+            cut(a["huf_bases"]).reshape(16, 8, 128),
+            cut(a["huf_offs"]).reshape(16, 8, 128),
+            cut(a["huf_shifts"]).reshape(16, 8, 128),
+            cut(a["huf_planes"]).reshape(8, 8, 8, 128),
+            cut(a["huf_pos"]).reshape(1, 8, 128),
+            cut(a["huf_nsym"]).reshape(8, 128),
+            int(a["huf_nsym"][s][:n].max()))
+
+    def fse_batch(self, i: int):
+        from ..ops import device_fse as df
+
+        a = self._fse
+        n = min(self.n_fse - i, self.LANES)
+        s = slice(i, i + self.LANES)
+        wmax = max(int(a["fse_wlen"][s][:n].max()), 2)
+        cut = lambda x: np.ascontiguousarray(x[..., s])
+        return df.FseSeqBatch(
+            cut(a["fse_words"][:wmax]).reshape(wmax, 8, 128),
+            cut(a["fse_ll"]).reshape(512, 8, 128),
+            cut(a["fse_of"]).reshape(256, 8, 128),
+            cut(a["fse_ml"]).reshape(512, 8, 128),
+            cut(a["fse_logs"][0]).reshape(8, 128),
+            cut(a["fse_logs"][1]).reshape(8, 128),
+            cut(a["fse_logs"][2]).reshape(8, 128),
+            cut(a["fse_pos"]).reshape(1, 8, 128),
+            cut(a["fse_rep"]).reshape(3, 8, 128),
+            cut(a["fse_nseq"]).reshape(8, 128),
+            int(a["fse_nseq"][s][:n].max()))
+
+
+def _native_ops_for(frames):
+    """A _NativeOps for this batch, or None (no toolchain / disabled)."""
+    import os
+
+    if os.environ.get("ZT_NO_NATIVE_PLAN"):
+        return None
+    from .. import native
+
+    lib = native.get_lib()
+    if lib is None or not hasattr(lib, "zt_dplane_frame"):
+        return None
+    total = sum(len(f) for f in frames)
+    return _NativeOps(lib, len(frames), total)
 
 
 def _parse_lit_header(payload: bytes):
@@ -232,14 +507,12 @@ def _plan_multiblock(plan, fi, frame, hdr, ddict, d_weights):
         b = _BlockPlan(frame_idx=fi, out_len=0, lit_regen=0)
         b.out_off = out_off
         if btype == 0:
-            b.pool_base = len(plan.raw_pool)
-            plan.raw_pool += frame[p:p + bsize]
+            b.pool_base = plan.pool_add(frame[p:p + bsize])
             b.pool_len = bsize
             b.lit_regen = bsize
             b.out_len = bsize
         elif btype == 1:
-            b.pool_base = len(plan.raw_pool)
-            plan.raw_pool += frame[p:p + 1]
+            b.pool_base = plan.pool_add(frame[p:p + 1])
             b.pool_len = 1
             b.lit_regen = bsize
             b.out_len = bsize
@@ -250,13 +523,11 @@ def _plan_multiblock(plan, fi, frame, hdr, ddict, d_weights):
                 return "corrupt: literal section bounds"
             b.lit_regen = regen
             if lt == 0:
-                b.pool_base = len(plan.raw_pool)
-                plan.raw_pool += payload[lh:lh + regen]
+                b.pool_base = plan.pool_add(payload[lh:lh + regen])
                 b.pool_len = regen
                 lit_end = lh + regen
             elif lt == 1:
-                b.pool_base = len(plan.raw_pool)
-                plan.raw_pool.append(payload[lh])
+                b.pool_base = plan.pool_add(payload[lh:lh + 1])
                 b.pool_len = 1
                 lit_end = lh + 1
             else:
@@ -280,30 +551,26 @@ def _plan_multiblock(plan, fi, frame, hdr, ddict, d_weights):
                     if (min(sizes) > 0 and min(outs) > 0
                             and max(sizes) <= dh.MAX_W * 4):
                         b.lit_kind = 1
-                        b.huf_lane0 = len(plan.huf_payloads)
                         b.huf_seg = seg
                         off = 6
                         for si in range(4):
-                            plan.huf_payloads.append(
-                                streams[off:off + sizes[si]])
-                            plan.huf_weights.append(weights)
-                            plan.huf_nsyms.append(outs[si])
+                            lane = plan.add_huf_lane(
+                                streams[off:off + sizes[si]], weights,
+                                outs[si])
+                            if si == 0:
+                                b.huf_lane0 = lane
                             off += sizes[si]
                         ok_dev = True
                 elif (weights is not None and sf == 0
                       and 0 < len(streams) <= dh.MAX_W * 4
                       and 0 < regen <= 4096):
                     b.lit_kind = 1
-                    b.huf_lane0 = len(plan.huf_payloads)
                     b.huf_seg = regen
-                    plan.huf_payloads.append(streams)
-                    plan.huf_weights.append(weights)
-                    plan.huf_nsyms.append(regen)
+                    b.huf_lane0 = plan.add_huf_lane(streams, weights, regen)
                     ok_dev = True
                 if not ok_dev:
                     lits, _ = decode_literals(payload, ent)
-                    b.pool_base = len(plan.raw_pool)
-                    plan.raw_pool += lits.tobytes()
+                    b.pool_base = plan.pool_add(lits.tobytes())
                     b.pool_len = regen
                 lit_end = lh + comp
             # sequence section: host decode (chains ent + reps)
@@ -368,7 +635,33 @@ def plan_batch(frames, ddict=None) -> DevicePlan:
         plan.window = content[-(1 << 17):].tobytes()
         if ddict.entropy is not None and len(ddict.raw) >= 8:
             d_weights, _, _ = huffman.read_weights(ddict.raw[8:])
+    else:
+        # native planner: single-block frames plan in C (the Python pass
+        # below measured ~850ms per 256-frame batch vs ~5ms native); frames
+        # outside its scope fall through to the Python logic, whose lanes
+        # pack into the same native operand buffers
+        plan.nb = _native_ops_for(frames)
     for fi, frame in enumerate(frames):
+        if plan.nb is not None:
+            rc, m = plan.nb.plan_frame(frame)
+            if rc == 0:
+                raw_cks = int(m[11])
+                plan.blocks.append(_BlockPlan(
+                    frame_idx=fi, out_len=int(m[10]), lit_regen=int(m[9]),
+                    checksum=(raw_cks & 0xFFFFFFFF) if raw_cks != -1 else -1,
+                    lit_kind=int(m[0]), pool_base=int(m[1]),
+                    pool_len=int(m[2]), huf_lane0=int(m[3]),
+                    huf_seg=int(m[4]), seq_kind=int(m[5]),
+                    fse_lane=int(m[6]), host_row=-1, n_seq=int(m[8])))
+                plan.max_out = max(plan.max_out, int(m[10]))
+                if int(m[5]) == 1:
+                    plan.max_seq = max(plan.max_seq, int(m[8]))
+                continue
+            if rc > 0:
+                plan.host_routed[fi] = _NATIVE_ROUTE.get(
+                    rc, f"native route {rc}")
+                continue
+            # rc < 0: outside native scope — Python planner below
         try:
             buf = np.frombuffer(frame, np.uint8)
             hdr = parse_frame_header(buf)
@@ -421,8 +714,7 @@ def plan_batch(frames, ddict=None) -> DevicePlan:
                     plan.host_routed[fi] = "corrupt: raw block size"
                     continue
                 b.lit_kind = 0
-                b.pool_base = len(plan.raw_pool)
-                plan.raw_pool += frame[p + 3:p + 3 + bsize]
+                b.pool_base = plan.pool_add(frame[p + 3:p + 3 + bsize])
                 b.pool_len = bsize
                 b.lit_regen = bsize
                 plan.blocks.append(b)
@@ -433,8 +725,7 @@ def plan_batch(frames, ddict=None) -> DevicePlan:
                     plan.host_routed[fi] = "corrupt: RLE block size"
                     continue
                 b.lit_kind = 0
-                b.pool_base = len(plan.raw_pool)
-                plan.raw_pool += frame[p + 3:p + 4]
+                b.pool_base = plan.pool_add(frame[p + 3:p + 4])
                 b.pool_len = 1
                 b.lit_regen = content
                 plan.blocks.append(b)
@@ -448,13 +739,11 @@ def plan_batch(frames, ddict=None) -> DevicePlan:
             b.lit_regen = regen
             ent = ent0
             if lt == 0:  # raw literals
-                b.pool_base = len(plan.raw_pool)
-                plan.raw_pool += payload[lh:lh + regen]
+                b.pool_base = plan.pool_add(payload[lh:lh + regen])
                 b.pool_len = regen
                 lit_end = lh + regen
             elif lt == 1:  # RLE literals
-                b.pool_base = len(plan.raw_pool)
-                plan.raw_pool.append(payload[lh])
+                b.pool_base = plan.pool_add(payload[lh:lh + 1])
                 b.pool_len = 1
                 lit_end = lh + 1
             elif lt >= 2:  # Huffman literals (2 fresh tree, 3 treeless)
@@ -480,14 +769,14 @@ def plan_batch(frames, ddict=None) -> DevicePlan:
                     if (min(sizes) > 0 and min(outs) > 0
                             and max(sizes) <= dh.MAX_W * 4):
                         b.lit_kind = 1
-                        b.huf_lane0 = len(plan.huf_payloads)
                         b.huf_seg = seg
                         off = 6
                         for s in range(4):
-                            plan.huf_payloads.append(
-                                streams[off:off + sizes[s]])
-                            plan.huf_weights.append(weights)
-                            plan.huf_nsyms.append(outs[s])
+                            lane = plan.add_huf_lane(
+                                streams[off:off + sizes[s]], weights,
+                                outs[s])
+                            if s == 0:
+                                b.huf_lane0 = lane
                             off += sizes[s]
                         ok_dev = True
                 elif (not four and 0 < len(streams) <= dh.MAX_W * 4
@@ -495,19 +784,15 @@ def plan_batch(frames, ddict=None) -> DevicePlan:
                     # single-stream section: one kernel lane; huf_seg =
                     # regen makes the 4-way stitch read quarter 0 only
                     b.lit_kind = 1
-                    b.huf_lane0 = len(plan.huf_payloads)
                     b.huf_seg = regen
-                    plan.huf_payloads.append(streams)
-                    plan.huf_weights.append(weights)
-                    plan.huf_nsyms.append(regen)
+                    b.huf_lane0 = plan.add_huf_lane(streams, weights, regen)
                     ok_dev = True
                 if not ok_dev:
                     # oversized stream: host-decode into the pool
                     from .block import decode_literals
 
                     lits, _ = decode_literals(payload, ent0)
-                    b.pool_base = len(plan.raw_pool)
-                    plan.raw_pool += lits.tobytes()
+                    b.pool_base = plan.pool_add(lits.tobytes())
                     b.pool_len = regen
                 lit_end = lh + comp
             # sequence section
@@ -521,13 +806,8 @@ def plan_batch(frames, ddict=None) -> DevicePlan:
                         and of_dt.table_log <= 8
                         and nbseq <= _S_BUCKETS[-1]):
                     b.seq_kind = 1
-                    b.fse_lane = len(plan.fse_payloads)
-                    plan.fse_payloads.append(seq_payload)
-                    plan.fse_tables.append((_CodedDT(ll_dt, "ll"),
-                                            _CodedDT(of_dt, "of"),
-                                            _CodedDT(ml_dt, "ml")))
-                    plan.fse_nseqs.append(nbseq)
-                    plan.fse_reps.append(list(ent.rep))
+                    b.fse_lane = plan.add_fse_lane(
+                        seq_payload, (ll_dt, of_dt, ml_dt), nbseq, ent.rep)
                 else:
                     from .block import decode_sequences
 
@@ -607,14 +887,19 @@ def decode_batch_device(frames, materialize: bool = False, ddict=None):
         return [], np.zeros(0, np.int64), host_results
 
     # ---- stage 1: entropy kernels ----
+    nb = plan.nb
     huf_flat = None
     huf_T = 0
-    if plan.huf_payloads:
+    n_huf = nb.n_huf if nb is not None else len(plan.huf_payloads)
+    if n_huf:
         outs = []
-        for i in range(0, len(plan.huf_payloads), dh.LANES):
-            batch = dh.prepare_batch(plan.huf_payloads[i:i + dh.LANES],
-                                     plan.huf_weights[i:i + dh.LANES],
-                                     plan.huf_nsyms[i:i + dh.LANES])
+        for i in range(0, n_huf, dh.LANES):
+            if nb is not None:
+                batch = nb.huf_batch(i)
+            else:
+                batch = dh.prepare_batch(plan.huf_payloads[i:i + dh.LANES],
+                                         plan.huf_weights[i:i + dh.LANES],
+                                         plan.huf_nsyms[i:i + dh.LANES])
             out = dh.huf_decode_device(batch)  # [T, SUB, LN] i32
             T = out.shape[0]
             outs.append(out.reshape(T, dh.LANES).T)  # [LANES, T]
@@ -626,13 +911,17 @@ def decode_batch_device(frames, materialize: bool = False, ddict=None):
 
     fse_rows = None
     fse_T = 0
-    if plan.fse_payloads:
+    n_fse = nb.n_fse if nb is not None else len(plan.fse_payloads)
+    if n_fse:
         parts = []
-        for i in range(0, len(plan.fse_payloads), df.LANES):
-            batch = df.prepare_batch(plan.fse_payloads[i:i + df.LANES],
-                                     plan.fse_tables[i:i + df.LANES],
-                                     plan.fse_nseqs[i:i + df.LANES],
-                                     plan.fse_reps[i:i + df.LANES])
+        for i in range(0, n_fse, df.LANES):
+            if nb is not None:
+                batch = nb.fse_batch(i)
+            else:
+                batch = df.prepare_batch(plan.fse_payloads[i:i + df.LANES],
+                                         plan.fse_tables[i:i + df.LANES],
+                                         plan.fse_nseqs[i:i + df.LANES],
+                                         plan.fse_reps[i:i + df.LANES])
             lls, mls, ofs = df.fse_decode_device(batch)  # [T, SUB, LN]
             T = lls.shape[0]
             parts.append((lls.reshape(T, df.LANES).T,
@@ -661,8 +950,8 @@ def decode_batch_device(frames, materialize: bool = False, ddict=None):
     else:
         h_rows = None
 
-    raw_flat = jnp.asarray(
-        np.frombuffer(bytes(plan.raw_pool) + b"\x00", np.uint8))
+    pool = nb.pool_bytes() if nb is not None else bytes(plan.raw_pool)
+    raw_flat = jnp.asarray(np.frombuffer(pool + b"\x00", np.uint8))
 
     # shared dictionary window (right-aligned; W=8 zero rows when absent)
     W = 8

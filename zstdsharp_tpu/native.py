@@ -22,6 +22,27 @@ _LIB = _REPO / "native" / "libzstdtpu_core.so"
 _EXT_SRC = _REPO / "native" / "ztpy.cpp"
 _EXT_LIB = _REPO / "native" / "_ztpy.so"
 
+class DPlaneCtx(ctypes.Structure):
+    """Mirror of ZtDPlaneCtx (native/zstdtpu_core.cpp): the device-plane
+    planner's caller-owned operand buffers + counters."""
+
+    _fields_ = (
+        [(n, ctypes.c_int64) for n in
+         ("pool_cap", "pool_off", "huf_cap", "n_huf", "fse_cap", "n_fse",
+          "huf_maxw", "fse_maxw", "s_cap", "huf_wmax", "fse_wmax",
+          "max_seq", "max_out")]
+        + [("raw_pool", ctypes.POINTER(ctypes.c_uint8)),
+           ("huf_words", ctypes.POINTER(ctypes.c_uint32))]
+        + [(n, ctypes.POINTER(ctypes.c_int32)) for n in
+           ("huf_limits", "huf_bases", "huf_offs", "huf_shifts",
+            "huf_planes", "huf_pos", "huf_nsym", "huf_wlen")]
+        + [("fse_words", ctypes.POINTER(ctypes.c_uint32))]
+        + [(n, ctypes.POINTER(ctypes.c_int32)) for n in
+           ("fse_ll", "fse_of", "fse_ml", "fse_logs", "fse_pos",
+            "fse_rep", "fse_nseq", "fse_wlen")]
+    )
+
+
 _lock = threading.Lock()
 _lib = None
 _ext = None          # CPython extension module (zero-copy entry points)
@@ -212,6 +233,14 @@ def _load():
                                          i64p, ctypes.POINTER(ctypes.c_int)]
         lib.zt_compress_exact.restype = i64
         lib.zt_compress_exact.argtypes = [u8p, i64, i32, i32, u8p, i64]
+        ctxp = ctypes.POINTER(DPlaneCtx)
+        lib.zt_dplane_frame.restype = ctypes.c_int
+        lib.zt_dplane_frame.argtypes = [ctxp, u8p, i64, i32p]
+        lib.zt_dplane_pack_huf.restype = i64
+        lib.zt_dplane_pack_huf.argtypes = [ctxp, u8p, i64, u8p, i64, i64, i64]
+        lib.zt_dplane_pack_fse.restype = i64
+        lib.zt_dplane_pack_fse.argtypes = [ctxp, u8p, i64, i32p, i32p, i32p,
+                                           i64, i64, i64, i32p, i64]
 
         _lib = lib
         AVAILABLE = True
