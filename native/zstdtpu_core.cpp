@@ -8854,7 +8854,14 @@ static int64_t parse_frame_header_c(const uint8_t* src, int64_t size,
 }
 
 // Decompress n_items frames (concatenated, sizes in flens) into concatenated
-// outputs; out_lens[i] receives each content size.  Returns total or -1.
+// outputs; out_lens[i] receives each content size.  Returns the total, or
+// -(i + 2) when frame i cannot be decoded here (parse failure, dictID
+// mismatch, bad checksum...): out/out_lens then hold frames [0, i) and the
+// caller decodes frame i element-wise and resumes the batch after it
+// (ZstdDecompress.cs:1216 multi-frame loop semantics, one frame's failure
+// does not invalidate its neighbours).  -1 = invalid args / OOM only.
+// The handle scratch is always left pristine on failure exits, so one bad
+// frame never poisons later calls on the same dictionary.
 int64_t zt_decompress_many_ddict(void* h, const uint8_t* concat_in,
                                  const int64_t* flens, int64_t n_items,
                                  uint32_t expect_dict_id,
@@ -8873,6 +8880,15 @@ int64_t zt_decompress_many_ddict(void* h, const uint8_t* concat_in,
     uint8_t* work = nullptr;
     int64_t work_cap = 0;
     int64_t ip = 0, op = 0;
+    // Any failure exit must leave the handle reusable: reset the working
+    // entropy copy to the pristine dictionary state (a half-decoded frame
+    // may have overwritten tables AND the repeat-mode source markers).
+    auto fail_frame = [&](int64_t i) -> int64_t {
+        d->scratch = d->ent;
+        d->scratch_dirty = 0;
+        free(work); free(cpad);
+        return -(i + 2);
+    };
     for (int64_t i = 0; i < n_items; i++) {
         const int64_t fl = flens[i];
         int64_t fcs;
@@ -8880,13 +8896,11 @@ int64_t zt_decompress_many_ddict(void* h, const uint8_t* concat_in,
         uint32_t frame_did;
         const int64_t h0 = parse_frame_header_c(concat + ip, fl, &fcs, &cksum,
                                                 &frame_did);
-        if (h0 < 0 || fcs < 0) { free(work); free(cpad); return -1; }
+        if (h0 < 0 || fcs < 0) return fail_frame(i);
         // A frame that names a different dictionary must not silently decode
         // against this one (ZSTD_decodeFrameHeader dictionary_wrong role);
-        // bail to the element-wise path, which raises the proper error.
-        if (frame_did != 0 && frame_did != expect_dict_id) {
-            free(work); free(cpad); return -1;
-        }
+        // punt it to the element-wise path, which raises the proper error.
+        if (frame_did != 0 && frame_did != expect_dict_id) return fail_frame(i);
         const int64_t need = clen + fcs + 64;
         if (need > work_cap) {
             free(work);
@@ -8894,7 +8908,10 @@ int64_t zt_decompress_many_ddict(void* h, const uint8_t* concat_in,
             work = (uint8_t*)malloc((size_t)work_cap);
             if (!work) { free(cpad); return -1; }
         }
-        // restore scratch (dirty-tracked) and decode
+        // Restore the dirty-tracked scratch, INCLUDING the repeat-mode
+        // table-source markers — a prior frame that switched a channel to
+        // its own FSE table must not leak that choice into the next
+        // frame's Repeat_Mode resolution.
         if (d->scratch_dirty & 1) d->scratch.huf = d->ent.huf;
         if (d->scratch_dirty & 2) d->scratch.ll = d->ent.ll;
         if (d->scratch_dirty & 4) d->scratch.of = d->ent.of;
@@ -8902,6 +8919,9 @@ int64_t zt_decompress_many_ddict(void* h, const uint8_t* concat_in,
         d->scratch.ll_valid = d->ent.ll_valid;
         d->scratch.of_valid = d->ent.of_valid;
         d->scratch.ml_valid = d->ent.ml_valid;
+        d->scratch.ll_src = d->ent.ll_src;
+        d->scratch.of_src = d->ent.of_src;
+        d->scratch.ml_src = d->ent.ml_src;
         d->scratch.huf.valid = d->ent.huf.valid;
         std::memcpy(d->scratch.rep, d->ent.rep, sizeof d->scratch.rep);
         d->scratch_dirty = 0;
@@ -8911,19 +8931,19 @@ int64_t zt_decompress_many_ddict(void* h, const uint8_t* concat_in,
                                               &d->scratch, work, clen,
                                               clen + fcs, &consumed,
                                               &d->scratch_dirty);
-        if (r != fcs) { free(work); free(cpad); return -1; }
+        if (r != fcs) return fail_frame(i);
         // Verify the XXH64 content checksum when the frame carries one
         // (ZSTD_decompressFrame checksum verify role); the epilogue must
         // also account for the frame length.
         if (cksum) {
-            if (h0 + consumed + 4 > fl) { free(work); free(cpad); return -1; }
+            if (h0 + consumed + 4 > fl) return fail_frame(i);
             uint32_t stored;
             std::memcpy(&stored, concat + ip + h0 + consumed, 4);
             const uint32_t calc =
                 (uint32_t)xxh64(work + clen, r, 0);
-            if (stored != calc) { free(work); free(cpad); return -1; }
+            if (stored != calc) return fail_frame(i);
         }
-        if (op + r > out_cap) { free(work); free(cpad); return -1; }
+        if (op + r > out_cap) return fail_frame(i);
         std::memcpy(out + op, work + clen, (size_t)r);
         out_lens[i] = r;
         op += r;

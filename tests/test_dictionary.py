@@ -344,3 +344,92 @@ class TestDictAttachHighLevels:
             level=level, dict_data=zstandard.ZstdCompressionDict(dic))
         zsize = sum(len(zc.compress(r)) for r in recs)
         assert sum(map(len, frames)) <= zsize * 1.05
+
+
+class TestBatchScratchRestore:
+    """Round-4 regression: zt_decompress_many_ddict restored the table
+    VALIDITY flags between frames but not the repeat-mode table-SOURCE
+    markers (ll_src/of_src/ml_src), so a batch whose frames alternate
+    between dict tables (Repeat_Mode) and per-frame FSE tables mis-decoded
+    from the first mode switch on, silently dropped the whole batch to the
+    element-wise path, and left the handle scratch poisoned for every later
+    call (ZstdDecompress.cs:1216 multi-frame loop semantics: frames are
+    independent)."""
+
+    def _mixed_mode_batch(self):
+        # Records sized/shaped so that level-3 dict compression alternates
+        # table modes: the tiny json rows ride the dictionary's FSE tables,
+        # the longer high-entropy rows force per-frame table definitions.
+        r = np.random.default_rng(42)
+        recs = []
+        for i in range(200):
+            if i % 3 == 2:
+                recs.append(bytes(r.integers(0, 256, size=600, dtype=np.uint8)))
+            else:
+                recs.append(b'{"id": %d, "name": "user%d", "score": %d}'
+                            % (i, i, i * 7 % 997))
+        dic = train_dictionary([x for x in recs if x[:1] == b"{"][:60], 2048)
+        comp = Compressor(level=3)
+        comp.load_dictionary(dic)
+        return recs, dic, comp.wrap_many(recs)
+
+    def test_alternating_table_modes_native_batch(self):
+        from zstdsharp_tpu.native import NativeDDict
+
+        recs, dic, frames = self._mixed_mode_batch()
+        dd = NativeDDict(dic)
+        if not dd.valid:
+            pytest.skip("native engine unavailable")
+        from zstdsharp_tpu.dictionary import parse_dictionary
+
+        did = parse_dictionary(dic).dict_id
+        out = dd.decompress_many(frames, expect_dict_id=did)
+        assert out is not None, "native batch refused a decodable batch"
+        assert out == recs
+        # the whole batch must ride the native path (bench-honesty hook)
+        assert dd.last_fallback_count == 0
+        # and the oracle agrees the frames are real
+        zd = zstandard.ZstdDecompressor(
+            dict_data=zstandard.ZstdCompressionDict(dic))
+        for f, rec in zip(frames[:20], recs[:20]):
+            assert zd.decompress(f, max_output_size=len(rec)) == rec
+
+    def test_failure_is_not_sticky_and_falls_back_per_frame(self):
+        from zstdsharp_tpu.native import NativeDDict
+
+        recs, dic, frames = self._mixed_mode_batch()
+        dd = NativeDDict(dic)
+        if not dd.valid:
+            pytest.skip("native engine unavailable")
+        # Frame without a content size (streaming-style) cannot take the
+        # native batch path -> per-frame fallback mid-batch, then resume.
+        comp = Compressor(level=3)
+        comp.load_dictionary(dic)
+        import zstandard as _z
+
+        no_fcs = _z.ZstdCompressor(
+            level=3, write_content_size=False,
+            dict_data=_z.ZstdCompressionDict(dic)).compress(recs[0])
+        mixed = frames[:40] + [no_fcs] + frames[40:]
+        want = recs[:40] + [recs[0]] + recs[40:]
+        dec = Decompressor()
+        dec.load_dictionary(dic)
+        calls = []
+        out = dd.decompress_many(
+            mixed, expect_dict_id=parse_dictionary(dic).dict_id,
+            fallback=lambda f: (calls.append(1), dec.unwrap(f))[1])
+        assert out == want
+        assert dd.last_fallback_count == 1 and len(calls) == 1
+        # handle still healthy after the mid-batch failure
+        again = dd.decompress_many(
+            frames, expect_dict_id=parse_dictionary(dic).dict_id)
+        assert again == recs and dd.last_fallback_count == 0
+
+    def test_decompressor_batch_speed_path(self):
+        """unwrap_many over the public API serves the alternating batch
+        natively and matches the element-wise result."""
+        recs, dic, frames = self._mixed_mode_batch()
+        dec = Decompressor()
+        dec.load_dictionary(dic)
+        assert dec.unwrap_many(frames) == recs
+        assert [dec.unwrap(f) for f in frames[:10]] == recs[:10]

@@ -482,7 +482,9 @@ class Decompressor:
 
                 dd = self._empty_ddict = NativeDDict(b"")
             if dd.valid:
-                out = dd.decompress_many([bytes(f) for f in frames])
+                out = dd.decompress_many(
+                    [bytes(f) for f in frames],
+                    fallback=lambda f: self.unwrap(f, max_decompressed_size))
                 if out is not None:
                     if max_decompressed_size is not None:
                         for o in out:

@@ -183,8 +183,11 @@ class ZstdCompressionDict:
             return []
         dd = self._ddict()
         if dd is not None:
-            out = dd.decompress_many([bytes(f) for f in frames],
-                                     expect_dict_id=self._parsed.dict_id)
+            out = dd.decompress_many(
+                [bytes(f) for f in frames],
+                expect_dict_id=self._parsed.dict_id,
+                fallback=lambda f: self.decompress_with(
+                    f, max_output_size=max_output_size))
             if out is not None:
                 if max_output_size is not None:
                     for o in out:

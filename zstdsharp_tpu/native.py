@@ -712,7 +712,7 @@ class NativeCDict:
             return None
         res = []
         off = 0
-        raw = out.tobytes()
+        raw = out[: int(total)].tobytes()
         for ln in out_lens.tolist():
             res.append(raw[off : off + ln])
             off += ln
@@ -746,6 +746,7 @@ class NativeDDict:
         self._lib = get_lib()
         self._h = None
         self.content_len = 0
+        self.last_fallback_count = 0
         # DDictC keeps a per-call entropy scratch in the handle (dirty-
         # restored); serialize concurrent unwrap() calls on one dictionary.
         self._mtx = threading.Lock()
@@ -764,32 +765,58 @@ class NativeDDict:
         return bool(self._h)
 
     def decompress_many(self, frames: list[bytes],
-                        expect_dict_id: int = 0) -> list[bytes] | None:
+                        expect_dict_id: int = 0,
+                        fallback=None) -> list[bytes] | None:
         """Batch unwrap: one native call for the whole frame list (frames
-        must carry a known content size; checksums are verified natively;
-        a frame naming a different dictID fails the batch so the caller's
-        element-wise path raises dictionary_wrong)."""
+        must carry a known content size; checksums are verified natively).
+        A frame the native path cannot decode (unknown size, wrong dictID,
+        bad checksum...) is handed to `fallback(frame_bytes)` — the
+        caller's element-wise decoder, which raises the proper error — and
+        the batch resumes natively after it (ZstdDecompress.cs:1216
+        multi-frame loop role: one frame's failure stays local).  Without
+        a fallback any failure returns None.  After a call,
+        `last_fallback_count` says how many frames left the native path
+        (bench honesty: a silent mass fallback must be visible)."""
+        self.last_fallback_count = 0
         if not self._h:
             return None
-        concat = np.frombuffer(b"".join(frames), dtype=np.uint8)
-        flens = np.array([len(f) for f in frames], dtype=np.int64)
-        cap = int(len(concat) * 64 + (1 << 20))
-        out = np.empty(cap, dtype=np.uint8)
-        out_lens = np.empty(len(frames), dtype=np.int64)
-        with self._mtx:
-            total = self._lib.zt_decompress_many_ddict(
-                self._h, _ptr(concat, ctypes.c_uint8), _ptr(flens, ctypes.c_int64),
-                len(frames), expect_dict_id, _ptr(out, ctypes.c_uint8), cap,
-                _ptr(out_lens, ctypes.c_int64))
-        if total < 0:
-            return None
-        res = []
-        off = 0
-        raw = out.tobytes()
-        for ln in out_lens.tolist():
-            res.append(raw[off : off + ln])
-            off += ln
-        return res
+        results: list[bytes] = [b""] * len(frames)
+        start = 0
+        while start < len(frames):
+            sub = frames[start:]
+            concat = np.frombuffer(b"".join(sub), dtype=np.uint8)
+            flens = np.array([len(f) for f in sub], dtype=np.int64)
+            cap = int(len(concat) * 64 + (1 << 20))
+            out = np.empty(cap, dtype=np.uint8)
+            out_lens = np.empty(len(sub), dtype=np.int64)
+            with self._mtx:
+                total = self._lib.zt_decompress_many_ddict(
+                    self._h, _ptr(concat, ctypes.c_uint8),
+                    _ptr(flens, ctypes.c_int64),
+                    len(sub), expect_dict_id, _ptr(out, ctypes.c_uint8), cap,
+                    _ptr(out_lens, ctypes.c_int64))
+            if total >= 0:
+                raw = out[: int(total)].tobytes()
+                off = 0
+                for j, ln in enumerate(out_lens.tolist()):
+                    results[start + j] = raw[off : off + ln]
+                    off += ln
+                return results
+            failed = -int(total) - 2  # index within `sub`, or -1 for -1
+            if failed < 0 or failed >= len(sub) or fallback is None:
+                return None
+            lens_ok = out_lens.tolist()[:failed]
+            raw = out[: sum(lens_ok)].tobytes()
+            off = 0
+            for j, ln in enumerate(lens_ok):
+                results[start + j] = raw[off : off + ln]
+                off += ln
+            # element-wise decode of the one frame the native batch cannot
+            # serve; errors (dictionary_wrong, checksum...) propagate.
+            results[start + failed] = fallback(sub[failed])
+            self.last_fallback_count += 1
+            start += failed + 1
+        return results
 
     def decode_frame_body(self, src: np.ndarray, content_cap: int):
         """Returns (content np.uint8, consumed) or None."""
