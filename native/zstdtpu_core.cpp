@@ -10218,6 +10218,9 @@ static int64_t dplane_pack_huf_lane(ZtDPlaneCtx* c, const uint8_t* p,
                                     int64_t len, const uint8_t* weights,
                                     int nsym_w, int tlog, int64_t n_out) {
     if (c->n_huf >= c->huf_cap) return -1;
+    // Kernel envelope: 11-bit peek window (device_huf.py MAXLOG); the
+    // zt_dplane_pack_huf fallback path must refuse what it cannot decode.
+    if (tlog < 1 || tlog > 11 || nsym_w < 1 || nsym_w > 256) return -1;
     const int64_t lane = c->n_huf;
     int32_t pos = 0;
     const int64_t nw = dplane_words(c->huf_words, c->huf_cap, c->huf_maxw,
@@ -10282,18 +10285,23 @@ static void dplane_coded_fill(int32_t* out, int64_t cap, int64_t lane,
     }
 }
 
-// Predefined coded tables (mode 0), built once.
+// Predefined coded tables (mode 0), built once.  Initialization is
+// guarded by a magic-static: decode_batch_device is called concurrently
+// from per-device shard threads (parallel/pipeline.py), so the lazy fill
+// must be race-free.
 static int32_t kCodedLLDef[1 << kLLNormLog];
 static int32_t kCodedMLDef[1 << kMLNormLog];
 static int32_t kCodedOFDef[1 << kOFNormLog];
-static bool kCodedDefInit = false;
 
 static void dplane_coded_defaults() {
-    if (kCodedDefInit) return;
-    dplane_coded_fill(kCodedLLDef, 1, 0, kLLNorm, kMaxLL, kLLNormLog);
-    dplane_coded_fill(kCodedMLDef, 1, 0, kMLNorm, kMaxML, kMLNormLog);
-    dplane_coded_fill(kCodedOFDef, 1, 0, kOFNorm, kDefaultMaxOFF, kOFNormLog);
-    kCodedDefInit = true;
+    static const bool init = [] {
+        dplane_coded_fill(kCodedLLDef, 1, 0, kLLNorm, kMaxLL, kLLNormLog);
+        dplane_coded_fill(kCodedMLDef, 1, 0, kMLNorm, kMaxML, kMLNormLog);
+        dplane_coded_fill(kCodedOFDef, 1, 0, kOFNorm, kDefaultMaxOFF,
+                          kOFNormLog);
+        return true;
+    }();
+    (void)init;
 }
 
 // One channel of the sequence-table header for a FRESH frame (no repeat
@@ -10345,7 +10353,10 @@ static int64_t dplane_read_weights(const uint8_t* src, int64_t size,
     }
     if (total == 0) return -1;
     const int tlog = highbit32((uint32_t)total) + 1;
-    if (tlog > 12) return -1;
+    // The device kernel peeks MAXLOG=11 bits (device_huf.py:36); a valid
+    // frame with tableLog 12 (format allows up to HUF_TABLELOG_MAX=12)
+    // must be HOST-routed, not mis-decoded with a negative shift count.
+    if (tlog > 11) return -1;
     const uint64_t rest = (1ULL << tlog) - total;
     if (rest == 0 || (rest & (rest - 1))) return -1;
     weights[nw] = (uint8_t)(highbit32((uint32_t)rest) + 1);
@@ -10365,20 +10376,30 @@ int64_t zt_dplane_pack_huf(ZtDPlaneCtx* c, const uint8_t* p, int64_t len,
 }
 
 int64_t zt_dplane_pack_fse(ZtDPlaneCtx* c, const uint8_t* p, int64_t len,
-                           const int32_t* ll512, const int32_t* of256,
-                           const int32_t* ml512, int64_t ll_log,
+                           const int32_t* ll_tbl, const int32_t* of_tbl,
+                           const int32_t* ml_tbl, int64_t ll_log,
                            int64_t of_log, int64_t ml_log,
                            const int32_t* rep3, int64_t nseq) {
     if (c->n_fse >= c->fse_cap) return -1;
+    // Python passes arrays of exactly 2^table_log entries; copy only that
+    // many (zero-filling the column tail) — reading a fixed 512/256/512
+    // would walk past the caller's buffer for the small default tables.
+    if (ll_log < 0 || ll_log > 9 || of_log < 0 || of_log > 8 ||
+        ml_log < 0 || ml_log > 9) return -1;
     const int64_t lane = c->n_fse;
     const int64_t cap = c->fse_cap;
     int32_t pos = 0;
     const int64_t nw = dplane_words(c->fse_words, cap, c->fse_maxw, lane, p,
                                     len, &pos);
     if (nw < 0) return -1;
-    for (int u = 0; u < 512; u++) c->fse_ll[(int64_t)u * cap + lane] = ll512[u];
-    for (int u = 0; u < 256; u++) c->fse_of[(int64_t)u * cap + lane] = of256[u];
-    for (int u = 0; u < 512; u++) c->fse_ml[(int64_t)u * cap + lane] = ml512[u];
+    const int64_t nll = 1LL << ll_log, nof = 1LL << of_log,
+                  nml = 1LL << ml_log;
+    for (int64_t u = 0; u < 512; u++)
+        c->fse_ll[u * cap + lane] = u < nll ? ll_tbl[u] : 0;
+    for (int64_t u = 0; u < 256; u++)
+        c->fse_of[u * cap + lane] = u < nof ? of_tbl[u] : 0;
+    for (int64_t u = 0; u < 512; u++)
+        c->fse_ml[u * cap + lane] = u < nml ? ml_tbl[u] : 0;
     c->fse_logs[0 * cap + lane] = (int32_t)ll_log;
     c->fse_logs[1 * cap + lane] = (int32_t)of_log;
     c->fse_logs[2 * cap + lane] = (int32_t)ml_log;
@@ -10422,6 +10443,11 @@ int zt_dplane_frame(ZtDPlaneCtx* c, const uint8_t* frame, int64_t n,
     const int btype = (bh >> 1) & 3;
     const int64_t bsize = bh >> 3;
     if (!last) return ZT_DP_PY;           // multi-block: Python plan
+    // Single-block envelope: the exec buckets top out at 128KB
+    // (device_pipeline.py _O_BUCKETS); a frame claiming more content in
+    // one block (format-invalid, but reachable in crafted input) must be
+    // host-routed, not allowed to abort the whole batch in _bucket().
+    if (content > (1LL << 17)) return ZT_DP_CAPS;
     if (btype == 3) return ZT_DP_RESERVED;
     const int64_t body_len = btype == 1 ? 1 : bsize;
     const int64_t tail = has_cksum ? 4 : 0;
@@ -10615,7 +10641,10 @@ int zt_dplane_frame(ZtDPlaneCtx* c, const uint8_t* frame, int64_t n,
     meta[4] = huf_seg;
     meta[5] = seq_kind;
     meta[6] = fse_lane;
-    meta[7] = -1;           // host_row (unused on this path)
+    // meta[7] doubles as the has-checksum flag (host_row is unused on this
+    // path): a frame whose real xxh32 low word is 0xFFFFFFFF must still be
+    // verified, so "absent" cannot be encoded as -1 in meta[11] alone.
+    meta[7] = has_cksum;
     meta[8] = n_seq;
     meta[9] = (int32_t)lit_regen;
     meta[10] = (int32_t)content;

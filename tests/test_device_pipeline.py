@@ -311,3 +311,49 @@ class TestMultiBlockDevice:
         outs, lens, host = decode_batch_device([frame])
         assert 0 in host and not isinstance(host[0], bytes)
         assert np.asarray(host[0]).tobytes() == data
+
+
+class TestTableLog12HostRoute:
+    """ADVICE r4 high: the device Huffman kernel peeks MAXLOG=11 bits, but
+    the format allows tableLog 12.  A crafted (valid) tableLog-12 frame
+    must be HOST-routed by both planners and decode correctly end-to-end —
+    previously dplane_read_weights accepted it and the lane classifier
+    silently dropped the weight-12 symbols."""
+
+    def _tlog12_frame(self):
+        from zstdsharp_tpu.encode.frame import _write_frame_header, _block_header
+        from zstdsharp_tpu.encode.block import _literals_header
+        from zstdsharp_tpu.entropy import huffman
+        from zstdsharp_tpu import constants as C
+
+        # minimal canonical chain tree of depth 12: weights 1,1,2,3,...,12
+        # (Kraft-complete; libzstd accepts it — verified below)
+        weights = np.array([1, 1] + list(range(2, 13)), np.uint8)
+        ct = huffman.ctable_from_weights(weights, 12)
+        rng = np.random.default_rng(5)
+        p = 2.0 ** (weights.astype(np.float64) - 1)
+        syms = rng.choice(np.arange(len(weights), dtype=np.uint8),
+                          size=1200, p=p / p.sum())
+        table = huffman.write_ctable(ct)
+        stream = huffman.encode_4x(syms, ct)
+        assert stream is not None
+        body = table + stream
+        lits = _literals_header(C.LiteralsBlockType.COMPRESSED, 2,
+                                len(syms), len(body)) + body
+        block = lits + b"\x00"  # nbSeq = 0
+        bh = _block_header(True, C.BlockType.COMPRESSED, len(block))
+        fh = _write_frame_header(len(syms), 19, False, True, 0)
+        return fh + bh + block, syms.tobytes()
+
+    def test_host_route_and_correct_decode(self):
+        frame, content = self._tlog12_frame()
+        # the frame is genuinely valid: the oracle decodes it
+        assert zstandard.ZstdDecompressor().decompress(
+            frame, max_output_size=len(content)) == content
+        from zstdsharp_tpu.decode.frame import decompress as host_dec
+        assert host_dec(frame) == content
+        plan = plan_batch([frame])
+        assert 0 in plan.host_routed, "tableLog-12 frame must host-route"
+        results, stats = decode_batch_device([frame], materialize=True)
+        assert results[0] == content
+        assert stats["host_frames"] == 1

@@ -535,6 +535,11 @@ def _plan_multiblock(plan, fi, frame, hdr, ddict, d_weights):
                 if lt == 2:
                     weights, tlog, whdr = huffman.read_weights(body)
                     ent.huf = huffman.build_dtable(weights, tlog)
+                    # kernel peek window is MAXLOG=11 bits; a (valid)
+                    # tableLog-12 tree must host-decode, not drop
+                    # weight-12 symbols in the device classifier
+                    if tlog > dh.MAXLOG:
+                        weights = None
                 elif ent.huf is not None:
                     weights, whdr = None, 0
                 else:
@@ -628,13 +633,13 @@ def plan_batch(frames, ddict=None) -> DevicePlan:
 
     plan = DevicePlan(n_frames=len(frames))
     d_id = 0
-    d_weights = None
+    d_weights, d_tlog = None, 0
     if ddict is not None:
         d_id = ddict.dict_id
         content = np.asarray(ddict.content)
         plan.window = content[-(1 << 17):].tobytes()
         if ddict.entropy is not None and len(ddict.raw) >= 8:
-            d_weights, _, _ = huffman.read_weights(ddict.raw[8:])
+            d_weights, d_tlog, _ = huffman.read_weights(ddict.raw[8:])
     else:
         # native planner: single-block frames plan in C (the Python pass
         # below measured ~850ms per 256-frame batch vs ~5ms native); frames
@@ -645,10 +650,13 @@ def plan_batch(frames, ddict=None) -> DevicePlan:
         if plan.nb is not None:
             rc, m = plan.nb.plan_frame(frame)
             if rc == 0:
+                # meta[7] carries the has-checksum flag: -1 in meta[11]
+                # alone cannot distinguish "absent" from a real stored
+                # xxh32 low word of 0xFFFFFFFF
                 raw_cks = int(m[11])
                 plan.blocks.append(_BlockPlan(
                     frame_idx=fi, out_len=int(m[10]), lit_regen=int(m[9]),
-                    checksum=(raw_cks & 0xFFFFFFFF) if raw_cks != -1 else -1,
+                    checksum=(raw_cks & 0xFFFFFFFF) if int(m[7]) else -1,
                     lit_kind=int(m[0]), pool_base=int(m[1]),
                     pool_len=int(m[2]), huf_lane0=int(m[3]),
                     huf_seg=int(m[4]), seq_kind=int(m[5]),
@@ -752,9 +760,14 @@ def plan_batch(frames, ddict=None) -> DevicePlan:
                     weights, tlog, whdr = huffman.read_weights(body)
                 elif d_weights is not None:
                     # treeless: resolve against the dict Huffman table
-                    weights, whdr = d_weights, 0
+                    weights, tlog, whdr = d_weights, d_tlog, 0
                 else:
                     plan.host_routed[fi] = "treeless literals, no dict table"
+                    continue
+                if tlog > dh.MAXLOG:
+                    # device kernel peeks 11 bits; tableLog-12 trees (valid
+                    # per format) host-route instead of mis-decoding
+                    plan.host_routed[fi] = "huffman tableLog beyond device"
                     continue
                 streams = body[whdr:]
                 four = sf != 0
