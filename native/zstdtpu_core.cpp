@@ -10156,25 +10156,32 @@ struct ZtDPlaneCtx {
     int64_t s_cap;                // device max sequences per lane
     int64_t huf_wmax, fse_wmax;   // running max used words (outputs)
     int64_t max_seq, max_out;     // running maxima (outputs)
+    // All per-lane arrays are LANE-MAJOR (one contiguous row per lane):
+    // a batch of N frames packs with ~N sequential memcpys instead of
+    // millions of cap-strided stores (measured 56ms -> ~4ms per 256-frame
+    // plan), and the device transposes into kernel layout (HBM-rate).
     uint8_t* raw_pool;
-    uint32_t* huf_words;          // [huf_maxw, huf_cap]
-    int32_t* huf_limits;          // [16, huf_cap]
-    int32_t* huf_bases;           // [16, huf_cap]
-    int32_t* huf_offs;            // [16, huf_cap]
-    int32_t* huf_shifts;          // [16, huf_cap]
-    int32_t* huf_planes;          // [8, 8, huf_cap]
+    uint32_t* huf_words;          // [huf_cap, huf_maxw]
+    int32_t* huf_limits;          // [huf_cap, 16]
+    int32_t* huf_bases;           // [huf_cap, 16]
+    int32_t* huf_offs;            // [huf_cap, 16]
+    int32_t* huf_shifts;          // [huf_cap, 16]
+    int32_t* huf_planes;          // [huf_cap, 64]
     int32_t* huf_pos;             // [huf_cap]
     int32_t* huf_nsym;            // [huf_cap]
     int32_t* huf_wlen;            // [huf_cap]
-    uint32_t* fse_words;          // [fse_maxw, fse_cap]
-    int32_t* fse_ll;              // [512, fse_cap]
-    int32_t* fse_of;              // [256, fse_cap]
-    int32_t* fse_ml;              // [512, fse_cap]
-    int32_t* fse_logs;            // [3, fse_cap]
+    uint32_t* fse_words;          // [fse_cap, fse_maxw]
+    int32_t* fse_ll;              // [fse_cap, 512]
+    int32_t* fse_of;              // [fse_cap, 256]
+    int32_t* fse_ml;              // [fse_cap, 512]
+    int32_t* fse_logs;            // [fse_cap, 3]
     int32_t* fse_pos;             // [fse_cap]
-    int32_t* fse_rep;             // [3, fse_cap]
+    int32_t* fse_rep;             // [fse_cap, 3]
     int32_t* fse_nseq;            // [fse_cap]
     int32_t* fse_wlen;            // [fse_cap]
+    int32_t* fse_st;              // [fse_cap, 8]: resolved initial kernel
+                                  // state (pos after the 3-state preamble,
+                                  // r0, r1, r2, st_ll, st_of, st_ml, 0)
 };
 
 // Routing codes shared with Python (_NATIVE_ROUTE in device_pipeline.py).
@@ -10193,22 +10200,54 @@ enum {
     ZT_DP_PY = -1,   // outside native scope: Python planner handles it
 };
 
-// Pack a bitstream into a words column.  Returns word count or -1 (empty /
-// zero last byte / longer than maxw).
+// Pack a bitstream into a lane row (one memcpy + zeroed tail word).
+// Returns word count or -1 (empty / zero last byte / longer than maxw).
 static int64_t dplane_words(uint32_t* words, int64_t cap, int64_t maxw,
                             int64_t lane, const uint8_t* p, int64_t len,
                             int32_t* pos_out) {
+    (void)cap;
     if (len <= 0 || p[len - 1] == 0) return -1;
     const int64_t nw = (len + 3) >> 2;
     if (nw > maxw) return -1;
-    for (int64_t w = 0; w < nw; w++) {
-        uint32_t v = 0;
-        const int64_t rem = len - w * 4;
-        std::memcpy(&v, p + w * 4, (size_t)(rem < 4 ? rem : 4));
-        words[w * cap + lane] = v;
-    }
+    uint32_t* row = words + lane * maxw;
+    row[nw - 1] = 0;
+    std::memcpy(row, p, (size_t)len);
     *pos_out = (int32_t)((len - 1) * 8 + highbit32(p[len - 1]));
     return nw;
+}
+
+// Read nb bits ending at *pos (exclusive) from a packed lane row, moving
+// *pos down — the backward FSE bit order (BitStream.cs initDStream role).
+static uint32_t dplane_bits(const uint32_t* row, int64_t nw, int32_t* pos,
+                            int nb) {
+    const int32_t p0 = *pos - nb;
+    *pos = p0;
+    if (nb == 0) return 0;
+    const int32_t k = p0 >> 5;
+    const int32_t sh = p0 & 31;
+    const uint32_t w0 = (k >= 0 && k < nw) ? row[k] : 0;
+    const uint32_t w1 = (k + 1 >= 0 && k + 1 < nw) ? row[k + 1] : 0;
+    const uint32_t v = sh == 0 ? w0 : ((w0 >> sh) | (w1 << (32 - sh)));
+    return v & ((nb >= 32) ? 0xFFFFFFFFu : ((1u << nb) - 1));
+}
+
+// Resolve the kernel's initial state vector for a packed FSE lane: the
+// three table-state preamble reads, in LL/OF/ML order (the format's
+// initial-state order, ZstdDecompressBlock.cs decodeSeqSlow preamble).
+static void dplane_fse_states(ZtDPlaneCtx* c, int64_t lane, int ll_log,
+                              int of_log, int ml_log, int32_t r0, int32_t r1,
+                              int32_t r2) {
+    const uint32_t* row = c->fse_words + lane * c->fse_maxw;
+    const int64_t nw = c->fse_wlen[lane];
+    int32_t pos = c->fse_pos[lane];
+    const uint32_t st_ll = dplane_bits(row, nw, &pos, ll_log);
+    const uint32_t st_of = dplane_bits(row, nw, &pos, of_log);
+    const uint32_t st_ml = dplane_bits(row, nw, &pos, ml_log);
+    int32_t* st = c->fse_st + lane * 8;
+    st[0] = pos;
+    st[1] = r0; st[2] = r1; st[3] = r2;
+    st[4] = (int32_t)st_ll; st[5] = (int32_t)st_of; st[6] = (int32_t)st_ml;
+    st[7] = 0;
 }
 
 // Canonical-arithmetic operands for one Huffman lane (device_huf.py
@@ -10248,16 +10287,11 @@ static int64_t dplane_pack_huf_lane(ZtDPlaneCtx* c, const uint8_t* p,
         off[w - 1] = (int32_t)(start_w << sc);
         shf[w - 1] = (w - 1) + sc;
     }
-    const int64_t cap = c->huf_cap;
-    for (int k = 0; k < 16; k++) {
-        c->huf_limits[k * cap + lane] = lim[k];
-        c->huf_bases[k * cap + lane] = bas[k];
-        c->huf_offs[k * cap + lane] = off[k];
-        c->huf_shifts[k * cap + lane] = shf[k];
-    }
-    for (int j = 0; j < 8; j++)
-        for (int wd = 0; wd < 8; wd++)
-            c->huf_planes[(j * 8 + wd) * cap + lane] = (int32_t)planes[j][wd];
+    std::memcpy(c->huf_limits + lane * 16, lim, sizeof lim);
+    std::memcpy(c->huf_bases + lane * 16, bas, sizeof bas);
+    std::memcpy(c->huf_offs + lane * 16, off, sizeof off);
+    std::memcpy(c->huf_shifts + lane * 16, shf, sizeof shf);
+    std::memcpy(c->huf_planes + lane * 64, planes, sizeof planes);
     c->huf_pos[lane] = pos;
     c->huf_nsym[lane] = (int32_t)n_out;
     c->huf_wlen[lane] = (int32_t)nw;
@@ -10266,9 +10300,10 @@ static int64_t dplane_pack_huf_lane(ZtDPlaneCtx* c, const uint8_t* p,
     return lane;
 }
 
-// Coded FSE table (sym | next_state<<8 | state_bits<<20) into a column.
-static void dplane_coded_fill(int32_t* out, int64_t cap, int64_t lane,
-                              const int16_t* norm, int max_sym, int tlog) {
+// Coded FSE table (sym | next_state<<8 | state_bits<<20) into a
+// contiguous lane row.
+static void dplane_coded_fill(int32_t* out, const int16_t* norm,
+                              int max_sym, int tlog) {
     const int tsize = 1 << tlog;
     uint8_t tsym[1 << 9];
     fse_spread(norm, max_sym, tlog, tsym);
@@ -10280,8 +10315,7 @@ static void dplane_coded_fill(int32_t* out, int64_t cap, int64_t lane,
         const uint32_t ns = next[s]++;
         const int nb = tlog - highbit32(ns);
         const uint32_t nst = (ns << nb) - (uint32_t)tsize;
-        out[(int64_t)u * cap + lane] =
-            (int32_t)((uint32_t)s | (nst << 8) | ((uint32_t)nb << 20));
+        out[u] = (int32_t)((uint32_t)s | (nst << 8) | ((uint32_t)nb << 20));
     }
 }
 
@@ -10295,32 +10329,30 @@ static int32_t kCodedOFDef[1 << kOFNormLog];
 
 static void dplane_coded_defaults() {
     static const bool init = [] {
-        dplane_coded_fill(kCodedLLDef, 1, 0, kLLNorm, kMaxLL, kLLNormLog);
-        dplane_coded_fill(kCodedMLDef, 1, 0, kMLNorm, kMaxML, kMLNormLog);
-        dplane_coded_fill(kCodedOFDef, 1, 0, kOFNorm, kDefaultMaxOFF,
-                          kOFNormLog);
+        dplane_coded_fill(kCodedLLDef, kLLNorm, kMaxLL, kLLNormLog);
+        dplane_coded_fill(kCodedMLDef, kMLNorm, kMaxML, kMLNormLog);
+        dplane_coded_fill(kCodedOFDef, kOFNorm, kDefaultMaxOFF, kOFNormLog);
         return true;
     }();
     (void)init;
 }
 
 // One channel of the sequence-table header for a FRESH frame (no repeat
-// state).  Fills the coded column; returns bytes consumed or -1.
+// state).  Fills the coded lane row (contiguous); returns bytes consumed
+// or -1.
 static int64_t dplane_seq_table(int mode, const uint8_t* src, int64_t size,
-                                int32_t* out, int64_t cap, int64_t lane,
+                                int32_t* out,
                                 const int32_t* coded_def, int def_log,
                                 int max_sym, int max_log, int* tlog_out) {
     dplane_coded_defaults();
     if (mode == 0) {
-        const int tsize = 1 << def_log;
-        for (int u = 0; u < tsize; u++)
-            out[(int64_t)u * cap + lane] = coded_def[u];
+        std::memcpy(out, coded_def, sizeof(int32_t) << def_log);
         *tlog_out = def_log;
         return 0;
     }
     if (mode == 1) {
         if (size < 1 || src[0] > max_sym) return -1;
-        out[lane] = src[0];  // tlog 0: single state, nb 0, nst 0
+        out[0] = src[0];  // tlog 0: single state, nb 0, nst 0
         *tlog_out = 0;
         return 1;
     }
@@ -10330,7 +10362,7 @@ static int64_t dplane_seq_table(int mode, const uint8_t* src, int64_t size,
         const int64_t h = fse_read_ncount(norm, &ms, &tl, src, size,
                                           max_sym, max_log);
         if (h < 0) return -1;
-        dplane_coded_fill(out, cap, lane, norm, ms, tl);
+        dplane_coded_fill(out, norm, ms, tl);
         *tlog_out = tl;
         return h;
     }
@@ -10387,26 +10419,27 @@ int64_t zt_dplane_pack_fse(ZtDPlaneCtx* c, const uint8_t* p, int64_t len,
     if (ll_log < 0 || ll_log > 9 || of_log < 0 || of_log > 8 ||
         ml_log < 0 || ml_log > 9) return -1;
     const int64_t lane = c->n_fse;
-    const int64_t cap = c->fse_cap;
     int32_t pos = 0;
-    const int64_t nw = dplane_words(c->fse_words, cap, c->fse_maxw, lane, p,
-                                    len, &pos);
+    const int64_t nw = dplane_words(c->fse_words, c->fse_cap, c->fse_maxw,
+                                    lane, p, len, &pos);
     if (nw < 0) return -1;
     const int64_t nll = 1LL << ll_log, nof = 1LL << of_log,
                   nml = 1LL << ml_log;
-    for (int64_t u = 0; u < 512; u++)
-        c->fse_ll[u * cap + lane] = u < nll ? ll_tbl[u] : 0;
-    for (int64_t u = 0; u < 256; u++)
-        c->fse_of[u * cap + lane] = u < nof ? of_tbl[u] : 0;
-    for (int64_t u = 0; u < 512; u++)
-        c->fse_ml[u * cap + lane] = u < nml ? ml_tbl[u] : 0;
-    c->fse_logs[0 * cap + lane] = (int32_t)ll_log;
-    c->fse_logs[1 * cap + lane] = (int32_t)of_log;
-    c->fse_logs[2 * cap + lane] = (int32_t)ml_log;
+    std::memcpy(c->fse_ll + lane * 512, ll_tbl, (size_t)nll * 4);
+    std::memset(c->fse_ll + lane * 512 + nll, 0, (size_t)(512 - nll) * 4);
+    std::memcpy(c->fse_of + lane * 256, of_tbl, (size_t)nof * 4);
+    std::memset(c->fse_of + lane * 256 + nof, 0, (size_t)(256 - nof) * 4);
+    std::memcpy(c->fse_ml + lane * 512, ml_tbl, (size_t)nml * 4);
+    std::memset(c->fse_ml + lane * 512 + nml, 0, (size_t)(512 - nml) * 4);
+    c->fse_logs[lane * 3 + 0] = (int32_t)ll_log;
+    c->fse_logs[lane * 3 + 1] = (int32_t)of_log;
+    c->fse_logs[lane * 3 + 2] = (int32_t)ml_log;
     c->fse_pos[lane] = pos;
-    for (int k = 0; k < 3; k++) c->fse_rep[k * cap + lane] = rep3[k];
+    for (int k = 0; k < 3; k++) c->fse_rep[lane * 3 + k] = rep3[k];
     c->fse_nseq[lane] = (int32_t)nseq;
     c->fse_wlen[lane] = (int32_t)nw;
+    dplane_fse_states(c, lane, (int)ll_log, (int)of_log, (int)ml_log,
+                      rep3[0], rep3[1], rep3[2]);
     if (nw > c->fse_wmax) c->fse_wmax = nw;
     if (nseq > c->max_seq) c->max_seq = nseq;
     c->n_fse++;
@@ -10594,37 +10627,38 @@ int zt_dplane_frame(ZtDPlaneCtx* c, const uint8_t* frame, int64_t n,
             if (nbseq > c->s_cap || c->n_fse >= c->fse_cap)
                 ZT_DP_FAIL(ZT_DP_PY);
             const int64_t lane = c->n_fse;
-            const int64_t cap = c->fse_cap;
             int ll_log = 0, of_log = 0, ml_log = 0;
             int64_t h = dplane_seq_table(mode_byte >> 6, rest, rsize,
-                                         c->fse_ll, cap, lane, kCodedLLDef,
+                                         c->fse_ll + lane * 512, kCodedLLDef,
                                          kLLNormLog, kMaxLL, 9, &ll_log);
             if (h < 0) ZT_DP_FAIL(ZT_DP_BADSEQ);
             rest += h; rsize -= h;
             h = dplane_seq_table((mode_byte >> 4) & 3, rest, rsize,
-                                 c->fse_of, cap, lane, kCodedOFDef,
+                                 c->fse_of + lane * 256, kCodedOFDef,
                                  kOFNormLog, kMaxOFF, 8, &of_log);
             if (h < 0) ZT_DP_FAIL(ZT_DP_BADSEQ);
             rest += h; rsize -= h;
             h = dplane_seq_table((mode_byte >> 2) & 3, rest, rsize,
-                                 c->fse_ml, cap, lane, kCodedMLDef,
+                                 c->fse_ml + lane * 512, kCodedMLDef,
                                  kMLNormLog, kMaxML, 9, &ml_log);
             if (h < 0) ZT_DP_FAIL(ZT_DP_BADSEQ);
             rest += h; rsize -= h;
             if (rsize <= 0 || rsize > c->fse_maxw * 4) ZT_DP_FAIL(ZT_DP_PY);
             int32_t pos = 0;
-            const int64_t nw = dplane_words(c->fse_words, cap, c->fse_maxw,
-                                            lane, rest, rsize, &pos);
+            const int64_t nw = dplane_words(c->fse_words, c->fse_cap,
+                                            c->fse_maxw, lane, rest, rsize,
+                                            &pos);
             if (nw < 0) ZT_DP_FAIL(ZT_DP_TRUNC);
-            c->fse_logs[0 * cap + lane] = ll_log;
-            c->fse_logs[1 * cap + lane] = of_log;
-            c->fse_logs[2 * cap + lane] = ml_log;
+            c->fse_logs[lane * 3 + 0] = ll_log;
+            c->fse_logs[lane * 3 + 1] = of_log;
+            c->fse_logs[lane * 3 + 2] = ml_log;
             c->fse_pos[lane] = pos;
-            c->fse_rep[0 * cap + lane] = 1;
-            c->fse_rep[1 * cap + lane] = 4;
-            c->fse_rep[2 * cap + lane] = 8;
+            c->fse_rep[lane * 3 + 0] = 1;
+            c->fse_rep[lane * 3 + 1] = 4;
+            c->fse_rep[lane * 3 + 2] = 8;
             c->fse_nseq[lane] = (int32_t)nbseq;
             c->fse_wlen[lane] = (int32_t)nw;
+            dplane_fse_states(c, lane, ll_log, of_log, ml_log, 1, 4, 8);
             if (nw > c->fse_wmax) c->fse_wmax = nw;
             if (nbseq > c->max_seq) c->max_seq = nbseq;
             c->n_fse++;
@@ -10651,6 +10685,18 @@ int zt_dplane_frame(ZtDPlaneCtx* c, const uint8_t* frame, int64_t n,
     meta[11] = cksum;
     return ZT_DP_OK;
 #undef ZT_DP_FAIL
+}
+
+// Plan a whole batch in one call (the per-call ctypes marshalling of
+// zt_dplane_frame costs ~40us/frame; a 256-frame batch plans in one hop).
+// buf holds the concatenated frames; frame i spans [offs[i], offs[i+1]).
+int64_t zt_dplane_batch(ZtDPlaneCtx* c, const uint8_t* buf,
+                        const int64_t* offs, int64_t n_frames,
+                        int32_t* metas, int32_t* rcs) {
+    for (int64_t i = 0; i < n_frames; i++)
+        rcs[i] = zt_dplane_frame(c, buf + offs[i], offs[i + 1] - offs[i],
+                                 metas + i * 12);
+    return 0;
 }
 
 }  // extern "C"

@@ -178,9 +178,11 @@ _NATIVE_ROUTE = {
 class _NativeOps:
     """Packed device operands, filled by the native planner (ZtDPlaneCtx).
 
-    Buffers are numpy arrays in exactly the layouts the kernels consume
-    (lane-column packed); `huf_batch`/`fse_batch` slice 1024-lane windows
-    into HufBatch/FseSeqBatch without any per-lane Python work."""
+    Buffers are numpy arrays in LANE-MAJOR layout (one contiguous row per
+    lane) so the C planner packs with sequential memcpys; `huf_ops` /
+    `fse_ops` slice 1024-lane windows for ops.device_huf.decode_lanemajor
+    / ops.device_fse.decode_lanemajor, which transpose into kernel layout
+    on the device."""
 
     LANES = 1024
     HUF_MAXW = 2048   # == ops.device_huf.MAX_W
@@ -196,6 +198,10 @@ class _NativeOps:
 
         self.ctx = native.DPlaneCtx()
         self._meta = np.zeros(12, np.int32)
+        # fence: last device output of the batch that consumed this ctx's
+        # buffers; ready ⟹ every h2d transfer from them has completed, so
+        # the buffers are safe to overwrite (pool recycling)
+        self.fence = None
         huf_cap = -(-max(4 * n_frames, 4) // self.LANES) * self.LANES
         fse_cap = -(-max(n_frames, 1) // self.LANES) * self.LANES
         pool_cap = total_in + (1 << 17) + 64
@@ -206,6 +212,31 @@ class _NativeOps:
         self.ctx.huf_maxw = self.HUF_MAXW
         self.ctx.fse_maxw = self.FSE_MAXW
 
+    def reset(self, n_frames: int, total_in: int):
+        """Rearm a pooled ctx for a new batch.  Stale row contents are
+        harmless (pos is zeroed for padding lanes at ops-build time; table
+        tails beyond 2^log are never state-selected; pool spans are fully
+        overwritten), so no buffer clearing is needed — that is the point
+        of pooling: ~34MB of first-touch page faults per batch go away."""
+        c = self.ctx
+        c.pool_off = 0
+        c.n_huf = 0
+        c.n_fse = 0
+        c.huf_wmax = 0
+        c.fse_wmax = 0
+        c.max_seq = 0
+        c.max_out = 0
+        self.fence = None
+        huf_need = -(-max(4 * n_frames, 4) // self.LANES) * self.LANES
+        fse_need = -(-max(n_frames, 1) // self.LANES) * self.LANES
+        pool_need = total_in + (1 << 17) + 64
+        if huf_need > c.huf_cap:
+            self._alloc_huf(huf_need)
+        if fse_need > c.fse_cap:
+            self._alloc_fse(fse_need)
+        if pool_need > c.pool_cap:
+            self._alloc_pool(pool_need)
+
     # -- allocation / growth (pointers live in the ctx struct) --
 
     def _i32p(self, a):
@@ -215,14 +246,14 @@ class _NativeOps:
     def _alloc_huf(self, cap, old=None):
         z = lambda *s: np.zeros(s, np.int32)
         arrs = dict(
-            huf_words=z(self.HUF_MAXW, cap), huf_limits=z(16, cap),
-            huf_bases=z(16, cap), huf_offs=z(16, cap), huf_shifts=z(16, cap),
-            huf_planes=z(64, cap), huf_pos=z(cap), huf_nsym=z(cap),
-            huf_wlen=z(cap))
+            huf_words=z(cap, self.HUF_MAXW), huf_limits=z(cap, 16),
+            huf_bases=z(cap, 16), huf_offs=z(cap, 16),
+            huf_shifts=z(cap, 16), huf_planes=z(cap, 64), huf_pos=z(cap),
+            huf_nsym=z(cap), huf_wlen=z(cap))
         if old is not None:
-            oc = old["huf_words"].shape[1]
+            oc = old["huf_words"].shape[0]
             for k, a in arrs.items():
-                a[..., :oc] = old[k]
+                a[:oc] = old[k]
         self._huf = arrs
         ct = self._ctypes
         self.ctx.huf_cap = cap
@@ -235,21 +266,21 @@ class _NativeOps:
     def _alloc_fse(self, cap, old=None):
         z = lambda *s: np.zeros(s, np.int32)
         arrs = dict(
-            fse_words=z(self.FSE_MAXW, cap), fse_ll=z(512, cap),
-            fse_of=z(256, cap), fse_ml=z(512, cap), fse_logs=z(3, cap),
-            fse_pos=z(cap), fse_rep=z(3, cap), fse_nseq=z(cap),
-            fse_wlen=z(cap))
+            fse_words=z(cap, self.FSE_MAXW), fse_ll=z(cap, 512),
+            fse_of=z(cap, 256), fse_ml=z(cap, 512), fse_logs=z(cap, 3),
+            fse_pos=z(cap), fse_rep=z(cap, 3), fse_nseq=z(cap),
+            fse_wlen=z(cap), fse_st=z(cap, 8))
         if old is not None:
-            oc = old["fse_words"].shape[1]
+            oc = old["fse_words"].shape[0]
             for k, a in arrs.items():
-                a[..., :oc] = old[k]
+                a[:oc] = old[k]
         self._fse = arrs
         ct = self._ctypes
         self.ctx.fse_cap = cap
         self.ctx.fse_words = arrs["fse_words"].ctypes.data_as(
             ct.POINTER(ct.c_uint32))
         for k in ("fse_ll", "fse_of", "fse_ml", "fse_logs", "fse_pos",
-                  "fse_rep", "fse_nseq", "fse_wlen"):
+                  "fse_rep", "fse_nseq", "fse_wlen", "fse_st"):
             setattr(self.ctx, k, self._i32p(arrs[k]))
 
     def _alloc_pool(self, cap, old=None):
@@ -268,9 +299,13 @@ class _NativeOps:
                 max(c.pool_cap * 2, c.pool_off + pool_need + 64),
                 old=self._pool[: c.pool_off])
         if c.n_huf + huf_need > c.huf_cap:
-            self._alloc_huf(c.huf_cap * 2, old=self._huf)
+            self._alloc_huf(
+                -(-max(c.huf_cap * 2, c.n_huf + huf_need)
+                  // self.LANES) * self.LANES, old=self._huf)
         if c.n_fse + fse_need > c.fse_cap:
-            self._alloc_fse(c.fse_cap * 2, old=self._fse)
+            self._alloc_fse(
+                -(-max(c.fse_cap * 2, c.n_fse + fse_need)
+                  // self.LANES) * self.LANES, old=self._fse)
 
     # -- entry points --
 
@@ -287,6 +322,26 @@ class _NativeOps:
         rc = self.lib.zt_dplane_frame(ct.byref(self.ctx), p, len(ref),
                                       self._i32p(self._meta))
         return rc, self._meta
+
+    def plan_all(self, frames):
+        """Plan every frame in one native call.  Returns (rcs [N] i32,
+        metas [N, 12] i32) — same meta layout as plan_frame."""
+        ct = self._ctypes
+        n = len(frames)
+        buf = b"".join(map(bytes, frames))
+        lens = np.fromiter(map(len, frames), np.int64, n)
+        offs = np.zeros(n + 1, np.int64)
+        np.cumsum(lens, out=offs[1:])
+        self._ensure(pool_need=len(buf), huf_need=4 * n, fse_need=n)
+        metas = np.zeros((n, 12), np.int32)
+        rcs = np.zeros(n, np.int32)
+        bufv = np.frombuffer(buf, np.uint8)
+        self.lib.zt_dplane_batch(
+            ct.byref(self.ctx),
+            bufv.ctypes.data_as(ct.POINTER(ct.c_uint8)),
+            offs.ctypes.data_as(ct.POINTER(ct.c_int64)),
+            n, self._i32p(metas), self._i32p(rcs))
+        return rcs, metas
 
     def pack_huf(self, payload: bytes, weights, n_out: int) -> int:
         self._ensure(pool_need=0, huf_need=1, fse_need=0)
@@ -338,50 +393,54 @@ class _NativeOps:
     def pool_bytes(self) -> bytes:
         return self._pool[: int(self.ctx.pool_off)].tobytes()
 
-    def huf_batch(self, i: int):
+    def huf_ops(self, i: int) -> dict:
+        """Lane-major operand window [i, i+NL) for decode_lanemajor.
+        NL rounds the window's real lane count up to a kernel width, so a
+        256-stream batch uploads 256 lanes, not LANES."""
         from ..ops import device_huf as dh
 
         a = self._huf
         n = min(self.n_huf - i, self.LANES)
-        s = slice(i, i + self.LANES)
-        wmax = max(int(a["huf_wlen"][s][:n].max()), 2)
-        cut = lambda x: np.ascontiguousarray(x[..., s])
-        return dh.HufBatch(
-            cut(a["huf_words"][:wmax]).reshape(wmax, 8, 128),
-            cut(a["huf_limits"]).reshape(16, 8, 128),
-            cut(a["huf_bases"]).reshape(16, 8, 128),
-            cut(a["huf_offs"]).reshape(16, 8, 128),
-            cut(a["huf_shifts"]).reshape(16, 8, 128),
-            cut(a["huf_planes"]).reshape(8, 8, 8, 128),
-            cut(a["huf_pos"]).reshape(1, 8, 128),
-            cut(a["huf_nsym"]).reshape(8, 128),
-            int(a["huf_nsym"][s][:n].max()))
+        nl = dh.round_lanes(n)
+        s = slice(i, i + nl)
+        a["huf_pos"][i + n:i + nl] = 0  # padding lanes: done (pool reuse
+        # leaves stale rows; a stale pos would decode garbage into an
+        # unreferenced output row and defeat the done-all early exit)
+        wb = dh.bucket_w(int(a["huf_wlen"][i:i + n].max()))
+        return dict(
+            words=a["huf_words"][s, :wb], limits=a["huf_limits"][s],
+            bases=a["huf_bases"][s], offs=a["huf_offs"][s],
+            shifts=a["huf_shifts"][s], planes=a["huf_planes"][s],
+            pos=a["huf_pos"][s], t_max=int(a["huf_nsym"][i:i + n].max()))
 
-    def fse_batch(self, i: int):
+    def fse_ops(self, i: int) -> dict:
         from ..ops import device_fse as df
+        from ..ops import device_huf as dh
 
         a = self._fse
         n = min(self.n_fse - i, self.LANES)
-        s = slice(i, i + self.LANES)
-        wmax = max(int(a["fse_wlen"][s][:n].max()), 2)
-        cut = lambda x: np.ascontiguousarray(x[..., s])
-        return df.FseSeqBatch(
-            cut(a["fse_words"][:wmax]).reshape(wmax, 8, 128),
-            cut(a["fse_ll"]).reshape(512, 8, 128),
-            cut(a["fse_of"]).reshape(256, 8, 128),
-            cut(a["fse_ml"]).reshape(512, 8, 128),
-            cut(a["fse_logs"][0]).reshape(8, 128),
-            cut(a["fse_logs"][1]).reshape(8, 128),
-            cut(a["fse_logs"][2]).reshape(8, 128),
-            cut(a["fse_pos"]).reshape(1, 8, 128),
-            cut(a["fse_rep"]).reshape(3, 8, 128),
-            cut(a["fse_nseq"]).reshape(8, 128),
-            int(a["fse_nseq"][s][:n].max()))
+        nl = dh.round_lanes(n)
+        s = slice(i, i + nl)
+        a["fse_st"][i + n:i + nl, 0] = 0  # padding lanes: done
+        wb = df.bucket_w(int(a["fse_wlen"][i:i + n].max()))
+        return dict(
+            words=a["fse_words"][s, :wb], ll=a["fse_ll"][s],
+            of=a["fse_of"][s], ml=a["fse_ml"][s], st=a["fse_st"][s],
+            t_max=int(a["fse_nseq"][i:i + n].max()))
+
+
+_CTX_POOL: list = []
+_CTX_LOCK = None
 
 
 def _native_ops_for(frames):
-    """A _NativeOps for this batch, or None (no toolchain / disabled)."""
+    """A _NativeOps for this batch, or None (no toolchain / disabled).
+    Recycles pooled contexts: a fresh ctx costs ~34MB of first-touch page
+    faults per batch (~10ms); a pooled one is rearmed in O(1) once its
+    fence (the previous batch's last output) is ready."""
+    global _CTX_LOCK
     import os
+    import threading
 
     if os.environ.get("ZT_NO_NATIVE_PLAN"):
         return None
@@ -391,7 +450,29 @@ def _native_ops_for(frames):
     if lib is None or not hasattr(lib, "zt_dplane_frame"):
         return None
     total = sum(len(f) for f in frames)
+    if _CTX_LOCK is None:
+        _CTX_LOCK = threading.Lock()
+    with _CTX_LOCK:
+        nb = _CTX_POOL.pop() if _CTX_POOL else None
+    if nb is not None:
+        if nb.fence is not None:
+            import jax
+
+            jax.block_until_ready(nb.fence)
+        nb.reset(len(frames), total)
+        return nb
     return _NativeOps(lib, len(frames), total)
+
+
+def _release_ops(nb, fence):
+    """Return a ctx to the pool once its batch has dispatched; `fence` is
+    the batch's last device output (ready ⟹ h2d transfers complete)."""
+    if nb is None or _CTX_LOCK is None:
+        return
+    nb.fence = fence
+    with _CTX_LOCK:
+        if len(_CTX_POOL) < 4:
+            _CTX_POOL.append(nb)
 
 
 def _parse_lit_header(payload: bytes):
@@ -646,9 +727,12 @@ def plan_batch(frames, ddict=None) -> DevicePlan:
         # outside its scope fall through to the Python logic, whose lanes
         # pack into the same native operand buffers
         plan.nb = _native_ops_for(frames)
+    rcs = metas = None
+    if plan.nb is not None:
+        rcs, metas = plan.nb.plan_all(frames)
     for fi, frame in enumerate(frames):
         if plan.nb is not None:
-            rc, m = plan.nb.plan_frame(frame)
+            rc, m = int(rcs[fi]), metas[fi]
             if rc == 0:
                 # meta[7] carries the has-checksum flag: -1 in meta[11]
                 # alone cannot distinguish "absent" from a real stored
@@ -894,12 +978,15 @@ def decode_batch_device(frames, materialize: bool = False, ddict=None):
                 host_results[fi] = decompress(bytes(frames[fi]))
 
     if not plan.blocks and not plan.mb_frames:
+        _release_ops(plan.nb, None)  # nothing was uploaded from the ctx
         if materialize:
             return [host_results[i] for i in range(plan.n_frames)], {
                 "device_frames": 0, "host_frames": len(host_results)}
         return [], np.zeros(0, np.int64), host_results
 
-    # ---- stage 1: entropy kernels ----
+    # ---- stage 1: entropy kernels (async: nothing blocks until the
+    # exec outputs are consumed, so uploads/kernels/exec pipeline through
+    # the dispatch queue) ----
     nb = plan.nb
     huf_flat = None
     huf_T = 0
@@ -908,19 +995,20 @@ def decode_batch_device(frames, materialize: bool = False, ddict=None):
         outs = []
         for i in range(0, n_huf, dh.LANES):
             if nb is not None:
-                batch = nb.huf_batch(i)
+                outs.append(dh.decode_lanemajor(nb.huf_ops(i)))  # [NL, T]
             else:
                 batch = dh.prepare_batch(plan.huf_payloads[i:i + dh.LANES],
                                          plan.huf_weights[i:i + dh.LANES],
                                          plan.huf_nsyms[i:i + dh.LANES])
-            out = dh.huf_decode_device(batch)  # [T, SUB, LN] i32
-            T = out.shape[0]
-            outs.append(out.reshape(T, dh.LANES).T)  # [LANES, T]
+                out = dh.huf_decode_device(batch)  # [T, SUB, LN] i32
+                outs.append(out.reshape(out.shape[0], dh.LANES).T)
         huf_T = max(o.shape[1] for o in outs)
         outs = [jnp.pad(o, ((0, 0), (0, huf_T - o.shape[1]))) for o in outs]
-        huf_flat = jnp.concatenate(outs, axis=0).reshape(-1)  # [NL*T]
-        jax.block_until_ready(huf_flat)
-        tick("huf")
+        huf_flat = (outs[0] if len(outs) == 1
+                    else jnp.concatenate(outs, axis=0)).reshape(-1)
+        if prof:
+            jax.block_until_ready(huf_flat)
+            tick("huf")
 
     fse_rows = None
     fse_T = 0
@@ -929,23 +1017,26 @@ def decode_batch_device(frames, materialize: bool = False, ddict=None):
         parts = []
         for i in range(0, n_fse, df.LANES):
             if nb is not None:
-                batch = nb.fse_batch(i)
+                parts.append(df.decode_lanemajor(nb.fse_ops(i)))
             else:
                 batch = df.prepare_batch(plan.fse_payloads[i:i + df.LANES],
                                          plan.fse_tables[i:i + df.LANES],
                                          plan.fse_nseqs[i:i + df.LANES],
                                          plan.fse_reps[i:i + df.LANES])
-            lls, mls, ofs = df.fse_decode_device(batch)  # [T, SUB, LN]
-            T = lls.shape[0]
-            parts.append((lls.reshape(T, df.LANES).T,
-                          mls.reshape(T, df.LANES).T,
-                          ofs.reshape(T, df.LANES).T))
+                lls, mls, ofs = df.fse_decode_device(batch)  # [T, SUB, LN]
+                T = lls.shape[0]
+                parts.append((lls.reshape(T, df.LANES).T,
+                              mls.reshape(T, df.LANES).T,
+                              ofs.reshape(T, df.LANES).T))
         fse_T = max(p[0].shape[1] for p in parts)
         pad = lambda a: jnp.pad(a, ((0, 0), (0, fse_T - a.shape[1])))
-        fse_rows = tuple(jnp.concatenate([pad(p[k]) for p in parts], axis=0)
-                         for k in range(3))
-        jax.block_until_ready(fse_rows)
-        tick("fse")
+        fse_rows = tuple(
+            pad(parts[0][k]) if len(parts) == 1
+            else jnp.concatenate([pad(p[k]) for p in parts], axis=0)
+            for k in range(3))
+        if prof:
+            jax.block_until_ready(fse_rows)
+            tick("fse")
 
     # host-decoded sequence rows (fallback lanes)
     S = _bucket(max(plan.max_seq, fse_T, 1), _S_BUCKETS)
@@ -1049,6 +1140,12 @@ def decode_batch_device(frames, materialize: bool = False, ddict=None):
                 mb_device[f["frame_idx"]] = (
                     acc[k, Wb:Wb + f["content"]], f["content"], f["checksum"])
         tick("mb-exec")
+
+    fence = [outputs[-1]] if outputs else []
+    if mb_device:
+        # last-planned group's accumulator fences every mb upload
+        fence.append(list(mb_device.values())[-1][0])
+    _release_ops(plan.nb, fence or None)
 
     if not materialize:
         for fi, (row, n, _cks) in mb_device.items():

@@ -39,7 +39,7 @@ class DPlaneCtx(ctypes.Structure):
         + [("fse_words", ctypes.POINTER(ctypes.c_uint32))]
         + [(n, ctypes.POINTER(ctypes.c_int32)) for n in
            ("fse_ll", "fse_of", "fse_ml", "fse_logs", "fse_pos",
-            "fse_rep", "fse_nseq", "fse_wlen")]
+            "fse_rep", "fse_nseq", "fse_wlen", "fse_st")]
     )
 
 
@@ -236,6 +236,8 @@ def _load():
         ctxp = ctypes.POINTER(DPlaneCtx)
         lib.zt_dplane_frame.restype = ctypes.c_int
         lib.zt_dplane_frame.argtypes = [ctxp, u8p, i64, i32p]
+        lib.zt_dplane_batch.restype = i64
+        lib.zt_dplane_batch.argtypes = [ctxp, u8p, i64p, i64, i32p, i32p]
         lib.zt_dplane_pack_huf.restype = i64
         lib.zt_dplane_pack_huf.argtypes = [ctxp, u8p, i64, u8p, i64, i64, i64]
         lib.zt_dplane_pack_fse.restype = i64

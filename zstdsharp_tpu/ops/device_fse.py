@@ -286,12 +286,13 @@ def decode_reference(batch: FseSeqBatch):
 
 _KERNEL_CACHE = {}
 _T_BUCKETS = (256, 1024, 4096, 16384, 32768)
-_W_BUCKETS = (64, 256, 512, 1024, 2048)
+_W_BUCKETS = (64, 256, 512, 768, 1024, 1536, 2048)
 
 
-def _decode_fn(T, W, interpret=False):
+def _decode_fn(T, W, interpret=False, sub=SUB):
     jax, jnp, pl, pltpu = _jax()
-    key = (T, W, interpret)
+    SUB = sub  # shadow the module default: lane count is sub * 128
+    key = (T, W, interpret, sub)
     if key in _KERNEL_CACHE:
         return _KERNEL_CACHE[key]
 
@@ -515,6 +516,64 @@ def fse_decode_device(batch: FseSeqBatch, interpret=False):
         return fn(jnp.asarray(words), jnp.asarray(batch.ll_tab),
                   jnp.asarray(batch.of_tab), jnp.asarray(batch.ml_tab),
                   jnp.asarray(llp), jnp.asarray(mlp), jnp.asarray(st))
+
+
+def bucket_w(w: int) -> int:
+    return next(b for b in _W_BUCKETS if b >= max(w, 2))
+
+
+def bucket_t(t: int) -> int:
+    return next(b for b in _T_BUCKETS if b >= max(t, 1))
+
+
+_LM_CACHE = {}
+
+
+def _lm_fn(NL, Wb, T, interpret):
+    """Jitted wrapper: lane-major operands -> kernel layout (device-side
+    transpose) -> pallas decode -> ([NL, T], [NL, T], [NL, T])."""
+    jax, jnp, pl, pltpu = _jax()
+    key = (NL, Wb, T, interpret)
+    got = _LM_CACHE.get(key)
+    if got is not None:
+        return got
+    sub = NL // LN
+    fn_p = _decode_fn(T, Wb, interpret, sub=sub)
+    llp_np, mlp_np = _shared_tables()
+
+    def wrap(words, ll, of, ml, st):
+        w = words.T.reshape(Wb, sub, LN)
+        llt = ll.T.reshape(NSTATES, sub, LN)
+        oft = of.T.reshape(NSTATES_OF, sub, LN)
+        mlt = ml.T.reshape(NSTATES, sub, LN)
+        stt = st[:, :7].T.reshape(7, sub, LN)
+        lls, mls, ofs = fn_p(w, llt, oft, mlt, jnp.asarray(llp_np),
+                             jnp.asarray(mlp_np), stt)
+        return (lls.reshape(T, NL).T, mls.reshape(T, NL).T,
+                ofs.reshape(T, NL).T)
+
+    jfn = jax.jit(wrap)
+    _LM_CACHE[key] = jfn
+    return jfn
+
+
+def decode_lanemajor(ops: dict, interpret=False):
+    """Decode from lane-major operands (see _NativeOps.fse_ops).  ops:
+    words [NL, Wb] i32, ll [NL, 512], of [NL, 256], ml [NL, 512],
+    st [NL, 8] (resolved initial kernel state from the native planner),
+    t_max.  Returns ([NL, T], [NL, T], [NL, T]) int32 device rows."""
+    jax, jnp, pl, pltpu = _jax()
+    words = ops["words"]
+    NL, Wb = words.shape
+    T = bucket_t(ops["t_max"])
+    if not _target_is_tpu():
+        interpret = True
+    fn = _lm_fn(NL, Wb, T, interpret)
+    c = np.ascontiguousarray
+    with jax.enable_x64(False):
+        return fn(jnp.asarray(c(words)), jnp.asarray(c(ops["ll"])),
+                  jnp.asarray(c(ops["of"])), jnp.asarray(c(ops["ml"])),
+                  jnp.asarray(c(ops["st"])))
 
 
 def make_runner(batch):

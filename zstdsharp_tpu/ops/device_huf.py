@@ -235,9 +235,10 @@ ROUNDS_PER_STEP = 16  # refill rounds per grid step (amortizes grid overhead)
 CHUNK = REFILL_EVERY * ROUNDS_PER_STEP
 
 
-def _decode_fn(T, W, interpret=False):
+def _decode_fn(T, W, interpret=False, sub=SUB):
     jax, jnp, pl, pltpu = _jax()
-    key = (T, W, interpret)
+    SUB = sub  # shadow the module default: lane count is sub * 128
+    key = (T, W, interpret, sub)
     if key in _KERNEL_CACHE:
         return _KERNEL_CACHE[key]
 
@@ -367,7 +368,7 @@ def _decode_fn(T, W, interpret=False):
 # VMEM budget: streams [W,8,128] i32 stay fully resident; cap W so the
 # working set fits the 16MB scoped limit (8MB streams + windows/tables).
 MAX_W = 2048          # 8KB per stream
-_W_BUCKETS = (64, 256, 1024, 2048)
+_W_BUCKETS = (64, 256, 512, 768, 1024, 1536, 2048)
 _T_BUCKETS = (256, 1024, 4096, 8192, 16384, 32768)
 
 
@@ -398,6 +399,73 @@ def huf_decode_device(batch, interpret=False):
                   jnp.asarray(batch.bases), jnp.asarray(batch.offs),
                   jnp.asarray(batch.shifts), jnp.asarray(batch.planes),
                   jnp.asarray(batch.pos))
+
+
+def round_lanes(n: int) -> int:
+    """Smallest 128*2^k >= n (kernel lane widths), capped at LANES."""
+    nl = 128
+    while nl < n and nl < LANES:
+        nl *= 2
+    return nl
+
+
+def bucket_w(w: int) -> int:
+    return next(b for b in _W_BUCKETS if b >= max(w, 2))
+
+
+def bucket_t(t: int) -> int:
+    return next(b for b in _T_BUCKETS if b >= max(t, 1))
+
+
+_LM_CACHE = {}
+
+
+def _lm_fn(NL, Wb, T, interpret):
+    """Jitted wrapper: lane-major operands -> kernel layout (the transpose
+    runs on-device at HBM rate; the host packs lane rows contiguously) ->
+    pallas decode -> [NL, T] per-lane symbol rows."""
+    jax, jnp, pl, pltpu = _jax()
+    key = (NL, Wb, T, interpret)
+    got = _LM_CACHE.get(key)
+    if got is not None:
+        return got
+    sub = NL // LN
+    fn_p = _decode_fn(T, Wb, interpret, sub=sub)
+
+    def wrap(words, limits, bases, offs, shifts, planes, pos):
+        w = words.T.reshape(Wb, sub, LN)
+        lim = limits.T.reshape(16, sub, LN)
+        bas = bases.T.reshape(16, sub, LN)
+        off = offs.T.reshape(16, sub, LN)
+        shf = shifts.T.reshape(16, sub, LN)
+        pln = planes.T.reshape(8, 8, sub, LN)
+        ps = pos.reshape(1, sub, LN)
+        out = fn_p(w, lim, bas, off, shf, pln, ps)
+        return out.reshape(T, NL).T
+
+    jfn = jax.jit(wrap)
+    _LM_CACHE[key] = jfn
+    return jfn
+
+
+def decode_lanemajor(ops: dict, interpret=False):
+    """Decode from lane-major operands (the native planner's layout; see
+    _NativeOps.huf_ops).  ops: words [NL, Wb] i32, limits/bases/offs/shifts
+    [NL, 16], planes [NL, 64], pos [NL], t_max.  Returns [NL, T] int32
+    device rows (row l = stream l's symbols)."""
+    jax, jnp, pl, pltpu = _jax()
+    words = ops["words"]
+    NL, Wb = words.shape
+    T = bucket_t(ops["t_max"])
+    if not _target_is_tpu():
+        interpret = True
+    fn = _lm_fn(NL, Wb, T, interpret)
+    c = np.ascontiguousarray
+    with jax.enable_x64(False):
+        return fn(jnp.asarray(c(words)), jnp.asarray(c(ops["limits"])),
+                  jnp.asarray(c(ops["bases"])), jnp.asarray(c(ops["offs"])),
+                  jnp.asarray(c(ops["shifts"])),
+                  jnp.asarray(c(ops["planes"])), jnp.asarray(c(ops["pos"])))
 
 
 def make_runner(batch):
