@@ -159,8 +159,12 @@ def main() -> None:
         assert dec.unwrap_many(frames_d) == recs
         td = min(_timed(lambda: dec.unwrap_many(frames_d)) for _ in range(3))
         tot = sum(map(len, recs))
+        # path honesty: a silent mass fallback must be visible in the tail
+        enc_path = getattr(comp._dict, "last_compress_path", "?")
+        dec_path = getattr(dec._dict, "last_decompress_path", "?")
         print(f"bench: dict batch (5K json records) encode {tot/te/1e6:.1f} MB/s, "
-              f"decode {tot/td/1e6:.1f} MB/s, size {sum(map(len, frames_d))}",
+              f"decode {tot/td/1e6:.1f} MB/s, size {sum(map(len, frames_d))} "
+              f"[enc={enc_path} dec={dec_path}]",
               file=sys.stderr)
     except Exception as e:  # pragma: no cover
         print(f"bench: dict batch skipped ({e})", file=sys.stderr)

@@ -172,7 +172,9 @@ class ZstdCompressionDict:
                     [bytes(r) for r in records],
                     0 if resolved.fparams.no_dict_id_flag else self._parsed.dict_id)
                 if out is not None:
+                    self.last_compress_path = "native-batch"
                     return out
+        self.last_compress_path = "python"
         return [self.compress_with(r, params) for r in records]
 
     def decompress_many(self, frames: list[bytes],
@@ -189,11 +191,15 @@ class ZstdCompressionDict:
                 fallback=lambda f: self.decompress_with(
                     f, max_output_size=max_output_size))
             if out is not None:
+                self.last_decompress_path = (
+                    "native-batch" if dd.last_fallback_count == 0
+                    else f"native-batch+{dd.last_fallback_count}-fallbacks")
                 if max_output_size is not None:
                     for o in out:
                         check(len(o) <= max_output_size,
                               ZstdErrorCode.dstSize_tooSmall)
                 return out
+        self.last_decompress_path = "python"
         return [self.decompress_with(f, max_output_size=max_output_size)
                 for f in frames]
 

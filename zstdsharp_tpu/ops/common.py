@@ -61,11 +61,11 @@ def u64_at_every_byte(block: jax.Array) -> jax.Array:
     return v32 | (hi << 32)
 
 
-def _ctz64(x: jax.Array) -> jax.Array:
-    """Count trailing zeros of uint64 (64 for x == 0)."""
-    low = x & (jnp.uint64(0) - x)
-    return jnp.where(x == 0, jnp.uint64(64),
-                     jnp.uint64(63) - jax.lax.clz(low)).astype(jnp.int32)
+def _ctz32(x: jax.Array) -> jax.Array:
+    """Count trailing zeros of uint32 (32 for x == 0)."""
+    low = x & (jnp.uint32(0) - x)
+    return jnp.where(x == 0, jnp.int32(32),
+                     jnp.int32(31) - jax.lax.clz(low).astype(jnp.int32))
 
 
 def match_lengths(block: jax.Array, cand: jax.Array,
@@ -75,24 +75,31 @@ def match_lengths(block: jax.Array, cand: jax.Array,
     O(rounds * N) with no [N, width] intermediates: 8-byte XOR+ctz stepping
     (up to 8*u64_rounds bytes), then exact 64-byte stride jumps for long
     matches (up to +64*stride_rounds), then an 8-byte refinement.  Overreads
-    past the valid region are clamped by the caller (padding is self-equal,
-    which only ever overestimates into clamped territory).
+    past the valid region are clamped by the caller (clamped reads can only
+    mis-estimate into territory the caller's n-idx clamp cuts off, or
+    UNDERestimate — both keep every counted byte genuinely equal).
+
+    All arithmetic is uint32 (an 8-byte step = a u32 pair): TPUs have no
+    native 64-bit lanes, so a u64 formulation pays XLA's emulation tax and
+    forces x64 tracing mode.
     """
     n = block.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
-    v64 = u64_at_every_byte(block)
+    v32 = u32_at_every_byte(block)
     cap = n - 1
     j = jnp.maximum(cand, 0)
 
     def u64_phase(state, rounds):
         def body(_, st):
             length, active = st
-            a = v64[jnp.minimum(idx + length, cap)]
-            b = v64[jnp.minimum(j + length, cap)]
-            x = a ^ b
-            step = jnp.minimum(_ctz64(x) >> 3, 8)
+            x0 = (v32[jnp.minimum(idx + length, cap)]
+                  ^ v32[jnp.minimum(j + length, cap)])
+            x1 = (v32[jnp.minimum(idx + length + 4, cap)]
+                  ^ v32[jnp.minimum(j + length + 4, cap)])
+            step = jnp.where(x0 != 0, _ctz32(x0) >> 3,
+                             4 + jnp.minimum(_ctz32(x1) >> 3, 4))
             length = jnp.where(active, length + step, length)
-            active = active & (x == 0)
+            active = active & (x0 == 0) & (x1 == 0)
             return length, active
 
         return jax.lax.fori_loop(0, rounds, body, state)
@@ -106,9 +113,9 @@ def match_lengths(block: jax.Array, cand: jax.Array,
         def stride_body(_, st):
             length, active = st
             eq = active
-            for k in range(0, 64, 8):
-                a = v64[jnp.minimum(idx + length + k, cap)]
-                b = v64[jnp.minimum(j + length + k, cap)]
+            for k in range(0, 64, 4):
+                a = v32[jnp.minimum(idx + length + k, cap)]
+                b = v32[jnp.minimum(j + length + k, cap)]
                 eq = eq & (a == b)
             length = jnp.where(eq, length + 64, length)
             return length, active & eq
@@ -125,24 +132,30 @@ def pack_bits_device(values: jax.Array, nbits: jax.Array,
                      out_words: int) -> tuple[jax.Array, jax.Array]:
     """Prefix-scan bit packer on device (bitstream.pack_bits equivalent).
 
-    Fields must be <= 32 bits (every zstd field is: huffman codes <= 12,
-    FSE states <= 9, extra bits <= 31).  Returns (words uint32[out_words]
+    Fields must be <= 31 bits (every zstd field is: huffman codes <= 12,
+    FSE states <= 15, extra bits <= 31).  Returns (words uint32[out_words]
     little-endian, total_bits incl. end mark).  Bit ranges are disjoint by
     construction, so scatter-add realizes scatter-OR with no carries.
+
+    Pure uint32: a field at bit offset o spans words o>>5 and (o>>5)+1,
+    whose halves are (v << s) in u32 and v >> (32-s) — the latter written
+    as two shifts so s = 0 stays defined.  No u64 anywhere (TPU has no
+    native 64-bit lanes; u64 would also force x64 tracing mode).
     """
     nbits32 = nbits.astype(jnp.uint32)
-    values = values.astype(jnp.uint64) & ((jnp.uint64(1) << nbits.astype(jnp.uint64)) - 1)
+    v = values.astype(jnp.uint32) & ((jnp.uint32(1) << nbits32) - jnp.uint32(1))
     end = jnp.cumsum(nbits32)
     offsets = end - nbits32
-    total = (end[-1] if nbits32.shape[0] else jnp.uint32(0)) + 1
+    total = (end[-1] if nbits32.shape[0] else jnp.uint32(0)) + jnp.uint32(1)
 
     widx = (offsets >> 5).astype(jnp.int32)
-    s = (offsets & 31).astype(jnp.uint64)
-    w = values << s  # <= 63 bits: spans at most two 32-bit words
-    words = jnp.zeros(out_words, dtype=jnp.uint64)
-    words = words.at[widx].add(w & jnp.uint64(0xFFFFFFFF), mode="drop")
-    words = words.at[widx + 1].add(w >> 32, mode="drop")
+    s = offsets & jnp.uint32(31)
+    w_lo = v << s
+    w_hi = (v >> (jnp.uint32(31) - s)) >> jnp.uint32(1)
+    words = jnp.zeros(out_words, dtype=jnp.uint32)
+    words = words.at[widx].add(w_lo, mode="drop")
+    words = words.at[widx + 1].add(w_hi, mode="drop")
     # End mark bit.
     words = words.at[((total - 1) >> 5).astype(jnp.int32)].add(
-        jnp.uint64(1) << ((total - 1) & 31).astype(jnp.uint64), mode="drop")
-    return words.astype(jnp.uint32), total
+        jnp.uint32(1) << ((total - 1) & jnp.uint32(31)), mode="drop")
+    return words, total

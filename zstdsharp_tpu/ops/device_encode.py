@@ -167,19 +167,50 @@ def _fse_stream_states(codes, nseq, stream, tables=None):
     # steps exist only for i <= nseq-2
     maps = jnp.where((i[:, None] <= nseq - 2), nxt, ident).astype(jnp.int32)
 
-    # suffix composition: comp[i] = M_i o M_{i+1} o ... o M_{S-1}.
-    # In reverse mode the scan combines fn(lower_index, higher_index)
-    # with the HIGHER-index result applied first, so the earlier map
-    # gathers at the later composition's output: fn(a, b) = b[a].
+    # Suffix composition comp[i] = M_i o M_{i+1} o ... o M_{S-1}, where
+    # (A o B)(x) = B[A(x)] and we need u_all[i] = comp[i][u_init].
+    # A flat associative_scan costs O(S*TS*log S) gather traffic; the
+    # work-efficient two-level form below is O(S*TS): a G-step serial
+    # scan composes within chunks (batched across all chunks at once), a
+    # log-depth scan composes the NC chunk composites, and one gather per
+    # position reads the state off its chunk's trajectory.
     def compose(a, b):
         return jnp.take_along_axis(b, a, axis=-1)
 
-    comp = jax.lax.associative_scan(compose, maps, reverse=True, axis=0)
-    # state AFTER encoding symbol i: u_i = comp[i][u_init]; the emission
-    # at step i uses the INCOMING state u_{i+1} (u_all[nseq-1] = u_init
-    # since maps beyond nseq-2 are identity)
+    G = 64
+    S_pad = -(-S // G) * G
+    NC = S_pad // G
+    maps_p = jnp.concatenate(
+        [maps, jnp.broadcast_to(u, (S_pad - S, TS))]) if S_pad > S else maps
+    mc = maps_p.reshape(NC, G, TS)
+
+    # within-chunk suffix trajectories: wc[c,g][x] = M_g(M_{g+1}(...(x)))
+    # (encode runs back-to-front, so the carry — the later maps' composite
+    # — is applied first and M_g gathers at its output)
+    def step(carry, m_g):
+        out = compose(carry, m_g)
+        return out, out
+
+    ident_nc = jnp.broadcast_to(u, (NC, TS)).astype(jnp.int32)
+    _, wc_rev = jax.lax.scan(step, ident_nc,
+                             jnp.flip(mc.swapaxes(0, 1), 0))
+    wc = jnp.flip(wc_rev, 0).swapaxes(0, 1)      # [NC, G, TS]
+
+    # chunk-level suffix composites and per-chunk entry states
+    cm = wc[:, 0]                                 # [NC, TS]
+    ccomp = jax.lax.associative_scan(compose, cm, reverse=True, axis=0)
+    # entry[c] = state entering chunk c from the right (chunks c+1..)
+    entry = jnp.concatenate([
+        jnp.take_along_axis(
+            ccomp[1:], jnp.broadcast_to(u_init, (NC - 1, 1)), axis=-1)[:, 0],
+        u_init[None]]) if NC > 1 else u_init[None]
+
+    # state AFTER encoding symbol i: u_i = wc[chunk(i), pos(i)][entry];
+    # the emission at step i uses the INCOMING state u_{i+1}
+    # (u_all[nseq-1] = u_init since maps beyond nseq-2 are identity)
     u_all = jnp.take_along_axis(
-        comp, jnp.broadcast_to(u_init, (S, 1)), axis=-1)[:, 0]
+        wc, jnp.broadcast_to(entry[:, None, None], (NC, G, 1)),
+        axis=-1)[:, :, 0].reshape(S_pad)[:S]
     u_next = jnp.concatenate([u_all[1:], jnp.zeros(1, jnp.int32)])
 
     emit_val = TS + u_next
@@ -320,12 +351,18 @@ def _encode_lane(block, n_valid, parse, W, t, lit_sorted, lit_count,
     # raw-literal header (type 0, size_format 3)
     lh = (0 | (3 << 2) | (lit_count << 4)).astype(jnp.uint32)
     lh3 = (lh >> (8 * jnp.arange(3, dtype=jnp.uint32))) & 0xFF
-    # compressed-literal header (type 2, size_format 3: 18+18-bit sizes)
-    hh = (jnp.uint64(2) | jnp.uint64(3 << 2)
-          | (L.astype(jnp.uint64) << 4)
-          | (comp_lit.astype(jnp.uint64) << 22))
-    hh5 = ((hh >> (8 * jnp.arange(5, dtype=jnp.uint64))) & jnp.uint64(0xFF)
-           ).astype(jnp.uint32)
+    # compressed-literal header (type 2, size_format 3: 18+18-bit sizes);
+    # the 40-bit field  2 | 3<<2 | L<<4 | comp_lit<<22  emitted bytewise
+    # in u32 (no u64 on TPU)
+    Lu = L.astype(jnp.uint32)
+    cu = comp_lit.astype(jnp.uint32)
+    hh5 = jnp.stack([
+        jnp.uint32(2 | (3 << 2)) | ((Lu & 0xF) << 4),
+        (Lu >> 4) & 0xFF,
+        ((Lu >> 12) & 0x3F) | ((cu & 0x3) << 6),
+        (cu >> 2) & 0xFF,
+        (cu >> 10) & 0xFF,
+    ]).astype(jnp.uint32)
 
     # byte-position classifier (variable gathers, all minor-dim takes)
     OUT = N + 16
@@ -568,8 +605,12 @@ def encode_frames_device(blocks, n_valid, S: int, W: int,
     fresh per-lane FSE sequence tables at the default logs), then phase B
     (FSE state chains, Huffman + FSE bit packing, frame assembly)."""
     t = _tables()
-    parsed, lit_sorted, lit_count, lit_hist, code_hists = _parse_phase(
-        blocks, n_valid, S, hash_log)
+    # The whole encode plane is 32-bit (Mosaic/TPU have no 64-bit lanes);
+    # trace with x64 off so Python ints stay int32 and nothing pays XLA's
+    # u64-emulation tax (the decode kernels do the same).
+    with jax.enable_x64(False):
+        parsed, lit_sorted, lit_count, lit_hist, code_hists = _parse_phase(
+            blocks, n_valid, S, hash_log)
     B, N = blocks.shape
     if huf_literals:
         ch, nh, dh_, dl, ok = _build_lit_tables(
@@ -590,12 +631,13 @@ def encode_frames_device(blocks, n_valid, S: int, W: int,
                jnp.asarray(flush)]
     SEGMAX = N // 4 + 1
     WQ = (SEGMAX * 11 + 24) // 32 + 2
-    return _assembly_phase(
-        blocks, n_valid.astype(jnp.int32), parsed["starts"], parsed["mls"],
-        parsed["offs"], parsed["nseq"], lit_sorted, lit_count,
-        jnp.asarray(ch), jnp.asarray(nh), jnp.asarray(dh_),
-        jnp.asarray(dl), jnp.asarray(ok), *sa, jnp.asarray(mode_byte),
-        jnp.asarray(tbl), jnp.asarray(tbl_len), S, W, WQ)
+    with jax.enable_x64(False):
+        return _assembly_phase(
+            blocks, n_valid.astype(jnp.int32), parsed["starts"],
+            parsed["mls"], parsed["offs"], parsed["nseq"], lit_sorted,
+            lit_count, jnp.asarray(ch), jnp.asarray(nh), jnp.asarray(dh_),
+            jnp.asarray(dl), jnp.asarray(ok), *sa, jnp.asarray(mode_byte),
+            jnp.asarray(tbl), jnp.asarray(tbl_len), S, W, WQ)
 
 
 @partial(jax.jit, static_argnames=("S", "W", "WQ"))
